@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture-table readers (TESTDATA.md / FIXTURES.md §B).
+  *
+  * All query entry points take a scale-factor directory and read parquet —
+  * the engine's scan path is Spark's columnar `FileSourceScanExec`, so column
+  * pruning and predicate pushdown reach the footer for free (SURVEY §4).
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` carries nanosecond parquet timestamps, which Spark 4
+    * rejects by default. We read them as raw nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
+    * the same truncation DuckDB applies, keeping oracle parity. The column is
+    * surfaced as TIMESTAMP_NTZ (session TZ is UTC) so parquet round-trips
+    * compare naive-to-naive.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts",
+        timestamp_micros((col("ts") / lit(1000L)).cast("long")).cast("timestamp_ntz"))
+  }
+}
