@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to construct the engine's SparkSession so every entry point
+  * (Verify, Bench, CLI, tests) runs with identical semantics-affecting conf.
+  *
+  * Scale posture: shuffle partitions default to the local core count here
+  * (local[32] single-JVM); on a real cluster the same builder is used with
+  * AQE coalescing enabled, which right-sizes post-shuffle partitions at
+  * runtime, so the static number only seeds the initial plan.
+  */
+object Sessions {
+
+  def builder(appName: String, cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // events.parquet carries ns timestamps; read them as raw longs
+      // session-wide (Tables.events does the µs truncation). Set once here,
+      // never mutated mid-session (ADVICE r01).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = builder(appName, cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -15,16 +15,17 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events.parquet` carries nanosecond parquet timestamps, which Spark 4
-    * rejects by default. We read them as raw nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
-    * the same truncation DuckDB applies, keeping oracle parity. The column is
-    * surfaced as TIMESTAMP_NTZ (session TZ is UTC) so parquet round-trips
-    * compare naive-to-naive.
+    * rejects by default. Callers' session builders set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions.builder]]) so
+    * the column arrives as raw nanos; we truncate to microseconds — the same
+    * truncation DuckDB applies, keeping oracle parity. The division must be
+    * integral: long/long in Spark coerces to double, and ns-epoch values
+    * (~1.7e18) exceed double's 2^53 mantissa, silently corrupting ~12% of
+    * values. The column is surfaced as TIMESTAMP_NTZ (session TZ is UTC) so
+    * parquet round-trips compare naive-to-naive.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .withColumn("ts",
-        timestamp_micros((col("ts") / lit(1000L)).cast("long")).cast("timestamp_ntz"))
-  }
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
 }

@@ -1,6 +1,6 @@
 package graft.wc
 
-import org.apache.spark.sql.SparkSession
+import graft.Sessions
 
 /** CLI entry mirroring the reference binary's contract
   * (`word_count_mpi.c:25-56` `parse_arg`: `--path <dir>`; output
@@ -9,32 +9,52 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.wc.WordCountCli --path <textDir> --out <csvDir>
   *        [--delimiters <file>]
   *
-  * Exit 1 on missing/empty input dir, matching `word_count_mpi.c:415-422`.
+  * Exit 1 on bad args or a missing/empty input dir, matching the reference's
+  * loud failure (`word_count_mpi.c:50-54` usage+exit, `:415-422` empty dir).
   */
 object WordCountCli {
+  private val Known = Set("path", "out", "delimiters")
+
+  private def usageExit(): Nothing = {
+    System.err.println("usage: WordCountCli --path <dir> --out <dir> [--delimiters <file>]")
+    sys.exit(1)
+  }
+
+  /** Strict flag parsing: every pair must be `--knownFlag value`, no trailing
+    * odd argument silently dropped (ADVICE r01 on `sliding(2,2)`). */
+  def parseArgs(args: Array[String]): Option[Map[String, String]] =
+    if (args.length % 2 != 0) None
+    else {
+      val pairs = args.grouped(2).map {
+        case Array(k, v) if k.startsWith("--") && Known(k.drop(2)) && !v.startsWith("--") =>
+          Some(k.drop(2) -> v)
+        case _ => None
+      }.toSeq
+      if (pairs.contains(None)) None else Some(pairs.flatten.toMap)
+    }
+
+  /** Bounded emptiness check: does `path` contain at least one regular file?
+    * (`Files.list` stream, no full-directory materialization; null-safe,
+    * unlike `File.listFiles` on unreadable paths — VERDICT r01 #4.) */
+  def hasRegularFile(path: String): Boolean = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(p)) false
+    else {
+      val s = java.nio.file.Files.list(p)
+      try s.anyMatch(f => java.nio.file.Files.isRegularFile(f))
+      finally s.close()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
-    val path = opts.getOrElse("path", {
-      System.err.println("usage: WordCountCli --path <dir> --out <dir> [--delimiters <file>]")
-      sys.exit(1)
-    })
+    val opts = parseArgs(args).getOrElse(usageExit())
+    val path = opts.getOrElse("path", usageExit())
     val out = opts.getOrElse("out", "csv_results")
-    val dir = new java.io.File(path)
-    if (!dir.isDirectory || dir.listFiles().forall(!_.isFile)) {
+    if (!hasRegularFile(path)) {
       System.err.println(s"error: $path is not a directory with files")
       sys.exit(1)
     }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-wordcount")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local("graft-wordcount")
     val wc = WordCount.fromDirectory(spark, path, opts.get("delimiters"))
     WordCount.writeCsv(wc, out)
     spark.stop()
