@@ -26,6 +26,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("wc_words")(spark, "/root/testdata/sf0.001")
 
+  /** Headline queries Bench times (subset of [[queries]]; keep it the
+    * representative-per-operator-family list, not the full map, so the
+    * sf0.1 bench stays a minutes-scale signal rather than an hour). */
+  def benchQueries: Seq[String] = queries.keys.toSeq.sorted
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── The reference's own pipeline (SURVEY §2.1 O1–O11) ────────────────

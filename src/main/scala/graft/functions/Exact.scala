@@ -30,9 +30,11 @@ object Exact {
   /** `exactSum` rounded for the output contract (default money scale 4). */
   def roundSum(c: Column, scale: Int = 4): Column = round(exactSum(c), scale)
 
-  /** Deterministic average: exact decimal sum / count, rounded. */
+  /** Deterministic average: exact decimal sum / non-null count, rounded.
+    * Denominator is `count(c)` (ignores NULLs) so the result matches SQL
+    * AVG semantics — `count(lit(1))` would count NULL rows (ADVICE r02). */
   def roundAvg(c: Column, scale: Int = 6): Column =
-    round(exactSum(c) / count(lit(1)), scale)
+    round(exactSum(c) / count(c), scale)
 
   /** Exact long sum for integral-valued doubles (e.g. l_quantity). */
   def longSum(c: Column): Column = sum(c.cast("long"))

@@ -39,11 +39,16 @@ object WordCountCli {
   def hasRegularFile(path: String): Boolean = {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isDirectory(p)) false
-    else {
-      val s = java.nio.file.Files.list(p)
-      try s.anyMatch(f => java.nio.file.Files.isRegularFile(f))
-      finally s.close()
-    }
+    else
+      try {
+        val s = java.nio.file.Files.list(p)
+        try s.anyMatch(f => java.nio.file.Files.isRegularFile(f))
+        finally s.close()
+      } catch {
+        // unreadable dir (AccessDenied etc.) → clean exit-1 path, not a
+        // stack trace (ADVICE r02; reference contract word_count_mpi.c:415-422)
+        case _: java.io.IOException | _: java.io.UncheckedIOException => false
+      }
   }
 
   def main(args: Array[String]): Unit = {
