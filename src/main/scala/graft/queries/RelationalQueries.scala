@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Exact
+
+/** Relational operator suite over the fixture star schema
+  * (SURVEY §2.2 categories the reference lacks; generalization target per
+  * `hash_map.c:60-63`'s key-matched merge — the closest the reference gets
+  * to a join — and the north-star relational surface).
+  *
+  * Design rules shared by every query here:
+  *  - deterministic cross-engine output: double aggregates go through
+  *    [[Exact]] (decimal accumulate, round at the edge); no NULLs in any
+  *    output column (sentinels via coalesce) so the driver's row-sort
+  *    compare never orders None against a value; timestamps surfaced as
+  *    TIMESTAMP_NTZ so parquet round-trips compare naive-to-naive.
+  *  - scale posture: dimension tables (region 5 / nation 25 / supplier 100)
+  *    are broadcast explicitly — at 100 TB the fact-side shuffle on join
+  *    keys is the only exchange that should grow with data volume. Fact⋈fact
+  *    (lineitem⋈orders) is left to Catalyst/AQE: sort-merge with both sides
+  *    hash-partitioned on orderkey.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Exact-decimal sum mirrored in every oracle below. */
+  private def oSum(expr: String, as: String, scale: Int = 4): String =
+    s"ROUND(CAST(SUM(CAST($expr AS DECIMAL(28,10))) AS DOUBLE), $scale) AS $as"
+  private def oAvg(expr: String, as: String, scale: Int = 6): String =
+    s"ROUND(CAST(SUM(CAST($expr AS DECIMAL(28,10))) AS DOUBLE) / COUNT($expr), $scale) AS $as"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── Join family ──────────────────────────────────────────────────────
+    // 4-way inner join: fact⋈fact shuffled on orderkey, dims broadcast.
+    "q_join_pricing" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(
+          Exact.roundSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+    // Left outer join preserving customers with no matching open order.
+    "q_join_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_orderstatus") === "P")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(
+          count(col("o_orderkey")).as("n_open"),
+          Exact.roundSum(coalesce(col("o_totalprice"), lit(0.0))).as("open_total"))
+        .orderBy("c_custkey")
+    }),
+    // Left-semi: customers having ≥1 finished order (EXISTS).
+    "q_join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+    // Left-anti: customers with NO finished order (NOT EXISTS; 71 rows at sf0.01).
+    "q_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+    // Full outer join of two aggregated sides; nulls coalesced to 0.
+    "q_join_full" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sn = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, col("nk_c") === col("nk_s"), "full")
+        .select(
+          coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+
+    // ── Aggregate variants (TPC-H Q1 shape) ──────────────────────────────
+    "q_agg_variants" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Exact.longSum(col("l_quantity")).as("sum_qty"),
+          Exact.roundSum(col("l_extendedprice")).as("sum_price"),
+          Exact.roundAvg(col("l_discount")).as("avg_disc"),
+          min(col("l_shipdate")).cast("timestamp_ntz").as("min_ship"),
+          max(col("l_shipdate")).cast("timestamp_ntz").as("max_ship"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q_agg_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count_distinct(col("l_suppkey")).as("n_supp"),
+          count_distinct(col("l_partkey")).as("n_part"))
+        .orderBy("l_returnflag")),
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"))
+        .distinct()
+        .orderBy("c_mktsegment")),
+
+    // ── Grouping analytics: cube / rollup / grouping sets ────────────────
+    // NULL grouping keys → 'ALL' sentinel (no collision: flags are 1-char).
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), Exact.longSum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")),
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), Exact.roundSum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("cnt"), col("total"))
+        .orderBy("priority", "status")),
+    "q_grouping_sets" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("cnt"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
+    // ── Set operations ───────────────────────────────────────────────────
+    "q_set_union" -> ((s, dir) => {
+      val a = t(s, dir, "customer").where(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_nationkey").as("nationkey"))
+      val b = t(s, dir, "supplier").where(col("s_acctbal") < 0)
+        .select(col("s_nationkey").as("nationkey"))
+      a.union(b).distinct().orderBy("nationkey") // union+distinct == SQL UNION
+    }),
+    "q_set_intersect" -> ((s, dir) => {
+      val a = t(s, dir, "customer").where(col("c_acctbal") < 0)
+        .select(col("c_nationkey").as("nationkey"))
+      val b = t(s, dir, "supplier").where(col("s_acctbal") < 0)
+        .select(col("s_nationkey").as("nationkey"))
+      a.intersect(b).orderBy("nationkey")
+    }),
+    "q_set_except" -> ((s, dir) => {
+      val all = t(s, dir, "nation").select(col("n_nationkey").as("nationkey"))
+      val some = t(s, dir, "supplier").where(col("s_suppkey") <= 20)
+        .select(col("s_nationkey").as("nationkey"))
+      all.except(some).orderBy("nationkey")
+    }),
+
+    // ── Sort / limit / top-k (TakeOrderedAndProject, no global sort) ─────
+    "q_topk_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_pricing" ->
+      s"""SELECT n_name, ${oSum("l_extendedprice*(1-l_discount)", "revenue")},
+            count(*) AS n_items
+          FROM lineitem
+          JOIN orders   ON l_orderkey  = o_orderkey
+          JOIN customer ON o_custkey   = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+          GROUP BY n_name ORDER BY n_name""",
+    "q_join_outer" ->
+      s"""SELECT c_custkey, count(o_orderkey) AS n_open,
+            ${oSum("COALESCE(o_totalprice, 0.0)", "open_total")}
+          FROM customer
+          LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+            ON c_custkey = o.o_custkey
+          GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+    "q_join_full" ->
+      """SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+            COALESCE(cn.n_cust, 0) AS n_cust, COALESCE(sn.n_supp, 0) AS n_supp
+         FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) cn
+         FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) sn
+           ON cn.nk = sn.nk
+         ORDER BY nationkey""",
+    "q_agg_variants" ->
+      s"""SELECT l_returnflag, l_linestatus,
+            SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+            ${oSum("l_extendedprice", "sum_price")},
+            ${oAvg("l_discount", "avg_disc")},
+            min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+            count(*) AS cnt
+          FROM lineitem GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+            count(DISTINCT l_partkey) AS n_part
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+            COALESCE(l_linestatus, 'ALL') AS linestatus,
+            count(*) AS cnt, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "q_rollup" ->
+      s"""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+            COALESCE(o_orderstatus, 'ALL') AS status,
+            count(*) AS cnt, ${oSum("o_totalprice", "total")}
+          FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+          ORDER BY priority, status""",
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+            COALESCE(l_linestatus, 'ALL') AS linestatus, count(*) AS cnt
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY returnflag, linestatus""",
+    "q_set_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+         UNION
+         SELECT s_nationkey FROM supplier WHERE s_acctbal < 0
+         ORDER BY nationkey""",
+    "q_set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal < 0
+         INTERSECT
+         SELECT s_nationkey FROM supplier WHERE s_acctbal < 0
+         ORDER BY nationkey""",
+    "q_set_except" ->
+      """SELECT n_nationkey AS nationkey FROM nation
+         EXCEPT
+         SELECT s_nationkey FROM supplier WHERE s_suppkey <= 20
+         ORDER BY nationkey""",
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+  )
+}
