@@ -22,13 +22,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     WordCountQueries.queries ++
-      RelationalQueries.queries
+      RelationalQueries.queries ++
+      AnalyticQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     WordCountQueries.oracles ++
-      RelationalQueries.oracles
+      RelationalQueries.oracles ++
+      AnalyticQueries.oracles
 
   /** Headline queries Bench times (subset of [[queries]]; keep it a
     * representative-per-operator-family list so the sf0.1 bench stays a

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.Tables
+import graft.functions.Exact
+
+/** Window / date-time / JSON / array / string / math function surface
+  * (SURVEY §2.2 rows "Window functions", "Date/time", "Array/map/JSON",
+  * "String functions", "Math functions" — all reference-absent, committed
+  * via the north star).
+  *
+  * Determinism rules as in [[RelationalQueries]]; additionally every window
+  * ORDER BY carries a unique tiebreaker column (orderdate ties exist per
+  * customer), and per-row double math (sqrt, ln, multiply) is IEEE-identical
+  * across engines so only aggregated doubles need the decimal route.
+  */
+object AnalyticQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── Window: ranking ─────────────────────────────────────────────────
+    // Top-3 customers per market segment by balance. row_number (not rank):
+    // the tiebreak on custkey makes it deterministic.
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("rn"), col("c_custkey"), col("c_acctbal"))
+        .orderBy("c_mktsegment", "rn")
+    }),
+    // ── Window: analytic (lag) ──────────────────────────────────────────
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          coalesce(lag(col("o_totalprice"), 1).over(w), lit(-1.0)).as("prev_price"))
+        .orderBy("o_orderkey")
+    }),
+    // ── Window: explicit frame (running sum) ────────────────────────────
+    "q_window_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(sum(col("o_totalprice").cast("decimal(28,10)")).over(w)
+            .cast("double"), 4).as("running_total"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ── Date/time ───────────────────────────────────────────────────────
+    // Hourly event rollup; ts arrives as ns → µs via Tables.events.
+    "q_events_hourly" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+        .agg(count(lit(1)).as("cnt"), Exact.roundSum(col("value")).as("sum_value"))
+        .orderBy("hour")),
+    "q_orders_monthly" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"))
+        .agg(count(lit(1)).as("cnt"), Exact.roundSum(col("o_totalprice")).as("total"))
+        .orderBy("o_year", "o_month")),
+
+    // ── JSON (get_json_object + from_json) ──────────────────────────────
+    "q_events_props" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k_path"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k_struct"),
+          col("value"))
+        .groupBy(col("k_path"), col("k_struct"))
+        .agg(count(lit(1)).as("cnt"), Exact.roundSum(col("value")).as("sum_value"))
+        .orderBy("k_path")),
+
+    // ── Array functions over tokenized text ─────────────────────────────
+    "q_array_fns" -> ((s, dir) => {
+      val toks = graft.tok.Tokenizer.lowerTokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+          element_at(sort_array(toks), 1).as("first_token"),
+          element_at(sort_array(toks, asc = false), 1).as("last_token"))
+        .orderBy("doc_id")
+    }),
+
+    // ── String functions ────────────────────────────────────────────────
+    "q_string_fns" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_name"), 1, 4).as("prefix"),
+          length(col("p_name")).as("len"),
+          regexp_extract(col("p_brand"), "[0-9]+", 0).cast(IntegerType).as("brand_num"),
+          concat_ws("/", col("p_type"), col("p_brand")).as("type_brand"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
+        .orderBy("p_partkey")),
+
+    // ── Math functions ──────────────────────────────────────────────────
+    "q_math_fns" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+          round(log(col("l_extendedprice") + lit(1.0)), 6).as("ln_price"),
+          ceil(col("l_quantity") / lit(7.0)).as("qty_ceil"),
+          floor(col("l_quantity") / lit(7.0)).as("qty_floor"),
+          abs(col("l_discount") - lit(0.05)).as("abs_disc"),
+          pmod(col("l_orderkey"), lit(97L)).as("key_mod"))
+        .orderBy("l_orderkey", "l_linenumber")),
+  )
+
+  private def oSum(expr: String, as: String, scale: Int = 4): String =
+    s"ROUND(CAST(SUM(CAST($expr AS DECIMAL(28,10))) AS DOUBLE), $scale) AS $as"
+
+  val oracles: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+           FROM customer)
+         WHERE rn <= 3 ORDER BY c_mktsegment, rn""",
+    "q_window_lag" ->
+      """SELECT o_orderkey, o_custkey,
+            COALESCE(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate ASC, o_orderkey ASC), -1.0) AS prev_price
+         FROM orders ORDER BY o_orderkey""",
+    "q_window_frame" ->
+      """SELECT o_orderkey, o_custkey,
+            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+              AS running_total
+         FROM orders ORDER BY o_orderkey""",
+    "q_events_hourly" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt,
+            ${oSum("value", "sum_value")}
+          FROM events GROUP BY 1 ORDER BY hour""",
+    "q_orders_monthly" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+            CAST(month(o_orderdate) AS INT) AS o_month,
+            count(*) AS cnt, ${oSum("o_totalprice", "total")}
+          FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""",
+    "q_events_props" ->
+      s"""SELECT CAST(json_extract_string(props, '$$.k') AS INT) AS k_path,
+            CAST(json_extract_string(props, '$$.k') AS INT) AS k_struct,
+            count(*) AS cnt, ${oSum("value", "sum_value")}
+          FROM events GROUP BY 1, 2 ORDER BY k_path""",
+    "q_array_fns" -> {
+      val re = graft.tok.Tokenizer.DefaultSplitRegex.replace("'", "''")
+      s"""SELECT doc_id,
+            CAST(len(toks) AS INT) AS n_tokens,
+            CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+            list_sort(toks)[1] AS first_token,
+            list_sort(toks)[-1] AS last_token
+          FROM (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '$re'),
+                              x -> x <> '') AS toks
+                FROM documents)
+          ORDER BY doc_id"""
+    },
+    "q_string_fns" ->
+      """SELECT p_partkey, upper(p_name) AS uname,
+            substring(p_name, 1, 4) AS prefix,
+            CAST(length(p_name) AS INT) AS len,
+            CAST(regexp_extract(p_brand, '[0-9]+') AS INT) AS brand_num,
+            concat_ws('/', p_type, p_brand) AS type_brand,
+            regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+         FROM part ORDER BY p_partkey""",
+    "q_math_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+            ROUND(sqrt(l_extendedprice), 6) AS sqrt_price,
+            ROUND(ln(l_extendedprice + 1.0), 6) AS ln_price,
+            CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil,
+            CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_floor,
+            abs(l_discount - 0.05) AS abs_disc,
+            l_orderkey % 97 AS key_mod
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+  )
+}
