@@ -23,14 +23,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     WordCountQueries.queries ++
       RelationalQueries.queries ++
-      AnalyticQueries.queries
+      AnalyticQueries.queries ++
+      TextPipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     WordCountQueries.oracles ++
       RelationalQueries.oracles ++
-      AnalyticQueries.oracles
+      AnalyticQueries.oracles ++
+      TextPipelineQueries.oracles
 
   /** Headline queries Bench times (subset of [[queries]]; keep it a
     * representative-per-operator-family list so the sf0.1 bench stays a

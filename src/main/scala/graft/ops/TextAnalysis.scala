@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.Hashes
+import graft.tok.Tokenizer
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * normalization, shingling, language-ID, quality scoring, token counting,
+  * fingerprinting. All are per-row column expressions (narrow — no shuffle,
+  * no UDFs, whole-stage codegen), so they cost one map pass at any scale;
+  * the aggregations downstream of them are where exchanges happen.
+  *
+  * Generalizes the reference's text surface (tokenize + case-fold,
+  * `tokenizer.c:47-79`, `hash_map.c:25-28`) per the project north star.
+  */
+object TextAnalysis {
+
+  /** Canonical text form for exact dedup: lowercase, every delimiter run
+    * (the reference's 38-char set) collapsed to one space, ends trimmed.
+    * Two documents equal under this normalization are duplicates for
+    * counting purposes — same definition the reference's tokenizer implies
+    * (delimiters carry no identity, `tokenizer.c:37-45`).
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), Tokenizer.DefaultSplitRegex, " "))
+
+  /** Lowercased non-empty tokens (reference semantics). */
+  def tokens(text: Column): Column = Tokenizer.lowerTokens(text)
+
+  /** Word n-gram shingles, space-joined. Empty array when < n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** Distinct shingle set — the unit of near-dup similarity. */
+  def shingleSet(text: Column, n: Int): Column =
+    array_distinct(shingles(tokens(text), n))
+
+  // ── Language identification ───────────────────────────────────────────
+
+  /** Tiny per-language marker-word profiles (top function words). Public
+    * knowledge; ASCII-only on purpose — the tokenizer's delimiter set is
+    * byte-oriented like the reference's.
+    */
+  val LanguageProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "for", "was"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ich", "ein", "zu", "mit"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "con", "para", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une", "est", "que", "pour", "dans"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "you", "ta", "zhe", "men", "zai"),
+  )
+
+  /** Marker-hit score for one language profile: |tokens ∩ profile|. */
+  def langScore(toks: Column, profile: Seq[String]): Column =
+    size(array_intersect(array_distinct(toks), array(profile.map(lit): _*)))
+
+  /** Predicted language: argmax of profile scores, ties broken by profile
+    * order (first wins) — deterministic. A real n-gram model would replace
+    * the profiles; the operator shape (narrow scoring + argmax) is the same.
+    */
+  def langId(toks: Column): Column = {
+    val scored = LanguageProfiles.map { case (lang, prof) =>
+      struct(langScore(toks, prof).as("score"), lit(lang).as("lang"))
+    }
+    // array_max on struct(score, lang) would break lang ties by *string*
+    // (max lang wins); fold explicitly so the FIRST profile wins ties.
+    scored.reduceLeft { (best, cand) =>
+      when(cand.getField("score") > best.getField("score"), cand).otherwise(best)
+    }.getField("lang")
+  }
+
+  // ── Quality scoring ───────────────────────────────────────────────────
+
+  /** Heuristic quality features (C4/Gopher-style rules, simplified):
+    * doc length, token stats, punctuation/digit density, stopword ratio.
+    * Returns a struct; callers project what they need. Ratios are rounded
+    * at the edge for cross-engine determinism.
+    */
+  def qualityFeatures(text: Column): Column = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nToks = size(toks)
+    val punct = nChars - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", ""))
+    val digits = nChars - length(regexp_replace(text, "[0-9]", ""))
+    val stop = langScore(toks, LanguageProfiles.head._2)
+    struct(
+      nChars.as("n_chars"),
+      nToks.as("n_tokens"),
+      round(nChars.cast("double") / greatest(nToks, lit(1)), 6).as("mean_tok_len"),
+      round(punct.cast("double") / greatest(nChars, lit(1)), 6).as("punct_ratio"),
+      round(digits.cast("double") / greatest(nChars, lit(1)), 6).as("digit_ratio"),
+      round(stop.cast("double") / greatest(size(array_distinct(toks)), lit(1)), 6)
+        .as("stopword_ratio"))
+  }
+
+  /** Composite 0–1 quality score from [[qualityFeatures]] — monotone in
+    * "looks like prose": enough tokens, sane token length, low punct/digit
+    * noise. Weights are heuristic constants, not learned.
+    */
+  def qualityScore(f: Column): Column = round(
+    least(f.getField("n_tokens").cast("double") / 20.0, lit(1.0)) * 0.4
+      + when(f.getField("mean_tok_len").between(3.0, 12.0), 0.3).otherwise(0.0)
+      + greatest(lit(0.0), lit(0.2) - f.getField("punct_ratio") * 2.0)
+      + greatest(lit(0.0), lit(0.1) - f.getField("digit_ratio")), 6)
+
+  // ── Token counting ────────────────────────────────────────────────────
+
+  /** Whitespace token count (the cheap pre-filter number). */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count: alpha runs / single digits / other symbols —
+    * the shape (regex scan, no vocab) of a tokenizer-budget estimator.
+    */
+  val BpeishPattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpeishPattern), lit(0)))
+
+  // ── Fingerprinting ────────────────────────────────────────────────────
+
+  /** Content fingerprint: 60-bit hash of the normalized text. Equal
+    * normalized content ⇒ equal fingerprint (exact-dedup key).
+    */
+  def contentFingerprint(text: Column): Column = Hashes.h60(normalize(text))
+
+  /** Sketch fingerprint: hash of the first `k` minhash values over 3-gram
+    * shingles — a compact rolling identity that tolerates none of the
+    * content changing but is cheap to compare/cluster on.
+    */
+  def sketchFingerprint(text: Column, k: Int = 4): Column =
+    Hashes.h60(concat_ws(",",
+      transform(Dedup.minhashSignature(shingleSet(text, 3), k), _.cast("string"))))
+}

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Hashes
+import graft.ops.{Dedup, TextAnalysis}
+import graft.tok.Tokenizer
+
+/** LLM-training-data pipeline operators over `documents` (north-star
+  * surface): token statistics, quality scoring, language-ID, exact dedup,
+  * MinHash+LSH near-dup with n-gram Jaccard verification, SimHash, and
+  * document fingerprinting. Every query is oracle-checked — the md5-based
+  * [[Hashes.h60]] makes even the sketching operators reproducible in
+  * DuckDB SQL.
+  *
+  * The LSH near-dup oracle is *all-pairs* Jaccard — valid as an oracle
+  * because the banded-LSH candidate generator was verified to have perfect
+  * recall at the gated threshold on this corpus (p_miss ≈ 2e-6 per pair at
+  * j=0.9 with k=30,b=10,r=3; deterministic hashes ⇒ reproducible). The
+  * engine-side plan is the scale path (bucket join); the all-pairs form
+  * exists only on the oracle side, where the fixture is 500 rows.
+  */
+object TextPipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  // ── Shared oracle SQL fragments ───────────────────────────────────────
+  private val Re = Tokenizer.DefaultSplitRegex.replace("'", "''")
+  /** DuckDB: lowercased non-empty token list of `text`. */
+  private val ToksSql =
+    s"list_filter(string_split_regex(lower(text), '$Re'), x -> x <> '')"
+  /** DuckDB: distinct 3-gram shingle list from a token-list expression. */
+  private def shinglesSql(toks: String): String =
+    s"""list_distinct(list_transform(
+          generate_series(1, greatest(len($toks) - 2, 0)),
+          i -> array_to_string(($toks)[i:i+2], ' ')))"""
+  private def h60(inner: String): String = Hashes.h60Sql(inner)
+  private def h60s(inner: String, seed: String): String =
+    Hashes.h60SeededSql(inner, seed)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── Token counting ───────────────────────────────────────────────────
+    "q_text_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"),
+        length(col("text")).as("n_chars_actual"))
+        .orderBy("doc_id")),
+
+    // ── Quality scoring ──────────────────────────────────────────────────
+    "q_quality" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.qualityFeatures(col("text")).as("f"))
+        .select(col("doc_id"),
+          col("f.n_tokens").as("n_tokens"),
+          col("f.mean_tok_len").as("mean_tok_len"),
+          col("f.punct_ratio").as("punct_ratio"),
+          col("f.stopword_ratio").as("stopword_ratio"),
+          TextAnalysis.qualityScore(col("f")).as("quality"))
+        .orderBy("doc_id")),
+
+    // ── Language identification ──────────────────────────────────────────
+    "q_lang_id" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val scoreCols = TextAnalysis.LanguageProfiles.map { case (lang, prof) =>
+        TextAnalysis.langScore(toks, prof).as(s"score_$lang")
+      }
+      docs(s, dir)
+        .select(col("doc_id") +: TextAnalysis.langId(toks).as("pred_lang") +: scoreCols: _*)
+        .orderBy("doc_id")
+    }),
+
+    // ── Exact dedup ──────────────────────────────────────────────────────
+    // The fixture has no exact duplicates, so the query manufactures the
+    // collision it checks: each doc unioned with a case/punctuation-mangled
+    // twin (id+100000) that must normalize to the same fingerprint. Every
+    // cluster must come back with exactly its two members.
+    "q_dedup_exact" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val twin = base.select((col("doc_id") + 100000).as("doc_id"),
+        concat(upper(col("text")), lit(" !!!")).as("text"))
+      Dedup.exactClusters(
+          base.union(twin)
+            .withColumn("fp", TextAnalysis.contentFingerprint(col("text"))),
+          "doc_id", "fp")
+        .orderBy("keeper")
+    }),
+
+    // ── Near-dup: MinHash signatures → banded LSH → exact Jaccard ───────
+    "q_neardup_minhash" -> ((s, dir) =>
+      Dedup.verifiedNearDups(
+          docs(s, dir).withColumn("sh", TextAnalysis.shingleSet(col("text"), 3)),
+          "doc_id", "sh", threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    // ── SimHash fingerprints + Hamming-ball pairs ───────────────────────
+    "q_simhash" -> ((s, dir) => {
+      val fp = docs(s, dir)
+        .select(col("doc_id"),
+          Dedup.simhash(TextAnalysis.tokens(col("text"))).as("simhash"))
+      // Pair search: fixture-scale self-join on doc_id inequality with a
+      // Hamming filter. (The scale path for simhash pair search is
+      // bit-block bucketing — see SimilarityQueries' LSH — not this join;
+      // kept relational here because the oracle must mirror it exactly.)
+      val a = fp.select(col("doc_id").as("id_a"), col("simhash").as("h_a"))
+      val b = fp.select(col("doc_id").as("id_b"), col("simhash").as("h_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.hammingDistance(col("h_a"), col("h_b")).as("hamming"))
+        .where(col("hamming") <= 5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ── Document fingerprinting ─────────────────────────────────────────
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.contentFingerprint(col("text")).as("content_fp"),
+        TextAnalysis.sketchFingerprint(col("text")).as("sketch_fp"))
+        .orderBy("doc_id")),
+  )
+
+  // ── Oracles ───────────────────────────────────────────────────────────
+
+  private def langScoreSql(toks: String, words: Seq[String]): String =
+    s"CAST(len(list_intersect(list_distinct($toks), [${words.map("'" + _ + "'").mkString(",")}])) AS INT)"
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+            CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INT)
+              AS ws_tokens,
+            CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.BpeishPattern}')) AS INT)
+              AS bpeish_tokens,
+            CAST(length(text) AS INT) AS n_chars_actual
+          FROM documents ORDER BY doc_id""",
+    "q_quality" -> {
+      val stop = TextAnalysis.LanguageProfiles.head._2
+      s"""WITH f AS (
+            SELECT doc_id,
+              CAST(length(text) AS INT) AS n_chars,
+              CAST(len($ToksSql) AS INT) AS n_tokens,
+              CAST(length(text) - length(regexp_replace(text, '[!-/:-@[-`{-~]', '', 'g')) AS INT) AS punct,
+              CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS digits,
+              ${langScoreSql(ToksSql, stop)} AS stop_hits,
+              CAST(len(list_distinct($ToksSql)) AS INT) AS n_distinct
+            FROM documents)
+          SELECT doc_id, n_tokens,
+            ROUND(CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1), 6) AS mean_tok_len,
+            ROUND(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+            ROUND(CAST(stop_hits AS DOUBLE) / greatest(n_distinct, 1), 6) AS stopword_ratio,
+            ROUND(
+              least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4
+              + CASE WHEN ROUND(CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1), 6)
+                       BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+              + greatest(0.0, 0.2 - ROUND(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 6) * 2.0)
+              + greatest(0.0, 0.1 - ROUND(CAST(digits AS DOUBLE) / greatest(n_chars, 1), 6)),
+              6) AS quality
+          FROM f ORDER BY doc_id"""
+    },
+    "q_lang_id" -> {
+      val profs = TextAnalysis.LanguageProfiles
+      val scoreSelects = profs.map { case (lang, words) =>
+        s"${langScoreSql("toks", words)} AS score_$lang"
+      }.mkString(",\n              ")
+      // Mirror TextAnalysis.langId's fold: first profile wins ties.
+      val fold = profs.tail.foldLeft(s"'${profs.head._1}'" -> s"score_${profs.head._1}") {
+        case ((langExpr, scoreExpr), (lang, _)) =>
+          (s"CASE WHEN score_$lang > ($scoreExpr) THEN '$lang' ELSE $langExpr END",
+            s"CASE WHEN score_$lang > ($scoreExpr) THEN score_$lang ELSE $scoreExpr END")
+      }._1
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+            sc AS (SELECT doc_id,
+              $scoreSelects
+            FROM t)
+          SELECT doc_id, $fold AS pred_lang,
+            ${profs.map { case (l, _) => s"score_$l" }.mkString(", ")}
+          FROM sc ORDER BY doc_id"""
+    },
+    "q_dedup_exact" -> {
+      val norm = s"trim(regexp_replace(lower(text), '$Re', ' ', 'g'))"
+      s"""WITH u AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, upper(text) || ' !!!' FROM documents)
+          SELECT ${h60(norm)} AS fp, min(doc_id) AS keeper,
+            count(*) AS n_copies, list_sort(list(doc_id)) AS members
+          FROM u GROUP BY 1 ORDER BY keeper"""
+    },
+    "q_neardup_minhash" ->
+      s"""WITH s AS (SELECT doc_id, ${shinglesSql(ToksSql)} AS sh FROM documents
+                     WHERE len($ToksSql) >= 3)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / len(list_distinct(a.sh || b.sh)), 6) >= 0.8
+          ORDER BY id_a, id_b""",
+    "q_simhash" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($ToksSql) AS t FROM documents),
+          votes AS (
+            SELECT doc_id, i,
+              SUM(CASE WHEN (${h60("t")} >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM tok CROSS JOIN generate_series(0, 59) g(i)
+            GROUP BY doc_id, i),
+          fp AS (
+            SELECT doc_id,
+              SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+            FROM votes GROUP BY doc_id)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+          ORDER BY id_a, id_b""",
+    "q_fingerprint" -> {
+      val norm = s"trim(regexp_replace(lower(text), '$Re', ' ', 'g'))"
+      val sig4 = s"""list_transform(generate_series(0, 3), i ->
+            list_min(list_transform(${shinglesSql(ToksSql)},
+                                    s -> ${h60s("s", "i")})))"""
+      s"""SELECT doc_id, ${h60(norm)} AS content_fp,
+            ${h60(s"array_to_string($sig4, ',')")} AS sketch_fp
+          FROM documents ORDER BY doc_id"""
+    },
+  )
+}
