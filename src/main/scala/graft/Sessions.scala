@@ -19,6 +19,8 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // native engine expressions (float_vec_dot, …)
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       // events.parquet carries ns timestamps; read them as raw longs
       // session-wide (Tables.events does the µs truncation). Set once here,
       // never mutated mid-session (ADVICE r01).

@@ -24,7 +24,8 @@ object SparkEntry {
     WordCountQueries.queries ++
       RelationalQueries.queries ++
       AnalyticQueries.queries ++
-      TextPipelineQueries.queries
+      TextPipelineQueries.queries ++
+      SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,7 +33,8 @@ object SparkEntry {
     WordCountQueries.oracles ++
       RelationalQueries.oracles ++
       AnalyticQueries.oracles ++
-      TextPipelineQueries.oracles
+      TextPipelineQueries.oracles ++
+      SimilarityQueries.oracles
 
   /** Headline queries Bench times (subset of [[queries]]; keep it a
     * representative-per-operator-family list so the sf0.1 bench stays a

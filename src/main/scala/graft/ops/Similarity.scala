@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Hashes
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, same API shape:
+  *  - [[topKNeighbors]]: brute-force cosine top-k — the correctness
+  *    baseline. Physical plan: broadcast the (small) probe set, nested-loop
+  *    join against the corpus, per-probe top-k via window. Linear in
+  *    |corpus|×|probes| — fine for probes ≤ thousands, wrong for
+  *    probe-set ≈ corpus (that's the LSH path).
+  *  - [[topKNeighborsLsh]]: random-hyperplane LSH — each vector gets an
+  *    `nBits`-bit signature (sign of ⟨v, w_p⟩ for deterministic pseudo-random
+  *    hyperplanes w_p); candidates are vectors whose signature lands in the
+  *    same bucket as the probe (optionally within Hamming distance 1 —
+  *    multiprobe). The join is hash-partitioned on the bucket id: corpus
+  *    scales linearly, no all-pairs product anywhere.
+  *
+  * Numeric contract: the *exact* variants accumulate in DECIMAL(30,16), so
+  * the result is independent of summation order and bit-identical across
+  * engines (the DuckDB oracle mirrors it). The *fast* variants accumulate
+  * in double via [[graft.expr.FloatVecDot]] (codegen, no per-row array
+  * allocation) — use them when a ±1 ulp summation difference is acceptable,
+  * i.e. everywhere except an oracle gate.
+  */
+object Similarity {
+
+  private val Dec = "decimal(30,16)"
+  // NB: decimal(30,16)+decimal(30,16) → decimal(31,16) in Spark (scale kept);
+  // re-cast to (30,16) in the fold is lossless for |values| < 10^14. A (38,16)
+  // accumulator would overflow precision and silently drop to scale 15.
+
+  /** Order-independent exact dot product of two float vectors (as double). */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
+      lit(0).cast(Dec), (acc, x) => (acc + x).cast(Dec))
+      .cast("double")
+
+  /** Exact squared L2 norm (as double). */
+  def norm2Exact(a: Column): Column = dotExact(a, a)
+
+  /** Exact cosine similarity, rounded to `scale` for output determinism. */
+  def cosineExact(a: Column, b: Column, scale: Int = 6): Column =
+    round(dotExact(a, b) / (sqrt(norm2Exact(a)) * sqrt(norm2Exact(b))), scale)
+
+  /** Fast double-accumulation dot via the native codegen expression
+    * ([[graft.expr.FloatVecDot]], registered by [[graft.expr.GraftExtensions]]).
+    */
+  def dotFast(a: Column, b: Column): Column =
+    call_function("float_vec_dot", a, b)
+
+  /** Brute-force cosine top-k: for every probe row, the k nearest corpus
+    * rows (excluding itself when ids collide). Broadcast-nested-loop join +
+    * per-probe window. Deterministic: ties broken by candidate id.
+    */
+  def topKNeighbors(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cosine"), asc("cand_id"))
+    broadcast(p).join(c, col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        cosineExact(col("pv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane weight in [-1, 1]:
+    * w(p, i) = (h60("p:i") mod 2001 - 1000) / 1000. Shared with the oracle.
+    */
+  def hyperplaneWeight(p: Column, i: Column): Column =
+    (pmod(Hashes.h60(concat(p.cast("string"), lit(":"), i.cast("string"))),
+      lit(2001L)).cast("double") - 1000.0) / 1000.0
+
+  /** `nBits`-bit sign signature of a float vector. Exact decimal
+    * accumulation per bit so the sign (and therefore the bucket) is
+    * engine-portable even for near-zero projections.
+    */
+  def signBits(vec: Column, nBits: Int): Column = {
+    val bits = transform(
+      sequence(lit(0), lit(nBits - 1)),
+      p => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(1), size(vec)),
+            (x, i) => (x.cast("double") * hyperplaneWeight(p, i)).cast(Dec)),
+          lit(0).cast(Dec), (acc, x) => (acc + x).cast(Dec))
+        when(proj > 0, shiftleftSafe(p)).otherwise(0L)
+      })
+    aggregate(bits, lit(0L), (acc, x) => acc + x)
+  }
+
+  /** 2^p for a lambda-bound (Column) exponent, 0 ≤ p ≤ 60. */
+  private val Pow2: Column = array((0 to 60).map(j => lit(1L << j)): _*)
+  private def shiftleftSafe(p: Column): Column = element_at(Pow2, p + 1)
+
+  /** LSH-bucketed cosine top-k. Probes and corpus are bucketed by
+    * [[signBits]]; candidates come from a hash join on the bucket id
+    * (multiprobe: probe also visits all Hamming-1 buckets, trading nBits×
+    * candidate growth for recall). Exact cosine + top-k on candidates only.
+    * May return < k rows per probe (LSH recall is probabilistic) — that is
+    * the contract; callers needing exact top-k use [[topKNeighbors]].
+    */
+  def topKNeighborsLsh(probes: DataFrame, corpus: DataFrame, k: Int,
+                       nBits: Int = 12, multiprobe: Boolean = true): DataFrame = {
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      signBits(col("embedding"), nBits).as("bucket"))
+    val p0 = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+      signBits(col("embedding"), nBits).as("b0"))
+    val p =
+      if (!multiprobe) p0.select(col("probe_id"), col("pv"), col("b0").as("bucket"))
+      else p0.select(col("probe_id"), col("pv"),
+        explode(concat(array(col("b0")),
+          transform(sequence(lit(0), lit(nBits - 1)),
+            i => col("b0").bitwiseXOR(shiftleftSafe(i))))).as("bucket"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cosine"), asc("cand_id"))
+    p.join(c, Seq("bucket"))
+      .where(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        cosineExact(col("pv"), col("cv")).as("cosine"))
+      .distinct() // multiprobe can reach the same candidate via two buckets
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Hashes
+import graft.ops.Similarity
+
+/** Similarity-search surface over `embeddings` (`array<float>`, 64-dim).
+  *
+  * All three queries are oracle-checked, including the LSH path: every
+  * numeric accumulation is order-independent (DECIMAL), every hash is
+  * md5-portable, so DuckDB reproduces signatures, buckets, candidates and
+  * cosines bit-for-bit. The fixture's vectors are near-random (max pairwise
+  * cosine ≈ 0.51, labels uncorrelated with geometry), so LSH recall is
+  * honestly low here — the gate verifies the machinery, the ScalaTest spec
+  * covers recall behavior on planted clusters.
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+
+  private val K = 10
+  private val NBits = 8
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-vector L2 norm — the basic embedding-column numeric op.
+    "q_embed_norm" -> ((s, dir) =>
+      emb(s, dir).select(col("vec_id"), col("label"),
+        round(sqrt(Similarity.norm2Exact(col("embedding"))), 6).as("l2_norm"))
+        .orderBy("vec_id")),
+
+    // Brute-force cosine top-k for a small probe set (the baseline).
+    "q_knn_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.topKNeighbors(e.where(col("vec_id") < 5), e, K)
+        .orderBy("probe_id", "rank")
+    }),
+
+    // LSH-bucketed top-k (the scale path): sign-hyperplane signatures,
+    // multiprobe Hamming-1 bucket visit, exact cosine on candidates only.
+    "q_knn_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.topKNeighborsLsh(e.where(col("vec_id") < 5), e, K, NBits)
+        .orderBy("probe_id", "rank")
+    }),
+  )
+
+  // ── Oracle SQL ────────────────────────────────────────────────────────
+
+  /** DECIMAL-exact dot of two embedding expressions (order-independent). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($a)),
+          i -> CAST(CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE)
+                    AS DECIMAL(30,16))))"""
+
+  private def cosineSql(a: String, b: String): String =
+    s"""ROUND(CAST(${dotSql(a, b)} AS DOUBLE)
+          / (sqrt(CAST(${dotSql(a, a)} AS DOUBLE))
+             * sqrt(CAST(${dotSql(b, b)} AS DOUBLE))), 6)"""
+
+  /** Mirror of [[Similarity.hyperplaneWeight]] in DuckDB. */
+  private def weightSql(p: String, i: String): String = {
+    val h = Hashes.h60Sql(s"CAST($p AS VARCHAR)||':'||CAST($i AS VARCHAR)")
+    s"(CAST($h % 2001 AS DOUBLE) - 1000.0) / 1000.0"
+  }
+
+  /** Mirror of [[Similarity.signBits]]: nBits-bit bucket id. */
+  private def bucketSql(vec: String, nBits: Int): String =
+    s"""list_sum(list_transform(generate_series(0, ${nBits - 1}), p ->
+          CASE WHEN list_sum(list_transform(generate_series(1, len($vec)),
+                 i -> CAST(CAST(($vec)[i] AS DOUBLE) * ${weightSql("p", "i")}
+                           AS DECIMAL(30,16)))) > 0
+               THEN (1::BIGINT << p) ELSE 0::BIGINT END))"""
+
+  val oracles: Map[String, String] = Map(
+    "q_embed_norm" ->
+      s"""SELECT vec_id, label,
+            ROUND(sqrt(CAST(${dotSql("embedding", "embedding")} AS DOUBLE)), 6)
+              AS l2_norm
+          FROM embeddings ORDER BY vec_id""",
+    "q_knn_brute" ->
+      s"""WITH pairs AS (
+            SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+              ${cosineSql("p.embedding", "c.embedding")} AS cosine
+            FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+            WHERE p.vec_id < 5),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY cosine DESC, cand_id ASC) AS rank
+            FROM pairs)
+          SELECT probe_id, cand_id, cosine, CAST(rank AS INT) AS rank
+          FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""",
+    "q_knn_lsh" ->
+      s"""WITH sig AS (
+            SELECT vec_id, embedding, ${bucketSql("embedding", NBits)} AS b0
+            FROM embeddings),
+          probes AS (
+            SELECT vec_id AS probe_id, embedding AS pv, unnest(
+              [b0] || list_transform(generate_series(0, ${NBits - 1}),
+                                     i -> xor(b0, 1::BIGINT << i))) AS bucket
+            FROM sig WHERE vec_id < 5),
+          cands AS (
+            SELECT DISTINCT probe_id, pv, s.vec_id AS cand_id, s.embedding AS cv
+            FROM probes JOIN sig s ON probes.bucket = s.b0
+            WHERE probe_id <> s.vec_id),
+          scored AS (
+            SELECT probe_id, cand_id, ${cosineSql("pv", "cv")} AS cosine
+            FROM cands),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY cosine DESC, cand_id ASC) AS rank
+            FROM scored)
+          SELECT probe_id, cand_id, cosine, CAST(rank AS INT) AS rank
+          FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""",
+  )
+}
