@@ -25,7 +25,8 @@ object SparkEntry {
       RelationalQueries.queries ++
       AnalyticQueries.queries ++
       TextPipelineQueries.queries ++
-      SimilarityQueries.queries
+      SimilarityQueries.queries ++
+      ExtensionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,7 +35,8 @@ object SparkEntry {
       RelationalQueries.oracles ++
       AnalyticQueries.oracles ++
       TextPipelineQueries.oracles ++
-      SimilarityQueries.oracles
+      SimilarityQueries.oracles ++
+      ExtensionQueries.oracles
 
   /** Headline queries Bench times (subset of [[queries]]; keep it a
     * representative-per-operator-family list so the sf0.1 bench stays a

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured-Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value) — SURVEY §2.2 "Streaming"
+  * (reference-absent; north-star). Every transform here takes a DataFrame
+  * and works identically on a batch frame or a `readStream` frame — the
+  * specs exploit that for batch-equivalence testing (the strategy SURVEY §5
+  * prescribes, since a streaming query has no DuckDB oracle).
+  *
+  * Scale posture: all aggregations are keyed (window start × type, or
+  * user) so state is hash-partitioned across executors; watermarks bound
+  * state size — without them, windowed state grows forever at 100 TB/day.
+  */
+object EventsStream {
+
+  /** Tumbling-window counts with late-data handling: events later than
+    * `lateness` behind the max seen ts are dropped, windows finalize once
+    * the watermark passes. On a batch frame the watermark is a no-op and
+    * the result equals a plain window aggregation — the equivalence spec.
+    */
+  def hourlyTypeCounts(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(28,10)")).cast("double"), 4)
+          .as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("cnt"),
+        col("sum_value"))
+
+  /** Sliding-window rate: 1-hour windows every 15 minutes. */
+  def slidingRate(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"), col("cnt"))
+
+  /** Exactly-once de-dup on event_id within the watermark horizon —
+    * the streaming form of exact dedup (state = ids seen, bounded by the
+    * watermark; unbounded without it).
+    */
+  def dedupedEvents(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", lateness).dropDuplicates("event_id")
+
+  /** Session windows per user: gap-based (10 min) built-in session_window. */
+  def userSessions(events: DataFrame, gap: String = "10 minutes",
+                   lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("s.start").as("session_start"),
+        col("s.end").as("session_end"), col("n_events"))
+
+  /** Typed event for the custom-state path. */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  /** Running per-user aggregate maintained by explicit state. */
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful aggregation via mapGroupsWithState — the escape hatch
+    * for state machines the built-in windows can't express (the streaming
+    * analogue of the reference's item-interface extension point). State
+    * here: per-user running (count, Σvalue) with processing-time timeout.
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          batch.foreach { e => n += 1; total += e.value }
+          val next = UserRunning(user, n, total)
+          state.update(next)
+          state.setTimeoutDuration("1 hour")
+          next
+      }
+  }
+
+  /** File-source replay of the events table as a stream (each parquet file
+    * becomes a micro-batch input) — how the specs and demos drive the
+    * transforms above with real data.
+    */
+  def replayFromParquet(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .parquet(s"$dir/events.parquet")
+      // same ns→µs surface as Tables.events (fixture carries ns timestamps)
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+}
