@@ -95,8 +95,11 @@ object EventsStream {
     spark.readStream
       .schema(schema)
       .parquet(s"$dir/events.parquet")
-      // same ns→µs surface as Tables.events (fixture carries ns timestamps)
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      // same ns→µs truncation as Tables.events, but surfaced as TIMESTAMP
+      // (not NTZ): EventTimeWatermark requires TimestampType — a watermark
+      // on a TIMESTAMP_NTZ column fails analysis
+      // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Session TZ is pinned UTC, so
+      // the instant semantics match the batch NTZ surface on the fixtures.
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

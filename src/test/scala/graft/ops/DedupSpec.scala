@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup tiers: exact clustering, MinHash+LSH near-dup with a planted pair,
+  * and SimHash Hamming behavior (north-star LLM-pipeline operators).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "near the warm fire and the birds sing in the tall green trees outside"
+  private val nearDup = base.replace("green", "leafy") // 1-word edit
+  private val unrelated =
+    "completely different content about database engines and distributed " +
+      "query processing with columnar storage formats and vectorized execution"
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated), (4L, base) // 4 = exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactClusters groups by fingerprint with min-id keeper and members") {
+    val withFp = docs.withColumn("fp", TextAnalysis.contentFingerprint(col("text")))
+    val clusters = Dedup.exactClusters(withFp, "doc_id", "fp")
+      .select("keeper", "n_copies", "members")
+      .as[(Long, Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    assert(clusters.map(c => (c._1, c._2)) === Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+    assert(clusters.head._3 === Seq(1L, 4L))
+  }
+
+  test("minhashSignature: length k, deterministic, null on empty shingle set") {
+    val df = docs.withColumn("sh", TextAnalysis.shingleSet(col("text"), 3))
+    val sigs = df.select(Dedup.minhashSignature(col("sh"), 30).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sigs.forall(_.length === 30))
+    val again = df.select(Dedup.minhashSignature(col("sh"), 30).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sigs.toSeq === again.toSeq)
+    val empty = Seq(Seq.empty[String]).toDF("sh")
+      .select(Dedup.minhashSignature(col("sh"), 5)).collect()
+    assert(empty.head.isNullAt(0))
+  }
+
+  test("identical shingle sets ⇒ identical signatures (exact dup agreement)") {
+    val df = docs.where(col("doc_id").isin(1, 4))
+      .withColumn("sh", TextAnalysis.shingleSet(col("text"), 3))
+    val sigs = df.select(Dedup.minhashSignature(col("sh"), 30)).as[Seq[Long]].collect()
+    assert(sigs(0) === sigs(1))
+  }
+
+  test("LSH candidatePairs finds the planted near-dup, not the unrelated doc") {
+    val sh = docs.withColumn("sh", TextAnalysis.shingleSet(col("text"), 3))
+    val pairs = Dedup.candidatePairs(sh, "doc_id", "sh")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L)),
+      "high-jaccard pairs must bucket together")
+    assert(pairs.contains((1L, 4L)), "exact dups always share every band")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc must not be a candidate, got $pairs")
+  }
+
+  test("verifiedNearDups thresholds candidates by exact Jaccard") {
+    val sh = docs.withColumn("sh", TextAnalysis.shingleSet(col("text"), 3))
+    val verified = Dedup.verifiedNearDups(sh, "doc_id", "sh", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    val pairs = verified.map(v => (v._1, v._2)).toSet
+    assert(pairs.contains((1L, 2L)), "planted near-dup survives verification")
+    assert(pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)))
+    assert(verified.find(v => (v._1, v._2) == (1L, 4L)).get._3 === 1.0)
+    val j12 = verified.find(v => (v._1, v._2) == (1L, 2L)).get._3
+    assert(j12 > 0.5 && j12 < 1.0)
+  }
+
+  test("simhash: near-identical docs land within small Hamming distance") {
+    val df = docs.withColumn("sh", Dedup.simhash(TextAnalysis.tokens(col("text"))))
+    val hs = df.select("doc_id", "sh").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hs(1L) === hs(4L), "identical docs: distance 0")
+    assert(ham(hs(1L), hs(2L)) <= 12, "1-word edit: small distance")
+    assert(ham(hs(1L), hs(3L)) > 12, "unrelated doc: large distance")
+    // hammingDistance column form agrees with the JVM computation
+    val d = df.where(col("doc_id") === 1).select(col("sh").as("a"))
+      .crossJoin(df.where(col("doc_id") === 3).select(col("sh").as("b")))
+      .select(Dedup.hammingDistance(col("a"), col("b"))).as[Int].head()
+    assert(d === ham(hs(1L), hs(3L)))
+  }
+}

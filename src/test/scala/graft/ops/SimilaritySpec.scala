@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Similarity search: exact cosine identities, brute-force top-k ordering,
+  * LSH recall on planted clusters, and native-vs-exact dot agreement.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosineExact: orthogonal=0, identical=1, opposite=-1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f), 1.0),
+      (Array(1f, 1f), Array(-1f, -1f), -1.0),
+      (Array(3f, 4f), Array(4f, 3f), 0.96)
+    ).toDF("a", "b", "expected")
+    val rows = df.select(Similarity.cosineExact(col("a"), col("b")).as("c"),
+      col("expected")).as[(Double, Double)].collect()
+    rows.foreach { case (got, exp) => assert(math.abs(got - exp) < 1e-6) }
+  }
+
+  test("dotExact is partitioning-order independent; dotFast (native) agrees") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(64)(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val paired = df.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(df.limit(1).select(col("embedding").as("b")))
+    val exact = paired
+      .select(col("vec_id"), Similarity.dotExact(col("a"), col("b")).as("d"))
+      .as[(Long, Double)].collect().toMap
+    val fast = paired
+      .select(col("vec_id"), Similarity.dotFast(col("a"), col("b")).as("d"))
+      .as[(Long, Double)].collect().toMap
+    exact.foreach { case (id, d) =>
+      assert(math.abs(d - fast(id)) < 1e-6, s"vec $id exact=$d fast=${fast(id)}")
+    }
+  }
+
+  /** Planted-cluster fixture: 3 well-separated unit directions with small
+    * jitter; every vector's true nearest neighbors are its own cluster.
+    */
+  private def planted = {
+    val rnd = new scala.util.Random(13)
+    val dims = 12
+    val centers = Seq(0, 4, 8).map { axis =>
+      Array.tabulate(dims)(i => if (i == axis) 1f else 0f)
+    }
+    (0 until 30).map { i =>
+      val c = centers(i % 3)
+      val v = Array.tabulate(dims)(j => c(j) + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("topKNeighbors: k rows per probe, descending cosine, same-cluster hits") {
+    val corpus = planted
+    val probes = corpus.where(col("vec_id") < 3)
+    val res = Similarity.topKNeighbors(probes, corpus, k = 5)
+      .select("probe_id", "cand_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(res.groupBy(_._1).forall(_._2.size == 5))
+    res.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3) === sorted.map(_._3).sorted.reverse, "cosine desc")
+    }
+    // every neighbor of probe p comes from p's planted cluster (mod 3)
+    res.foreach { case (p, c, cos, _) =>
+      assert(c % 3 === p % 3, s"probe $p got cross-cluster neighbor $c (cos=$cos)")
+    }
+  }
+
+  test("topKNeighborsLsh: returned neighbors are a prefix-quality subset of brute force") {
+    val corpus = planted
+    val probes = corpus.where(col("vec_id") < 3)
+    val brute = Similarity.topKNeighbors(probes, corpus, k = 5)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.topKNeighborsLsh(probes, corpus, k = 5, nBits = 8)
+      .select("probe_id", "cand_id", "rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(lsh.nonEmpty, "planted clusters must collide in sign-LSH buckets")
+    // LSH may return <k rows (recall contract) but what it returns for the
+    // tight planted clusters must be true neighbors
+    lsh.foreach { case (p, c, _) =>
+      assert(c % 3 === p % 3, s"LSH neighbor $c not in probe $p's cluster")
+    }
+    // with multiprobe on near-identical vectors, the top hit matches brute force
+    val lshTop = lsh.filter(_._3 == 1).map(t => (t._1, t._2)).toSet
+    assert(lshTop.subsetOf(brute))
+  }
+
+  test("signBits: deterministic, in [0, 2^nBits), equal for identical vectors") {
+    val df = planted
+    val sigs = df.select(col("vec_id"),
+      Similarity.signBits(col("embedding"), 10).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs.values.forall(s => s >= 0 && s < (1L << 10)))
+    val again = df.select(col("vec_id"),
+      Similarity.signBits(col("embedding"), 10).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs === again)
+  }
+}

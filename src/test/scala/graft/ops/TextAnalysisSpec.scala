@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators: normalization, shingling, language-ID, quality
+  * features, token counting, fingerprints.
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T: org.apache.spark.sql.Encoder](c: org.apache.spark.sql.Column, s: String): T =
+    Seq(s).toDF("t").select(c.as("v")).as[T].head()
+
+  test("normalize: lowercase, delimiter runs → single space, trimmed") {
+    assert(one[String](TextAnalysis.normalize(col("t")), "  Hello,,  WORLD!! ")
+      === "hello world")
+    assert(one[String](TextAnalysis.normalize(col("t")), "a.b-c") === "a b c")
+    assert(one[String](TextAnalysis.normalize(col("t")), "...") === "")
+  }
+
+  test("shingles: n-grams with space join; fewer than n tokens → empty") {
+    val sh = one[Seq[String]](
+      TextAnalysis.shingles(TextAnalysis.tokens(col("t")), 3), "a b c d")
+    assert(sh === Seq("a b c", "b c d"))
+    val short = one[Seq[String]](
+      TextAnalysis.shingles(TextAnalysis.tokens(col("t")), 3), "a b")
+    assert(short === Seq.empty)
+  }
+
+  test("shingleSet deduplicates repeated shingles") {
+    val sh = one[Seq[String]](TextAnalysis.shingleSet(col("t"), 2), "a b a b a")
+    assert(sh.sorted === Seq("a b", "b a"))
+  }
+
+  test("langId picks the profile with most marker hits; first profile wins ties") {
+    assert(one[String](TextAnalysis.langId(TextAnalysis.tokens(col("t"))),
+      "the cat is in the house and it was good") === "en")
+    assert(one[String](TextAnalysis.langId(TextAnalysis.tokens(col("t"))),
+      "der Hund und die Katze ist nicht hier") === "de")
+    assert(one[String](TextAnalysis.langId(TextAnalysis.tokens(col("t"))),
+      "el perro y la casa por con para que es") === "es")
+    // zero hits anywhere → ties at 0 → first profile (en) wins deterministically
+    assert(one[String](TextAnalysis.langId(TextAnalysis.tokens(col("t"))),
+      "zzz qqq") === "en")
+  }
+
+  test("qualityFeatures: counts and ratios on a known sentence") {
+    val f = Seq("The cat sat, twice!").toDF("t")
+      .select(TextAnalysis.qualityFeatures(col("t")).as("f"))
+      .select("f.n_chars", "f.n_tokens", "f.punct_ratio")
+      .as[(Int, Int, Double)].head()
+    assert(f._1 === 19)
+    assert(f._2 === 4)
+    assert(f._3 === math.rint(2.0 / 19 * 1e6) / 1e6)
+  }
+
+  test("qualityScore: prose scores higher than noise") {
+    val score = (s: String) => one[Double](
+      TextAnalysis.qualityScore(TextAnalysis.qualityFeatures(col("t"))), s)
+    val prose = score("The quick brown fox jumps over the lazy dog near the " +
+      "river bank while evening light settles on the quiet village rooftops")
+    val noise = score("@@@ ### !!! 12345 67890 ***")
+    assert(prose > 0.6)
+    assert(noise < 0.3)
+    assert(prose > noise)
+  }
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    assert(one[Int](TextAnalysis.wsTokenCount(col("t")), "one two  three") === 3)
+    assert(one[Int](TextAnalysis.wsTokenCount(col("t")), "  ") === 0)
+    // "don't" → don + ' + t = 3; "42" → 4 + 2 = 2 single digits
+    assert(one[Int](TextAnalysis.bpeishTokenCount(col("t")), "don't 42") === 5)
+  }
+
+  test("contentFingerprint: equal iff normalized-equal") {
+    val fp = (s: String) => one[Long](TextAnalysis.contentFingerprint(col("t")), s)
+    assert(fp("Hello, World!") === fp("hello world"))
+    assert(fp("hello world") !== fp("hello worlds"))
+  }
+
+  test("sketchFingerprint: stable, and equal for identical content") {
+    val fp = (s: String) => one[Long](TextAnalysis.sketchFingerprint(col("t")), s)
+    val a = fp("the quick brown fox jumps over the lazy dog")
+    assert(a === fp("the quick brown fox jumps over the lazy dog"))
+    assert(a !== fp("entirely different words in this other document here"))
+  }
+}

@@ -1,0 +1,164 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming operators, tested the way SURVEY §5 prescribes:
+  * a streaming query has no DuckDB oracle, so the gate is equivalence with
+  * the identical transform applied to the same data as a batch frame.
+  * The stream is a real `readStream` file source over parquet written in
+  * several files (micro-batches), driven with Trigger.AvailableNow into a
+  * memory sink.
+  */
+class EventsStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Small event fixture: 40 events over 3 hours, with planted duplicate
+    * event_ids, written as 3 parquet files (3 micro-batch inputs).
+    */
+  private lazy val eventsDir: String = {
+    val dir = tempDir("eventsStream").toString
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val rows = (0 until 40).map { i =>
+      val ts = new java.sql.Timestamp(base.getTime + i * 5 * 60 * 1000L) // 5-min grid
+      val id = if (i % 10 == 9) (i - 1).toLong else i.toLong // every 10th is a dup id
+      (id, ts, (i % 3).toLong, if (i % 2 == 0) "click" else "view", i * 1.5)
+    }
+    // ts stays TIMESTAMP: watermarks reject TIMESTAMP_NTZ event time
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def batchEvents: DataFrame = spark.read.parquet(eventsDir)
+
+  private def streamEvents: DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(eventsDir)
+  }
+
+  /** Run a streaming frame to completion into a memory sink; return the
+    * sink contents. `complete` for aggregations, `append` otherwise.
+    */
+  private def runStream(df: DataFrame, mode: String, name: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    spark.table(name)
+  }
+
+  private def canon(df: DataFrame): Seq[Seq[String]] =
+    df.collect().map(_.toSeq.map(String.valueOf)).toSeq.sorted(
+      Ordering.Implicits.seqOrdering[Seq, String])
+
+  test("hourlyTypeCounts: streaming result equals the batch transform") {
+    val streamed = runStream(
+      EventsStream.hourlyTypeCounts(streamEvents), "complete", "hourly")
+    val batch = EventsStream.hourlyTypeCounts(batchEvents)
+    assert(canon(streamed) === canon(batch))
+    assert(streamed.count() === 4 * 2) // 4 hour-windows × 2 event types
+  }
+
+  test("slidingRate: streaming equals batch; window arithmetic correct") {
+    val streamed = runStream(
+      EventsStream.slidingRate(streamEvents), "complete", "sliding")
+    val batch = EventsStream.slidingRate(batchEvents)
+    assert(canon(streamed) === canon(batch))
+    // every window is exactly 1 hour long
+    val spans = streamed.select(
+      (col("w_end").cast("long") - col("w_start").cast("long")).as("span"))
+      .distinct().as[Long].collect().toSeq
+    assert(spans === Seq(3600L))
+  }
+
+  // NB: equivalence tests run with lateness > the fixture's 3.25 h span —
+  // with maxFilesPerTrigger=1 the micro-batch arrival order of the 3 files
+  // is not time-ordered, so a 2 h watermark would (correctly) drop
+  // out-of-order events and the comparison would gate arrival order, not
+  // the operator. Late-drop semantics get their own directed test below.
+
+  test("dedupedEvents drops planted duplicate event_ids (streaming state)") {
+    val streamed = runStream(
+      EventsStream.dedupedEvents(streamEvents, lateness = "6 hours"),
+      "append", "deduped")
+    val expectedDistinct = batchEvents.select("event_id").distinct().count()
+    assert(streamed.count() === expectedDistinct)
+    assert(streamed.groupBy("event_id").count()
+      .where(col("count") > 1).count() === 0)
+  }
+
+  test("watermark: append-mode windows finalize and late rows are dropped") {
+    // three micro-batches driven as three AvailableNow runs over a growing
+    // input dir, sharing one checkpoint (watermark persists across runs —
+    // this also exercises checkpoint recovery):
+    //   run 1: ts 01:00 ×5 → watermark below window end, nothing emitted
+    //   run 2: ts 05:00 ×5 → watermark → 03:00; window [01:00,02:00)
+    //          finalizes and is emitted with cnt=5
+    //   run 3: ts 01:30 ×5 → behind the 03:00 watermark → dropped
+    // Final append-mode output: exactly the one finalized window, cnt=5
+    // (not 10 — run 3's late rows must not reach it); [05:00,06:00) stays
+    // unemitted because the watermark never passes it.
+    val inDir = tempDir("lateIn")
+    val outDir = tempDir("lateOut").toString
+    val ckpt = tempDir("lateCkpt").toString
+    def addFile(hour: String, ids: Range, name: String): Unit = {
+      val rows = ids.map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(s"2026-01-01 $hour:00"), 0L, "click", 1.0))
+      val tmp = tempDir("lateTmp")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, inDir.resolve(name))
+    }
+    val schema = batchEvents.schema
+    def runOneBatch(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(inDir.toString)
+      val q = EventsStream.hourlyTypeCounts(stream, lateness = "2 hours")
+        .writeStream.format("parquet").outputMode("append")
+        .option("checkpointLocation", ckpt).option("path", outDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    addFile("01:00", 0 until 5, "f1.parquet"); runOneBatch()
+    addFile("05:00", 5 until 10, "f2.parquet"); runOneBatch()
+    addFile("01:30", 10 until 15, "f3.parquet"); runOneBatch()
+    val got = spark.read.schema(
+        "hour timestamp, event_type string, cnt long, sum_value double")
+      .parquet(outDir)
+      .select(col("hour").cast("string"), col("cnt"))
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("2026-01-01 01:00:00", 5L)),
+      "only the finalized window, without the late f3 rows")
+  }
+
+  test("userSessions: gap-based sessions equal batch session_window result") {
+    val streamed = runStream(
+      EventsStream.userSessions(streamEvents, lateness = "6 hours"),
+      "complete", "sessions")
+    val batch = EventsStream.userSessions(batchEvents)
+    assert(canon(streamed) === canon(batch))
+    // 5-min grid with per-user events 15 min apart and a 10-min gap →
+    // each user's events fuse into one session only if gaps < 10 min;
+    // here user events are 15 min apart → one session per event
+    assert(streamed.where(col("n_events") =!= 1).count() === 0)
+  }
+
+  test("runningUserTotals (mapGroupsWithState) matches a plain groupBy in batch") {
+    import EventsStream.Event
+    val typed = batchEvents
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .as[Event]
+    val got = EventsStream.runningUserTotals(typed)
+      .collect().map(u => (u.user_id, u.n_events, math.rint(u.total_value * 1e6) / 1e6))
+      .sortBy(_._1).toSeq
+    val exp = batchEvents.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("t"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, math.rint(r._3 * 1e6) / 1e6)).sortBy(_._1).toSeq
+    assert(got === exp)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.wc
+
+import graft.SparkSpec
+
+/** The reference's composed pipeline: counting semantics, the text-dir
+  * source, per-file lineage, the CSV sink byte contract, and the
+  * partition-invariance property the reference spends
+  * `word_count_mpi.c:259-325` hand-building (SURVEY §2.3 items 4–8).
+  */
+class WordCountSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fromText: case-insensitive counts, lowercased keys, ascending order") {
+    val df = Seq("The the THE", "fox, Fox. box").toDF("text")
+    val rows = WordCount.fromText(df, "text").as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("box", 1L), ("fox", 2L), ("the", 3L)))
+  }
+
+  test("fromText: counts are weights-1 sums, not distinct (cell.c:10-15)") {
+    val df = Seq("a a a b b c").toDF("text")
+    val rows = WordCount.fromText(df, "text").as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("fromDirectory: a dir of text files is one logical corpus (O1)") {
+    val dir = tempDir("corpus")
+    writeFile(dir, "a.txt", "Hello world\nhello")
+    writeFile(dir, "b.txt", "WORLD! again")
+    val rows = WordCount.fromDirectory(spark, dir.toString)
+      .as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("again", 1L), ("hello", 2L), ("world", 2L)))
+  }
+
+  test("fromDirectory with a custom delimiter file (define_delimiters analogue)") {
+    val dir = tempDir("corpus2")
+    writeFile(dir, "a.txt", "a,b|c,d")
+    val ddir = tempDir("delims2")
+    writeFile(ddir, "d.txt", "|") // comma NOT a delimiter under this config
+    val rows = WordCount
+      .fromDirectory(spark, dir.toString, Some(ddir.resolve("d.txt").toString))
+      .as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("a,b", 1L), ("c,d", 1L)))
+  }
+
+  test("perFile keeps per-file lineage and per-file counts") {
+    val dir = tempDir("corpus3")
+    writeFile(dir, "a.txt", "x x y")
+    writeFile(dir, "b.txt", "y z")
+    val rows = WordCount.perFile(spark, dir.toString)
+      .as[(String, String, Long)].collect().toSeq
+      .map { case (f, w, c) => (f.split('/').last, w, c) }
+    assert(rows === Seq(
+      ("a.txt", "x", 2L), ("a.txt", "y", 1L),
+      ("b.txt", "y", 1L), ("b.txt", "z", 1L)))
+  }
+
+  /** §5.3 property: the result is independent of how the input bytes are
+    * split into partitions — the invariant the reference's byte-range
+    * boundary repair exists to guarantee (`word_count_mpi.c:296-322`).
+    * We vary `spark.sql.files.maxPartitionBytes` so the text source
+    * actually produces different byte-range splits of the same file.
+    */
+  test("partition invariance: counts identical for 1/2/4/7-ish byte splits") {
+    val rnd = new scala.util.Random(42)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val corpus = Seq.fill(400)(
+      Seq.fill(1 + rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" "))
+      .mkString("\n")
+    val dir = tempDir("corpusInv")
+    writeFile(dir, "big.txt", corpus)
+
+    val conf = "spark.sql.files.maxPartitionBytes"
+    val saved = spark.conf.get(conf)
+    try {
+      val results = Seq("16", "128", "1024", "1048576").map { bytes =>
+        spark.conf.set(conf, bytes)
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        WordCount.fromDirectory(spark, dir.toString)
+          .as[(String, Long)].collect().toSeq
+      }
+      assert(results.distinct.size === 1,
+        "word counts must not depend on byte-split boundaries")
+      // and the total equals the number of tokens in the corpus
+      val expectedTotal = corpus.split("\\s+").count(_.nonEmpty)
+      assert(results.head.map(_._2).sum === expectedTotal)
+    } finally spark.conf.set(conf, saved)
+  }
+
+  test("writeCsv: golden bytes — header Word,Count, asc order, single part file") {
+    val df = Seq("b a c a").toDF("text")
+    val out = tempDir("csvout").resolve("res").toString
+    WordCount.writeCsv(WordCount.fromText(df, "text"), out)
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+    assert(parts.length === 1, "reference contract: one CSV file (rank-0 write)")
+    val content = new String(
+      java.nio.file.Files.readAllBytes(parts.head.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(content === "Word,Count\na,2\nb,1\nc,1\n")
+  }
+
+  test("empty input dir yields an empty result (engine side of exit-1 contract)") {
+    val dir = tempDir("emptyc")
+    writeFile(dir, "a.txt", ",,, ...")
+    assert(WordCount.fromDirectory(spark, dir.toString).count() === 0L)
+  }
+}
