@@ -23,6 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     WordCountQueries.queries ++
       RelationalQueries.queries ++
+      AdvancedQueries.queries ++
       AnalyticQueries.queries ++
       TextPipelineQueries.queries ++
       SimilarityQueries.queries ++
@@ -33,6 +34,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     WordCountQueries.oracles ++
       RelationalQueries.oracles ++
+      AdvancedQueries.oracles ++
       AnalyticQueries.oracles ++
       TextPipelineQueries.oracles ++
       SimilarityQueries.oracles ++

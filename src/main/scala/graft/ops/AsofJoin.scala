@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, the most recent right row with
+  * `right.time <= left.time` within the same key group (the time-series
+  * join the reference's relational surface generalizes to; SURVEY §2.2
+  * "Joins — range/as-of").
+  *
+  * Implementation is the union-and-scan form, not a theta join:
+  *
+  *   1. tag left rows (marker 1) and right rows (marker 0), union them;
+  *   2. one hash exchange on the key, one per-key sort by (time, marker);
+  *   3. `last(right payload, ignoreNulls).over(unboundedPreceding..current)`
+  *      carries the latest right values forward onto each left row.
+  *
+  * Why: the naive `left.join(right, key && r.t <= l.t)` + argmax builds
+  * O(|L|·|R|) intermediate rows per key before pruning — a scale-killer on
+  * skewed keys. The union form is one shuffle of |L|+|R| rows and a linear
+  * scan per key, the same cost profile as any windowed aggregation, and AQE
+  * skew-splitting applies to it. Ties (equal time): the right row sorts
+  * before the left row (marker 0 < 1), so an exactly-simultaneous right row
+  * IS visible to the left row — `<=` semantics, matching DuckDB's
+  * `ASOF JOIN ... ON l.t >= r.t` (the oracle used in the gate query).
+  *
+  * Contract: (key, time) must uniquely identify right rows (pre-aggregate
+  * duplicates first — see the gate query) or the carried values are
+  * sort-order dependent.
+  *
+  * @param left      left (probe) frame
+  * @param right     right (reference) frame
+  * @param on        equi-key column name present in both frames
+  * @param leftTime  left event-time column (orderable type)
+  * @param rightTime right event-time column (same type)
+  * @param rightVals right payload columns to carry; surfaced as
+  *                  `asof_<name>` (null when no right row precedes)
+  */
+object AsofJoin {
+
+  def asofJoin(left: DataFrame, right: DataFrame, on: String,
+               leftTime: String, rightTime: String,
+               rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val t = "__asof_t"
+    val m = "__asof_m"
+    val l = left
+      .withColumn(t, col(leftTime))
+      .withColumn(m, lit(1))
+      .select(Seq(col(on), col(t), col(m)) ++
+        leftCols.filterNot(_ == on).map(col) ++
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val r = right
+      .withColumn(t, col(rightTime))
+      .withColumn(m, lit(0))
+      .select(Seq(col(on), col(t), col(m)) ++
+        leftCols.filterNot(_ == on).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightVals.map(c => col(c).as(s"__r_$c")): _*)
+    val w = Window.partitionBy(col(on))
+      .orderBy(col(t).asc, col(m).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried: Seq[Column] =
+      rightVals.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))
+    l.unionByName(r)
+      .select(Seq(col(on), col(m)) ++ leftCols.filterNot(_ == on).map(col)
+        ++ carried: _*)
+      .where(col(m) === 1) // keep only left rows, now carrying asof_* values
+      .drop(m)
+  }
+}

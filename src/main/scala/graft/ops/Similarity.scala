@@ -98,6 +98,48 @@ object Similarity {
   private val Pow2: Column = array((0 to 60).map(j => lit(1L << j)): _*)
   private def shiftleftSafe(p: Column): Column = element_at(Pow2, p + 1)
 
+  /** IVF-style ANN: partition the corpus into `nCentroids` Voronoi cells
+    * (centroids = the lowest-id corpus vectors — deterministic; a k-means
+    * refinement would drop in without changing the dataflow), then search
+    * only the `nProbe` cells nearest each probe.
+    *
+    * Dataflow at scale: the centroid table is tiny and broadcast to both
+    * assignment joins (corpus→cell is one narrow broadcast pass, no
+    * shuffle); the candidate join is hash-partitioned on cell id, so the
+    * cost is |corpus|·nProbe/nCentroids candidates per probe instead of
+    * |corpus| — the same inverted-file contraction a vector DB uses.
+    * Recall is probabilistic like LSH; exactness comes from the final
+    * exact-cosine re-rank of candidates.
+    */
+  def topKNeighborsIvf(probes: DataFrame, corpus: DataFrame, k: Int,
+                       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = broadcast(
+      corpus.orderBy("vec_id").limit(nCentroids)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("centv")))
+    def assign(df: DataFrame, idCol: String, vecCol: String, nNearest: Int) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(desc("cent_cos"), asc("cent_id"))
+      df.join(cents)
+        .withColumn("cent_cos", cosineExact(col(vecCol), col("centv")))
+        .withColumn("cent_rank", row_number().over(w))
+        .where(col("cent_rank") <= nNearest)
+        .drop("centv", "cent_cos", "cent_rank")
+    }
+    val c = assign(corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv")), "cand_id", "cv", 1)
+    val p = assign(probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pv")), "probe_id", "pv", nProbe)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cosine"), asc("cand_id"))
+    p.join(c, Seq("cent_id"))
+      .where(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        cosineExact(col("pv"), col("cv")).as("cosine"))
+      .distinct() // a candidate can appear via several probed cells
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** LSH-bucketed cosine top-k. Probes and corpus are bucketed by
     * [[signBits]]; candidates come from a hash join on the bucket id
     * (multiprobe: probe also visits all Hamming-1 buckets, trading nBits×

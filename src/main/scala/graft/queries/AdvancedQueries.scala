@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Exact
+import graft.ops.{AsofJoin, Similarity}
+
+/** Round-3 additions to the relational surface: range join, as-of join,
+  * approximate aggregates (HLL distinct, approx percentile) gated by a
+  * tolerance predicate, exact percentiles/median, and the IVF ANN path.
+  *
+  * Approx-aggregate gating: a sketch value can't hash-match a different
+  * engine's sketch, so the query emits the EXACT value plus a boolean
+  * `approx_ok` (|approx − exact| within tolerance) and the oracle emits the
+  * exact value plus literal TRUE — the hash compare then verifies both the
+  * exact arithmetic and that the sketch landed inside its error bound
+  * (approx_count_distinct's default rsd is 5%; the gate allows 2σ = 10%).
+  */
+object AdvancedQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── Range join: equi key + band predicate ────────────────────────────
+    // Customers and suppliers in the same nation with account balances
+    // within ±10. The equi key (nationkey) carries the shuffle; the range
+    // predicate is a post-join filter — never a cartesian product.
+    "q_join_range" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      c.join(sup,
+          col("c_nationkey") === col("s_nationkey") &&
+            abs(col("c_acctbal") - col("s_acctbal")) < 10.0)
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          Exact.roundAvg(abs(col("c_acctbal") - col("s_acctbal"))).as("avg_gap"))
+        .orderBy("nationkey")
+    }),
+
+    // ── As-of join: every view event carries the user's most recent click ─
+    // Union+window form (one shuffle on user_id) — see AsofJoin scaladoc.
+    // Time axis: microseconds since epoch as BIGINT on both engines (the
+    // fixture's ns timestamps truncate identically).
+    "q_join_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us").as("click_us"))
+        .agg(max(col("value")).as("click_value")) // unique (key, time) contract
+      AsofJoin.asofJoin(views, clicks, "user_id", "ts_us", "click_us",
+          Seq("click_value"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          coalesce(col("asof_click_value"), lit(-1.0)).as("last_click_value"))
+        .orderBy("event_id")
+    }),
+
+    // ── Approximate aggregates, tolerance-gated ──────────────────────────
+    "q_agg_approx" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count_distinct(col("l_partkey")).as("nd_part"),
+          (abs(approx_count_distinct(col("l_partkey")) -
+            count_distinct(col("l_partkey"))) <=
+            count_distinct(col("l_partkey")) * 0.10).as("approx_ok"))
+        .orderBy("l_returnflag")),
+
+    // ── Exact percentiles / median (+ approx gated) ──────────────────────
+    "q_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+          round(expr("median(l_extendedprice)"), 6).as("med_price"),
+          (abs(expr("approx_percentile(l_quantity, 0.5, 10000)") -
+            expr("percentile(l_quantity, 0.5)")) <= 2.0).as("p50_approx_ok"))
+        .orderBy("l_returnflag")),
+
+    // ── IVF ANN (no SQL oracle — sketch/recall path; spec-tested, and the
+    //    driver records a rows>0 check) ──────────────────────────────────
+    "q_knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 5)
+      Similarity.topKNeighborsIvf(probes, emb, k = 5)
+        .orderBy("probe_id", "rank")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_range" ->
+      """SELECT c_nationkey AS nationkey, count(*) AS n_pairs,
+            ROUND(CAST(SUM(CAST(abs(c_acctbal - s_acctbal) AS DECIMAL(28,10))) AS DOUBLE)
+                  / COUNT(abs(c_acctbal - s_acctbal)), 6) AS avg_gap
+         FROM customer JOIN supplier
+           ON c_nationkey = s_nationkey AND abs(c_acctbal - s_acctbal) < 10.0
+         GROUP BY 1 ORDER BY nationkey""",
+    "q_join_asof" ->
+      """WITH v AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                    FROM events WHERE event_type = 'view'),
+              c AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS click_us,
+                           max(value) AS click_value
+                    FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT v.event_id, v.user_id, v.ts_us,
+                COALESCE(c.click_value, -1.0) AS last_click_value
+         FROM v ASOF LEFT JOIN c
+           ON v.user_id = c.user_id AND v.ts_us >= c.click_us
+         ORDER BY v.event_id""",
+    "q_agg_approx" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+            TRUE AS approx_ok
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+            ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+            ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+            ROUND(median(l_extendedprice), 6) AS med_price,
+            TRUE AS p50_approx_ok
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+  )
+}

@@ -64,6 +64,18 @@ object WordCount {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("file", "word")
 
+  /** Console sink contract (O12, the sequential binary's output:
+    * `cell.c:37-39` prints `Key: %s -- Value: %ld` per row in sorted
+    * order, loop `word_count_seq.c:115-120`). The collect IS the operator
+    * (O13) — this is a driver-edge sink, bounded by `n` for sanity.
+    */
+  def renderConsole(wordCounts: DataFrame, n: Int = 1000): Seq[String] =
+    wordCounts.orderBy("word").limit(n).collect().toSeq
+      .map(r => s"Key: ${r.getString(0)} -- Value: ${r.getLong(1)}")
+
+  def printConsole(wordCounts: DataFrame, n: Int = 1000): Unit =
+    renderConsole(wordCounts, n).foreach(println)
+
   /** CSV sink contract (O11, `word_count_mpi.c:132-142`): single file, header
     * exactly `Word,Count`, rows `word,count`, ascending word order. The
     * `coalesce(1)` is the sink-boundary exception to the no-single-partition

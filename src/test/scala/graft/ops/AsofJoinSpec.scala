@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** As-of join semantics: most-recent-at-or-before match, per-key isolation,
+  * null for unmatched, and agreement with the naive O(L·R) formulation.
+  */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, time, label)
+  private def left = Seq(
+    (1L, 10L, "l-a"), (1L, 20L, "l-b"), (1L, 5L, "l-early"),
+    (2L, 15L, "l-c"),
+    (3L, 50L, "l-nomatch")
+  ).toDF("k", "t", "label")
+
+  // (key, time, value) — key 3 has no rows at all ≤ 50 except... none
+  private def right = Seq(
+    (1L, 8L, 100.0), (1L, 20L, 200.0), (1L, 30L, 300.0),
+    (2L, 1L, 400.0),
+    (3L, 60L, 500.0) // after the left row → must not match
+  ).toDF("k", "t", "v")
+
+  test("asof: latest right value at-or-before each left time, null if none") {
+    val got = AsofJoin.asofJoin(left, right, "k", "t", "t", Seq("v"))
+      .select("label", "asof_v")
+      .as[(String, Option[Double])].collect().toMap
+    assert(got("l-a") === Some(100.0))     // 8 ≤ 10, latest
+    assert(got("l-b") === Some(200.0))     // tie t=20: <= semantics, right visible
+    assert(got("l-early") === None)        // nothing at or before 5
+    assert(got("l-c") === Some(400.0))     // cross-key isolation
+    assert(got("l-nomatch") === None)      // right row is in the future
+  }
+
+  test("asof preserves every left row exactly once and all left columns") {
+    val out = AsofJoin.asofJoin(left, right, "k", "t", "t", Seq("v"))
+    assert(out.count() === left.count())
+    assert(out.columns.toSet === Set("k", "t", "label", "asof_v"))
+  }
+
+  test("asof agrees with the naive join+argmax formulation on random data") {
+    val rnd = new scala.util.Random(99)
+    val l = Seq.tabulate(200)(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val r = Seq.tabulate(300)(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong, i.toDouble))
+      .toDF("k", "t", "v")
+      // contract: unique (k, t) on the right
+      .groupBy("k", "t").agg(max("v").as("v"))
+    val fast = AsofJoin.asofJoin(l, r, "k", "t", "t", Seq("v"))
+      .select(col("lid"), col("asof_v"))
+      .as[(Long, Option[Double])].collect().toMap
+    val naive = l.as("l")
+      .join(r.as("r"), col("l.k") === col("r.k") && col("r.t") <= col("l.t"), "left")
+      .groupBy(col("lid"))
+      .agg(max_by(col("r.v"), col("r.t")).as("v"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(fast === naive)
+  }
+
+  test("multiple right values carry together") {
+    val r2 = Seq((1L, 8L, 100.0, "a"), (1L, 15L, 150.0, "b"))
+      .toDF("k", "t", "v", "s")
+    val got = AsofJoin.asofJoin(left, r2, "k", "t", "t", Seq("v", "s"))
+      .where(col("label") === "l-b")
+      .select("asof_v", "asof_s").as[(Double, String)].head()
+    assert(got === ((150.0, "b")))
+  }
+}

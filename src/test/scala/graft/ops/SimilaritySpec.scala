@@ -91,6 +91,23 @@ class SimilaritySpec extends SparkSpec {
     assert(lshTop.subsetOf(brute))
   }
 
+  test("topKNeighborsIvf: candidates come from probed cells; hits stay in-cluster") {
+    val corpus = planted
+    val probes = corpus.where(col("vec_id") < 3)
+    val ivf = Similarity.topKNeighborsIvf(probes, corpus, k = 5,
+      nCentroids = 6, nProbe = 3)
+      .select("probe_id", "cand_id", "rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (p, c, _) =>
+      assert(c % 3 === p % 3, s"IVF neighbor $c not in probe $p's cluster")
+    }
+    // centroids are the 6 lowest-id vectors → they cover all 3 planted
+    // clusters, so with nProbe=3 each probe reaches its own cluster's cell
+    // and returns a full k
+    assert(ivf.groupBy(_._1).forall(_._2.size == 5))
+  }
+
   test("signBits: deterministic, in [0, 2^nBits), equal for identical vectors") {
     val df = planted
     val sigs = df.select(col("vec_id"),
