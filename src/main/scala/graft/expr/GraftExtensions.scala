@@ -2,7 +2,8 @@ package graft.expr
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** Registers the engine's native expressions with a SparkSession via the
   * public `spark.sql.extensions` mechanism — the supported way to add
@@ -20,6 +21,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"float_vec_dot expects 2 arguments, got ${children.length}")
         FloatVecDot(children.head, children(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"simhash60 expects 1 argument, got ${children.length}")
+        SimHash60(children.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
+      (children: Seq[Expression]) => {
+        children match {
+          case Seq(h, Literal(n: Int, IntegerType)) => NgramHashes(h, n)
+          case _ => throw new IllegalArgumentException(
+            "ngram_hashes expects (array<bigint>, literal int n)")
+        }
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        children match {
+          case Seq(h, Literal(k: Int, IntegerType)) => MinHashSig(h, k)
+          case _ => throw new IllegalArgumentException(
+            "minhash_sig expects (array<bigint>, literal int k)")
+        }
       }))
   }
 }

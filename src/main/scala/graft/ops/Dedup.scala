@@ -35,14 +35,47 @@ object Dedup {
         sort_array(collect_list(col(idCol))).as("members"))
 
   /** MinHash signature (length k) of a shingle-set column. Per-row, narrow,
-    * codegen'd: k minima over the shingle array, no explode, no shuffle.
-    * NULL when the shingle set is empty (caller filters).
+    * one md5 per shingle + k affine permutations in a single generated loop
+    * (native [[graft.expr.MinHashSig]]; the earlier seeded-md5-per-permutation
+    * form cost k md5 calls per shingle — 30× the hashing — because Catalyst
+    * does not CSE the inner hash across lambda bodies). NULL when the
+    * shingle set is empty (caller filters).
     */
   def minhashSignature(shingleSet: Column, k: Int): Column =
-    when(size(shingleSet) === 0, lit(null).cast("array<bigint>"))
-      .otherwise(transform(
-        sequence(lit(0), lit(k - 1)),
-        i => array_min(transform(shingleSet, s => Hashes.h60Seeded(s, i)))))
+    minhashSignatureFromHashes(transform(shingleSet, s => Hashes.h60(s)), k)
+
+  /** [[minhashSignature]] over an already-hashed `array<long>` shingle set —
+    * the form the pipeline uses so the md5 pass happens exactly once.
+    */
+  def minhashSignatureFromHashes(shingleHashes: Column, k: Int): Column =
+    call_function("minhash_sig", shingleHashes, lit(k))
+
+  /** Per-doc 60-bit shingle-hash set: the compact relation the near-dup
+    * pipeline shuffles instead of the raw shingle strings (8 bytes/shingle
+    * vs tens; Jaccard on the hash sets equals Jaccard on the string sets
+    * barring 60-bit collisions — ~n²·2⁻⁶¹ per doc pair, negligible).
+    */
+  def hashedShingles(docs: DataFrame, idCol: String, shingleCol: String): DataFrame =
+    docs.where(size(col(shingleCol)) > 0)
+      .select(col(idCol).as("id"),
+        transform(col(shingleCol), s => Hashes.h60(s)).as("hs"))
+
+  /** Distinct n-gram hash set of a token array, skipping n-gram string
+    * construction entirely: one md5 per token, then the native
+    * [[graft.expr.NgramHashes]] position-weighted combination per window.
+    * Profiling (NeardupProfile, sf0.1): building shingle STRINGS
+    * (`concat_ws` per window) cost ~2× the md5 pass itself — this path
+    * removes it while keeping the same set semantics.
+    */
+  def ngramHashSet(toks: Column, n: Int): Column =
+    array_distinct(call_function("ngram_hashes",
+      transform(toks, t => Hashes.h60(t)), lit(n)))
+
+  /** (id, hs) relation of [[ngramHashSet]] rows with ≥1 n-gram. */
+  def hashedNgrams(docs: DataFrame, idCol: String, toksCol: String,
+                   n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), ngramHashSet(col(toksCol), n).as("hs"))
+      .where(size(col("hs")) > 0)
 
   /** Band hashes for LSH: b hashes, each over r consecutive signature slots.
     * Equal band hash ⇒ the r minhashes agree ⇒ candidate pair.
@@ -53,53 +86,66 @@ object Dedup {
       j => Hashes.h60(concat_ws(",",
         transform(slice(sig, j * r + 1, lit(r)), _.cast("string")))))
 
-  /** LSH candidate pairs from (id, shingleSet) rows: explode band hashes,
-    * self-join per (band index, band hash) bucket, keep a<b, distinct.
-    * The join is hash-partitioned on the band key — the scale path.
+  /** LSH candidate pairs from a [[hashedShingles]] relation: minhash the
+    * hash sets, explode band hashes, self-join per (band index, band hash)
+    * bucket, keep a<b, distinct. The join is hash-partitioned on the band
+    * key — the scale path.
     */
-  def candidatePairs(docs: DataFrame, idCol: String, shingleCol: String,
-                     k: Int = 30, b: Int = 10, r: Int = 3): DataFrame = {
+  def candidatePairsFromHashes(hashed: DataFrame,
+                               k: Int = 30, b: Int = 10, r: Int = 3): DataFrame = {
     require(b * r <= k, s"bands($b)×rows($r) exceed signature length $k")
-    val sig = docs
-      .where(size(col(shingleCol)) > 0)
-      .select(col(idCol), minhashSignature(col(shingleCol), k).as("sig"))
-    val buckets = sig.select(col(idCol),
-        posexplode(bandHashes(col("sig"), b, r)).as(Seq("band", "bh")))
-    val a = buckets.select(col("band"), col("bh"), col(idCol).as("id_a"))
-    val bb = buckets.select(col("band"), col("bh"), col(idCol).as("id_b"))
+    val sig = hashed.select(col("id"),
+      minhashSignatureFromHashes(col("hs"), k).as("sig"))
+    val buckets = sig.select(col("id"),
+      posexplode(bandHashes(col("sig"), b, r)).as(Seq("band", "bh")))
+    val a = buckets.select(col("band"), col("bh"), col("id").as("id_a"))
+    val bb = buckets.select(col("band"), col("bh"), col("id").as("id_b"))
     a.join(bb, Seq("band", "bh"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
   }
 
-  /** Exact Jaccard verification of candidate pairs against the shingle sets;
-    * keeps pairs with similarity ≥ threshold. Two broadcast-or-shuffle hash
-    * joins back to the (small relative to corpus) doc→set relation.
+  /** String-shingle convenience form of [[candidatePairsFromHashes]]. */
+  def candidatePairs(docs: DataFrame, idCol: String, shingleCol: String,
+                     k: Int = 30, b: Int = 10, r: Int = 3): DataFrame =
+    candidatePairsFromHashes(hashedShingles(docs, idCol, shingleCol), k, b, r)
+
+  /** Exact Jaccard verification of LSH candidates over a hashed-shingle
+    * relation; keeps pairs with similarity ≥ threshold.
+    *
+    * The hashed relation feeds FOUR plan branches (both bucket-join sides,
+    * both verify-join sides); Catalyst re-executes a narrow pipeline per
+    * branch, so the tokenize+hash work would run 4× (measured: it dominated
+    * the query). `persist()` materializes it once — the same
+    * cache-the-signatures move MLlib's approxSimilarityJoin makes, and at
+    * cluster scale the same role a checkpoint of the signature table plays.
+    * The cache entry is keyed by the plan, so repeated runs reuse it;
+    * callers doing one-shot batch work can `spark.catalog.clearCache()`.
     */
-  def verifiedNearDups(docs: DataFrame, idCol: String, shingleCol: String,
-                       threshold: Double,
-                       k: Int = 30, b: Int = 10, r: Int = 3): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"), col(shingleCol).as("sh"))
-    candidatePairs(docs, idCol, shingleCol, k, b, r)
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+  def verifiedNearDupsFromHashes(hashed0: DataFrame, threshold: Double,
+                                 k: Int = 30, b: Int = 10, r: Int = 3,
+                                 persistHashed: Boolean = true): DataFrame = {
+    val hashed =
+      if (persistHashed)
+        hashed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else hashed0
+    candidatePairsFromHashes(hashed, k, b, r)
+      .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+          size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+            size(array_union(col("hs_a"), col("hs_b"))), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
-  /** Literal [2^0 … 2^60] — lets a lambda-bound (Column) bit index drive
-    * bit tests: the `shiftright(c, Int)` builtin only takes a literal Int.
-    */
-  private val Pow2: Column = array((0 to 60).map(j => lit(1L << j)): _*)
-  private def p2(i: Column): Column = element_at(Pow2, i + 1)
-
-  /** Bit `i` of non-negative long `h`, as a boolean: h mod 2^(i+1) ≥ 2^i. */
-  private def bitSet(h: Column, i: Column): Column =
-    pmod(h, p2(i + 1)) >= p2(i)
+  /** String-shingle convenience form of [[verifiedNearDupsFromHashes]]. */
+  def verifiedNearDups(docs: DataFrame, idCol: String, shingleCol: String,
+                       threshold: Double,
+                       k: Int = 30, b: Int = 10, r: Int = 3): DataFrame =
+    verifiedNearDupsFromHashes(
+      hashedShingles(docs, idCol, shingleCol), threshold, k, b, r)
 
   /** SimHash (60-bit) of a token array: per bit position, sum ±1 votes from
     * each token occurrence's hash bit, then pack the sign bits. Votes are
@@ -107,18 +153,14 @@ object Dedup {
     * simhash collapses on corpora with a shared vocabulary). Near-identical
     * documents land within small Hamming distance; pair search is
     * `bit_count(a ^ b) <= d` on a compact integer — no arrays at join time.
-    * Per-row and codegen'd; hashes computed once per token, not per bit.
+    *
+    * One md5 per token, then all 60 bit-votes in a single generated pass
+    * (native [[graft.expr.SimHash60]]; the composed
+    * `transform(sequence(0,59), i -> aggregate(hashes, ...))` form re-walked
+    * — and re-hashed — every token 60×: 107 s of a 202 s sf0.1 bench).
     */
-  def simhash(toks: Column): Column = {
-    val hs = transform(toks, t => Hashes.h60(t))
-    val bits = transform(
-      sequence(lit(0), lit(59)),
-      i => when(
-        aggregate(hs, lit(0L),
-          (acc, h) => acc + when(bitSet(h, i), 1L).otherwise(-1L)) > 0,
-        p2(i)).otherwise(0L))
-    aggregate(bits, lit(0L), (acc, x) => acc + x)
-  }
+  def simhash(toks: Column): Column =
+    call_function("simhash60", transform(toks, t => Hashes.h60(t)))
 
   /** Hamming distance between two simhash fingerprints. */
   def hammingDistance(a: Column, b: Column): Column =

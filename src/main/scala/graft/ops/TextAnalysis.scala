@@ -127,10 +127,13 @@ object TextAnalysis {
   def contentFingerprint(text: Column): Column = Hashes.h60(normalize(text))
 
   /** Sketch fingerprint: hash of the first `k` minhash values over 3-gram
-    * shingles — a compact rolling identity that tolerates none of the
-    * content changing but is cheap to compare/cluster on.
+    * hashes — a compact rolling identity that tolerates none of the
+    * content changing but is cheap to compare/cluster on. Built on the
+    * n-gram-hash basis ([[Dedup.ngramHashSet]]) — no shingle strings.
     */
   def sketchFingerprint(text: Column, k: Int = 4): Column =
     Hashes.h60(concat_ws(",",
-      transform(Dedup.minhashSignature(shingleSet(text, 3), k), _.cast("string"))))
+      transform(
+        Dedup.minhashSignatureFromHashes(Dedup.ngramHashSet(tokens(text), 3), k),
+        _.cast("string"))))
 }

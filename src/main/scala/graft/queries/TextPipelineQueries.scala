@@ -37,8 +37,6 @@ object TextPipelineQueries {
           generate_series(1, greatest(len($toks) - 2, 0)),
           i -> array_to_string(($toks)[i:i+2], ' ')))"""
   private def h60(inner: String): String = Hashes.h60Sql(inner)
-  private def h60s(inner: String, seed: String): String =
-    Hashes.h60SeededSql(inner, seed)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── Token counting ───────────────────────────────────────────────────
@@ -90,10 +88,17 @@ object TextPipelineQueries {
     }),
 
     // ── Near-dup: MinHash signatures → banded LSH → exact Jaccard ───────
+    // n-gram-HASH basis end to end (Dedup.ngramHashSet): no shingle-string
+    // construction, and the hashed relation is persisted across the
+    // pipeline's four self-join branches. Jaccard over the hash sets
+    // equals Jaccard over the string shingles barring 2^-60 collisions —
+    // the oracle still computes all-pairs STRING Jaccard.
     "q_neardup_minhash" -> ((s, dir) =>
-      Dedup.verifiedNearDups(
-          docs(s, dir).withColumn("sh", TextAnalysis.shingleSet(col("text"), 3)),
-          "doc_id", "sh", threshold = 0.8)
+      Dedup.verifiedNearDupsFromHashes(
+          Dedup.hashedNgrams(
+            docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text"))),
+            "doc_id", "toks", 3),
+          threshold = 0.8)
         .orderBy("id_a", "id_b")),
 
     // ── SimHash fingerprints + Hamming-ball pairs ───────────────────────
@@ -218,13 +223,31 @@ object TextPipelineQueries {
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
           ORDER BY id_a, id_b""",
     "q_fingerprint" -> {
+      import graft.expr.Sketches
       val norm = s"trim(regexp_replace(lower(text), '$Re', ' ', 'g'))"
-      val sig4 = s"""list_transform(generate_series(0, 3), i ->
-            list_min(list_transform(${shinglesSql(ToksSql)},
-                                    s -> ${h60s("s", "i")})))"""
+      // Mirror of the n-gram-hash sketch basis (graft.expr.Sketches):
+      // h60 per token; per 3-gram window (ΣA_j·h_{i+j} + B_0) mod 2^60;
+      // then the affine minhash family per permutation — all in HUGEINT
+      // (= low 60 bits of Spark's wrapped 64-bit arithmetic).
+      val ngram = {
+        val terms = (0 until 3)
+          .map(j => s"CAST(${Sketches.affineA(j)} AS HUGEINT) * hs[i+$j]")
+          .mkString(" + ")
+        s"""list_distinct(list_transform(
+              generate_series(1, greatest(len(hs) - 2, 0)),
+              i -> CAST((($terms + ${Sketches.affineB(0)}) % ${Sketches.Mask60 + 1})
+                        AS BIGINT)))"""
+      }
+      val mins = (0 until 4).map { i =>
+        s"""list_min(list_transform(ngh, h -> ${Sketches.affineSql("h", i)}))"""
+      }.mkString("[", ", ", "]")
       s"""SELECT doc_id, ${h60(norm)} AS content_fp,
-            ${h60(s"array_to_string($sig4, ',')")} AS sketch_fp
-          FROM documents ORDER BY doc_id"""
+            ${h60(s"array_to_string($mins, ',')")} AS sketch_fp
+          FROM (SELECT doc_id, text, $ngram AS ngh
+                FROM (SELECT doc_id, text,
+                        list_transform($ToksSql, t -> ${h60("t")}) AS hs
+                      FROM documents))
+          ORDER BY doc_id"""
     },
   )
 }
