@@ -54,6 +54,12 @@ object Similarity {
   def dotFast(a: Column, b: Column): Column =
     call_function("float_vec_dot", a, b)
 
+  /** Fast cosine on the native dot — deterministic (fixed per-row op
+    * order) but double-accumulated; for paths without an oracle gate.
+    */
+  def cosineFast(a: Column, b: Column, scale: Int = 6): Column =
+    round(dotFast(a, b) / (sqrt(dotFast(a, a)) * sqrt(dotFast(b, b))), scale)
+
   /** Brute-force cosine top-k: for every probe row, the k nearest corpus
     * rows (excluding itself when ids collide). Broadcast-nested-loop join +
     * per-probe window. Deterministic: ties broken by candidate id.
@@ -77,17 +83,38 @@ object Similarity {
     (pmod(Hashes.h60(concat(p.cast("string"), lit(":"), i.cast("string"))),
       lit(2001L)).cast("double") - 1000.0) / 1000.0
 
+  /** JVM evaluation of [[hyperplaneWeight]] — identical math (md5 → first
+    * 15 hex digits → mod 2001), identical IEEE division, so the value is
+    * bit-equal to what the engine/oracle compute from the same (p, i).
+    */
+  def hyperplaneWeightJvm(p: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p:$i".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    ((java.lang.Long.parseLong(hex.take(15), 16) % 2001L) - 1000L).toDouble / 1000.0
+  }
+
   /** `nBits`-bit sign signature of a float vector. Exact decimal
     * accumulation per bit so the sign (and therefore the bucket) is
     * engine-portable even for near-zero projections.
+    *
+    * The weight matrix depends only on (bit, dim), so it is computed ONCE
+    * on the driver ([[hyperplaneWeightJvm]]) and inlined as a literal —
+    * the column-expression form re-derived each weight per ROW via md5
+    * (nBits·dim md5 calls per vector; measured as the bulk of the LSH
+    * bench query). `dim` caps the dims that carry signal; vectors shorter
+    * than `dim` zip to their own length.
     */
-  def signBits(vec: Column, nBits: Int): Column = {
+  def signBits(vec: Column, nBits: Int, dim: Int = 64): Column = {
+    val weights: Seq[Seq[Double]] =
+      (0 until nBits).map(p => (1 to dim).map(i => hyperplaneWeightJvm(p, i)))
+    val wLit = typedlit(weights)
     val bits = transform(
       sequence(lit(0), lit(nBits - 1)),
       p => {
         val proj = aggregate(
-          zip_with(vec, sequence(lit(1), size(vec)),
-            (x, i) => (x.cast("double") * hyperplaneWeight(p, i)).cast(Dec)),
+          zip_with(vec, element_at(wLit, p + 1),
+            (x, w) => (x.cast("double") * w).cast(Dec)),
           lit(0).cast(Dec), (acc, x) => (acc + x).cast(Dec))
         when(proj > 0, shiftleftSafe(p)).otherwise(0L)
       })
@@ -116,11 +143,14 @@ object Similarity {
     val cents = broadcast(
       corpus.orderBy("vec_id").limit(nCentroids)
         .select(col("vec_id").as("cent_id"), col("embedding").as("centv")))
+    // Assignment + re-rank use the native double dot (cosineFast): this
+    // path has no cross-engine oracle, and the decimal-exact form costs
+    // ~3 interpreted lambda passes per pair.
     def assign(df: DataFrame, idCol: String, vecCol: String, nNearest: Int) = {
       val w = Window.partitionBy(col(idCol))
         .orderBy(desc("cent_cos"), asc("cent_id"))
       df.join(cents)
-        .withColumn("cent_cos", cosineExact(col(vecCol), col("centv")))
+        .withColumn("cent_cos", cosineFast(col(vecCol), col("centv")))
         .withColumn("cent_rank", row_number().over(w))
         .where(col("cent_rank") <= nNearest)
         .drop("centv", "cent_cos", "cent_rank")
@@ -134,7 +164,7 @@ object Similarity {
     p.join(c, Seq("cent_id"))
       .where(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
-        cosineExact(col("pv"), col("cv")).as("cosine"))
+        cosineFast(col("pv"), col("cv")).as("cosine"))
       .distinct() // a candidate can appear via several probed cells
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
