@@ -165,4 +165,40 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** All pairs within `maxHamming` of each other, from an (idCol, fpCol)
+    * fingerprint relation — WITHOUT the quadratic all-pairs product.
+    *
+    * Pigeonhole exact blocking: split the 60-bit fingerprint into
+    * `maxHamming + 1` contiguous blocks; two fingerprints within distance d
+    * differ in ≤ d blocks, so they AGREE on at least one block — a bucket
+    * join on (block index, block value) finds every qualifying pair, and
+    * the exact Hamming filter afterwards removes false candidates. One
+    * hash-partitioned shuffle on the block key; candidate volume scales
+    * with bucket occupancy (corpus-linear for well-spread fingerprints),
+    * not corpus². This is the 100 TB form of the `q_simhash` search; the
+    * all-pairs form survives only inside the fixture-scale DuckDB oracle.
+    */
+  def simhashNearDupPairs(fp: DataFrame, idCol: String, fpCol: String,
+                          maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 60, s"maxHamming: $maxHamming")
+    val nBlocks = maxHamming + 1
+    val blockBits = (60 + nBlocks - 1) / nBlocks
+    val blocks = array((0 until nBlocks).map { j =>
+      shiftrightunsigned(col(fpCol), j * blockBits)
+        .bitwiseAND(lit((1L << blockBits) - 1))
+    }: _*)
+    val exploded = fp.select(col(idCol).as("id"), col(fpCol).as("fp"),
+      posexplode(blocks).as(Seq("blk", "blkval")))
+    val a = exploded.select(col("blk"), col("blkval"),
+      col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = exploded.select(col("blk"), col("blkval"),
+      col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("blk", "blkval"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("fp_a"), col("fp_b")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -102,20 +102,15 @@ object TextPipelineQueries {
         .orderBy("id_a", "id_b")),
 
     // ── SimHash fingerprints + Hamming-ball pairs ───────────────────────
+    // Pair search via pigeonhole bit-block bucketing (exact for the d=5
+    // ball — see Dedup.simhashNearDupPairs): bucket join, not the
+    // quadratic all-pairs product the DuckDB oracle uses at fixture scale.
     "q_simhash" -> ((s, dir) => {
       val fp = docs(s, dir)
         .select(col("doc_id"),
           Dedup.simhash(TextAnalysis.tokens(col("text"))).as("simhash"))
-      // Pair search: fixture-scale self-join on doc_id inequality with a
-      // Hamming filter. (The scale path for simhash pair search is
-      // bit-block bucketing — see SimilarityQueries' LSH — not this join;
-      // kept relational here because the oracle must mirror it exactly.)
-      val a = fp.select(col("doc_id").as("id_a"), col("simhash").as("h_a"))
-      val b = fp.select(col("doc_id").as("id_b"), col("simhash").as("h_b"))
-      a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          Dedup.hammingDistance(col("h_a"), col("h_b")).as("hamming"))
-        .where(col("hamming") <= 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.simhashNearDupPairs(fp, "doc_id", "simhash", maxHamming = 5)
         .orderBy("id_a", "id_b")
     }),
 

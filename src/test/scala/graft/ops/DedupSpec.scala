@@ -74,6 +74,32 @@ class DedupSpec extends SparkSpec {
     assert(j12 > 0.5 && j12 < 1.0)
   }
 
+  test("simhashNearDupPairs (pigeonhole blocking) equals the all-pairs search") {
+    val rnd = new scala.util.Random(11)
+    // clustered fingerprints: 20 seeds, each with variants 0-4 bit flips
+    // away, plus uniform noise rows → plenty of pairs inside/outside d=5
+    val fps = (0 until 20).flatMap { s =>
+      val seed = rnd.nextLong() & ((1L << 60) - 1)
+      (0 until 4).map { v =>
+        var h = seed
+        (0 until rnd.nextInt(5)).foreach(_ => h ^= 1L << rnd.nextInt(60))
+        (s * 10 + v).toLong -> h
+      }
+    } ++ (1000 until 1050).map(i => i.toLong -> (rnd.nextLong() & ((1L << 60) - 1)))
+    val df = fps.toDF("id", "fp")
+    val blocked = Dedup.simhashNearDupPairs(df, "id", "fp", maxHamming = 5)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val a = df.select(col("id").as("id_a"), col("fp").as("h_a"))
+    val b = df.select(col("id").as("id_b"), col("fp").as("h_b"))
+    val allPairs = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.hammingDistance(col("h_a"), col("h_b")).as("hamming"))
+      .where(col("hamming") <= 5)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(blocked === allPairs)
+    assert(allPairs.nonEmpty, "fixture must actually contain close pairs")
+  }
+
   test("simhash: near-identical docs land within small Hamming distance") {
     val df = docs.withColumn("sh", Dedup.simhash(TextAnalysis.tokens(col("text"))))
     val hs = df.select("doc_id", "sh").as[(Long, Long)].collect().toMap
