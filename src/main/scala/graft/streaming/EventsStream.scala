@@ -57,6 +57,29 @@ object EventsStream {
       .select(col("user_id"), col("s.start").as("session_start"),
         col("s.end").as("session_end"), col("n_events"))
 
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's clicks in the preceding `horizon`. Both sides are watermarked;
+    * the time-bound condition lets Spark expire join state (without it, a
+    * stream-stream join buffers forever). Works identically on batch
+    * frames — the equivalence spec's lever.
+    */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+                       horizon: String = "1 hour",
+                       lateness: String = "2 hours"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", lateness)
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", lateness)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("click_id"), col("c_ts"), col("value"))
+  }
+
   /** Typed event for the custom-state path. */
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)

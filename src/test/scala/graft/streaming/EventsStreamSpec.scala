@@ -147,6 +147,28 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.where(col("n_events") =!= 1).count() === 0)
   }
 
+  test("clickAttribution: stream-stream interval join equals the batch join") {
+    val clicks = (df: DataFrame) => df.where(col("event_type") === "click")
+    val purchases = (df: DataFrame) => df.where(col("event_type") === "view")
+    // streaming: both sides from the same file source, joined with
+    // watermarks + time bound (state-expirable stream-stream join)
+    val streamed = runStream(
+      EventsStream.clickAttribution(
+        clicks(streamEvents), purchases(streamEvents),
+        horizon = "30 minutes", lateness = "6 hours"),
+      "append", "attrib")
+    val batch = EventsStream.clickAttribution(
+      clicks(batchEvents), purchases(batchEvents),
+      horizon = "30 minutes", lateness = "6 hours")
+    assert(canon(streamed) === canon(batch))
+    assert(streamed.count() > 0, "fixture must produce attributed purchases")
+    // every attribution is within the horizon and not in the future
+    val bad = streamed.where(
+      col("c_ts") > col("p_ts") ||
+        col("c_ts") < col("p_ts") - expr("INTERVAL 30 minutes")).count()
+    assert(bad === 0)
+  }
+
   test("runningUserTotals (mapGroupsWithState) matches a plain groupBy in batch") {
     import EventsStream.Event
     val typed = batchEvents
