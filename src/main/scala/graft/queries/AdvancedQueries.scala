@@ -80,6 +80,37 @@ object AdvancedQueries {
             expr("percentile(l_quantity, 0.5)")) <= 2.0).as("p50_approx_ok"))
         .orderBy("l_returnflag")),
 
+    // ── Map functions (map type lives inside the query; outputs are
+    //    scalars so the oracle can compute them relationally) ────────────
+    "q_map_fns" -> ((s, dir) => {
+      val toks = graft.tok.Tokenizer.lowerTokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), toks.as("toks"))
+        .select(col("doc_id"),
+          // token -> length map over the first 5 distinct tokens
+          map_from_arrays(
+            slice(array_distinct(col("toks")), 1, 5),
+            transform(slice(array_distinct(col("toks")), 1, 5), t => length(t)))
+            .as("m"),
+          col("toks"))
+        .select(col("doc_id"),
+          size(map_keys(col("m"))).as("m_size"),
+          element_at(col("m"), element_at(array_distinct(col("toks")), 1))
+            .as("first_tok_len"),
+          aggregate(map_values(col("m")), lit(0), (a, v) => a + v)
+            .as("sum_lens"))
+        .orderBy("doc_id")
+    }),
+
+    // ── Pivot (conditional aggregation; oracle uses FILTER clauses) ─────
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority")),
+
     // ── IVF ANN (no SQL oracle — sketch/recall path; spec-tested, and the
     //    driver records a rows>0 check) ──────────────────────────────────
     "q_knn_ivf" -> ((s, dir) => {
@@ -113,6 +144,31 @@ object AdvancedQueries {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
             TRUE AS approx_ok
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "q_map_fns" -> {
+      val re = graft.tok.Tokenizer.DefaultSplitRegex.replace("'", "''")
+      s"""WITH tk AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '$re'),
+                          x -> x <> '') AS toks
+            FROM documents),
+          -- first-occurrence-order distinct (DuckDB list_distinct does NOT
+          -- preserve order; Spark array_distinct does)
+          t AS (SELECT doc_id,
+              list_filter(toks, (x, i) -> NOT list_contains(toks[1:i-1], x)) AS dt
+            FROM tk),
+          f AS (SELECT doc_id, dt[1:5] AS first5 FROM t)
+          SELECT doc_id,
+            CAST(len(first5) AS INT) AS m_size,
+            CAST(length(first5[1]) AS INT) AS first_tok_len,
+            CAST(list_sum(list_transform(first5, x -> length(x))) AS INT)
+              AS sum_lens
+          FROM f ORDER BY doc_id"""
+    },
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+            count(*) FILTER (o_orderstatus = 'F') AS "F",
+            count(*) FILTER (o_orderstatus = 'O') AS "O",
+            count(*) FILTER (o_orderstatus = 'P') AS "P"
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
     "q_percentiles" ->
       """SELECT l_returnflag,
             ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,

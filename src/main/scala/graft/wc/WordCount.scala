@@ -1,6 +1,6 @@
 package graft.wc
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tok.Tokenizer
 
@@ -25,6 +25,19 @@ import graft.tok.Tokenizer
   * input bytes, thanks to map-side partial aggregation.
   */
 object WordCount {
+
+  /** Typed row mirroring the reference's `cell` struct (`cell.h:1-4`:
+    * fixed 30-byte key + int64 count — unbounded string here, SURVEY §2.4).
+    */
+  case class WordCountRow(word: String, cnt: Long)
+
+  /** Typed view of a word-count result — the `Dataset[WordCount]`
+    * convenience layer SURVEY §1.4 commits to for type-safe consumers.
+    */
+  def typed(wordCounts: DataFrame): Dataset[WordCountRow] = {
+    import wordCounts.sparkSession.implicits._
+    wordCounts.as[WordCountRow]
+  }
 
   /** Word count over a string column of an arbitrary DataFrame.
     * Output schema: (word string, cnt long), ascending binary order by word

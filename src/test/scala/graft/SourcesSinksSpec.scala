@@ -48,6 +48,16 @@ class SourcesSinksSpec extends SparkSpec {
       === Seq("Key: a -- Value: 2", "Key: b -- Value: 1"))
   }
 
+  test("typed Dataset view mirrors the reference's cell struct") {
+    val wc = graft.wc.WordCount.fromText(Seq("b a a").toDF("text"), "text")
+    val ds = graft.wc.WordCount.typed(wc)
+    assert(ds.collect().toSeq === Seq(
+      graft.wc.WordCount.WordCountRow("a", 2L),
+      graft.wc.WordCount.WordCountRow("b", 1L)))
+    // typed transforms keep working (map on the case class)
+    assert(ds.map(_.cnt).collect().sum === 3L)
+  }
+
   test("Scala UDF registration surface works on the engine session") {
     val squared = udf((x: Long) => x * x)
     spark.udf.register("squared_t", squared)
