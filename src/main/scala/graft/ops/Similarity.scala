@@ -170,6 +170,29 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: vectors whose sign-LSH bucket
+    * collides AND whose exact cosine clears `threshold` — the embedding
+    * analogue of MinHash near-dup. One hash-partitioned self-join on the
+    * bucket id; recall is the sign-LSH collision probability
+    * ((1 − θ/π)^nBits for angle θ — raise by lowering nBits or adding
+    * multiprobe), never a corpus² product. Exact-decimal cosine keeps the
+    * result oracle-comparable.
+    */
+  def embeddingNearDups(vecs: DataFrame, threshold: Double,
+                        nBits: Int = 8): DataFrame = {
+    val sig = vecs.select(col("vec_id"), col("embedding"),
+      signBits(col("embedding"), nBits).as("bucket"))
+    val a = sig.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val b = sig.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineExact(col("va"), col("vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** LSH-bucketed cosine top-k. Probes and corpus are bucketed by
     * [[signBits]]; candidates come from a hash join on the bucket id
     * (multiprobe: probe also visits all Hamming-1 buckets, trading nBits×

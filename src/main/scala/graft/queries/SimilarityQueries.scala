@@ -45,6 +45,13 @@ object SimilarityQueries {
       Similarity.topKNeighborsLsh(e.where(col("vec_id") < 5), e, K, NBits)
         .orderBy("probe_id", "rank")
     }),
+
+    // Embedding-cosine near-dup: bucket-collision pairs over threshold.
+    // (Fixture vectors are near-random — max pairwise cosine ≈ 0.51 — so a
+    // low threshold keeps the gated result non-trivial.)
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDups(emb(s, dir), threshold = 0.3, NBits)
+        .orderBy("id_a", "id_b")),
   )
 
   // ── Oracle SQL ────────────────────────────────────────────────────────
@@ -114,5 +121,14 @@ object SimilarityQueries {
             FROM scored)
           SELECT probe_id, cand_id, cosine, CAST(rank AS INT) AS rank
           FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""",
+    "q_embed_neardup" ->
+      s"""WITH sig AS (
+            SELECT vec_id, embedding, ${bucketSql("embedding", NBits)} AS b0
+            FROM embeddings)
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            ${cosineSql("a.embedding", "b.embedding")} AS cosine
+          FROM sig a JOIN sig b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+          WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.3
+          ORDER BY id_a, id_b""",
   )
 }
