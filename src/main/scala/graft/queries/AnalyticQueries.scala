@@ -70,6 +70,19 @@ object AnalyticQueries {
           month(col("o_orderdate")).as("o_month"))
         .agg(count(lit(1)).as("cnt"), Exact.roundSum(col("o_totalprice")).as("total"))
         .orderBy("o_year", "o_month")),
+    // Batch session windows (gap 10 min) — DuckDB has no session_window, so
+    // the oracle derives sessions relationally (lag → new-session flag →
+    // running sum as session id), which also documents the semantics:
+    // a gap ≥ the timeout starts a new session; window end = last ts + gap.
+    "q_sessions" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "10 minutes").as("s"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("s.start").cast("timestamp_ntz").as("session_start"),
+          col("s.end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")),
 
     // ── JSON (get_json_object + from_json) ──────────────────────────────
     "q_events_props" -> ((s, dir) =>
@@ -153,6 +166,24 @@ object AnalyticQueries {
             CAST(month(o_orderdate) AS INT) AS o_month,
             count(*) AS cnt, ${oSum("o_totalprice", "total")}
           FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""",
+    "q_sessions" ->
+      """WITH x AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         y AS (
+           SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x)
+         SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 10 MINUTE AS session_end,
+           count(*) AS n_events
+         FROM y GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
     "q_events_props" ->
       s"""SELECT CAST(json_extract_string(props, '$$.k') AS INT) AS k_path,
             CAST(json_extract_string(props, '$$.k') AS INT) AS k_struct,
