@@ -31,6 +31,14 @@ class SourcesSinksSpec extends SparkSpec {
       === sample.orderBy("id").collect().toSeq)
   }
 
+  test("ORC round-trip: write, read back") {
+    val dir = tempDir("orcrt").resolve("t").toString
+    sample.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.orderBy("id").collect().toSeq
+      === sample.orderBy("id").collect().toSeq)
+  }
+
   test("parquet round-trip preserves arrays and binary (multimodal columns)") {
     val df = Seq((1L, Array(1f, 2f), "abc".getBytes("UTF-8")))
       .toDF("id", "vec", "payload")

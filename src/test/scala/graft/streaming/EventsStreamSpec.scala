@@ -169,6 +169,25 @@ class EventsStreamSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("foreachBatch sink: per-micro-batch custom writes see every row once") {
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = streamEvents
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.select("event_id").as[Long].collect()
+          .foreach(id => seen.merge(id, 1L, _ + _))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val expected = batchEvents.select("event_id").as[Long].collect()
+    // dup event_ids exist in the fixture: every ROW arrives exactly once,
+    // so per-id counts equal the batch frame's value_counts
+    val expCounts = expected.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(seen.size === expCounts.size)
+    expCounts.foreach { case (id, n) => assert(seen.get(id) === n, s"id $id") }
+  }
+
   test("runningUserTotals (mapGroupsWithState) matches a plain groupBy in batch") {
     import EventsStream.Event
     val typed = batchEvents
