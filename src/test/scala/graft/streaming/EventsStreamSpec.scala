@@ -169,6 +169,23 @@ class EventsStreamSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("streaming word count equals the batch reference pipeline") {
+    val dir = tempDir("wcStream")
+    java.nio.file.Files.write(dir.resolve("a.txt"),
+      "The quick brown fox\nthe lazy DOG".getBytes)
+    java.nio.file.Files.write(dir.resolve("b.txt"),
+      "dog eats Fox, fox wins!".getBytes)
+    val streamed = runStream(
+      StreamingWordCount.fromDirectory(spark, dir.toString),
+      "complete", "wcstream")
+      .orderBy("word").as[(String, Long)].collect().toSeq
+    val batch = graft.wc.WordCount
+      .fromDirectory(spark, dir.toString)
+      .as[(String, Long)].collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.toMap.apply("fox") === 3L)
+  }
+
   test("foreachBatch sink: per-micro-batch custom writes see every row once") {
     val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
     val q = streamEvents
