@@ -114,6 +114,32 @@ object TextPipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ── End-to-end curation: the composed training-data pipeline ────────
+    // quality gate → token budget → exact-dedup keeper → near-dup removal
+    // (greedy by id: the lower id of every verified pair survives). Each
+    // stage is one of the operators above; this query proves they compose
+    // into the job an LLM-data user actually runs, and the oracle replays
+    // the whole pipeline relationally.
+    "q_curate" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("f", TextAnalysis.qualityFeatures(col("text")))
+        .withColumn("quality", TextAnalysis.qualityScore(col("f")))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("fp", TextAnalysis.contentFingerprint(col("text")))
+      val keeper = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      val nearDupLosers = Dedup.verifiedNearDupsFromHashes(
+          Dedup.hashedNgrams(d, "doc_id", "toks", 3), threshold = 0.8)
+        .select(col("id_b").as("doc_id")).distinct()
+      d.withColumn("fp_keeper", min(col("doc_id")).over(keeper))
+        .where(col("doc_id") === col("fp_keeper"))
+        .where(col("quality") >= 0.4 &&
+          col("n_tokens").between(10, 10000))
+        .join(nearDupLosers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
     // ── Document fingerprinting ─────────────────────────────────────────
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(
@@ -217,6 +243,41 @@ object TextPipelineQueries {
           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
           ORDER BY id_a, id_b""",
+    "q_curate" -> {
+      val norm = s"trim(regexp_replace(lower(text), '$Re', ' ', 'g'))"
+      s"""WITH q AS (
+            SELECT doc_id, lang,
+              CAST(len($ToksSql) AS INT) AS n_tokens,
+              CAST(length(text) AS INT) AS n_chars,
+              CAST(length(text) - length(regexp_replace(text, '[!-/:-@[-`{-~]', '', 'g')) AS INT) AS punct,
+              CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS digits,
+              ${h60(norm)} AS fp
+            FROM documents),
+          scored AS (
+            SELECT doc_id, lang, n_tokens, fp,
+              ROUND(
+                least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4
+                + CASE WHEN ROUND(CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1), 6)
+                         BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+                + greatest(0.0, 0.2 - ROUND(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 6) * 2.0)
+                + greatest(0.0, 0.1 - ROUND(CAST(digits AS DOUBLE) / greatest(n_chars, 1), 6)),
+                6) AS quality,
+              min(doc_id) OVER (PARTITION BY fp) AS fp_keeper
+            FROM q),
+          sh AS (SELECT doc_id, ${shinglesSql(ToksSql)} AS s FROM documents
+                 WHERE len($ToksSql) >= 3),
+          losers AS (
+            SELECT DISTINCT b.doc_id
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                        / len(list_distinct(a.s || b.s)), 6) >= 0.8)
+          SELECT doc_id, lang, n_tokens, quality
+          FROM scored
+          WHERE doc_id = fp_keeper
+            AND quality >= 0.4 AND n_tokens BETWEEN 10 AND 10000
+            AND doc_id NOT IN (SELECT doc_id FROM losers)
+          ORDER BY doc_id"""
+    },
     "q_fingerprint" -> {
       import graft.expr.Sketches
       val norm = s"trim(regexp_replace(lower(text), '$Re', ' ', 'g'))"
