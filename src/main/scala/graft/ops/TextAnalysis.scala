@@ -106,6 +106,43 @@ object TextAnalysis {
       + greatest(lit(0.0), lit(0.2) - f.getField("punct_ratio") * 2.0)
       + greatest(lit(0.0), lit(0.1) - f.getField("digit_ratio")), 6)
 
+  // ── PII redaction ─────────────────────────────────────────────────────
+
+  /** Shared, RE2-compatible patterns (identical semantics in Java regex and
+    * the DuckDB oracle's RE2): email, URL, dotted-quad IP.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Replace emails/URLs/IPs with typed placeholder tokens — the scrub
+    * pass a training corpus gets before anything else. Order matters:
+    * URLs first (they may embed @ and dots), then emails, then IPs.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      IpRe, "<IP>")
+
+  /** Count of matches of `pattern` in `text` (redaction audit metric). */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  // ── Repetition metrics (Gopher-style filters) ─────────────────────────
+
+  /** Fraction of repeated n-grams: 1 − |distinct n-grams| / |n-grams|.
+    * 0 for no repetition, →1 for degenerate loops; 0.0 when the doc has
+    * fewer than n tokens (no n-grams — nothing repeated).
+    */
+  def repeatedNgramFrac(toks: Column, n: Int): Column = {
+    val sh = shingles(toks, n)
+    when(size(sh) === 0, lit(0.0))
+      .otherwise(round(
+        lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 6))
+  }
+
   // ── Token counting ────────────────────────────────────────────────────
 
   /** Whitespace token count (the cheap pre-filter number). */

@@ -114,6 +114,36 @@ object TextPipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ── PII redaction ────────────────────────────────────────────────────
+    // The fixture has no PII, so the query plants a synthetic contact block
+    // per doc (derived from doc_id — deterministic on both engines), then
+    // proves the scrub: counts per category + md5 of the redacted text.
+    "q_redact" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or "),
+        lit("https://site.example/p/"), col("doc_id"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256)), lit(".7"))
+      docs(s, dir)
+        .select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"),
+          TextAnalysis.matchCount(col("t"), TextAnalysis.EmailRe).as("n_email"),
+          TextAnalysis.matchCount(col("t"), TextAnalysis.UrlRe).as("n_url"),
+          md5(TextAnalysis.redactPii(col("t"))).as("redacted_md5"),
+          (TextAnalysis.matchCount(TextAnalysis.redactPii(col("t")),
+            TextAnalysis.EmailRe) === 0).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // ── Repetition metrics (Gopher-style) ───────────────────────────────
+    "q_repetition" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.repeatedNgramFrac(toks, 2).as("rep2"),
+          TextAnalysis.repeatedNgramFrac(toks, 3).as("rep3"))
+        .orderBy("doc_id")
+    }),
+
     // ── End-to-end curation: the composed training-data pipeline ────────
     // quality gate → token budget → exact-dedup keeper → near-dup removal
     // (greedy by id: the lower id of every verified pair survives). Each
@@ -243,6 +273,41 @@ object TextPipelineQueries {
           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
           ORDER BY id_a, id_b""",
+    "q_redact" -> {
+      // DuckDB single-quoted strings keep backslashes literal — embed the
+      // shared patterns as-is (only quote-escaping would apply)
+      val email = TextAnalysis.EmailRe
+      val url = TextAnalysis.UrlRe
+      val ip = TextAnalysis.IpRe
+      s"""WITH p AS (
+            SELECT doc_id,
+              text || ' contact user' || doc_id || '@example.com or ' ||
+              'https://site.example/p/' || doc_id || ' from 10.0.' ||
+              (doc_id % 256) || '.7' AS t
+            FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(t, '$email')) AS INT) AS n_email,
+            CAST(len(regexp_extract_all(t, '$url')) AS INT) AS n_url,
+            md5(regexp_replace(regexp_replace(regexp_replace(t,
+              '$url', '<URL>', 'g'), '$email', '<EMAIL>', 'g'),
+              '$ip', '<IP>', 'g')) AS redacted_md5,
+            len(regexp_extract_all(regexp_replace(regexp_replace(
+              regexp_replace(t, '$url', '<URL>', 'g'), '$email', '<EMAIL>', 'g'),
+              '$ip', '<IP>', 'g'), '$email')) = 0 AS clean
+          FROM p ORDER BY doc_id"""
+    },
+    "q_repetition" -> {
+      def rawShingles(n: Int) =
+        s"""list_transform(generate_series(1, greatest(len(toks) - ${n - 1}, 0)),
+              i -> array_to_string((toks)[i:i+${n - 1}], ' '))"""
+      def frac(n: Int) =
+        s"""CASE WHEN len(${rawShingles(n)}) = 0 THEN 0.0
+            ELSE ROUND(1.0 - CAST(len(list_distinct(${rawShingles(n)})) AS DOUBLE)
+                       / len(${rawShingles(n)}), 6) END"""
+      s"""SELECT doc_id, ${frac(2)} AS rep2, ${frac(3)} AS rep3
+          FROM (SELECT doc_id, $ToksSql AS toks FROM documents)
+          ORDER BY doc_id"""
+    },
     "q_curate" -> {
       val norm = s"trim(regexp_replace(lower(text), '$Re', ' ', 'g'))"
       s"""WITH q AS (

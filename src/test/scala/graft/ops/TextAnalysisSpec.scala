@@ -73,6 +73,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one[Int](TextAnalysis.bpeishTokenCount(col("t")), "don't 42") === 5)
   }
 
+  test("redactPii replaces emails, URLs (greedy), and IPs with placeholders") {
+    val r = (s: String) => one[String](TextAnalysis.redactPii(col("t")), s)
+    assert(r("mail me at bob.smith+x@corp.example.org today")
+      === "mail me at <EMAIL> today")
+    assert(r("see https://a.example/x?q=1 and http://b.example")
+      === "see <URL> and <URL>")
+    assert(r("from 192.168.1.254 port 22") === "from <IP> port 22")
+    // URL containing an @ is consumed as URL, not as email
+    assert(r("https://user@host.example/path") === "<URL>")
+    assert(r("no pii here") === "no pii here")
+  }
+
+  test("repeatedNgramFrac: 0 for unique text, →1 for loops, 0 below n tokens") {
+    val f2 = (s: String) => one[Double](
+      TextAnalysis.repeatedNgramFrac(TextAnalysis.tokens(col("t")), 2), s)
+    assert(f2("a b c d e") === 0.0)
+    assert(f2("a b a b a b a b") > 0.7) // 7 bigrams, 2 distinct
+    assert(f2("solo") === 0.0)
+  }
+
   test("contentFingerprint: equal iff normalized-equal") {
     val fp = (s: String) => one[Long](TextAnalysis.contentFingerprint(col("t")), s)
     assert(fp("Hello, World!") === fp("hello world"))
