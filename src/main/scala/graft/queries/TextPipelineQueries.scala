@@ -170,6 +170,36 @@ object TextPipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ── Deterministic train/val/test split ──────────────────────────────
+    // Hash-based assignment (NOT random): reproducible across runs and
+    // engines, stable under re-partitioning, new docs don't reshuffle old
+    // ones — the properties a corpus split actually needs.
+    "q_split" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          pmod(Hashes.h60(concat(lit("split:"), col("doc_id"))), lit(100L))
+            .as("bucket"))
+        .select(col("doc_id"),
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")),
+
+    // ── Dataset card: per-language corpus summary ───────────────────────
+    "q_dataset_card" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      docs(s, dir)
+        .select(col("lang"), size(toks).as("n_tokens"),
+          TextAnalysis.qualityScore(
+            TextAnalysis.qualityFeatures(col("text"))).as("q"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          round(expr("percentile(n_tokens, 0.5)"), 6).as("p50_tokens"),
+          round(sum(col("q").cast("decimal(28,10)")).cast("double") /
+            count(lit(1)), 6).as("mean_quality"))
+        .orderBy("lang")
+    }),
+
     // ── Document fingerprinting ─────────────────────────────────────────
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(
@@ -342,6 +372,36 @@ object TextPipelineQueries {
             AND quality >= 0.4 AND n_tokens BETWEEN 10 AND 10000
             AND doc_id NOT IN (SELECT doc_id FROM losers)
           ORDER BY doc_id"""
+    },
+    "q_split" ->
+      s"""SELECT doc_id,
+            CASE WHEN ${h60("'split:' || doc_id")} % 100 < 90 THEN 'train'
+                 WHEN ${h60("'split:' || doc_id")} % 100 < 95 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents ORDER BY doc_id""",
+    "q_dataset_card" -> {
+      s"""WITH d AS (
+            SELECT lang, CAST(len($ToksSql) AS INT) AS n_tokens,
+              CAST(length(text) AS INT) AS n_chars,
+              CAST(length(text) - length(regexp_replace(text, '[!-/:-@[-`{-~]', '', 'g')) AS INT) AS punct,
+              CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS digits
+            FROM documents),
+          s AS (
+            SELECT lang, n_tokens,
+              ROUND(
+                least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4
+                + CASE WHEN ROUND(CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1), 6)
+                         BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+                + greatest(0.0, 0.2 - ROUND(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 6) * 2.0)
+                + greatest(0.0, 0.1 - ROUND(CAST(digits AS DOUBLE) / greatest(n_chars, 1), 6)),
+                6) AS q
+            FROM d)
+          SELECT lang, count(*) AS n_docs,
+            SUM(n_tokens)::BIGINT AS total_tokens,
+            ROUND(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+            ROUND(CAST(SUM(CAST(q AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)
+              AS mean_quality
+          FROM s GROUP BY lang ORDER BY lang"""
     },
     "q_fingerprint" -> {
       import graft.expr.Sketches
