@@ -135,6 +135,11 @@ object TextAnalysis {
   /** Fraction of repeated n-grams: 1 − |distinct n-grams| / |n-grams|.
     * 0 for no repetition, →1 for degenerate loops; 0.0 when the doc has
     * fewer than n tokens (no n-grams — nothing repeated).
+    *
+    * String-shingle form — fine for ad-hoc use, but the shingle expression
+    * is re-evaluated per reference; the scale path is
+    * [[repeatedFracFromHashes]] over a materialized
+    * [[Dedup.ngramHashSet]]-style hash column (see `q_repetition`).
     */
   def repeatedNgramFrac(toks: Column, n: Int): Column = {
     val sh = shingles(toks, n)
@@ -142,6 +147,16 @@ object TextAnalysis {
       .otherwise(round(
         lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 6))
   }
+
+  /** [[repeatedNgramFrac]] over an n-gram-hash array column (duplicates
+    * kept — do NOT pass a distinct set). Pass an *attribute* (withColumn-
+    * materialized) so the hash pipeline runs once, not per reference.
+    */
+  def repeatedFracFromHashes(ngramHashes: Column): Column =
+    when(size(ngramHashes) === 0, lit(0.0))
+      .otherwise(round(
+        lit(1.0) - size(array_distinct(ngramHashes)).cast("double")
+          / size(ngramHashes), 6))
 
   // ── Token counting ────────────────────────────────────────────────────
 

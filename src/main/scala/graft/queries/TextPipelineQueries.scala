@@ -135,14 +135,20 @@ object TextPipelineQueries {
     }),
 
     // ── Repetition metrics (Gopher-style) ───────────────────────────────
-    "q_repetition" -> ((s, dir) => {
-      val toks = TextAnalysis.tokens(col("text"))
+    // n-gram-HASH basis, each hash array materialized as a column so the
+    // tokenize+md5 pipeline runs once per doc (string-shingle form cost
+    // 49 s of the sf0.1 bench; fractions over hashes are equal barring
+    // 2^-60 collisions — the oracle still computes from strings).
+    "q_repetition" -> ((s, dir) =>
       docs(s, dir)
+        .withColumn("hs", transform(TextAnalysis.tokens(col("text")),
+          t => Hashes.h60(t)))
+        .withColumn("ngh2", call_function("ngram_hashes", col("hs"), lit(2)))
+        .withColumn("ngh3", call_function("ngram_hashes", col("hs"), lit(3)))
         .select(col("doc_id"),
-          TextAnalysis.repeatedNgramFrac(toks, 2).as("rep2"),
-          TextAnalysis.repeatedNgramFrac(toks, 3).as("rep3"))
-        .orderBy("doc_id")
-    }),
+          TextAnalysis.repeatedFracFromHashes(col("ngh2")).as("rep2"),
+          TextAnalysis.repeatedFracFromHashes(col("ngh3")).as("rep3"))
+        .orderBy("doc_id")),
 
     // ── End-to-end curation: the composed training-data pipeline ────────
     // quality gate → token budget → exact-dedup keeper → near-dup removal
