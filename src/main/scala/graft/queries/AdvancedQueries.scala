@@ -22,6 +22,9 @@ object AdvancedQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  private def oSum(expr: String, as: String, scale: Int = 4): String =
+    s"ROUND(CAST(SUM(CAST($expr AS DECIMAL(28,10))) AS DOUBLE), $scale) AS $as"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── Range join: equi key + band predicate ────────────────────────────
     // Customers and suppliers in the same nation with account balances
@@ -79,6 +82,46 @@ object AdvancedQueries {
           (abs(expr("approx_percentile(l_quantity, 0.5, 10000)") -
             expr("percentile(l_quantity, 0.5)")) <= 2.0).as("p50_approx_ok"))
         .orderBy("l_returnflag")),
+
+    // ── Correlated scalar subquery (Catalyst decorrelates to a join) ─────
+    // Orders priced above 1.5× their priority class's mean. The threshold
+    // goes through the decimal-exact route in BOTH engines so the boundary
+    // compare can't flip on a ulp.
+    "q_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_sq")
+      s.sql(
+        """SELECT o_orderkey, o_orderpriority, o_totalprice
+           FROM orders_sq o
+           WHERE o_totalprice > (
+             SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(28,10))) AS DOUBLE)
+                    / COUNT(*) * 1.5
+             FROM orders_sq i
+             WHERE i.o_orderpriority = o.o_orderpriority)
+           ORDER BY o_orderkey""")
+    }),
+
+    // ── RANGE window frame (value-based, tie-inclusive) ─────────────────
+    "q_window_range" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+        .rangeBetween(-10000L, 0L)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          count(lit(1)).over(w).as("n_within_10k"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ── min_by / max_by (argmin/argmax aggregates) ──────────────────────
+    // (fixture has no (custkey, totalprice) ties — checked — so the pick
+    // is deterministic without a composite tiebreak)
+    "q_agg_argminmax" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
+          Exact.roundSum(col("o_totalprice")).as("total"))
+        .orderBy("o_custkey")),
 
     // ── Map functions (map type lives inside the query; outputs are
     //    scalars so the oracle can compute them relationally) ────────────
@@ -144,6 +187,27 @@ object AdvancedQueries {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
             TRUE AS approx_ok
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "q_subquery" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice
+         FROM orders o
+         WHERE o_totalprice > (
+           SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(28,10))) AS DOUBLE)
+                  / COUNT(*) * 1.5
+           FROM orders i
+           WHERE i.o_orderpriority = o.o_orderpriority)
+         ORDER BY o_orderkey""",
+    "q_window_range" ->
+      """SELECT o_orderkey, o_custkey,
+            count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                           RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+              AS n_within_10k
+         FROM orders ORDER BY o_orderkey""",
+    "q_agg_argminmax" ->
+      s"""SELECT o_custkey,
+            arg_max(o_orderkey, o_totalprice) AS priciest_order,
+            arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+            ${oSum("o_totalprice", "total")}
+          FROM orders GROUP BY 1 ORDER BY o_custkey""",
     "q_map_fns" -> {
       val re = graft.tok.Tokenizer.DefaultSplitRegex.replace("'", "''")
       s"""WITH tk AS (SELECT doc_id,
