@@ -27,15 +27,7 @@ object Hashes {
   def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Seeded family for minhash permutations: h_i(s) = h60(i ++ ":" ++ s). */
-  def h60Seeded(c: Column, seed: Column): Column =
-    h60(concat(seed.cast("string"), lit(":"), c))
-
   /** DuckDB rendering of [[h60]] for oracle SQL construction. */
   def h60Sql(inner: String): String =
     s"CAST(('0x'||substr(md5($inner),1,15)) AS BIGINT)"
-
-  /** DuckDB rendering of [[h60Seeded]]. */
-  def h60SeededSql(inner: String, seed: String): String =
-    h60Sql(s"CAST($seed AS VARCHAR)||':'||$inner")
 }

@@ -45,23 +45,33 @@ object AsofJoin {
     val leftCols = left.columns
     val t = "__asof_t"
     val m = "__asof_m"
+    val p = "__asof_p"
+    // The right payload travels as ONE struct column: the struct is
+    // non-null for every right row even when individual payload fields are
+    // NULL, so `last(_, ignoreNulls)` matches the latest right ROW (and
+    // its possibly-NULL values) rather than skipping to an older row whose
+    // field happened to be non-null — and all carried fields always come
+    // from the same matched row. Matches DuckDB ASOF JOIN semantics.
     val l = left
       .withColumn(t, col(leftTime))
       .withColumn(m, lit(1))
       .select(Seq(col(on), col(t), col(m)) ++
-        leftCols.filterNot(_ == on).map(col) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        leftCols.filterNot(_ == on).map(col) :+
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          rightVals.map(c => org.apache.spark.sql.types.StructField(
+            c, right.schema(c).dataType)))).as(p): _*)
     val r = right
       .withColumn(t, col(rightTime))
       .withColumn(m, lit(0))
       .select(Seq(col(on), col(t), col(m)) ++
-        leftCols.filterNot(_ == on).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(c => col(c).as(s"__r_$c")): _*)
+        leftCols.filterNot(_ == on).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightVals.map(col): _*).as(p): _*)
     val w = Window.partitionBy(col(on))
       .orderBy(col(t).asc, col(m).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carriedStruct = last(col(p), ignoreNulls = true).over(w)
     val carried: Seq[Column] =
-      rightVals.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))
+      rightVals.map(c => carriedStruct.getField(c).as(s"asof_$c"))
     l.unionByName(r)
       .select(Seq(col(on), col(m)) ++ leftCols.filterNot(_ == on).map(col)
         ++ carried: _*)

@@ -183,10 +183,19 @@ object Dedup {
                           maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 60, s"maxHamming: $maxHamming")
     val nBlocks = maxHamming + 1
-    val blockBits = (60 + nBlocks - 1) / nBlocks
+    // Even bit distribution with NO empty block: the first (60 mod nBlocks)
+    // blocks get ⌈60/nBlocks⌉ bits, the rest ⌊60/nBlocks⌋. A uniform
+    // ⌈60/nBlocks⌉ width would leave whole blocks above bit 59 for many
+    // nBlocks values — identically zero for every fingerprint, i.e. one
+    // bucket holding the entire corpus (the quadratic product this
+    // function exists to avoid).
+    val base = 60 / nBlocks
+    val rem = 60 % nBlocks
+    val widths = Seq.tabulate(nBlocks)(j => if (j < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
     val blocks = array((0 until nBlocks).map { j =>
-      shiftrightunsigned(col(fpCol), j * blockBits)
-        .bitwiseAND(lit((1L << blockBits) - 1))
+      shiftrightunsigned(col(fpCol), offsets(j))
+        .bitwiseAND(lit((1L << widths(j)) - 1))
     }: _*)
     val exploded = fp.select(col(idCol).as("id"), col(fpCol).as("fp"),
       posexplode(blocks).as(Seq("blk", "blkval")))

@@ -112,9 +112,17 @@ object Similarity {
     val bits = transform(
       sequence(lit(0), lit(nBits - 1)),
       p => {
+        // zip_with pads the shorter side with NULLs; a naive product would
+        // NULL-poison the whole projection for any vector shorter than
+        // `dim` (every such vector would silently land in bucket 0 and the
+        // bucket join would degenerate to corpus²). Null terms contribute
+        // 0 instead — identical to summing only the vector's own length,
+        // which is what the DuckDB oracle does. `dim` must still be ≥ the
+        // vector length or the tail dims carry no signal.
         val proj = aggregate(
           zip_with(vec, element_at(wLit, p + 1),
-            (x, w) => (x.cast("double") * w).cast(Dec)),
+            (x, w) => when(x.isNull || w.isNull, lit(0).cast(Dec))
+              .otherwise((x.cast("double") * w).cast(Dec))),
           lit(0).cast(Dec), (acc, x) => (acc + x).cast(Dec))
         when(proj > 0, shiftleftSafe(p)).otherwise(0L)
       })
@@ -140,32 +148,40 @@ object Similarity {
     */
   def topKNeighborsIvf(probes: DataFrame, corpus: DataFrame, k: Int,
                        nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = broadcast(
+    import corpus.sparkSession.implicits._
+    // Centroids are collected to the driver (bounded: nCentroids rows) and
+    // inlined as literals — the KMeans-centers pattern. Cell assignment is
+    // then a NARROW projection (argmin over the literal array via the
+    // native dot), not a cross join + window, so the only shuffle in the
+    // whole query is the candidate hash join on cell id. Assignment and
+    // re-rank use cosineFast (no oracle on this path).
+    val cents: Seq[(Long, Seq[Float])] =
       corpus.orderBy("vec_id").limit(nCentroids)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("centv")))
-    // Assignment + re-rank use the native double dot (cosineFast): this
-    // path has no cross-engine oracle, and the decimal-exact form costs
-    // ~3 interpreted lambda passes per pair.
-    def assign(df: DataFrame, idCol: String, vecCol: String, nNearest: Int) = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(desc("cent_cos"), asc("cent_id"))
-      df.join(cents)
-        .withColumn("cent_cos", cosineFast(col(vecCol), col("centv")))
-        .withColumn("cent_rank", row_number().over(w))
-        .where(col("cent_rank") <= nNearest)
-        .drop("centv", "cent_cos", "cent_rank")
-    }
-    val c = assign(corpus.select(col("vec_id").as("cand_id"),
-      col("embedding").as("cv")), "cand_id", "cv", 1)
-    val p = assign(probes.select(col("vec_id").as("probe_id"),
-      col("embedding").as("pv")), "probe_id", "pv", nProbe)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().toSeq
+        .map { case (id, v) => (id, v.toSeq) }
+    val centVecs = typedlit(cents.map(_._2))
+    val centIds = typedlit(cents.map(_._1))
+    // per-row (−cos, cent_id) structs, ascending sort ⇒ best cell first;
+    // ties broken by cent_id — deterministic
+    def rankedCells(vec: Column): Column = array_sort(
+      transform(sequence(lit(1), lit(cents.size)), i =>
+        struct(
+          (cosineFast(vec, element_at(centVecs, i)) * -1).as("neg_cos"),
+          element_at(centIds, i).as("cent_id"))))
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      element_at(rankedCells(col("embedding")), 1).getField("cent_id").as("cent_id"))
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        explode(slice(rankedCells(col("embedding")), 1, nProbe)).as("cell"))
+      .select(col("probe_id"), col("pv"), col("cell.cent_id").as("cent_id"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(desc("cosine"), asc("cand_id"))
+    // no distinct needed: each candidate lives in exactly one cell, so a
+    // (probe, cand) pair can match at most once
     p.join(c, Seq("cent_id"))
       .where(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
         cosineFast(col("pv"), col("cv")).as("cosine"))
-      .distinct() // a candidate can appear via several probed cells
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }

@@ -138,7 +138,12 @@ object AdvancedQueries {
           col("toks"))
         .select(col("doc_id"),
           size(map_keys(col("m"))).as("m_size"),
-          element_at(col("m"), element_at(array_distinct(col("toks")), 1))
+          // guarded: ANSI mode (Spark 4 default) makes element_at on an
+          // empty array a runtime error; a zero-token doc must yield NULL
+          // like the oracle's first5[1]
+          when(size(map_keys(col("m"))) === 0, lit(null).cast("int"))
+            .otherwise(
+              element_at(col("m"), element_at(array_distinct(col("toks")), 1)))
             .as("first_tok_len"),
           aggregate(map_values(col("m")), lit(0), (a, v) => a + v)
             .as("sum_lens"))

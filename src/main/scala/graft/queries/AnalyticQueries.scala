@@ -100,12 +100,14 @@ object AnalyticQueries {
     // ── Array functions over tokenized text ─────────────────────────────
     "q_array_fns" -> ((s, dir) => {
       val toks = graft.tok.Tokenizer.lowerTokens(col("text"))
+      // try_element_at: ANSI mode errors on out-of-bounds element_at, but a
+      // zero-token doc must yield NULL (= the oracle's list[1] on empty)
       t(s, dir, "documents")
         .select(col("doc_id"),
           size(toks).as("n_tokens"),
           size(array_distinct(toks)).as("n_distinct"),
-          element_at(sort_array(toks), 1).as("first_token"),
-          element_at(sort_array(toks, asc = false), 1).as("last_token"))
+          try_element_at(sort_array(toks), lit(1)).as("first_token"),
+          try_element_at(sort_array(toks, asc = false), lit(1)).as("last_token"))
         .orderBy("doc_id")
     }),
 

@@ -38,6 +38,19 @@ object TextPipelineQueries {
           i -> array_to_string(($toks)[i:i+2], ' ')))"""
   private def h60(inner: String): String = Hashes.h60Sql(inner)
 
+  /** Mirror of [[TextAnalysis.qualityScore]] over columns named n_tokens /
+    * n_chars / punct / digits — the ONE copy shared by every oracle that
+    * scores quality (q_quality, q_curate, q_dataset_card).
+    */
+  private val QualityScoreSql =
+    """ROUND(
+         least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4
+         + CASE WHEN ROUND(CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1), 6)
+                  BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+         + greatest(0.0, 0.2 - ROUND(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 6) * 2.0)
+         + greatest(0.0, 0.1 - ROUND(CAST(digits AS DOUBLE) / greatest(n_chars, 1), 6)),
+         6)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── Token counting ───────────────────────────────────────────────────
     "q_text_stats" -> ((s, dir) =>
@@ -244,13 +257,7 @@ object TextPipelineQueries {
             ROUND(CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1), 6) AS mean_tok_len,
             ROUND(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
             ROUND(CAST(stop_hits AS DOUBLE) / greatest(n_distinct, 1), 6) AS stopword_ratio,
-            ROUND(
-              least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4
-              + CASE WHEN ROUND(CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1), 6)
-                       BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0.0 END
-              + greatest(0.0, 0.2 - ROUND(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 6) * 2.0)
-              + greatest(0.0, 0.1 - ROUND(CAST(digits AS DOUBLE) / greatest(n_chars, 1), 6)),
-              6) AS quality
+            $QualityScoreSql AS quality
           FROM f ORDER BY doc_id"""
     },
     "q_lang_id" -> {
@@ -356,13 +363,7 @@ object TextPipelineQueries {
             FROM documents),
           scored AS (
             SELECT doc_id, lang, n_tokens, fp,
-              ROUND(
-                least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4
-                + CASE WHEN ROUND(CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1), 6)
-                         BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0.0 END
-                + greatest(0.0, 0.2 - ROUND(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 6) * 2.0)
-                + greatest(0.0, 0.1 - ROUND(CAST(digits AS DOUBLE) / greatest(n_chars, 1), 6)),
-                6) AS quality,
+              $QualityScoreSql AS quality,
               min(doc_id) OVER (PARTITION BY fp) AS fp_keeper
             FROM q),
           sh AS (SELECT doc_id, ${shinglesSql(ToksSql)} AS s FROM documents
@@ -394,13 +395,7 @@ object TextPipelineQueries {
             FROM documents),
           s AS (
             SELECT lang, n_tokens,
-              ROUND(
-                least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4
-                + CASE WHEN ROUND(CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1), 6)
-                         BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0.0 END
-                + greatest(0.0, 0.2 - ROUND(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 6) * 2.0)
-                + greatest(0.0, 0.1 - ROUND(CAST(digits AS DOUBLE) / greatest(n_chars, 1), 6)),
-                6) AS q
+              $QualityScoreSql AS q
             FROM d)
           SELECT lang, count(*) AS n_docs,
             SUM(n_tokens)::BIGINT AS total_tokens,

@@ -23,9 +23,15 @@ class ShuffleVolumeSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     try {
       action
-      // listener events are async; give the bus a moment to drain
-      // (the private listenerBus.waitUntilEmpty isn't accessible)
-      Thread.sleep(500)
+      // listener events are async and the private listenerBus.waitUntilEmpty
+      // isn't accessible: poll until the byte count is stable (bounded)
+      var prev = -1L
+      var tries = 0
+      while (bytes.get() != prev && tries < 50) {
+        prev = bytes.get()
+        Thread.sleep(100)
+        tries += 1
+      }
     } finally spark.sparkContext.removeSparkListener(listener)
     bytes.get()
   }

@@ -43,11 +43,8 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
-  test("h60Seeded varies with seed; h60 is stable across calls") {
+  test("h60 is stable across calls") {
     val df = Seq("tok").toDF("s")
-    val a = df.select(Hashes.h60Seeded(col("s"), lit(0))).as[Long].head()
-    val b = df.select(Hashes.h60Seeded(col("s"), lit(1))).as[Long].head()
-    assert(a !== b)
     val h1 = df.select(Hashes.h60(col("s"))).as[Long].head()
     val h2 = df.select(Hashes.h60(col("s"))).as[Long].head()
     assert(h1 === h2)

@@ -61,6 +61,15 @@ class AsofJoinSpec extends SparkSpec {
     assert(fast === naive)
   }
 
+  test("a matched right row with NULL payload yields NULL, not a stale older value") {
+    val r = Seq((1L, 10L, Some(5.0)), (1L, 20L, Option.empty[Double]))
+      .toDF("k", "t", "v")
+    val l = Seq((1L, 25L, "x")).toDF("k", "t", "label")
+    val got = AsofJoin.asofJoin(l, r, "k", "t", "t", Seq("v"))
+      .select("asof_v").as[Option[Double]].head()
+    assert(got === None, "the t=20 row matches; its NULL must carry, not t=10's 5.0")
+  }
+
   test("multiple right values carry together") {
     val r2 = Seq((1L, 8L, 100.0, "a"), (1L, 15L, 150.0, "b"))
       .toDF("k", "t", "v", "s")

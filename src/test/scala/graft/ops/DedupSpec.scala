@@ -100,6 +100,25 @@ class DedupSpec extends SparkSpec {
     assert(allPairs.nonEmpty, "fixture must actually contain close pairs")
   }
 
+  test("simhashNearDupPairs block layout has no empty block for any maxHamming") {
+    // regression: uniform ceil-width blocks left whole blocks above bit 59
+    // for many maxHamming values (e.g. 10), bucketing the entire corpus
+    // together; the blocked result must still equal all-pairs there
+    val rnd = new scala.util.Random(21)
+    val fps = (0 until 60).map(i => i.toLong -> (rnd.nextLong() & ((1L << 60) - 1)))
+    val df = fps.toDF("id", "fp")
+    for (d <- Seq(0, 3, 10, 13)) {
+      val blocked = Dedup.simhashNearDupPairs(df, "id", "fp", d)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val a = df.select(col("id").as("id_a"), col("fp").as("h_a"))
+      val b = df.select(col("id").as("id_b"), col("fp").as("h_b"))
+      val allPairs = a.join(b, col("id_a") < col("id_b"))
+        .where(Dedup.hammingDistance(col("h_a"), col("h_b")) <= d)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(blocked === allPairs, s"maxHamming=$d")
+    }
+  }
+
   test("simhash: near-identical docs land within small Hamming distance") {
     val df = docs.withColumn("sh", Dedup.simhash(TextAnalysis.tokens(col("text"))))
     val hs = df.select("doc_id", "sh").as[(Long, Long)].collect().toMap

@@ -114,6 +114,10 @@ class SimilaritySpec extends SparkSpec {
       Similarity.signBits(col("embedding"), 10).as("s"))
       .as[(Long, Long)].collect().toMap
     assert(sigs.values.forall(s => s >= 0 && s < (1L << 10)))
+    // regression: vectors shorter than the weight dim (12 < 64 here) used
+    // to NULL-poison every projection and collapse all buckets to 0
+    assert(sigs.values.toSet.size > 1,
+      s"12-dim planted clusters must spread over buckets, got ${sigs.values.toSet}")
     val again = df.select(col("vec_id"),
       Similarity.signBits(col("embedding"), 10).as("s"))
       .as[(Long, Long)].collect().toMap

@@ -70,11 +70,13 @@ class WordCountSpec extends SparkSpec {
     writeFile(dir, "big.txt", corpus)
 
     val conf = "spark.sql.files.maxPartitionBytes"
+    val costConf = "spark.sql.files.openCostInBytes"
     val saved = spark.conf.get(conf)
+    val savedCost = spark.conf.get(costConf)
     try {
       val results = Seq("16", "128", "1024", "1048576").map { bytes =>
         spark.conf.set(conf, bytes)
-        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        spark.conf.set(costConf, "0")
         WordCount.fromDirectory(spark, dir.toString)
           .as[(String, Long)].collect().toSeq
       }
@@ -83,7 +85,13 @@ class WordCountSpec extends SparkSpec {
       // and the total equals the number of tokens in the corpus
       val expectedTotal = corpus.split("\\s+").count(_.nonEmpty)
       assert(results.head.map(_._2).sum === expectedTotal)
-    } finally spark.conf.set(conf, saved)
+    } finally {
+      // restore BOTH confs — the session is shared across suites, and a
+      // leaked openCostInBytes=0 changes split counts for plan-sensitive
+      // specs that run later (ordering-dependent flakes)
+      spark.conf.set(conf, saved)
+      spark.conf.set(costConf, savedCost)
+    }
   }
 
   test("writeCsv: golden bytes — header Word,Count, asc order, single part file") {
