@@ -71,6 +71,27 @@ object AdvancedQueries {
             count_distinct(col("l_partkey")) * 0.10).as("approx_ok"))
         .orderBy("l_returnflag")),
 
+    // ── Mergeable HLL sketches (Datasketches) ───────────────────────────
+    // The incremental-corpus pattern: per-partition (here per-language)
+    // sketches merge via hll_union_agg WITHOUT rescanning the data — at
+    // 100 TB the sketches are what you store per shard/day and fold. Gate:
+    // the merged estimate must land within 5% of the exact global distinct
+    // (default lgConfigK=12 ⇒ rsd ≈1.6%), emitted tolerance-style.
+    "q_hll_merge" -> ((s, dir) => {
+      val words = Tables.table(s, dir, "documents")
+        .select(col("lang"),
+          explode(graft.tok.Tokenizer.lowerTokens(col("text"))).as("word"))
+      val perLang = words.groupBy(col("lang"))
+        .agg(expr("hll_sketch_agg(word)").as("sk"))
+      val merged = perLang
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = words.agg(count_distinct(col("word")).as("nd_words"))
+      merged.crossJoin(exact)
+        .select(col("nd_words"),
+          (abs(col("est") - col("nd_words")) <= col("nd_words") * 0.05)
+            .as("approx_ok"))
+    }),
+
     // ── Exact percentiles / median (+ approx gated) ──────────────────────
     "q_percentiles" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -213,6 +234,13 @@ object AdvancedQueries {
             arg_min(o_orderkey, o_totalprice) AS cheapest_order,
             ${oSum("o_totalprice", "total")}
           FROM orders GROUP BY 1 ORDER BY o_custkey""",
+    "q_hll_merge" -> {
+      val re = graft.tok.Tokenizer.DefaultSplitRegex.replace("'", "''")
+      s"""SELECT count(DISTINCT word) AS nd_words, TRUE AS approx_ok
+          FROM (SELECT unnest(string_split_regex(lower(text), '$re')) AS word
+                FROM documents)
+          WHERE word <> ''"""
+    },
     "q_map_fns" -> {
       val re = graft.tok.Tokenizer.DefaultSplitRegex.replace("'", "''")
       s"""WITH tk AS (SELECT doc_id,
