@@ -133,33 +133,62 @@ object Similarity {
   private val Pow2: Column = array((0 to 60).map(j => lit(1L << j)): _*)
   private def shiftleftSafe(p: Column): Column = element_at(Pow2, p + 1)
 
-  /** IVF-style ANN: partition the corpus into `nCentroids` Voronoi cells
-    * (centroids = the lowest-id corpus vectors — deterministic; a k-means
-    * refinement would drop in without changing the dataflow), then search
-    * only the `nProbe` cells nearest each probe.
-    *
-    * Dataflow at scale: the centroid table is tiny and broadcast to both
-    * assignment joins (corpus→cell is one narrow broadcast pass, no
-    * shuffle); the candidate join is hash-partitioned on cell id, so the
-    * cost is |corpus|·nProbe/nCentroids candidates per probe instead of
-    * |corpus| — the same inverted-file contraction a vector DB uses.
-    * Recall is probabilistic like LSH; exactness comes from the final
-    * exact-cosine re-rank of candidates.
+  /** Spherical k-means refinement of IVF centroids: `iters` Lloyd rounds,
+    * each one distributed pass (narrow argmax assignment over the literal
+    * centroid array → groupBy(cell) per-dimension mean) with only the
+    * nCentroids×dim aggregate collected per round — the MLlib-style
+    * bounded driver loop, not a per-row collect. Deterministic: seeds are
+    * the lowest-id vectors, ties break by cell index. Empty cells keep
+    * their previous centroid.
     */
-  def topKNeighborsIvf(probes: DataFrame, corpus: DataFrame, k: Int,
-                       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+  def kmeansCentroids(corpus: DataFrame, nCentroids: Int,
+                      iters: Int): Seq[(Long, Seq[Float])] = {
     import corpus.sparkSession.implicits._
-    // Centroids are collected to the driver (bounded: nCentroids rows) and
-    // inlined as literals — the KMeans-centers pattern. Cell assignment is
-    // then a NARROW projection (argmin over the literal array via the
-    // native dot), not a cross join + window, so the only shuffle in the
-    // whole query is the candidate hash join on cell id. Assignment and
-    // re-rank use cosineFast (no oracle on this path).
-    val cents: Seq[(Long, Seq[Float])] =
+    var cents: Seq[(Long, Seq[Float])] =
       corpus.orderBy("vec_id").limit(nCentroids)
         .select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])].collect().toSeq
         .map { case (id, v) => (id, v.toSeq) }
+    for (_ <- 1 to iters) {
+      val centVecs = typedlit(cents.map(_._2))
+      // struct-free argmax: negated scores, first minimum wins (ties break
+      // toward the lower cell index, deterministic)
+      val scores = transform(sequence(lit(1), lit(cents.size)),
+        i => cosineFast(col("embedding"), element_at(centVecs, i)) * -1)
+      val cell = (array_position(scores, array_min(scores)) - 1).cast("int")
+      val means = corpus
+        .select(cell.as("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .as[(Int, Int, Double)].collect()
+      val byCell = means.groupBy(_._1)
+      cents = cents.zipWithIndex.map { case ((id, old), j) =>
+        byCell.get(j) match {
+          case Some(ds) => (id, ds.sortBy(_._2).map(_._3.toFloat).toSeq)
+          case None => (id, old) // empty cell: keep previous centroid
+        }
+      }
+    }
+    cents
+  }
+
+  /** IVF-style ANN: partition the corpus into `nCentroids` Voronoi cells
+    * around k-means-refined centroids ([[kmeansCentroids]]), then search
+    * only the `nProbe` cells nearest each probe. Candidate volume is
+    * |corpus|·nProbe/nCentroids per probe instead of |corpus| — the same
+    * inverted-file contraction a vector DB uses; recall is probabilistic
+    * like LSH, and candidates get an exact cosine re-rank.
+    */
+  def topKNeighborsIvf(probes: DataFrame, corpus: DataFrame, k: Int,
+                       nCentroids: Int = 16, nProbe: Int = 4,
+                       kmeansIters: Int = 2): DataFrame = {
+    // Centroids are k-means-refined then inlined as literals — the
+    // KMeans-centers pattern. Cell assignment is a NARROW projection
+    // (argmin over the literal array via the native dot), not a cross
+    // join + window, so the only shuffle in the search itself is the
+    // candidate hash join on cell id. Assignment and re-rank use
+    // cosineFast (no oracle on this path).
+    val cents = kmeansCentroids(corpus, nCentroids, kmeansIters)
     val centVecs = typedlit(cents.map(_._2))
     val centIds = typedlit(cents.map(_._1))
     // per-row (−cos, cent_id) structs, ascending sort ⇒ best cell first;

@@ -102,10 +102,28 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { case (p, c, _) =>
       assert(c % 3 === p % 3, s"IVF neighbor $c not in probe $p's cluster")
     }
-    // centroids are the 6 lowest-id vectors → they cover all 3 planted
-    // clusters, so with nProbe=3 each probe reaches its own cluster's cell
+    // seeds cover all 3 planted clusters; k-means refinement keeps them
+    // there, so with nProbe=3 each probe reaches its own cluster's cell
     // and returns a full k
     assert(ivf.groupBy(_._1).forall(_._2.size == 5))
+  }
+
+  test("kmeansCentroids: Lloyd refinement converges onto the planted centers") {
+    val cents = Similarity.kmeansCentroids(planted, nCentroids = 3, iters = 3)
+    assert(cents.size === 3)
+    // each refined centroid should be dominated by one of the planted axes
+    // (0, 4, 8) — the mean of a cluster with ±0.05 jitter sits ~1.0 on its
+    // axis and ~0 elsewhere
+    val axes = cents.map { case (_, v) =>
+      v.zipWithIndex.maxBy(_._1.abs)._2
+    }.toSet
+    assert(axes === Set(0, 4, 8), s"centroid axes: $axes")
+    cents.foreach { case (_, v) =>
+      assert(v.map(_.abs).max > 0.8, "dominant axis component near 1")
+    }
+    // determinism
+    val again = Similarity.kmeansCentroids(planted, 3, 3)
+    assert(cents === again)
   }
 
   test("signBits: deterministic, in [0, 2^nBits), equal for identical vectors") {
