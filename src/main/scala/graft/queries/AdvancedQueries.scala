@@ -185,7 +185,9 @@ object AdvancedQueries {
     "q_knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val probes = emb.where(col("vec_id") < 5)
-      Similarity.topKNeighborsIvf(probes, emb, k = 5)
+      // one Lloyd round: exercises the k-means refinement while keeping
+      // the fixture-scale bench from paying multiple extra driver jobs
+      Similarity.topKNeighborsIvf(probes, emb, k = 5, kmeansIters = 1)
         .orderBy("probe_id", "rank")
     }),
   )
