@@ -150,16 +150,27 @@ object Similarity {
         .as[(Long, Array[Float])].collect().toSeq
         .map { case (id, v) => (id, v.toSeq) }
     for (_ <- 1 to iters) {
-      val centVecs = typedlit(cents.map(_._2))
+      // cosine argmax == dot argmax against UNIT centroids (the row norm is
+      // a common positive factor): normalize the tiny centroid set on the
+      // driver and rank by one native dot per cell — no per-row sqrt, no
+      // redundant norm recomputation per centroid
+      val centVecs = typedlit(cents.map { case (_, v) =>
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        if (n == 0) v else v.map(x => (x / n).toFloat)
+      })
       // struct-free argmax: negated scores, first minimum wins (ties break
       // toward the lower cell index, deterministic)
       val scores = transform(sequence(lit(1), lit(cents.size)),
-        i => cosineFast(col("embedding"), element_at(centVecs, i)) * -1)
+        i => call_function("float_vec_dot", col("embedding"),
+          element_at(centVecs, i)) * -1)
       val cell = (array_position(scores, array_min(scores)) - 1).cast("int")
       val means = corpus
         .select(cell.as("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
-        .agg(avg(col("x")).as("m"))
+        // decimal-exact mean: avg() over doubles is shuffle-order
+        // dependent, violating the determinism contract (and the spec's
+        // exact-equality rerun assertion)
+        .agg((sum(col("x").cast(Dec)) / count(lit(1))).cast("double").as("m"))
         .as[(Int, Int, Double)].collect()
       val byCell = means.groupBy(_._1)
       cents = cents.zipWithIndex.map { case ((id, old), j) =>
@@ -189,14 +200,18 @@ object Similarity {
     // candidate hash join on cell id. Assignment and re-rank use
     // cosineFast (no oracle on this path).
     val cents = kmeansCentroids(corpus, nCentroids, kmeansIters)
-    val centVecs = typedlit(cents.map(_._2))
+    // unit centroids: cosine ranking == dot ranking, one native dot/cell
+    val centVecs = typedlit(cents.map { case (_, v) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (n == 0) v else v.map(x => (x / n).toFloat)
+    })
     val centIds = typedlit(cents.map(_._1))
-    // per-row (−cos, cent_id) structs, ascending sort ⇒ best cell first;
+    // per-row (−dot, cent_id) structs, ascending sort ⇒ best cell first;
     // ties broken by cent_id — deterministic
     def rankedCells(vec: Column): Column = array_sort(
       transform(sequence(lit(1), lit(cents.size)), i =>
         struct(
-          (cosineFast(vec, element_at(centVecs, i)) * -1).as("neg_cos"),
+          (dotFast(vec, element_at(centVecs, i)) * -1).as("neg_cos"),
           element_at(centIds, i).as("cent_id"))))
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
       element_at(rankedCells(col("embedding")), 1).getField("cent_id").as("cent_id"))

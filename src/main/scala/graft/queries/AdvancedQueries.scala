@@ -78,9 +78,12 @@ object AdvancedQueries {
     // the merged estimate must land within 5% of the exact global distinct
     // (default lgConfigK=12 ⇒ rsd ≈1.6%), emitted tolerance-style.
     "q_hll_merge" -> ((s, dir) => {
-      val words = Tables.table(s, dir, "documents")
+      // persisted: the sketch branch and the exact-count branch would
+      // otherwise each re-scan and re-tokenize documents
+      val words = t(s, dir, "documents")
         .select(col("lang"),
           explode(graft.tok.Tokenizer.lowerTokens(col("text"))).as("word"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val perLang = words.groupBy(col("lang"))
         .agg(expr("hll_sketch_agg(word)").as("sk"))
       val merged = perLang

@@ -30,9 +30,9 @@ class SkewSpec extends SparkSpec {
   }
 
   test("AQE splits the skewed partition of a sort-merge join at runtime") {
-    // force the SMJ path and lower the skew thresholds so the 90%-hot-key
-    // partition qualifies at test scale; then check the executed plan
-    // actually carries the skew=true SMJ marker
+    // force the SMJ path and lower the skew thresholds so the hot-key
+    // partition (95% of bigFact rows land on key 0) qualifies at test
+    // scale; then check the executed plan carries the skew=true SMJ marker
     val saved = Seq(
       "spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
