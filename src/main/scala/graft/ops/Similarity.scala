@@ -94,6 +94,35 @@ object Similarity {
     ((java.lang.Long.parseLong(hex.take(15), 16) % 2001L) - 1000L).toDouble / 1000.0
   }
 
+  /** Sentinel `nBits` for [[topKNeighborsLsh]]/[[embeddingNearDups]]:
+    * derive the bucket width from the corpus size ([[scaledNBits]]). */
+  val AutoBits: Int = -1
+
+  /** Scale rule for sign-LSH bucket width (VERDICT r03 #3): the bucket
+    * self-join produces ~N²/2^nBits candidates, so a FIXED nBits is a
+    * scale-killer configuration — at 100× corpus a pinned 2⁸ buckets turns
+    * a linear plan quadratic. Deriving nBits ≥ ⌈log₂N⌉ + margin keeps the
+    * expected occupancy N/2^nBits ≤ 2^-margin, i.e. candidate volume O(N).
+    * Capped at `maxBits`: signature cost is nBits·dim multiply-adds per
+    * row and 2³⁰ buckets already covers ~10⁹-row corpora; recall loss from
+    * wider signatures is recovered with multiprobe and/or `nTables`
+    * independent tables, not by shrinking the bucket space.
+    */
+  def scaledNBits(n: Long, minBits: Int, margin: Int = 2,
+                  maxBits: Int = 30): Int = {
+    val need =
+      if (n <= 1) minBits
+      else 64 - java.lang.Long.numberOfLeadingZeros(n - 1) + margin // ⌈log₂n⌉+margin
+    math.min(maxBits, math.max(minBits, need))
+  }
+
+  /** [[AutoBits]] resolution: one `count()` job against the corpus — the
+    * same runtime-statistics trade AQE makes, paid once per operator call
+    * and metadata-cheap on parquet sources.
+    */
+  private def resolveBits(nBits: Int, corpus: DataFrame, minBits: Int): Int =
+    if (nBits != AutoBits) nBits else scaledNBits(corpus.count(), minBits)
+
   /** `nBits`-bit sign signature of a float vector. Exact decimal
     * accumulation per bit so the sign (and therefore the bucket) is
     * engine-portable even for near-zero projections.
@@ -103,11 +132,14 @@ object Similarity {
     * the column-expression form re-derived each weight per ROW via md5
     * (nBits·dim md5 calls per vector; measured as the bulk of the LSH
     * bench query). `dim` caps the dims that carry signal; vectors shorter
-    * than `dim` zip to their own length.
+    * than `dim` zip to their own length. `pOffset` shifts the hyperplane
+    * index range — table t of a multi-table scheme uses
+    * pOffset = t·nBits, giving every table an independent hyperplane set
+    * from the same deterministic family.
     */
-  def signBits(vec: Column, nBits: Int, dim: Int = 64): Column = {
+  def signBits(vec: Column, nBits: Int, dim: Int = 64, pOffset: Int = 0): Column = {
     val weights: Seq[Seq[Double]] =
-      (0 until nBits).map(p => (1 to dim).map(i => hyperplaneWeightJvm(p, i)))
+      (pOffset until pOffset + nBits).map(p => (1 to dim).map(i => hyperplaneWeightJvm(p, i)))
     val wLit = typedlit(weights)
     val bits = transform(
       sequence(lit(0), lit(nBits - 1)),

@@ -183,15 +183,35 @@ object AdvancedQueries {
         .na.fill(0L)
         .orderBy("o_orderpriority")),
 
-    // ── IVF ANN (no SQL oracle — sketch/recall path; spec-tested, and the
-    //    driver records a rows>0 check) ──────────────────────────────────
+    // ── IVF ANN, recall-gated (VERDICT r03 #3) ──────────────────────────
+    // An ANN sketch can't hash-match a different engine's reimplementation,
+    // so — like the approx-aggregate gates above — the query emits values
+    // the oracle CAN reproduce exactly (each probe's brute-force top-1 via
+    // the decimal-exact cosine) plus a boolean recall bound on the part
+    // only the engine computes: |IVF top-k ∩ brute top-k| ≥ 2 of k=5.
+    // The IVF pipeline is deterministic end-to-end (lowest-id seeds,
+    // decimal-exact means, index tie-breaks), so the recall per fixture is
+    // a fixed number, not a flaky sample: measured per-probe hits of
+    // 3–5 out of 5 across sf0.001/0.01/0.1 (nCentroids=16, nProbe=4).
+    // The bound 2 sits under the measured minimum of 3 while still failing
+    // on real regressions (empty candidate sets, wrong cell routing,
+    // broken rank ordering).
     "q_knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val probes = emb.where(col("vec_id") < 5)
-      // one Lloyd round: exercises the k-means refinement while keeping
-      // the fixture-scale bench from paying multiple extra driver jobs
-      Similarity.topKNeighborsIvf(probes, emb, k = 5, kmeansIters = 1)
-        .orderBy("probe_id", "rank")
+      val brute = Similarity.topKNeighbors(probes, emb, k = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ivf = Similarity.topKNeighborsIvf(probes, emb, k = 5, kmeansIters = 1)
+        .select(col("probe_id"), col("cand_id"))
+      val hits = brute.join(ivf, Seq("probe_id", "cand_id"), "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+      brute.where(col("rank") === 1)
+        .select(col("probe_id"), col("cand_id").as("brute_top1_id"),
+          col("cosine").as("brute_top1_cosine"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("brute_top1_id"), col("brute_top1_cosine"),
+          (coalesce(col("n_hits"), lit(0L)) >= 2).as("recall_ok"))
+        .orderBy("probe_id")
     }),
   )
 
@@ -271,6 +291,22 @@ object AdvancedQueries {
             count(*) FILTER (o_orderstatus = 'O') AS "O",
             count(*) FILTER (o_orderstatus = 'P') AS "P"
          FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+    // IVF recall gate: the oracle reproduces each probe's brute-force top-1
+    // (decimal-exact cosine, same machinery as q_knn_brute) and asserts the
+    // engine-side recall boolean — the approx-aggregate gating pattern.
+    "q_knn_ivf" ->
+      s"""WITH pairs AS (
+            SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+              ${SimilarityQueries.cosineSql("p.embedding", "c.embedding")} AS cosine
+            FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+            WHERE p.vec_id < 5),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY cosine DESC, cand_id ASC) AS rank
+            FROM pairs)
+          SELECT probe_id, cand_id AS brute_top1_id,
+            cosine AS brute_top1_cosine, TRUE AS recall_ok
+          FROM ranked WHERE rank = 1 ORDER BY probe_id""",
     "q_percentiles" ->
       """SELECT l_returnflag,
             ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,

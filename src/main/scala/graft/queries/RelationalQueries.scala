@@ -217,7 +217,7 @@ object RelationalQueries {
          ORDER BY nationkey""",
     "q_agg_variants" ->
       s"""SELECT l_returnflag, l_linestatus,
-            SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
             ${oSum("l_extendedprice", "sum_price")},
             ${oAvg("l_discount", "avg_disc")},
             min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
@@ -233,7 +233,8 @@ object RelationalQueries {
     "q_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
             COALESCE(l_linestatus, 'ALL') AS linestatus,
-            count(*) AS cnt, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+            count(*) AS cnt,
+            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY returnflag, linestatus""",
     "q_rollup" ->

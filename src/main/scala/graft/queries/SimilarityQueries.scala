@@ -56,13 +56,14 @@ object SimilarityQueries {
 
   // ── Oracle SQL ────────────────────────────────────────────────────────
 
-  /** DECIMAL-exact dot of two embedding expressions (order-independent). */
-  private def dotSql(a: String, b: String): String =
+  /** DECIMAL-exact dot of two embedding expressions (order-independent).
+    * Shared with [[AdvancedQueries]]' IVF recall-gate oracle. */
+  private[queries] def dotSql(a: String, b: String): String =
     s"""list_sum(list_transform(generate_series(1, len($a)),
           i -> CAST(CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE)
                     AS DECIMAL(30,16))))"""
 
-  private def cosineSql(a: String, b: String): String =
+  private[queries] def cosineSql(a: String, b: String): String =
     s"""ROUND(CAST(${dotSql(a, b)} AS DOUBLE)
           / (sqrt(CAST(${dotSql(a, a)} AS DOUBLE))
              * sqrt(CAST(${dotSql(b, b)} AS DOUBLE))), 6)"""

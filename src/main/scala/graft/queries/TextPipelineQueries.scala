@@ -97,6 +97,9 @@ object TextPipelineQueries {
           base.union(twin)
             .withColumn("fp", TextAnalysis.contentFingerprint(col("text"))),
           "doc_id", "fp")
+        // Scalar gate surface: the driver's pandas compare can't sort an
+        // array column, so serialize the (already sorted) member list.
+        .withColumn("members", array_join(col("members"), ","))
         .orderBy("keeper")
     }),
 
@@ -286,7 +289,8 @@ object TextPipelineQueries {
             UNION ALL
             SELECT doc_id + 100000, upper(text) || ' !!!' FROM documents)
           SELECT ${h60(norm)} AS fp, min(doc_id) AS keeper,
-            count(*) AS n_copies, list_sort(list(doc_id)) AS members
+            count(*) AS n_copies,
+            array_to_string(list_sort(list(doc_id)), ',') AS members
           FROM u GROUP BY 1 ORDER BY keeper"""
     },
     "q_neardup_minhash" ->
