@@ -162,6 +162,35 @@ object Dedup {
   def simhash(toks: Column): Column =
     call_function("simhash60", transform(toks, t => Hashes.h60(t)))
 
+  /** Corpus capacity of the pigeonhole pair search at a given `maxHamming`:
+    * blocks carry ⌊60/(d+1)⌋ bits ⇒ ~2^that buckets per block, and the
+    * bucket self-join stays ~linear while N ≲ occupancy·capacity (e.g.
+    * d=5 ⇒ 2¹⁰ buckets: fine to ~10⁵–10⁶ docs, quadratic far beyond).
+    * Block width is pinned by the pigeonhole argument — m blocks are exact
+    * only for m ≥ d+1 — so the scale lever is fingerprint WIDTH, not block
+    * count: [[simhashWide]]/[[simhashNearDupPairsWide]] double to 120 bits,
+    * doubling every block's width (d=5 ⇒ 2²⁰ buckets ⇒ ~10⁸–10⁹ docs).
+    */
+  def simhashCapacity(maxHamming: Int): Long = 1L << (60 / (maxHamming + 1))
+
+  /** 120-bit simhash as `array(word0, word1)`: word0 is [[simhash]]; word1
+    * votes over an independent rehash of each token (`h60("w1:" ∥ token)`)
+    * — a second 60-bit hyperplane set, still md5-portable to a DuckDB
+    * oracle via the same votes CTE as `q_simhash`. (An affine permutation
+    * of the word0 hashes would be one multiply cheaper, but the wrapped
+    * 64-bit product is an ANSI-mode overflow error in a plain column
+    * expression — wrapping arithmetic lives only inside the native
+    * sketch expressions.) Near-identical docs stay within small TOTAL
+    * Hamming distance across both words; distance thresholds roughly
+    * double vs the 60-bit form (same per-bit flip probability, twice the
+    * bits).
+    */
+  def simhashWide(toks: Column): Column =
+    array(
+      call_function("simhash60", transform(toks, t => Hashes.h60(t))),
+      call_function("simhash60",
+        transform(toks, t => Hashes.h60(concat(lit("w1:"), t)))))
+
   /** Hamming distance between two simhash fingerprints. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
@@ -207,6 +236,54 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("fp_a"), col("fp_b")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** [[simhashNearDupPairs]] over [[simhashWide]] 120-bit fingerprints —
+    * the large-corpus form ([[simhashCapacity]]): same exact pigeonhole
+    * argument over 120 bits, so every block is twice as wide and the
+    * bucket space squares. Blocks are split per word (word0 gets
+    * ⌈(d+1)/2⌉, word1 the rest) so no block straddles the word boundary;
+    * total Hamming = word0 ⊕ + word1 ⊕. Exact for d ≤ maxHamming: d bit
+    * errors cannot touch all d+1 blocks.
+    */
+  def simhashNearDupPairsWide(fp: DataFrame, idCol: String, fpCol: String,
+                              maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 120, s"maxHamming: $maxHamming")
+    val nBlocks = maxHamming + 1
+    val word0Blocks = (nBlocks + 1) / 2
+    val word1Blocks = nBlocks - word0Blocks
+    def layout(nb: Int): Seq[(Int, Int)] = { // (offset, width) within a word
+      if (nb == 0) Seq.empty
+      else {
+        val base = 60 / nb
+        val rem = 60 % nb
+        val widths = Seq.tabulate(nb)(j => if (j < rem) base + 1 else base)
+        widths.scanLeft(0)(_ + _).zip(widths)
+      }
+    }
+    val blocks = array(
+      (layout(word0Blocks).map { case (off, w) => (0, off, w) } ++
+        layout(word1Blocks).map { case (off, w) => (1, off, w) })
+        .map { case (word, off, w) =>
+          shiftrightunsigned(element_at(col(fpCol), word + 1), off)
+            .bitwiseAND(lit((1L << w) - 1))
+            // disambiguate equal values across words/offsets: the bucket
+            // key already carries the block index via posexplode
+        }: _*)
+    val exploded = fp.select(col(idCol).as("id"), col(fpCol).as("fp"),
+      posexplode(blocks).as(Seq("blk", "blkval")))
+    val a = exploded.select(col("blk"), col("blkval"),
+      col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = exploded.select(col("blk"), col("blkval"),
+      col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("blk", "blkval"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (hammingDistance(element_at(col("fp_a"), 1), element_at(col("fp_b"), 1)) +
+          hammingDistance(element_at(col("fp_a"), 2), element_at(col("fp_b"), 2)))
+          .as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -266,23 +266,38 @@ object Similarity {
     * collides AND whose exact cosine clears `threshold` — the embedding
     * analogue of MinHash near-dup. One hash-partitioned self-join on the
     * bucket id; recall is the sign-LSH collision probability
-    * ((1 − θ/π)^nBits for angle θ — raise by lowering nBits or adding
-    * multiprobe), never a corpus² product. Exact-decimal cosine keeps the
-    * result oracle-comparable.
+    * ((1 − θ/π)^nBits per table for angle θ — raise with `nTables`
+    * independent tables, 1−(1−p)^T, never by shrinking the bucket space),
+    * and the default `nBits = AutoBits` sizes the bucket space to the
+    * corpus ([[scaledNBits]]) so candidate volume stays O(N) at any scale.
+    * Exact-decimal cosine keeps the result oracle-comparable.
     */
   def embeddingNearDups(vecs: DataFrame, threshold: Double,
-                        nBits: Int = 8): DataFrame = {
+                        nBits: Int = AutoBits, nTables: Int = 1): DataFrame = {
+    require(nTables >= 1, s"nTables: $nTables")
+    val bits = resolveBits(nBits, vecs, minBits = 8)
     // persisted: both self-join branches read the signature relation, and
-    // the decimal-exact projection behind signBits is the expensive part
+    // the decimal-exact projection behind signBits is the expensive part.
+    // nTables > 1 trades signature cost for recall at wide `bits`: each
+    // table hashes with an independent hyperplane set (pOffset = t·bits),
+    // and a pair is a candidate if it collides in ANY table.
+    val tables = array((0 until nTables).map(t =>
+      signBits(col("embedding"), bits, pOffset = t * bits)): _*)
     val sig = vecs.select(col("vec_id"), col("embedding"),
-      signBits(col("embedding"), nBits).as("bucket"))
+      posexplode(tables).as(Seq("tbl", "bucket")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = sig.select(col("bucket"), col("vec_id").as("id_a"),
+    val a = sig.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("va"))
-    val b = sig.select(col("bucket"), col("vec_id").as("id_b"),
+    val b = sig.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"),
       col("embedding").as("vb"))
-    a.join(b, Seq("bucket"))
+    val cand0 = a.join(b, Seq("tbl", "bucket"))
       .where(col("id_a") < col("id_b"))
+    // one table ⇒ a pair collides at most once, no dedup needed; more
+    // tables ⇒ drop multi-table repeats BEFORE the cosine work
+    val cand = if (nTables == 1) cand0
+      else cand0.select(col("id_a"), col("id_b"), col("va"), col("vb"))
+        .dropDuplicates("id_a", "id_b")
+    cand
       // cheap native-dot pre-filter before the exact-decimal cosine: sign
       // buckets skew when the corpus clusters (hot buckets go quadratic),
       // and the interpreted decimal path on every candidate dominated the
@@ -302,24 +317,32 @@ object Similarity {
     * the contract; callers needing exact top-k use [[topKNeighbors]].
     */
   def topKNeighborsLsh(probes: DataFrame, corpus: DataFrame, k: Int,
-                       nBits: Int = 12, multiprobe: Boolean = true): DataFrame = {
+                       nBits: Int = AutoBits, multiprobe: Boolean = true,
+                       nTables: Int = 1): DataFrame = {
+    require(nTables >= 1, s"nTables: $nTables")
+    val bits = resolveBits(nBits, corpus, minBits = 12)
+    // per-table independent hyperplane sets; the candidate join carries the
+    // table index so buckets never collide across tables
+    val tables = array((0 until nTables).map(t =>
+      signBits(col("embedding"), bits, pOffset = t * bits)): _*)
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-      signBits(col("embedding"), nBits).as("bucket"))
+      posexplode(tables).as(Seq("tbl", "bucket")))
     val p0 = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
-      signBits(col("embedding"), nBits).as("b0"))
+      posexplode(tables).as(Seq("tbl", "b0")))
     val p =
-      if (!multiprobe) p0.select(col("probe_id"), col("pv"), col("b0").as("bucket"))
-      else p0.select(col("probe_id"), col("pv"),
+      if (!multiprobe)
+        p0.select(col("probe_id"), col("pv"), col("tbl"), col("b0").as("bucket"))
+      else p0.select(col("probe_id"), col("pv"), col("tbl"),
         explode(concat(array(col("b0")),
-          transform(sequence(lit(0), lit(nBits - 1)),
+          transform(sequence(lit(0), lit(bits - 1)),
             i => col("b0").bitwiseXOR(shiftleftSafe(i))))).as("bucket"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(desc("cosine"), asc("cand_id"))
-    p.join(c, Seq("bucket"))
+    p.join(c, Seq("tbl", "bucket"))
       .where(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
         cosineExact(col("pv"), col("cv")).as("cosine"))
-      .distinct() // multiprobe can reach the same candidate via two buckets
+      .distinct() // multiprobe/multi-table can reach a candidate twice
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }

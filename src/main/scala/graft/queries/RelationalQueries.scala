@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Exact
+import graft.ops.Skew
 
 /** Relational operator suite over the fixture star schema
   * (SURVEY §2.2 categories the reference lacks; generalization target per
@@ -89,6 +90,24 @@ object RelationalQueries {
           coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
           coalesce(col("n_cust"), lit(0L)).as("n_cust"),
           coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+
+    // Salted skew join (Skew.saltedJoin), gated on RESULT IDENTITY with the
+    // plain join: the salt must change task placement only, never the
+    // answer. The oracle is the unsalted SQL join — the strongest check a
+    // routing-only rewrite can get. (Task-level skew behavior is spec-gated
+    // in SkewSpec/ShuffleVolumeSpec; this row pins correctness.)
+    "q_join_salted" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"),
+          col("l_extendedprice"), col("l_orderkey"))
+      val dim = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      Skew.saltedJoin(fact, dim, "suppkey", col("l_orderkey"), salts = 8)
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(Exact.roundSum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items"))
         .orderBy("nationkey")
     }),
 
@@ -215,6 +234,11 @@ object RelationalQueries {
          FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) sn
            ON cn.nk = sn.nk
          ORDER BY nationkey""",
+    "q_join_salted" ->
+      s"""SELECT s_nationkey AS nationkey,
+            ${oSum("l_extendedprice", "revenue")}, count(*) AS n_items
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY 1 ORDER BY nationkey""",
     "q_agg_variants" ->
       s"""SELECT l_returnflag, l_linestatus,
             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -22,6 +22,11 @@ object SimilarityQueries {
     Tables.table(s, dir, "embeddings")
 
   private val K = 10
+  // Gated queries PIN nBits so the DuckDB oracle mirrors the exact bucket
+  // layout; the operators' production default is Similarity.AutoBits,
+  // which derives the bucket space from the corpus size (scaledNBits) —
+  // the scale rule is spec-gated (SimilaritySpec) rather than oracle-gated
+  // because the oracle SQL embeds the hyperplane count as a literal.
   private val NBits = 8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -141,11 +141,17 @@ object TextPipelineQueries {
         lit(" from 10.0."), pmod(col("doc_id"), lit(256)), lit(".7"))
       docs(s, dir)
         .select(col("doc_id"), planted.as("t"))
+        // materialize the redacted text ONCE: inlining redactPii at both
+        // use sites re-ran all three regexp_replace passes per output
+        // column (BENCH r03: q_redact 3.5 s; CollapseProject keeps this
+        // Project because `red` is referenced twice and regex replace is
+        // not a duplicate-cheap expression)
+        .withColumn("red", TextAnalysis.redactPii(col("t")))
         .select(col("doc_id"),
           TextAnalysis.matchCount(col("t"), TextAnalysis.EmailRe).as("n_email"),
           TextAnalysis.matchCount(col("t"), TextAnalysis.UrlRe).as("n_url"),
-          md5(TextAnalysis.redactPii(col("t"))).as("redacted_md5"),
-          (TextAnalysis.matchCount(TextAnalysis.redactPii(col("t")),
+          md5(col("red")).as("redacted_md5"),
+          (TextAnalysis.matchCount(col("red"),
             TextAnalysis.EmailRe) === 0).as("clean"))
         .orderBy("doc_id")
     }),

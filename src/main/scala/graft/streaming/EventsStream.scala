@@ -14,6 +14,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * Scale posture: all aggregations are keyed (window start × type, or
   * user) so state is hash-partitioned across executors; watermarks bound
   * state size — without them, windowed state grows forever at 100 TB/day.
+  *
+  * State-store posture at cluster scale: the default in-memory
+  * HashMapStateStoreProvider holds every key's state on-heap per task —
+  * fine for these fixture-scale specs, but a 100 TB/day stream with
+  * high-cardinality keys (user_id sessions, dedup ids) wants RocksDB:
+  *   spark.sql.streaming.stateStore.providerClass=
+  *     org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+  *   spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled=true
+  * which spills state off-heap, makes checkpoints incremental (changelog
+  * instead of full snapshots), and bounds executor memory independently of
+  * key cardinality. The operators here are provider-agnostic — the
+  * provider is session conf, not plan shape — so nothing in this file
+  * changes; the conf lines are left out of [[graft.Sessions]] only because
+  * the single-JVM fixture runs don't benefit from them.
   */
 object EventsStream {
 

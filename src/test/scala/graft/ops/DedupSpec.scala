@@ -119,6 +119,66 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhashCapacity: block width pins the linear-regime corpus size") {
+    assert(Dedup.simhashCapacity(5) === (1L << 10)) // 6 blocks × 10 bits
+    assert(Dedup.simhashCapacity(2) === (1L << 20))
+    assert(Dedup.simhashCapacity(0) === (1L << 60))
+    // the wide form doubles every block: d=5 ⇒ 20-bit blocks
+    // (covered structurally by the equals-all-pairs test below)
+  }
+
+  test("simhashNearDupPairsWide (120-bit) equals the all-pairs search") {
+    val rnd = new scala.util.Random(17)
+    def r60() = rnd.nextLong() & ((1L << 60) - 1)
+    // clustered 2-word fingerprints: seeds with ≤ d total bit flips spread
+    // across BOTH words (exercises the per-word block split), plus noise
+    val fps = (0 until 15).flatMap { s =>
+      val (w0, w1) = (r60(), r60())
+      (0 until 4).map { v =>
+        var a = w0; var b = w1
+        (0 until rnd.nextInt(6)).foreach { _ =>
+          val bit = rnd.nextInt(120)
+          if (bit < 60) a ^= 1L << bit else b ^= 1L << (bit - 60)
+        }
+        (s * 10 + v).toLong -> Array(a, b)
+      }
+    } ++ (1000 until 1040).map(i => i.toLong -> Array(r60(), r60()))
+    val df = fps.toDF("id", "fp")
+    for (d <- Seq(0, 5, 11)) {
+      val blocked = Dedup.simhashNearDupPairsWide(df, "id", "fp", d)
+        .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+      val a = df.select(col("id").as("id_a"), col("fp").as("h_a"))
+      val b = df.select(col("id").as("id_b"), col("fp").as("h_b"))
+      val allPairs = a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (Dedup.hammingDistance(element_at(col("h_a"), 1), element_at(col("h_b"), 1)) +
+            Dedup.hammingDistance(element_at(col("h_a"), 2), element_at(col("h_b"), 2)))
+            .as("hamming"))
+        .where(col("hamming") <= d)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(blocked === allPairs, s"maxHamming=$d")
+      if (d == 5) assert(allPairs.nonEmpty, "fixture must contain close pairs")
+    }
+  }
+
+  test("simhashWide: word0 is simhash60; near-identical docs close in 120 bits") {
+    val df = docs.withColumn("w",
+        Dedup.simhashWide(TextAnalysis.tokens(col("text"))))
+      .withColumn("s60", Dedup.simhash(TextAnalysis.tokens(col("text"))))
+    df.select("doc_id", "w", "s60").collect().foreach { r =>
+      val w = r.getAs[scala.collection.Seq[Long]]("w")
+      assert(w.length === 2)
+      assert(w.head === r.getAs[Long]("s60"), "word0 must equal the 60-bit simhash")
+    }
+    def ham(a: Seq[Long], b: Seq[Long]) =
+      java.lang.Long.bitCount(a.head ^ b.head) + java.lang.Long.bitCount(a(1) ^ b(1))
+    val m = df.select("doc_id", "w").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[scala.collection.Seq[Long]]("w").toSeq).toMap
+    assert(ham(m(1L), m(4L)) === 0, "identical docs: distance 0 in both words")
+    assert(ham(m(1L), m(2L)) <= 24, "1-word edit: small 120-bit distance")
+    assert(ham(m(1L), m(3L)) > 24, "unrelated doc: large 120-bit distance")
+  }
+
   test("simhash: near-identical docs land within small Hamming distance") {
     val df = docs.withColumn("sh", Dedup.simhash(TextAnalysis.tokens(col("text"))))
     val hs = df.select("doc_id", "sh").as[(Long, Long)].collect().toMap

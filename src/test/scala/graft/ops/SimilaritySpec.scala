@@ -141,4 +141,69 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(sigs === again)
   }
+
+  test("scaledNBits: occupancy-bounded growth with floor and cap") {
+    // the scale rule itself: expected bucket occupancy N/2^bits stays
+    // ≤ 2^-margin whenever neither the floor nor the cap binds
+    for (n <- Seq(100L, 1000L, 100000L, 10000000L)) {
+      val bits = Similarity.scaledNBits(n, minBits = 2, margin = 2, maxBits = 60)
+      assert(n.toDouble / math.pow(2, bits) <= 0.25, s"n=$n bits=$bits")
+      // and never more than a factor-2 over-allocation beyond the margin
+      assert(bits <= math.ceil(math.log(n.toDouble) / math.log(2)).toInt + 2)
+    }
+    assert(Similarity.scaledNBits(10, minBits = 12) === 12, "floor binds")
+    assert(Similarity.scaledNBits(1L << 40, minBits = 8) === 30, "cap binds")
+    // monotonic in n
+    val seq = Seq(1L, 10L, 100L, 10000L, 1000000L)
+      .map(Similarity.scaledNBits(_, minBits = 2))
+    assert(seq === seq.sorted)
+  }
+
+  test("AutoBits: bucket occupancy stays bounded as the corpus grows") {
+    val rnd = new scala.util.Random(31)
+    for (n <- Seq(256, 1024, 4096)) {
+      val df = (0 until n).map(i =>
+        (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+        .toDF("vec_id", "embedding")
+      val bits = Similarity.scaledNBits(n.toLong, minBits = 8)
+      val occ = df.select(
+          Similarity.signBits(col("embedding"), bits).as("bucket"))
+        .groupBy("bucket").count()
+        .agg(max(col("count"))).as[Long].head()
+      // near-random vectors: the self-join's hottest bucket must stay O(1)
+      // as n grows 16× — the property a fixed nBits loses
+      assert(occ <= 16, s"n=$n bits=$bits max occupancy $occ")
+    }
+  }
+
+  test("embeddingNearDups: AutoBits default + multi-table recall on planted dups") {
+    val corpus = planted // 30 vectors, clusters of ~identical directions
+    val auto = Similarity.embeddingNearDups(corpus, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto.nonEmpty, "planted in-cluster pairs must survive auto-sized LSH")
+    auto.foreach { case (a, b) =>
+      assert(a % 3 === b % 3, s"cross-cluster pair ($a,$b)")
+    }
+    // table 0 of the multi-table scheme IS the single-table scheme (same
+    // pOffset), so adding tables can only add candidate pairs
+    val multi = Similarity.embeddingNearDups(corpus, threshold = 0.9, nTables = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto.subsetOf(multi),
+      s"nTables=2 lost pairs: ${auto.diff(multi)}")
+    multi.foreach { case (a, b) =>
+      assert(a % 3 === b % 3, s"cross-cluster pair ($a,$b)")
+    }
+  }
+
+  test("topKNeighborsLsh: multi-table is a superset path and stays in-cluster") {
+    val corpus = planted
+    val probes = corpus.where(col("vec_id") < 3)
+    val multi = Similarity.topKNeighborsLsh(probes, corpus, k = 5,
+        nBits = 8, nTables = 3)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSeq
+    assert(multi.nonEmpty)
+    multi.foreach { case (p, c) =>
+      assert(c % 3 === p % 3, s"LSH neighbor $c not in probe $p's cluster")
+    }
+  }
 }

