@@ -28,6 +28,7 @@ object SimilarityQueries {
   // the scale rule is spec-gated (SimilaritySpec) rather than oracle-gated
   // because the oracle SQL embeds the hyperplane count as a literal.
   private val NBits = 8
+  private val NSeeds = 8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-vector L2 norm — the basic embedding-column numeric op.
@@ -57,6 +58,47 @@ object SimilarityQueries {
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDups(emb(s, dir), threshold = 0.3, NBits)
         .orderBy("id_a", "id_b")),
+
+    // One Lloyd ASSIGNMENT round of the IVF k-means, mirrored bit-for-bit
+    // in DuckDB (VERDICT r03 #3's other half, complementing q_knn_ivf's
+    // recall gate): seeds are the nSeeds lowest-id vectors; every corpus
+    // vector joins the cell whose seed maximizes the ROUNDED decimal-exact
+    // cosine (ties → lower cell index); the gate emits per-cell membership
+    // counts and the decimal-exact mean of dimension 1 — i.e. both halves
+    // of a Lloyd step (argmax assignment, per-cell mean) as a relational
+    // result. Seed norms are computed by the engine's own decimal pipeline
+    // (sqrt of norm2Exact), the same expression family the oracle's
+    // cosineSql proves portable.
+    "q_kmeans_assign" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.typedlit
+      val e = emb(s, dir)
+      val seeds = e.orderBy("vec_id").limit(NSeeds)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val seedNorms = e.orderBy("vec_id").limit(NSeeds)
+        .select(col("vec_id"),
+          sqrt(Similarity.norm2Exact(col("embedding"))).as("n"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+        .map(_._2)
+      val nv = sqrt(Similarity.norm2Exact(col("embedding")))
+      val scored = seeds.toSeq.zipWithIndex.map { case ((sid, sv), j) =>
+        struct(
+          (round(Similarity.dotExact(col("embedding"), typedlit(sv.toSeq))
+            / (nv * seedNorms(j)), 6) * -1).as("neg_cos"),
+          lit(j).as("cell"), lit(sid).as("seed_id"))
+      }
+      val best = array_min(array(scored: _*))
+      e.select(best.getField("cell").as("cell"),
+          best.getField("seed_id").as("seed_id"),
+          element_at(col("embedding"), 1).as("d1"))
+        .groupBy("cell", "seed_id")
+        .agg(count(lit(1)).as("n_members"),
+          round(sum(col("d1").cast("double").cast("decimal(30,16)"))
+            .cast("double") / count(lit(1)), 6).as("mean_d1"))
+        .orderBy("cell")
+    }),
   )
 
   // ── Oracle SQL ────────────────────────────────────────────────────────
@@ -127,6 +169,26 @@ object SimilarityQueries {
             FROM scored)
           SELECT probe_id, cand_id, cosine, CAST(rank AS INT) AS rank
           FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""",
+    "q_kmeans_assign" ->
+      s"""WITH seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+              vec_id AS seed_id, embedding AS sv
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $NSeeds)),
+          scored AS (
+            SELECT e.vec_id, s.cell, s.seed_id,
+              ${cosineSql("e.embedding", "s.sv")} AS cos
+            FROM embeddings e CROSS JOIN seeds s),
+          assigned AS (
+            SELECT vec_id, cell, seed_id, row_number() OVER (
+              PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+            FROM scored)
+          SELECT cell, seed_id, count(*) AS n_members,
+            ROUND(CAST(SUM(CAST(CAST(e.embedding[1] AS DOUBLE)
+                               AS DECIMAL(30,16))) AS DOUBLE) / count(*), 6)
+              AS mean_d1
+          FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+          WHERE rn = 1
+          GROUP BY cell, seed_id ORDER BY cell""",
     "q_embed_neardup" ->
       s"""WITH sig AS (
             SELECT vec_id, embedding, ${bucketSql("embedding", NBits)} AS b0

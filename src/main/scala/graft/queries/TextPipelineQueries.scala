@@ -130,6 +130,22 @@ object TextPipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ── Wide (120-bit) SimHash pair search — the large-corpus form ──────
+    // Same pigeonhole machinery as q_simhash but over Dedup.simhashWide's
+    // two independent 60-bit words: every block doubles in width, squaring
+    // the bucket space (Dedup.simhashCapacity). maxHamming=10 ⇒ 11 blocks
+    // split 6/5 across the words — deliberately uneven, exercising the
+    // per-word layout. The oracle reproduces both words bit-for-bit via
+    // the same votes CTE with the second ('w1:'-seeded) hash family.
+    "q_simhash_wide" -> ((s, dir) => {
+      val fp = docs(s, dir)
+        .select(col("doc_id"),
+          Dedup.simhashWide(TextAnalysis.tokens(col("text"))).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.simhashNearDupPairsWide(fp, "doc_id", "w", maxHamming = 10)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ── PII redaction ────────────────────────────────────────────────────
     // The fixture has no PII, so the query plants a synthetic contact block
     // per doc (derived from doc_id — deterministic on both engines), then
@@ -325,6 +341,35 @@ object TextPipelineQueries {
             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+          ORDER BY id_a, id_b""",
+    "q_simhash_wide" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($ToksSql) AS t FROM documents),
+          v0 AS (
+            SELECT doc_id, i,
+              SUM(CASE WHEN (${h60("t")} >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM tok CROSS JOIN generate_series(0, 59) g(i)
+            GROUP BY doc_id, i),
+          f0 AS (
+            SELECT doc_id,
+              SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS w0
+            FROM v0 GROUP BY doc_id),
+          v1 AS (
+            SELECT doc_id, i,
+              SUM(CASE WHEN (${h60("'w1:' || t")} >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM tok CROSS JOIN generate_series(0, 59) g(i)
+            GROUP BY doc_id, i),
+          f1 AS (
+            SELECT doc_id,
+              SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS w1
+            FROM v1 GROUP BY doc_id),
+          fp AS (
+            SELECT f0.doc_id, w0, w1 FROM f0 JOIN f1 ON f0.doc_id = f1.doc_id)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS INT)
+              AS hamming
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 10
           ORDER BY id_a, id_b""",
     "q_redact" -> {
       // DuckDB single-quoted strings keep backslashes literal — embed the
