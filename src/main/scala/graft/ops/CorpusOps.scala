@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Hashes
+
+/** Corpus-assembly operators: deterministic sampling and sequence packing —
+  * the steps between a curated document set and actual training batches.
+  *
+  * Both are engineered for the same reproducibility contract as
+  * `q_split`'s hash split: NO randomness (`rand()` changes with partitioning
+  * and retries), every decision a pure function of the row's identity, so
+  * results are stable across runs, engines, cluster sizes, and incremental
+  * re-runs over a grown corpus.
+  */
+object CorpusOps {
+
+  /** Sampling basis: h60 of `salt:id`, reduced mod 10000 — i.e. a
+    * deterministic uniform draw in [0, 10000) basis points. Exposed so
+    * callers/oracles can reproduce the draw. */
+  def sampleBasis(idCol: Column, salt: String): Column =
+    pmod(Hashes.h60(concat(lit(salt), lit(":"), idCol.cast("string"))),
+      lit(10000L))
+
+  /** Keep each row with probability `rateBp`/10000 — deterministically:
+    * the same (salt, id) always draws the same value, new rows never
+    * reshuffle old decisions, and re-partitioning cannot change the
+    * sample. Rates are integer BASIS POINTS on purpose: a double rate
+    * would make the keep predicate a float compare that engines could
+    * round differently at the boundary.
+    */
+  def hashSample(df: DataFrame, idCol: String, rateBp: Int,
+                 salt: String = "samp"): DataFrame = {
+    require(rateBp >= 0 && rateBp <= 10000, s"rateBp: $rateBp")
+    df.where(sampleBasis(col(idCol), salt) < rateBp)
+  }
+
+  /** Per-stratum sampling rates (basis points), e.g. downsample boilerplate
+    * languages while keeping all of a rare one — the corpus-mixing knob of
+    * an LLM data pipeline. Unlisted strata fall back to `defaultBp`.
+    * Same determinism contract as [[hashSample]]; one narrow filter, no
+    * shuffle, no join against a rates table (the map inlines into codegen).
+    */
+  def stratifiedHashSample(df: DataFrame, idCol: String, stratumCol: String,
+                           ratesBp: Map[String, Int], defaultBp: Int,
+                           salt: String = "samp"): DataFrame = {
+    (ratesBp.values.toSeq :+ defaultBp).foreach(bp =>
+      require(bp >= 0 && bp <= 10000, s"rateBp: $bp"))
+    val rate = ratesBp.foldLeft(lit(defaultBp)) { case (acc, (stratum, bp)) =>
+      when(col(stratumCol) === stratum, lit(bp)).otherwise(acc)
+    }
+    df.where(sampleBasis(col(idCol), salt) < rate)
+  }
+
+  /** Greedy sequence packing: within each `partitionCol` group, documents
+    * in ascending `orderCol` order are appended to the current pack, and
+    * `pack_id` = ⌊(running token total BEFORE this doc) / budget⌋ — the
+    * overflow-allowed policy (a doc straddling the boundary finishes its
+    * pack; the next doc starts the next one). Emitted as a new column.
+    *
+    * Scale posture: ONE window partitioned by `partitionCol` — state is a
+    * running sum per group, so groups (language, shard, source) must be
+    * numerous enough to spread; a global pack order would serialize into
+    * one reducer, which is why `partitionCol` is required rather than
+    * optional. Deterministic: (partition, order) totally orders rows as
+    * long as `orderCol` is unique per partition (doc ids are).
+    */
+  def packByBudget(df: DataFrame, partitionCol: String, orderCol: String,
+                   tokenCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget: $budget")
+    val w = Window.partitionBy(col(partitionCol))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("pack_id",
+      floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / budget))
+  }
+}

@@ -147,6 +147,53 @@ object Dedup {
     verifiedNearDupsFromHashes(
       hashedShingles(docs, idCol, shingleCol), threshold, k, b, r)
 
+  /** Benchmark decontamination: training docs that share ≥ `minShared`
+    * distinct n-gram hashes with a benchmark/eval doc — the overlap check
+    * every training corpus runs against its eval sets before training.
+    *
+    * Inputs are [[hashedNgrams]]-shaped relations (`id`, `hs`). The plan
+    * is an equi-join on the n-gram HASH (train side exploded, bench side
+    * exploded) → count per (train, bench) pair: candidate volume is the
+    * number of genuinely shared n-grams, never |train|×|bench|.
+    * `maxTrainDf` drops n-grams whose train-side document frequency
+    * exceeds the cap before the join — simultaneously the skew guard for
+    * boilerplate n-grams (a hot phrase would fan out |df|×|bench hits|
+    * rows) and standard decontamination practice: ubiquitous n-grams
+    * carry no contamination signal, rare ones do. At 100 TB the df
+    * relation is itself the reusable artifact (compute once per corpus
+    * snapshot, broadcast the surviving-bench side if the eval set is
+    * small — Catalyst picks that up from sizes).
+    */
+  def contaminationPairs(trainHashed: DataFrame, benchHashed: DataFrame,
+                         minShared: Int, maxTrainDf: Int,
+                         persistTrain: Boolean = true): DataFrame = {
+    require(minShared >= 1, s"minShared: $minShared")
+    require(maxTrainDf >= 1, s"maxTrainDf: $maxTrainDf")
+    // hs comes from ngramHashSet (already distinct per doc), so the final
+    // count is the DISTINCT shared-n-gram count without a re-distinct.
+    // The exploded train relation feeds TWO plan branches (the df
+    // aggregate and the bench join); persist it so the upstream
+    // tokenize+hash pipeline runs once (same rationale as
+    // verifiedNearDupsFromHashes — measured 2.3 s → ~1.2 s at sf0.1).
+    val train0 = trainHashed
+      .select(col("id").as("train_id"), explode(col("hs")).as("h"))
+    val train =
+      if (persistTrain)
+        train0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else train0
+    val keepable = train.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxTrainDf)
+      .select(col("h"))
+    val bench = benchHashed
+      .select(col("id").as("bench_id"), explode(col("hs")).as("h"))
+    train.join(keepable, Seq("h"))
+      .join(bench, Seq("h"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** SimHash (60-bit) of a token array: per bit position, sum ±1 votes from
     * each token occurrence's hash bit, then pack the sign bits. Votes are
     * term-frequency weighted (duplicates kept on purpose — distinct-token

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Hashes
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.{CorpusOps, Dedup, TextAnalysis}
 import graft.tok.Tokenizer
 
 /** LLM-training-data pipeline operators over `documents` (north-star
@@ -37,6 +37,21 @@ object TextPipelineQueries {
           generate_series(1, greatest(len($toks) - 2, 0)),
           i -> array_to_string(($toks)[i:i+2], ' ')))"""
   private def h60(inner: String): String = Hashes.h60Sql(inner)
+
+  /** DuckDB mirror of [[graft.expr.NgramHashes]] ∘ distinct over a
+    * token-hash-list expression: per window, (Σ A(j)·h[i+j] + B(0)) mod
+    * 2^60 in HUGEINT (low-bits identity — see Sketches.affineSql).
+    */
+  private def ngramHashesSql(hsExpr: String, n: Int): String = {
+    import graft.expr.Sketches
+    val terms = (0 until n)
+      .map(j => s"CAST(${Sketches.affineA(j)} AS HUGEINT) * ($hsExpr)[i+$j]")
+      .mkString(" + ")
+    s"""list_distinct(list_transform(
+          generate_series(1, greatest(len($hsExpr) - ${n - 1}, 0)),
+          i -> CAST((($terms + ${Sketches.affineB(0)}) % ${Sketches.Mask60 + 1})
+                    AS BIGINT)))"""
+  }
 
   /** Mirror of [[TextAnalysis.qualityScore]] over columns named n_tokens /
     * n_chars / punct / digits — the ONE copy shared by every oracle that
@@ -128,6 +143,23 @@ object TextPipelineQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.simhashNearDupPairs(fp, "doc_id", "simhash", maxHamming = 5)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ── Benchmark decontamination ───────────────────────────────────────
+    // The fixture has no designated eval set, so the query manufactures
+    // one (every doc_id ≡ 0 mod 100, re-keyed +900000 — identical text,
+    // guaranteed overlap) and must find each bench doc's source among the
+    // training docs via shared 5-gram hashes, df-capped. The oracle
+    // replays the pipeline on the string-free n-gram-hash basis.
+    "q_contamination" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text")))
+      val train = Dedup.hashedNgrams(d, "doc_id", "toks", 5)
+      // the bench set is a re-keyed subset of the SAME hashed relation —
+      // no second tokenize+hash pass over the corpus
+      val bench = train.where(pmod(col("id"), lit(100)) === 0)
+        .select((col("id") + 900000).as("id"), col("hs"))
+      Dedup.contaminationPairs(train, bench, minShared = 3, maxTrainDf = 100)
+        .orderBy("train_id", "bench_id")
     }),
 
     // ── Wide (120-bit) SimHash pair search — the large-corpus form ──────
@@ -226,6 +258,28 @@ object TextPipelineQueries {
           when(col("bucket") < 90, "train")
             .when(col("bucket") < 95, "val")
             .otherwise("test").as("split"))
+        .orderBy("doc_id")),
+
+    // ── Stratified deterministic sampling (corpus mixing) ───────────────
+    // Per-language keep rates in integer basis points over the same
+    // h60-mod-10000 draw as q_split: reproducible across engines, runs,
+    // partitionings, and corpus growth. The mixing knob of a data recipe.
+    "q_sample_stratified" -> ((s, dir) =>
+      CorpusOps.stratifiedHashSample(docs(s, dir), "doc_id", "lang",
+          Map("en" -> 5000, "de" -> 2500), defaultBp = 1000)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
+    // ── Greedy sequence packing (context-window assembly) ───────────────
+    // pack_id = floor(prev running tokens / budget) within each language,
+    // doc order by id — the overflow-allowed packing policy, expressed as
+    // ONE window cumsum (state never leaves the reducers).
+    "q_pack" -> ((s, dir) =>
+      CorpusOps.packByBudget(
+          docs(s, dir)
+            .withColumn("n_tokens", size(TextAnalysis.tokens(col("text")))),
+          "lang", "doc_id", "n_tokens", budget = 2048)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
         .orderBy("doc_id")),
 
     // ── Dataset card: per-language corpus summary ───────────────────────
@@ -342,6 +396,28 @@ object TextPipelineQueries {
           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
           ORDER BY id_a, id_b""",
+    "q_contamination" ->
+      s"""WITH hs AS (
+            SELECT doc_id,
+              list_transform($ToksSql, t -> ${h60("t")}) AS hsarr
+            FROM documents),
+          ng AS (
+            SELECT doc_id, ${ngramHashesSql("hsarr", 5)} AS ngh FROM hs),
+          train AS (
+            SELECT doc_id AS train_id, unnest(ngh) AS h FROM ng
+            WHERE len(ngh) > 0),
+          bench AS (
+            SELECT doc_id + 900000 AS bench_id, unnest(ngh) AS h FROM ng
+            WHERE doc_id % 100 = 0 AND len(ngh) > 0),
+          dfc AS (SELECT h, count(*) AS df FROM train GROUP BY h)
+          SELECT train_id, bench_id, count(*) AS n_shared
+          FROM train
+          JOIN dfc ON train.h = dfc.h
+          JOIN bench ON train.h = bench.h
+          WHERE dfc.df <= 100
+          GROUP BY train_id, bench_id
+          HAVING count(*) >= 3
+          ORDER BY train_id, bench_id""",
     "q_simhash_wide" ->
       s"""WITH tok AS (
             SELECT doc_id, unnest($ToksSql) AS t FROM documents),
@@ -441,6 +517,22 @@ object TextPipelineQueries {
                  WHEN ${h60("'split:' || doc_id")} % 100 < 95 THEN 'val'
                  ELSE 'test' END AS split
           FROM documents ORDER BY doc_id""",
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+          WHERE ${h60("'samp:' || doc_id")} % 10000 <
+            CASE WHEN lang = 'en' THEN 5000
+                 WHEN lang = 'de' THEN 2500
+                 ELSE 1000 END
+          ORDER BY doc_id""",
+    "q_pack" ->
+      s"""WITH d AS (
+            SELECT doc_id, lang, CAST(len($ToksSql) AS INT) AS n_tokens
+            FROM documents)
+          SELECT doc_id, lang, n_tokens,
+            CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+          FROM d ORDER BY doc_id""",
     "q_dataset_card" -> {
       s"""WITH d AS (
             SELECT lang, CAST(len($ToksSql) AS INT) AS n_tokens,

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus assembly: deterministic (hash-based) sampling and greedy
+  * sequence packing — reproducibility and policy semantics.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (0L until 1000L).map(i =>
+    (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+
+  test("hashSample: deterministic, repartition-stable, rate-nested") {
+    val s20 = CorpusOps.hashSample(docs, "doc_id", 2000)
+      .select("doc_id").as[Long].collect().toSet
+    val again = CorpusOps.hashSample(docs.repartition(13), "doc_id", 2000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s20 === again, "sample must not depend on partitioning")
+    // the draw is shared across rates, so a lower rate is a SUBSET of a
+    // higher one (incremental rate changes don't reshuffle the sample)
+    val s50 = CorpusOps.hashSample(docs, "doc_id", 5000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s20.subsetOf(s50))
+    // loose two-sided bound: 2000bp of 1000 docs ⇒ ~200 (md5-uniform draw)
+    assert(s20.size > 120 && s20.size < 280, s"got ${s20.size}")
+  }
+
+  test("stratifiedHashSample: per-stratum rates, unlisted strata default") {
+    val sampled = CorpusOps.stratifiedHashSample(docs, "doc_id", "lang",
+        Map("en" -> 8000), defaultBp = 500)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // en ~ 8000bp of 500 ⇒ ~400; de ~ 500bp of 500 ⇒ ~25
+    assert(sampled("en") > 320 && sampled("en") < 480, sampled.toString)
+    assert(sampled.getOrElse("de", 0L) < 70, sampled.toString)
+    // per-row decisions equal a plain hashSample at that stratum's rate
+    val enOnly = CorpusOps.hashSample(docs.where(col("lang") === "en"),
+      "doc_id", 8000).count()
+    assert(sampled("en") === enOnly)
+  }
+
+  test("packByBudget: overflow-allowed greedy policy, per-partition state") {
+    val df = Seq(
+      ("a", 1L, 1000L), ("a", 2L, 1000L), ("a", 3L, 100L), ("a", 4L, 2048L),
+      ("b", 1L, 5000L), ("b", 2L, 10L))
+      .toDF("grp", "doc_id", "n_tokens")
+    val packed = CorpusOps.packByBudget(df, "grp", "doc_id", "n_tokens", 2048)
+      .select("grp", "doc_id", "pack_id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(packed === Set(
+      // prev-cum: 0, 1000, 2000, 2100 → packs 0,0,0,1
+      ("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 0L), ("a", 4L, 1L),
+      // oversized doc finishes pack 0; next starts at prev-cum 5000 → pack 2
+      ("b", 1L, 0L), ("b", 2L, 2L)))
+    // each pack holds at least one doc and packs are contiguous per group
+    val perGroup = packed.groupBy(_._1).view.mapValues(
+      _.toSeq.sortBy(_._2).map(_._3))
+    perGroup.foreach { case (g, packs) =>
+      assert(packs === packs.sorted, s"pack ids must be monotone in $g")
+    }
+  }
+}

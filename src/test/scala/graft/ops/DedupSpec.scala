@@ -119,6 +119,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("contaminationPairs: planted eval overlap found; df cap mutes boilerplate") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "shared boiler plate words exactly here"),
+      (3L, "shared boiler plate words exactly here too"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon noise noise shared boiler plate words exactly here"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+    val th = Dedup.hashedNgrams(train, "doc_id", "toks", 3)
+    val bh = Dedup.hashedNgrams(bench, "doc_id", "toks", 3)
+    def run(minShared: Int, maxDf: Int) =
+      Dedup.contaminationPairs(th, bh, minShared, maxDf)
+        .select("train_id", "bench_id", "n_shared")
+        .as[(Long, Long, Long)].collect().toSet
+    // permissive df cap: every source found, counts = shared 3-gram counts
+    assert(run(2, 5) === Set((1L, 100L, 3L), (2L, 100L, 4L), (3L, 100L, 4L)))
+    // df cap 1: docs 2/3 share ALL their n-grams with each other (df=2),
+    // so the boilerplate matches are muted; the unique-content source stays
+    assert(run(1, 1) === Set((1L, 100L, 3L)))
+  }
+
   test("simhashCapacity: block width pins the linear-regime corpus size") {
     assert(Dedup.simhashCapacity(5) === (1L << 10)) // 6 blocks × 10 bits
     assert(Dedup.simhashCapacity(2) === (1L << 20))
