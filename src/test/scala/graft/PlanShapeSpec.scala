@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+
+/** Global scale-posture guard over the ENTIRE gated surface: no query's
+  * physical plan may contain a cartesian product or broadcast-nested-loop
+  * join unless it is on the explicit allowlist below with a documented
+  * reason. This is the property every "bucket join, never all-pairs"
+  * claim in the operator scaladocs reduces to — checked against the real
+  * optimized plans at fixture scale, so a future edit that silently
+  * degenerates a join (lost equi-key, pushed-down-to-nothing condition)
+  * fails here rather than at 100 TB.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  /** Queries whose plans legitimately contain an unkeyed join. */
+  private val productAllowlist: Map[String, String] = Map(
+    "q_knn_brute" -> "brute-force cosine top-k IS the documented broadcast-NLJ correctness baseline",
+    "q_knn_ivf" -> "runs the brute-force baseline alongside IVF for its recall gate",
+    "q_hll_merge" -> "crossJoin of two single-row aggregates (sketch estimate x exact count)",
+    "q_kmeans_assign" -> "seed collection is orderBy.limit(8); assignment itself is a narrow projection")
+
+  private def collectNodes(plan: SparkPlan): Seq[SparkPlan] = {
+    val self = plan match {
+      case a: AdaptiveSparkPlanExec => collectNodes(a.executedPlan)
+      case p => Seq(p)
+    }
+    self ++ plan.children.flatMap(collectNodes) ++
+      plan.subqueries.flatMap(collectNodes)
+  }
+
+  test("no gated query plans a cartesian/broadcast-nested-loop join off-allowlist") {
+    val sfDir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        val bad = collectNodes(plan).map(_.nodeName).filter(n =>
+          n.contains("CartesianProduct") || n.contains("BroadcastNestedLoopJoin"))
+        if (bad.nonEmpty && !productAllowlist.contains(name))
+          Some(name -> bad.distinct)
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"unkeyed joins outside the allowlist: $offenders")
+  }
+
+  test("every fact-table query keeps scan-level column pruning (no SELECT *)") {
+    // lineitem has 16 columns; no gated query needs more than 8 of them —
+    // a scan reading the full schema means a projection stopped reaching
+    // the parquet reader
+    val sfDir = "/root/testdata/sf0.001"
+    val wide = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val scans = fn(spark, sfDir).queryExecution.executedPlan
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      val lineitemWide = scans.filter(s =>
+        s.relation.location.rootPaths.exists(_.toString.contains("lineitem")) &&
+          s.requiredSchema.size > 8)
+      if (lineitemWide.nonEmpty)
+        Some(name -> lineitemWide.map(_.requiredSchema.size))
+      else None
+    }
+    assert(wide.isEmpty, s"lineitem scans reading >8 columns: $wide")
+  }
+}

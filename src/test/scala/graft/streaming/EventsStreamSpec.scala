@@ -62,6 +62,30 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.count() === 4 * 2) // 4 hour-windows × 2 event types
   }
 
+  test("RocksDB state store: same stateful result as the default provider") {
+    // the 100 TB posture documented in EventsStream's scaladoc, proven
+    // in-environment: the provider is session conf, not plan shape, so a
+    // stateful aggregation must produce identical results under
+    // RocksDBStateStoreProvider (off-heap state, incremental changelog
+    // checkpoints) as under the default in-memory provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val rocks = runStream(
+        EventsStream.hourlyTypeCounts(streamEvents), "complete", "hourlyRocks")
+      val batch = EventsStream.hourlyTypeCounts(batchEvents)
+      assert(canon(rocks) === canon(batch))
+      assert(rocks.count() === 4 * 2)
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("slidingRate: streaming equals batch; window arithmetic correct") {
     val streamed = runStream(
       EventsStream.slidingRate(streamEvents), "complete", "sliding")
