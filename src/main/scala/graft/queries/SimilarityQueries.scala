@@ -72,16 +72,17 @@ object SimilarityQueries {
     "q_kmeans_assign" -> ((s, dir) => {
       import org.apache.spark.sql.functions.typedlit
       val e = emb(s, dir)
-      val seeds = e.orderBy("vec_id").limit(NSeeds)
-        .select(col("vec_id"), col("embedding"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1)
-      val seedNorms = e.orderBy("vec_id").limit(NSeeds)
-        .select(col("vec_id"),
+      // ONE driver job for seeds AND their norms (review r04): the norm
+      // still comes from the engine's decimal pipeline so it is bit-equal
+      // to the oracle's sqrt(CAST(SUM(decimal) AS DOUBLE))
+      val seedRows = e.orderBy("vec_id").limit(NSeeds)
+        .select(col("vec_id"), col("embedding"),
           sqrt(Similarity.norm2Exact(col("embedding"))).as("n"))
-        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
-        .map(_._2)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+      val seeds = seedRows.map { case (id, v, _) => (id, v) }
+      val seedNorms = seedRows.map(_._3)
       val nv = sqrt(Similarity.norm2Exact(col("embedding")))
       val scored = seeds.toSeq.zipWithIndex.map { case ((sid, sv), j) =>
         struct(

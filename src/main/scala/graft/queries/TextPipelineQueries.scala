@@ -171,8 +171,11 @@ object TextPipelineQueries {
     // the same votes CTE with the second ('w1:'-seeded) hash family.
     "q_simhash_wide" -> ((s, dir) => {
       val fp = docs(s, dir)
-        .select(col("doc_id"),
-          Dedup.simhashWide(TextAnalysis.tokens(col("text"))).as("w"))
+        // materialize toks once: simhashWide feeds it to TWO transform
+        // lambdas, and an inlined tokenize child would be re-evaluated per
+        // lambda (no CSE across HOF bodies — the q_redact duplication class)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"), Dedup.simhashWide(col("toks")).as("w"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.simhashNearDupPairsWide(fp, "doc_id", "w", maxHamming = 10)
         .orderBy("id_a", "id_b")

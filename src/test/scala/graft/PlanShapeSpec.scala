@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.exchange.Exchange
 
 /** Global scale-posture guard over the ENTIRE gated surface: no query's
   * physical plan may contain a cartesian product or broadcast-nested-loop
@@ -52,7 +51,10 @@ class PlanShapeSpec extends SparkSpec {
     // the parquet reader
     val sfDir = "/root/testdata/sf0.001"
     val wide = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val scans = fn(spark, sfDir).queryExecution.executedPlan
+      // collectNodes, NOT plan.collect: AdaptiveSparkPlanExec is a leaf to
+      // TreeNode.collect, which silently finds zero scans under AQE
+      // (review r04 — the vacuous-guard failure mode)
+      val scans = collectNodes(fn(spark, sfDir).queryExecution.executedPlan)
         .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
       val lineitemWide = scans.filter(s =>
         s.relation.location.rootPaths.exists(_.toString.contains("lineitem")) &&
