@@ -67,12 +67,16 @@ object CorpusOps {
     * long as `orderCol` is unique per partition (doc ids are).
     */
   def packByBudget(df: DataFrame, partitionCol: String, orderCol: String,
-                   tokenCol: String, budget: Long): DataFrame = {
+                   tokenCol: String, budget: Long,
+                   outCol: String = "pack_id"): DataFrame = {
     require(budget >= 1, s"budget: $budget")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists on the input; pass a " +
+        "different outCol instead of silently overwriting it")
     val w = Window.partitionBy(col(partitionCol))
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("pack_id",
+    df.withColumn(outCol,
       floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / budget))
   }
 }

@@ -175,6 +175,10 @@ object Dedup {
     // aggregate and the bench join); persist it so the upstream
     // tokenize+hash pipeline runs once (same rationale as
     // verifiedNearDupsFromHashes — measured 2.3 s → ~1.2 s at sf0.1).
+    // Lifetime contract: the entry lives until the CALLER clears it
+    // (`spark.catalog.clearCache()` — Verify/Bench do, per query); pass
+    // persistTrain=false in long-lived sessions that manage caching
+    // themselves.
     val train0 = trainHashed
       .select(col("id").as("train_id"), explode(col("hs")).as("h"))
     val train =

@@ -116,12 +116,18 @@ object Similarity {
     math.min(maxBits, math.max(minBits, need))
   }
 
-  /** [[AutoBits]] resolution: one `count()` job against the corpus — the
-    * same runtime-statistics trade AQE makes, paid once per operator call
-    * and metadata-cheap on parquet sources.
+  /** [[AutoBits]] resolution: one `count()` job against the corpus at
+    * operator-construction time — the same runtime-statistics trade AQE
+    * makes. Metadata-cheap on a raw parquet scan, but a FULL computation
+    * for filtered/derived inputs, and re-paid on every invocation (it
+    * breaks operator laziness — ADVICE r04). Callers who already know the
+    * corpus size (catalog stats, a prior count, a fixture) pass it via
+    * `corpusCount` and no job runs.
     */
-  private def resolveBits(nBits: Int, corpus: DataFrame, minBits: Int): Int =
-    if (nBits != AutoBits) nBits else scaledNBits(corpus.count(), minBits)
+  private def resolveBits(nBits: Int, corpus: DataFrame, minBits: Int,
+                          corpusCount: Option[Long]): Int =
+    if (nBits != AutoBits) nBits
+    else scaledNBits(corpusCount.getOrElse(corpus.count()), minBits)
 
   /** `nBits`-bit sign signature of a float vector. Exact decimal
     * accumulation per bit so the sign (and therefore the bucket) is
@@ -273,11 +279,14 @@ object Similarity {
     * Exact-decimal cosine keeps the result oracle-comparable.
     */
   def embeddingNearDups(vecs: DataFrame, threshold: Double,
-                        nBits: Int = AutoBits, nTables: Int = 1): DataFrame = {
+                        nBits: Int = AutoBits, nTables: Int = 1,
+                        corpusCount: Option[Long] = None): DataFrame = {
     require(nTables >= 1, s"nTables: $nTables")
-    val bits = resolveBits(nBits, vecs, minBits = 8)
+    val bits = resolveBits(nBits, vecs, minBits = 8, corpusCount)
     // persisted: both self-join branches read the signature relation, and
     // the decimal-exact projection behind signBits is the expensive part.
+    // Cache lifetime is caller-managed (`spark.catalog.clearCache()` —
+    // the Verify/Bench harnesses clear per query; see Dedup scaladocs).
     // nTables > 1 trades signature cost for recall at wide `bits`: each
     // table hashes with an independent hyperplane set (pOffset = t·bits),
     // and a pair is a candidate if it collides in ANY table.
@@ -318,9 +327,10 @@ object Similarity {
     */
   def topKNeighborsLsh(probes: DataFrame, corpus: DataFrame, k: Int,
                        nBits: Int = AutoBits, multiprobe: Boolean = true,
-                       nTables: Int = 1): DataFrame = {
+                       nTables: Int = 1,
+                       corpusCount: Option[Long] = None): DataFrame = {
     require(nTables >= 1, s"nTables: $nTables")
-    val bits = resolveBits(nBits, corpus, minBits = 12)
+    val bits = resolveBits(nBits, corpus, minBits = 12, corpusCount)
     // per-table independent hyperplane sets; the candidate join carries the
     // table index so buckets never collide across tables
     val tables = array((0 until nTables).map(t =>

@@ -14,6 +14,12 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   */
 class PlanShapeSpec extends SparkSpec {
 
+  /** Fixture dir; tests `assume` readability so machines without the
+    * driver-generated testdata skip rather than fail (ADVICE r04). */
+  private val sfDir = "/root/testdata/sf0.001"
+  private def assumeFixtures(): Unit =
+    assume(java.nio.file.Files.isReadable(java.nio.file.Paths.get(sfDir)))
+
   /** Queries whose plans legitimately contain an unkeyed join. */
   private val productAllowlist: Map[String, String] = Map(
     "q_knn_brute" -> "brute-force cosine top-k IS the documented broadcast-NLJ correctness baseline",
@@ -31,7 +37,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("no gated query plans a cartesian/broadcast-nested-loop join off-allowlist") {
-    val sfDir = "/root/testdata/sf0.001"
+    assumeFixtures()
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan
@@ -49,7 +55,7 @@ class PlanShapeSpec extends SparkSpec {
     // lineitem has 16 columns; no gated query needs more than 8 of them —
     // a scan reading the full schema means a projection stopped reaching
     // the parquet reader
-    val sfDir = "/root/testdata/sf0.001"
+    assumeFixtures()
     val wide = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // collectNodes, NOT plan.collect: AdaptiveSparkPlanExec is a leaf to
       // TreeNode.collect, which silently finds zero scans under AQE
