@@ -147,6 +147,64 @@ object Dedup {
     verifiedNearDupsFromHashes(
       hashedShingles(docs, idCol, shingleCol), threshold, k, b, r)
 
+  /** EXACT n-gram Jaccard near-duplicate pairs via an inverted index on
+    * the n-gram hash — the third near-dup family next to MinHash
+    * (probabilistic recall) and SimHash (Hamming ball): candidate pairs
+    * are docs sharing ≥1 indexed n-gram, the shared-set size is the join's
+    * group count, and the union size follows arithmetically
+    * (|A∪B| = |A|+|B|−|A∩B|) — so the verify step is pure column math,
+    * no array intersect/union work and no second join back to the sets.
+    *
+    * Scale/exactness contract: with `maxDf` = ∞ recall is 1 by
+    * construction (any pair with jaccard > 0 shares an n-gram and is
+    * generated), but a boilerplate n-gram with document frequency df fans
+    * out df²/2 candidate rows, so at scale ubiquitous n-grams must leave
+    * the index — the same df cap, for the same two reasons, as
+    * [[contaminationPairs]]. Under a cap the reported jaccard counts only
+    * indexed shared n-grams over the FULL union — a deterministic lower
+    * bound of true Jaccard (equal whenever no shared n-gram was capped);
+    * a pair is missed only when its entire overlap is corpus-boilerplate,
+    * i.e. the docs are near-dups of a template, not of each other.
+    *
+    * Input is a [[hashedNgrams]]-shaped relation (`id`, `hs` distinct).
+    * The exploded index feeds three plan branches (df aggregate + both
+    * join sides); `persistIndex` materializes it once — caller-managed
+    * lifetime, same contract as [[verifiedNearDupsFromHashes]].
+    */
+  def jaccardNearDups(hashed: DataFrame, threshold: Double,
+                      maxDf: Int = Int.MaxValue,
+                      persistIndex: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold: $threshold")
+    require(maxDf >= 1, s"maxDf: $maxDf")
+    val exploded0 = hashed.select(col("id"), size(col("hs")).as("n"),
+      explode(col("hs")).as("h"))
+    val exploded =
+      if (persistIndex)
+        exploded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else exploded0
+    val idx =
+      if (maxDf == Int.MaxValue) exploded
+      else {
+        val keep = exploded.groupBy(col("h"))
+          .agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxDf)
+          .select(col("h"))
+        exploded.join(keep, Seq("h"))
+      }
+    val a = idx.select(col("h"), col("id").as("id_a"), col("n").as("n_a"))
+    val b = idx.select(col("h"), col("id").as("id_b"), col("n").as("n_b"))
+    // hs is distinct per doc, so each shared n-gram contributes exactly
+    // one joined row: count(*) IS the distinct shared-n-gram count
+    a.join(b, Seq("h"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("id_a"), col("id_b"), col("shared"),
+        round(col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Benchmark decontamination: training docs that share ≥ `minShared`
     * distinct n-gram hashes with a benchmark/eval doc — the overlap check
     * every training corpus runs against its eval sets before training.

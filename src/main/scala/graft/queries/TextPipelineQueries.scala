@@ -132,6 +132,21 @@ object TextPipelineQueries {
           threshold = 0.8)
         .orderBy("id_a", "id_b")),
 
+    // ── Near-dup: EXACT n-gram Jaccard via inverted index ───────────────
+    // The third dedup family (Dedup.jaccardNearDups): no signatures — the
+    // candidate generator is the shared-n-gram inverted index itself
+    // (df-capped at 50 for skew), and Jaccard falls out of the group count
+    // arithmetically. Lower threshold than the minhash gate on purpose:
+    // exact recall at 0.5 is where MinHash banding starts missing pairs,
+    // so this query covers the regime the probabilistic family can't.
+    "q_neardup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardNearDups(
+          Dedup.hashedNgrams(
+            docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text"))),
+            "doc_id", "toks", 3),
+          threshold = 0.5, maxDf = 50)
+        .orderBy("id_a", "id_b")),
+
     // ── SimHash fingerprints + Hamming-ball pairs ───────────────────────
     // Pair search via pigeonhole bit-block bucketing (exact for the d=5
     // ball — see Dedup.simhashNearDupPairs): bucket join, not the
@@ -381,6 +396,29 @@ object TextPipelineQueries {
           FROM s a JOIN s b ON a.doc_id < b.doc_id
           WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                       / len(list_distinct(a.sh || b.sh)), 6) >= 0.8
+          ORDER BY id_a, id_b""",
+    "q_neardup_jaccard" ->
+      s"""WITH hs AS (
+            SELECT doc_id,
+              list_transform($ToksSql, t -> ${h60("t")}) AS hsarr
+            FROM documents),
+          ng AS (
+            SELECT doc_id, ${ngramHashesSql("hsarr", 3)} AS ngh FROM hs),
+          idx AS (
+            SELECT doc_id, len(ngh) AS n, unnest(ngh) AS h FROM ng
+            WHERE len(ngh) > 0),
+          dfok AS (SELECT h FROM idx GROUP BY h HAVING count(*) <= 50),
+          kept AS (SELECT idx.doc_id, idx.n, idx.h FROM idx
+                   JOIN dfok ON idx.h = dfok.h),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              a.n AS n_a, b.n AS n_b, count(*) AS shared
+            FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+          SELECT id_a, id_b, shared,
+            ROUND(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 6) AS jaccard
+          FROM pairs
+          WHERE ROUND(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 6) >= 0.5
           ORDER BY id_a, id_b""",
     "q_simhash" ->
       s"""WITH tok AS (

@@ -74,6 +74,54 @@ class DedupSpec extends SparkSpec {
     assert(j12 > 0.5 && j12 < 1.0)
   }
 
+  test("jaccardNearDups (inverted index) equals brute all-pairs exact Jaccard") {
+    val hashed = Dedup.hashedNgrams(
+      docs.withColumn("toks", TextAnalysis.tokens(col("text"))),
+      "doc_id", "toks", 3)
+    val viaIndex = Dedup.jaccardNearDups(hashed, threshold = 0.3)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // ground truth: all-pairs array intersect/union over the same sets
+    val a = hashed.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val b = hashed.select(col("id").as("id_b"), col("hs").as("hs_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))), 6).as("jaccard"))
+      .where(col("jaccard") >= 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaIndex === brute)
+    assert(brute.exists(p => (p._1, p._2) == (1L, 4L) && p._3 == 1.0),
+      "exact dup pair at jaccard 1.0 must be present")
+    assert(brute.exists(p => (p._1, p._2) == (1L, 2L)),
+      "planted near-dup must be present")
+  }
+
+  test("jaccardNearDups maxDf mutes pairs whose overlap is all boilerplate") {
+    // 4 docs sharing ONLY a boilerplate header (every header 3-gram has
+    // df=4), each with a unique tail; plus one genuine near-dup pair
+    val header = "standard license header all rights reserved please read"
+    val d = Seq(
+      (1L, s"$header unique alpha beta gamma delta"),
+      (2L, s"$header unrelated epsilon zeta eta theta"),
+      (3L, s"$header something iota kappa lambda mu"),
+      (4L, s"$header different nu xi omicron pi"),
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "the quick brown fox jumps over the lazy cat tonight"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+    val hashed = Dedup.hashedNgrams(d, "doc_id", "toks", 3)
+    // cap below the header's df: header n-grams leave the index, so the
+    // boilerplate-only pairs vanish; the genuine pair (df=2 overlap) stays
+    val capped = Dedup.jaccardNearDups(hashed, threshold = 0.2, maxDf = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((10L, 11L)), s"got $capped")
+    // uncapped: the boilerplate pairs reappear with their true Jaccard
+    val uncapped = Dedup.jaccardNearDups(hashed, threshold = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((10L, 11L)))
+  }
+
   test("simhashNearDupPairs (pigeonhole blocking) equals the all-pairs search") {
     val rnd = new scala.util.Random(11)
     // clustered fingerprints: 20 seeds, each with variants 0-4 bit flips
