@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Hashes
 import graft.tok.Tokenizer
@@ -188,4 +188,48 @@ object TextAnalysis {
       transform(
         Dedup.minhashSignatureFromHashes(Dedup.ngramHashSet(tokens(text), 3), k),
         _.cast("string"))))
+
+  // ── TF-IDF keyword extraction ─────────────────────────────────────────
+
+  /** Per-(doc, term) raw term frequency from a token-array column —
+    * one explode + one hash aggregation on (doc, term).
+    */
+  def termFrequencies(docs: DataFrame, idCol: String,
+                      toksCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(col(toksCol)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-`k` TF-IDF keywords per document. Smooth idf (sklearn form):
+    * idf = ln((1 + N) / (1 + df)) + 1, score = tf · idf, so terms the
+    * whole corpus shares score near tf·1 while rare terms are boosted.
+    * Deterministic: rank over (round(score, 6) desc, term asc).
+    *
+    * Plan at scale: explode → (doc, term) hash agg → per-term df agg →
+    * hash join tf⋈df on term → 1-row corpus-count aggregate joined in
+    * (broadcast — the only unkeyed join, one row) → per-doc window.
+    * The tf relation feeds both the df aggregate and the scoring join;
+    * persisted, caller-managed lifetime (see [[Dedup]] scaladocs).
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, toksCol: String,
+                k: Int, persistTf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k: $k")
+    val tf0 = termFrequencies(docs, idCol, toksCol)
+    val tf =
+      if (persistTf)
+        tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else tf0
+    val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(desc("tfidf"), asc("term"))
+    tf.join(dfRel, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf").cast("double") *
+          (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + 1.0),
+          6).as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
 }

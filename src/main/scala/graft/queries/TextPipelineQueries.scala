@@ -132,6 +132,19 @@ object TextPipelineQueries {
           threshold = 0.8)
         .orderBy("id_a", "id_b")),
 
+    // ── TF-IDF keyword extraction ───────────────────────────────────────
+    // Top-5 keywords per doc, smooth idf (TextAnalysis.tfidfTopK). Rank is
+    // over the ROUNDED score so the window order is engine-portable; ties
+    // break by term. Restricted to the first 50 docs to keep the gate
+    // output bounded (the operator itself is corpus-wide; df/N still come
+    // from the full corpus).
+    "q_tfidf" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text")))
+      TextAnalysis.tfidfTopK(d, "doc_id", "toks", k = 5)
+        .where(col("doc_id") < 50)
+        .orderBy("doc_id", "rank")
+    }),
+
     // ── Near-dup: EXACT n-gram Jaccard via inverted index ───────────────
     // The third dedup family (Dedup.jaccardNearDups): no signatures — the
     // candidate generator is the shared-n-gram inverted index itself
@@ -397,6 +410,26 @@ object TextPipelineQueries {
           WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                       / len(list_distinct(a.sh || b.sh)), 6) >= 0.8
           ORDER BY id_a, id_b""",
+    "q_tfidf" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+          tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+          dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+              ROUND(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfc.df)) + 1.0), 6)
+                AS tfidf
+            FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN n),
+          ranked AS (
+            SELECT doc_id, term, tf, df, tfidf,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term) AS rank
+            FROM scored)
+          SELECT doc_id, term, tf, df, tfidf, rank
+          FROM ranked WHERE rank <= 5 AND doc_id < 50
+          ORDER BY doc_id, rank""",
     "q_neardup_jaccard" ->
       s"""WITH hs AS (
             SELECT doc_id,

@@ -25,7 +25,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_knn_brute" -> "brute-force cosine top-k IS the documented broadcast-NLJ correctness baseline",
     "q_knn_ivf" -> "runs the brute-force baseline alongside IVF for its recall gate",
     "q_hll_merge" -> "crossJoin of two single-row aggregates (sketch estimate x exact count)",
-    "q_kmeans_assign" -> "seed collection is orderBy.limit(8); assignment itself is a narrow projection")
+    "q_kmeans_assign" -> "seed collection is orderBy.limit(8); assignment itself is a narrow projection",
+    "q_tfidf" -> "crossJoin of the single-row corpus-size aggregate (broadcast, one row)")
 
   private def collectNodes(plan: SparkPlan): Seq[SparkPlan] = {
     val self = plan match {

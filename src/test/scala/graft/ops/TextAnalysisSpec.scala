@@ -105,4 +105,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a === fp("the quick brown fox jumps over the lazy dog"))
     assert(a !== fp("entirely different words in this other document here"))
   }
+
+  test("tfidfTopK: rare terms outrank corpus-wide terms; tf/df exact") {
+    // 'common' appears in every doc (idf = ln(4/4)+1 = 1); each doc also
+    // has a unique term (idf = ln(4/2)+1) and doc 1 repeats its unique
+    // term twice — highest score in doc 1 by both tf and idf
+    val d = Seq(
+      (1L, "common alpha alpha common"),
+      (2L, "common beta"),
+      (3L, "common gamma"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+    val out = TextAnalysis.tfidfTopK(d, "doc_id", "toks", k = 2)
+      .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+      .groupBy(_._1)
+    val doc1 = out(1L).sortBy(_._6)
+    assert(doc1.map(r => (r._2, r._3, r._4)) === Seq(("alpha", 2L, 1L), ("common", 2L, 3L)))
+    // alpha: tf=2, idf=ln(4/2)+1; common: tf=2, idf=ln(4/4)+1=1
+    val expAlpha = BigDecimal(2.0 * (math.log(4.0 / 2.0) + 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(doc1.head._5 === expAlpha)
+    assert(doc1(1)._5 === 2.0)
+    assert(out(2L).head._2 === "beta", "unique term ranks first in doc 2")
+  }
 }
