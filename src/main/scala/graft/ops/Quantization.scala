@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Per-vector symmetric int8 quantization of embedding columns — the
+  * storage/bandwidth lever of a vector corpus at scale: 64-dim float32
+  * embeddings shrink 4× (256 B → 64 B + one scale), which at 100 TB is the
+  * difference between a re-shippable artifact and a second corpus. All
+  * operators are narrow per-row column expressions (no shuffle, no UDFs);
+  * the quantized relation is what the ANN/near-dup pipelines would read,
+  * with [[dequantize]] reconstructing floats at query time.
+  *
+  * Engine-portable by construction: rounding is `floor(x/scale + 0.5)` —
+  * half-up toward +∞ — because `floor` is defined identically in every
+  * engine while ROUND's half-way rule is not; all arithmetic is double
+  * IEEE-754, so a DuckDB oracle reproduces every quantized value
+  * bit-for-bit.
+  *
+  * Error contract: |x − dequantize(quantize(x))| ≤ scale/2 per dimension
+  * (clamping never engages: |x|/scale ≤ 127 by the scale's definition).
+  */
+object Quantization {
+
+  /** Symmetric per-vector scale: max|xᵢ|/127 (max is order-independent).
+    * 0 for the all-zero vector — callers branch on it ([[quantizeInt8]]).
+    */
+  def int8Scale(vec: Column): Column =
+    aggregate(vec, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0
+
+  /** Int8 code array: floor(x/scale + 0.5) clamped to [−127, 127]
+    * (symmetric — −128 is unused so negation stays in range). All-zero
+    * vectors (scale 0) quantize to all zeros rather than dividing by 0.
+    */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    when(scale === 0.0, transform(vec, _ => lit(0)))
+      .otherwise(transform(vec, x =>
+        greatest(lit(-127L), least(lit(127L),
+          floor(x.cast("double") / scale + 0.5))).cast("int")))
+
+  /** Reconstructed double vector: qᵢ · scale. */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, v => v.cast("double") * scale)
+
+  /** Per-vector max absolute reconstruction error (≤ scale/2). Computed
+    * against the original in one pass; zip is self-aligned (the code
+    * array has the vector's own length) so no NULL-padding guard needed.
+    */
+  def maxAbsError(vec: Column, q: Column, scale: Column): Column =
+    aggregate(
+      zip_with(vec, q, (x, v) => abs(x.cast("double") - v.cast("double") * scale)),
+      lit(0.0), (acc, e) => greatest(acc, e))
+
+  private val Dec = "decimal(30,16)"
+
+  /** Per-vector mean squared reconstruction error. DECIMAL(30,16)
+    * accumulation (the [[Similarity]] exact-variant convention) so the
+    * sum is order-independent and bit-equal across engines — a double
+    * left-fold would depend on each engine's list-sum implementation.
+    */
+  def mse(vec: Column, q: Column, scale: Column): Column = {
+    val sq = zip_with(vec, q, (x, v) => {
+      val e = x.cast("double") - v.cast("double") * scale
+      (e * e).cast(Dec)
+    })
+    aggregate(sq, lit(0).cast(Dec), (acc, e) => (acc + e).cast(Dec))
+      .cast("double") / size(vec)
+  }
+}
