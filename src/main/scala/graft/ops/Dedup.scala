@@ -194,9 +194,16 @@ object Dedup {
     val a = idx.select(col("h"), col("id").as("id_a"), col("n").as("n_a"))
     val b = idx.select(col("h"), col("id").as("id_b"), col("n").as("n_b"))
     // hs is distinct per doc, so each shared n-gram contributes exactly
-    // one joined row: count(*) IS the distinct shared-n-gram count
+    // one joined row: count(*) IS the distinct shared-n-gram count.
+    // Length filter (standard in the exact-similarity-join literature):
+    // jaccard ≥ t forces t·|A| ≤ |B| and t·|B| ≤ |A| (shared ≤ min, union
+    // ≥ max), so size-mismatched pairs drop BEFORE the pair aggregation —
+    // exactness-preserving, and at scale it prunes the long tail of
+    // short-doc × long-doc candidates the shared-n-gram join generates.
     a.join(b, Seq("h"))
-      .where(col("id_a") < col("id_b"))
+      .where(col("id_a") < col("id_b") &&
+        col("n_b") >= col("n_a") * threshold &&
+        col("n_a") >= col("n_b") * threshold)
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("shared"))
       .select(col("id_a"), col("id_b"), col("shared"),
