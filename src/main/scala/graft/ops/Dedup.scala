@@ -263,6 +263,76 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Connected components of an undirected pair graph — the step that
+    * turns pairwise near-dup output ([[verifiedNearDupsFromHashes]],
+    * [[jaccardNearDups]], [[simhashNearDupPairs]]) into duplicate
+    * CLUSTERS: transitively, if A~B and B~C then {A,B,C} is one group
+    * and one keeper (the min id) survives. Input: a (aCol, bCol) edge
+    * relation; output: (id, component) for every endpoint, component =
+    * min id reachable.
+    *
+    * Min-label propagation: every node starts labeled with itself; each
+    * round every node takes the min of its own and its neighbors' labels;
+    * fixpoint when a round changes nothing. Each round is one hash join
+    * (edges ⋈ labels) + one aggregation — all distributed; the driver
+    * loop only evaluates the scalar changed-count, the standard
+    * iterate-to-convergence shape (same driver posture as
+    * [[Similarity.kmeansCentroids]]'s bounded Lloyd loop). Rounds needed
+    * = graph diameter: near-dup components are overlap cliques with tiny
+    * diameters (2–4 typ.), so the loop is short; for adversarial
+    * long-chain graphs production systems switch to the alternating
+    * large-star/small-star contraction (O(log n) rounds) — this operator
+    * documents that boundary rather than hiding it ([[maxIters]] guard
+    * throws instead of returning a half-converged clustering).
+    *
+    * The label relation is `localCheckpoint`ed each round — `persist`
+    * alone does NOT cut logical-plan lineage, so without the checkpoint
+    * the plan tree doubles per iteration and the 10th round's analysis
+    * alone OOMs (measured). At cluster scale substitute a reliable
+    * `checkpoint()` (HDFS-backed) for fault tolerance; localCheckpoint is
+    * the single-app fast path and the blocks of superseded rounds are
+    * reclaimed by the context cleaner.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    require(maxIters >= 1, s"maxIters: $maxIters")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // symmetric edge set: one relation, both directions
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      it += 1
+      // neighbor labels: for each edge (src,dst), dst's current label is a
+      // candidate for src; min over self ∪ neighbors
+      val fromNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("component"))
+      val next = labels.union(fromNeighbors)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .where(col("component") =!= col("old"))
+        .count()
+      labels = next
+      converged = changed == 0
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "graph diameter exceeds the min-propagation budget; raise " +
+          "maxIters or use a star-contraction variant for chain-shaped graphs")
+    labels
+  }
+
   /** SimHash (60-bit) of a token array: per bit position, sum ±1 votes from
     * each token occurrence's hash bit, then pack the sign bits. Votes are
     * term-frequency weighted (duplicates kept on purpose — distinct-token

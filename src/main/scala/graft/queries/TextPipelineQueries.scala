@@ -160,6 +160,33 @@ object TextPipelineQueries {
           threshold = 0.5, maxDf = 50)
         .orderBy("id_a", "id_b")),
 
+    // ── Duplicate clusters: near-dup pairs → connected components ───────
+    // The step after pairwise dedup: transitive closure into clusters with
+    // a min-id component label (Dedup.connectedComponents, min-label
+    // propagation). Edges are the real minhash near-dup pairs UNIONed with
+    // a deterministic doc-id chain (0–100–200–…), which forces multi-round
+    // propagation (diameter ≥ 4) so the gate exercises transitivity, not
+    // just pair echo. Oracle: WITH RECURSIVE transitive closure.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nearDupPairs = Dedup.verifiedNearDupsFromHashes(
+          Dedup.hashedNgrams(
+            d.withColumn("toks", TextAnalysis.tokens(col("text"))),
+            "doc_id", "toks", 3),
+          threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      // doc_id < 500 caps the chain at 6 nodes at ANY scale factor —
+      // min-propagation rounds = chain diameter, so an unbounded chain
+      // would grow rounds with corpus size (49 at sf0.1: past maxIters)
+      val chain = d.where(pmod(col("doc_id"), lit(100)) === 0 &&
+          col("doc_id") < 500)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 100).as("id_b"))
+        .join(d.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(nearDupPairs.union(chain), "id_a", "id_b")
+        .orderBy("id")
+    }),
+
     // ── SimHash fingerprints + Hamming-ball pairs ───────────────────────
     // Pair search via pigeonhole bit-block bucketing (exact for the d=5
     // ball — see Dedup.simhashNearDupPairs): bucket join, not the
@@ -453,6 +480,31 @@ object TextPipelineQueries {
           FROM pairs
           WHERE ROUND(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 6) >= 0.5
           ORDER BY id_a, id_b""",
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE s AS (
+            SELECT doc_id, ${shinglesSql(ToksSql)} AS sh FROM documents
+            WHERE len($ToksSql) >= 3),
+          nd AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / len(list_distinct(a.sh || b.sh)), 6) >= 0.8),
+          chain AS (
+            SELECT d.doc_id AS id_a, d.doc_id + 100 AS id_b
+            FROM documents d
+            WHERE d.doc_id % 100 = 0 AND d.doc_id < 500
+              AND EXISTS (SELECT 1 FROM documents d2
+                          WHERE d2.doc_id = d.doc_id + 100)),
+          p AS (SELECT id_a, id_b FROM nd UNION ALL SELECT id_a, id_b FROM chain),
+          edges AS (
+            SELECT id_a AS src, id_b AS dst FROM p
+            UNION SELECT id_b, id_a FROM p),
+          reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+          SELECT src AS id, least(src, min(dst)) AS component
+          FROM reach GROUP BY src ORDER BY id""",
     "q_simhash" ->
       s"""WITH tok AS (
             SELECT doc_id, unnest($ToksSql) AS t FROM documents),

@@ -122,6 +122,50 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.contains((1L, 2L)) && uncapped.contains((10L, 11L)))
   }
 
+  test("connectedComponents equals union-find on random graphs") {
+    val rnd = new scala.util.Random(13)
+    // 3 trials: sparse random graphs with isolated pairs, triangles, chains
+    for (trial <- 1 to 3) {
+      val n = 40
+      val edges = (0 until 50).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a < b) (a, b) else (b, a)
+      }.filter(e => e._1 != e._2).distinct
+      val got = Dedup.connectedComponents(
+          edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      // JVM union-find ground truth
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.map(v => v -> find(v)).toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+
+  test("connectedComponents propagates across a chain (diameter > 1)") {
+    // 0-1-2-...-9: one component labeled 0; needs ~9 propagation rounds
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === (0L to 9L).map(_ -> 0L).toMap)
+  }
+
+  test("connectedComponents throws rather than returning half-converged labels") {
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIters = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("simhashNearDupPairs (pigeonhole blocking) equals the all-pairs search") {
     val rnd = new scala.util.Random(11)
     // clustered fingerprints: 20 seeds, each with variants 0-4 bit flips
