@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming corpus ingestion: fingerprint first-seen dedup and ingest
+  * stats, gated by batch equivalence (SURVEY §5 — streaming has no DuckDB
+  * oracle).
+  */
+class DocStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 30 docs over 90 minutes in 3 parquet files; every third doc is a
+    * case/punctuation-mangled duplicate of an earlier one, so fingerprints
+    * collide across micro-batches while raw texts differ.
+    */
+  private lazy val docsDir: String = {
+    val dir = tempDir("docStream").toString
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val rows = (0 until 30).map { i =>
+      val ts = new java.sql.Timestamp(base.getTime + i * 3 * 60 * 1000L)
+      val text =
+        if (i % 3 == 2) s"Document number ${i - 2} with some shared words!!!"
+        else s"document number $i with some shared words"
+      (i.toLong, ts, text)
+    }
+    rows.toDF("doc_id", "ingest_ts", "text")
+      .repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def batchDocs: DataFrame = spark.read.parquet(docsDir)
+
+  private def streamDocs: DataFrame = {
+    val schema = spark.read.parquet(docsDir).schema
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(docsDir)
+  }
+
+  private def runStream(df: DataFrame, mode: String, name: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    spark.table(name)
+  }
+
+  test("firstSeenDocs: one survivor per fingerprint, equal to batch distinct") {
+    // horizon > fixture span: arrival order of the 3 files is not
+    // time-ordered under maxFilesPerTrigger=1, so a tight watermark would
+    // gate arrival order, not the operator (EventsStreamSpec precedent)
+    val streamed = runStream(
+      DocStream.firstSeenDocs(streamDocs, "ingest_ts", horizon = "6 hours"),
+      "append", "firstSeen")
+    val batchFp = batchDocs
+      .withColumn("fp", graft.ops.TextAnalysis.contentFingerprint(col("text")))
+    val expected = batchFp.select("fp").distinct().count()
+    assert(streamed.count() === expected)
+    assert(streamed.groupBy("fp").count().where(col("count") > 1).count() === 0)
+    // the mangled twin of doc 0 ("Document number 0 ... !!!") must have
+    // collided with doc 0's fingerprint: both can't survive
+    val fp0 = batchFp.where(col("doc_id") === 0).select("fp").as[Long].head()
+    assert(streamed.where(col("fp") === fp0).count() === 1)
+    // 20 originals, 10 mangled dups ⇒ 20 distinct fingerprints
+    assert(expected === 20L)
+  }
+
+  test("ingestStats: streaming equals batch; counts cover every doc") {
+    val streamed = runStream(
+      DocStream.ingestStats(streamDocs, "ingest_ts", horizon = "6 hours"),
+      "complete", "ingestStats")
+    val batch = DocStream.ingestStats(batchDocs, "ingest_ts", horizon = "6 hours")
+    def canon(df: DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSeq.sorted(
+        Ordering.Implicits.seqOrdering[Seq, String])
+    assert(canon(streamed) === canon(batch))
+    assert(streamed.agg(sum("n_docs")).as[Long].head() === 30L)
+  }
+}
