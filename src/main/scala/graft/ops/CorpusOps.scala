@@ -53,6 +53,43 @@ object CorpusOps {
     df.where(sampleBasis(col(idCol), salt) < rate)
   }
 
+  /** Fixed-size token chunking with overlap — the step between a curated
+    * document and context-length training sequences: doc tokens are cut
+    * into windows of `chunkSize` tokens starting every
+    * `chunkSize − overlap` tokens, so consecutive chunks share `overlap`
+    * tokens and no token is dropped (the final, possibly short, chunk
+    * keeps the tail). Emits one row per (doc, chunk_id) with the chunk's
+    * token count and space-joined text.
+    *
+    * Narrow generate: slice + posexplode per row — no shuffle, output
+    * rows ≈ Σ tokens/stride, each chunk assembled from the token array
+    * already in the row. Deterministic: chunk_id is the 0-based window
+    * index. Degenerate inputs: docs with ≤ chunkSize tokens yield exactly
+    * one chunk; empty-token docs yield none.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, toksCol: String,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize: $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap $overlap must be in [0, chunkSize)")
+    val stride = chunkSize - overlap
+    val toks = col(toksCol)
+    // number of windows: 1 + ⌈max(len − chunkSize, 0) / stride⌉ — the
+    // last window starts at the largest multiple of stride < len that
+    // still adds unseen tokens
+    val nChunks = when(size(toks) <= chunkSize, lit(1))
+      .otherwise(lit(1) +
+        ceil((size(toks) - chunkSize).cast("double") / stride).cast("int"))
+    df.where(size(toks) > 0)
+      .select(col(idCol).as("doc_id"), toks.as("toks"),
+        posexplode(sequence(lit(0), nChunks - 1)).as(Seq("chunk_id", "w")))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("toks"), col("chunk_id") * stride + 1, lit(chunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).as("n_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
+
   /** Greedy sequence packing: within each `partitionCol` group, documents
     * in ascending `orderCol` order are appended to the current pack, and
     * `pack_id` = ⌊(running token total BEFORE this doc) / budget⌋ — the

@@ -160,6 +160,18 @@ object TextPipelineQueries {
           threshold = 0.5, maxDf = 50)
         .orderBy("id_a", "id_b")),
 
+    // ── Document chunking: tokens → overlapping context windows ─────────
+    // chunkSize=64, overlap=16 (stride 48): the curation→training step
+    // that cuts documents into context-length sequences without dropping
+    // tokens. Restricted to doc_id < 100 to bound the gate output; the
+    // operator is a narrow generate at any scale.
+    "q_chunk" -> ((s, dir) =>
+      CorpusOps.chunkTokens(
+          docs(s, dir).where(col("doc_id") < 100)
+            .withColumn("toks", TextAnalysis.tokens(col("text"))),
+          "doc_id", "toks", chunkSize = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_id")),
+
     // ── Duplicate clusters: near-dup pairs → connected components ───────
     // The step after pairwise dedup: transitive closure into clusters with
     // a min-id component label (Dedup.connectedComponents, min-label
@@ -480,6 +492,28 @@ object TextPipelineQueries {
           FROM pairs
           WHERE ROUND(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 6) >= 0.5
           ORDER BY id_a, id_b""",
+    "q_chunk" ->
+      s"""WITH t AS (
+            SELECT doc_id, $ToksSql AS toks FROM documents
+            WHERE doc_id < 100 AND len($ToksSql) > 0),
+          n AS (
+            SELECT doc_id, toks,
+              CASE WHEN len(toks) <= 64 THEN 1
+                   ELSE 1 + CAST(ceil(CAST(len(toks) - 64 AS DOUBLE) / 48)
+                                 AS INT)
+              END AS nch
+            FROM t),
+          g AS (
+            SELECT doc_id, toks,
+              unnest(generate_series(1, nch)) AS i
+            FROM n),
+          c AS (
+            SELECT doc_id, i - 1 AS chunk_id,
+              toks[(i - 1) * 48 + 1 : (i - 1) * 48 + 64] AS chunk
+            FROM g)
+          SELECT doc_id, chunk_id, len(chunk) AS n_tokens,
+            array_to_string(chunk, ' ') AS chunk_text
+          FROM c ORDER BY doc_id, chunk_id""",
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE s AS (
             SELECT doc_id, ${shinglesSql(ToksSql)} AS sh FROM documents

@@ -40,6 +40,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(sampled("en") === enOnly)
   }
 
+  test("chunkTokens: coverage, overlap, tail chunk, degenerate inputs") {
+    val d = Seq(
+      (1L, (1 to 11).map(i => s"t$i")), // 11 toks, size 4 overlap 1 → stride 3
+      (2L, Seq("a", "b")),              // ≤ chunkSize → one chunk
+      (3L, Seq.empty[String]))          // empty → no rows
+      .toDF("doc_id", "toks")
+    val out = CorpusOps.chunkTokens(d, "doc_id", "toks", chunkSize = 4, overlap = 1)
+      .select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+      .as[(Long, Int, Int, String)].collect().toSeq.sortBy(r => (r._1, r._2))
+    // doc 1: windows start at 1,4,7,10 (1-based) → 4 chunks, short tail
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1.map(_._4) === Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10 t11"))
+    assert(doc1.map(_._3) === Seq(4, 4, 4, 2))
+    // every token appears; consecutive chunks share exactly `overlap`
+    assert(doc1.flatMap(_._4.split(" ")).distinct.size === 11)
+    assert(out.filter(_._1 == 2L) === Seq((2L, 0, 2, "a b")))
+    assert(!out.exists(_._1 == 3L))
+    // invalid overlap rejected
+    intercept[IllegalArgumentException] {
+      CorpusOps.chunkTokens(d, "doc_id", "toks", chunkSize = 4, overlap = 4)
+    }
+  }
+
   test("packByBudget: overflow-allowed greedy policy, per-partition state") {
     val df = Seq(
       ("a", 1L, 1000L), ("a", 2L, 1000L), ("a", 3L, 100L), ("a", 4L, 2048L),
