@@ -147,6 +147,52 @@ object Dedup {
     verifiedNearDupsFromHashes(
       hashedShingles(docs, idCol, shingleCol), threshold, k, b, r)
 
+  /** Incremental near-dup: near-duplicates of a NEW document batch
+    * against an EXISTING corpus — the ingestion-time form of
+    * [[verifiedNearDupsFromHashes]]: a production pipeline doesn't
+    * re-self-join the whole corpus per batch, it checks the delta against
+    * the standing signature table. Same MinHash banding, but the bucket
+    * join is new×corpus (asymmetric, no `a<b` constraint) and returns
+    * (new_id, corpus_id, jaccard).
+    *
+    * Scale posture: the corpus-side signature/band relation is the
+    * persistent artifact (computed once per snapshot, extended per batch
+    * — here recomputed from `corpusHashed` because the gate has no state
+    * between runs); the new side is a small batch, so Catalyst broadcasts
+    * its band relation into the bucket join and the whole check touches
+    * only colliding corpus buckets, never the corpus itself.
+    */
+  def incrementalNearDups(corpusHashed0: DataFrame, newHashed0: DataFrame,
+                          threshold: Double,
+                          k: Int = 30, b: Int = 10, r: Int = 3,
+                          persistHashed: Boolean = true): DataFrame = {
+    require(b * r <= k, s"bands($b)×rows($r) exceed signature length $k")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // both relations feed two branches (bucket join + verify join) — same
+    // caller-managed persist contract as verifiedNearDupsFromHashes
+    val corpusHashed = if (persistHashed) corpusHashed0.persist(lvl) else corpusHashed0
+    val newHashed = if (persistHashed) newHashed0.persist(lvl) else newHashed0
+    def buckets(hashed: DataFrame, idOut: String) =
+      hashed.select(col("id"),
+          minhashSignatureFromHashes(col("hs"), k).as("sig"))
+        .select(col("id").as(idOut),
+          posexplode(bandHashes(col("sig"), b, r)).as(Seq("band", "bh")))
+    val cand = buckets(newHashed, "new_id")
+      .join(buckets(corpusHashed, "corpus_id"), Seq("band", "bh"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+    cand
+      .join(newHashed.select(col("id").as("new_id"), col("hs").as("hs_n")),
+        Seq("new_id"))
+      .join(corpusHashed.select(col("id").as("corpus_id"), col("hs").as("hs_c")),
+        Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"),
+        round(
+          size(array_intersect(col("hs_n"), col("hs_c"))).cast("double") /
+            size(array_union(col("hs_n"), col("hs_c"))), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** EXACT n-gram Jaccard near-duplicate pairs via an inverted index on
     * the n-gram hash — the third near-dup family next to MinHash
     * (probabilistic recall) and SimHash (Hamming ball): candidate pairs

@@ -145,6 +145,23 @@ object TextPipelineQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // ── Incremental near-dup: new batch vs standing corpus ──────────────
+    // The ingestion-time flow (Dedup.incrementalNearDups): docs with
+    // doc_id ≥ 400 play the "new batch", the rest the standing corpus;
+    // the fixture's planted near-dup pairs straddle that boundary, so the
+    // gate checks real cross-batch hits. The oracle is all-pairs ACROSS
+    // the split only (new × corpus, never corpus × corpus).
+    "q_neardup_incr" -> ((s, dir) => {
+      val hashed = Dedup.hashedNgrams(
+        docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text"))),
+        "doc_id", "toks", 3)
+      Dedup.incrementalNearDups(
+          hashed.where(col("id") < 400),
+          hashed.where(col("id") >= 400),
+          threshold = 0.8)
+        .orderBy("new_id", "corpus_id")
+    }),
+
     // ── Near-dup: EXACT n-gram Jaccard via inverted index ───────────────
     // The third dedup family (Dedup.jaccardNearDups): no signatures — the
     // candidate generator is the shared-n-gram inverted index itself
@@ -469,6 +486,16 @@ object TextPipelineQueries {
           SELECT doc_id, term, tf, df, tfidf, rank
           FROM ranked WHERE rank <= 5 AND doc_id < 50
           ORDER BY doc_id, rank""",
+    "q_neardup_incr" ->
+      s"""WITH s AS (SELECT doc_id, ${shinglesSql(ToksSql)} AS sh FROM documents
+                     WHERE len($ToksSql) >= 3)
+          SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+            ROUND(CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
+                  / len(list_distinct(n.sh || c.sh)), 6) AS jaccard
+          FROM s n JOIN s c ON n.doc_id >= 400 AND c.doc_id < 400
+          WHERE ROUND(CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
+                      / len(list_distinct(n.sh || c.sh)), 6) >= 0.8
+          ORDER BY new_id, corpus_id""",
     "q_neardup_jaccard" ->
       s"""WITH hs AS (
             SELECT doc_id,

@@ -122,6 +122,25 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.contains((1L, 2L)) && uncapped.contains((10L, 11L)))
   }
 
+  test("incrementalNearDups: new batch hits only its corpus near-dups") {
+    // corpus: docs 1 (base) and 3 (unrelated); new batch: doc 2 (near-dup
+    // of 1) and doc 5 (unrelated to everything)
+    val all = docs.union(Seq(
+      (5L, "entirely new material nothing like the corpus at all today")
+    ).toDF("doc_id", "text"))
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+    val hashed = Dedup.hashedNgrams(all, "doc_id", "toks", 3)
+    val hits = Dedup.incrementalNearDups(
+        hashed.where(col("id").isin(1L, 3L)),
+        hashed.where(col("id").isin(2L, 5L)),
+        threshold = 0.5)
+      .select("new_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(hits.map(h => (h._1, h._2)) === Seq((2L, 1L)),
+      s"exactly the planted cross-batch pair, got $hits")
+    assert(hits.head._3 > 0.5 && hits.head._3 < 1.0)
+  }
+
   test("connectedComponents equals union-find on random graphs") {
     val rnd = new scala.util.Random(13)
     // 3 trials: sparse random graphs with isolated pairs, triangles, chains
