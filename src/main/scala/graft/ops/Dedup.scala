@@ -360,9 +360,24 @@ object Dedup {
       val fromNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("component"))
-      val next = labels.union(fromNeighbors)
+      // materialized BEFORE the self-join below: joining a plan with an
+      // un-materialized copy of itself (union + groupBy twice) trips
+      // Catalyst's union-constraint attribute rewrite under AQE
+      val propagated = labels.union(fromNeighbors)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      // pointer jumping: label(x) ← label(label(x)). Every label value is
+      // itself a node id (it's some node's running min), so the self-join
+      // resolves one more indirection — propagation distance DOUBLES per
+      // round instead of advancing one hop, turning O(diameter) rounds
+      // into O(log diameter) (the Hash-to-Min/star-contraction idea in
+      // one join). coalesce covers nothing in practice (every component
+      // id is present) but keeps the op total if an id-less edge slips in.
+      val next = propagated
+        .join(propagated.select(col("id").as("cid"), col("component").as("cc")),
+          col("component") === col("cid"), "left")
+        .select(col("id"), coalesce(col("cc"), col("component")).as("component"))
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .where(col("component") =!= col("old"))
