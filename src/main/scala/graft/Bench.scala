@@ -30,16 +30,18 @@ object Bench {
         val t0 = System.nanoTime()
         runOnce(name)
         times += name -> (System.nanoTime() - t0) / 1e9
-        // operators that persist() for intra-query branch reuse leave
-        // cache entries behind (caller-managed lifetime — see Dedup /
-        // Similarity scaladocs); clear AFTER the timed run so the timed
-        // run still reuses the warm-up's cache (unchanged per-query
-        // semantics) but queries never inherit each other's memory.
-        spark.catalog.clearCache()
       } catch {
         case e: Throwable =>
           errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      } finally {
+        // operators that persist() for intra-query branch reuse leave
+        // cache entries behind (caller-managed lifetime — see Dedup /
+        // Similarity scaladocs); clear AFTER the timed run — in finally,
+        // so a FAILED query's partial caches don't leak into every
+        // later query's memory — while the timed run still reuses the
+        // warm-up's cache (unchanged per-query semantics).
+        spark.catalog.clearCache()
       }
     }
     def jstr(s: String): String =

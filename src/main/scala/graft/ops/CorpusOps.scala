@@ -82,7 +82,7 @@ object CorpusOps {
         ceil((size(toks) - chunkSize).cast("double") / stride).cast("int"))
     df.where(size(toks) > 0)
       .select(col(idCol).as("doc_id"), toks.as("toks"),
-        posexplode(sequence(lit(0), nChunks - 1)).as(Seq("chunk_id", "w")))
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
       .select(col("doc_id"), col("chunk_id"),
         slice(col("toks"), col("chunk_id") * stride + 1, lit(chunkSize)).as("chunk"))
       .select(col("doc_id"), col("chunk_id"),

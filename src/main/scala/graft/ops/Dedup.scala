@@ -86,6 +86,25 @@ object Dedup {
       j => Hashes.h60(concat_ws(",",
         transform(slice(sig, j * r + 1, lit(r)), _.cast("string")))))
 
+  /** round(|a∩b| / |a∪b|, 6) over two hash-set columns — THE verify
+    * expression every MinHash-family near-dup path shares (batch self-join
+    * and incremental); one definition so a rounding/threshold change can't
+    * diverge between them.
+    */
+  private def jaccardCol(a: Column, b: Column): Column =
+    round(size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)), 6)
+
+  /** (idOut, band, bh) band-bucket relation of a hashed (`id`, `hs`)
+    * relation — the shared candidate-generation projection.
+    */
+  private def bandBuckets(hashed: DataFrame, idOut: String,
+                          k: Int, b: Int, r: Int): DataFrame =
+    hashed.select(col("id"),
+        minhashSignatureFromHashes(col("hs"), k).as("sig"))
+      .select(col("id").as(idOut),
+        posexplode(bandHashes(col("sig"), b, r)).as(Seq("band", "bh")))
+
   /** LSH candidate pairs from a [[hashedShingles]] relation: minhash the
     * hash sets, explode band hashes, self-join per (band index, band hash)
     * bucket, keep a<b, distinct. The join is hash-partitioned on the band
@@ -94,10 +113,7 @@ object Dedup {
   def candidatePairsFromHashes(hashed: DataFrame,
                                k: Int = 30, b: Int = 10, r: Int = 3): DataFrame = {
     require(b * r <= k, s"bands($b)×rows($r) exceed signature length $k")
-    val sig = hashed.select(col("id"),
-      minhashSignatureFromHashes(col("hs"), k).as("sig"))
-    val buckets = sig.select(col("id"),
-      posexplode(bandHashes(col("sig"), b, r)).as(Seq("band", "bh")))
+    val buckets = bandBuckets(hashed, "id", k, b, r)
     val a = buckets.select(col("band"), col("bh"), col("id").as("id_a"))
     val bb = buckets.select(col("band"), col("bh"), col("id").as("id_b"))
     a.join(bb, Seq("band", "bh"))
@@ -134,9 +150,7 @@ object Dedup {
       .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(hashed.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(
-          size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
-            size(array_union(col("hs_a"), col("hs_b"))), 6).as("jaccard"))
+        jaccardCol(col("hs_a"), col("hs_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -166,19 +180,15 @@ object Dedup {
                           threshold: Double,
                           k: Int = 30, b: Int = 10, r: Int = 3,
                           persistHashed: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold: $threshold")
     require(b * r <= k, s"bands($b)×rows($r) exceed signature length $k")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // both relations feed two branches (bucket join + verify join) — same
     // caller-managed persist contract as verifiedNearDupsFromHashes
     val corpusHashed = if (persistHashed) corpusHashed0.persist(lvl) else corpusHashed0
     val newHashed = if (persistHashed) newHashed0.persist(lvl) else newHashed0
-    def buckets(hashed: DataFrame, idOut: String) =
-      hashed.select(col("id"),
-          minhashSignatureFromHashes(col("hs"), k).as("sig"))
-        .select(col("id").as(idOut),
-          posexplode(bandHashes(col("sig"), b, r)).as(Seq("band", "bh")))
-    val cand = buckets(newHashed, "new_id")
-      .join(buckets(corpusHashed, "corpus_id"), Seq("band", "bh"))
+    val cand = bandBuckets(newHashed, "new_id", k, b, r)
+      .join(bandBuckets(corpusHashed, "corpus_id", k, b, r), Seq("band", "bh"))
       .select(col("new_id"), col("corpus_id"))
       .distinct()
     cand
@@ -187,9 +197,7 @@ object Dedup {
       .join(corpusHashed.select(col("id").as("corpus_id"), col("hs").as("hs_c")),
         Seq("corpus_id"))
       .select(col("new_id"), col("corpus_id"),
-        round(
-          size(array_intersect(col("hs_n"), col("hs_c"))).cast("double") /
-            size(array_union(col("hs_n"), col("hs_c"))), 6).as("jaccard"))
+        jaccardCol(col("hs_n"), col("hs_c")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -339,6 +347,25 @@ object Dedup {
     * the single-app fast path and the blocks of superseded rounds are
     * reclaimed by the context cleaner.
     */
+  /** One min-label propagation round (neighbor-min over the symmetric
+    * edge relation), pre-checkpoint. Extracted so its JOIN PLAN is
+    * directly auditable: the public loop checkpoints every round, so the
+    * frame [[connectedComponents]] returns is a LogicalRDD leaf — the
+    * per-round plans are invisible to external plan guards
+    * (PlanShapeSpec exempts q_dedup_clusters for exactly that reason and
+    * DedupSpec audits this round instead).
+    */
+  private[ops] def ccRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    // neighbor labels: for each edge (src,dst), dst's current label is a
+    // candidate for src; min over self ∪ neighbors
+    val fromNeighbors = edges
+      .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+      .select(col("src").as("id"), col("component"))
+    labels.union(fromNeighbors)
+      .groupBy(col("id"))
+      .agg(min(col("component")).as("component"))
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 20): DataFrame = {
     require(maxIters >= 1, s"maxIters: $maxIters")
@@ -355,18 +382,10 @@ object Dedup {
     var it = 0
     while (!converged && it < maxIters) {
       it += 1
-      // neighbor labels: for each edge (src,dst), dst's current label is a
-      // candidate for src; min over self ∪ neighbors
-      val fromNeighbors = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("component"))
       // materialized BEFORE the self-join below: joining a plan with an
       // un-materialized copy of itself (union + groupBy twice) trips
       // Catalyst's union-constraint attribute rewrite under AQE
-      val propagated = labels.union(fromNeighbors)
-        .groupBy(col("id"))
-        .agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
+      val propagated = ccRound(edges, labels).localCheckpoint(true)
       // pointer jumping: label(x) ← label(label(x)). Every label value is
       // itself a node id (it's some node's running min), so the self-join
       // resolves one more indirection — propagation distance DOUBLES per

@@ -25,19 +25,30 @@ import graft.ops.TextAnalysis
 object DocStream {
 
   /** First-seen document per content fingerprint within `horizon` of
-    * ingest time. Works identically on a batch frame (watermark is a
-    * no-op there) — the batch-equivalence lever the specs use.
+    * ingest time. Works identically on a batch frame (where the dedup is
+    * global) — the batch-equivalence lever the specs use.
+    *
+    * `dropDuplicatesWithinWatermark`, NOT plain `dropDuplicates`: with
+    * keys = [fp] the event-time column is not part of the dedup key, so
+    * plain `dropDuplicates` would never attach the watermark eviction
+    * predicate to its state — the seen-set would grow forever and
+    * cross-horizon duplicates would still be suppressed, i.e. the
+    * documented bounded-horizon contract would silently not exist (the
+    * exact gap `dropDuplicatesWithinWatermark` was added to close).
     *
     * @param tsCol ingest-time TIMESTAMP column (event time for the
     *              watermark — TIMESTAMP_NTZ is rejected by Spark).
     */
   def firstSeenDocs(docs: DataFrame, tsCol: String,
                     textCol: String = "text",
-                    horizon: String = "1 hour"): DataFrame =
-    docs
+                    horizon: String = "1 hour"): DataFrame = {
+    val fingerprinted = docs
       .withColumn("fp", TextAnalysis.contentFingerprint(col(textCol)))
-      .withWatermark(tsCol, horizon)
-      .dropDuplicates("fp")
+    if (docs.isStreaming)
+      fingerprinted.withWatermark(tsCol, horizon)
+        .dropDuplicatesWithinWatermark("fp")
+    else fingerprinted.dropDuplicates("fp")
+  }
 
   /** Per-micro-batch ingest statistics: docs seen and distinct
     * fingerprints per tumbling ingest-time window — the monitoring

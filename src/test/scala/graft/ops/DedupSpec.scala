@@ -185,6 +185,41 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("ccRound plan stays keyed — the per-round audit PlanShapeSpec can't see") {
+    // connectedComponents checkpoints every round, so q_dedup_clusters'
+    // returned plan is a LogicalRDD leaf and the global plan guard sees
+    // nothing (PlanShapeSpec exempts it); audit the propagation round's
+    // REAL join plan here instead, plus the pointer-jump self-join shape
+    def nodes(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+        val self = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case other => Seq(other.nodeName)
+        }
+        self ++ p.children.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    def assertKeyed(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val bad = nodes(df).filter(n =>
+        n.contains("CartesianProduct") || n.contains("BroadcastNestedLoopJoin"))
+      assert(bad.isEmpty, s"$what plans an unkeyed join: $bad")
+    }
+    val pairs = (0L until 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+    assertKeyed(Dedup.ccRound(edges, labels), "propagation round")
+    // pointer jump: equi-join of the (materialized) label relation with a
+    // relabeled copy of itself — keyed by construction, asserted anyway
+    val mat = labels.localCheckpoint(true)
+    val jump = mat.join(
+      mat.select(col("id").as("cid"), col("component").as("cc")),
+      col("component") === col("cid"), "left")
+    assertKeyed(jump, "pointer-jump join")
+  }
+
   test("simhashNearDupPairs (pigeonhole blocking) equals the all-pairs search") {
     val rnd = new scala.util.Random(11)
     // clustered fingerprints: 20 seeds, each with variants 0-4 bit flips

@@ -42,7 +42,8 @@ class DocStreamSpec extends SparkSpec {
   private def runStream(df: DataFrame, mode: String, name: String): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(120000),
+      s"stream '$name' did not terminate in time — memory table is partial")
     spark.table(name)
   }
 

@@ -46,7 +46,7 @@ class EventsStreamSpec extends SparkSpec {
   private def runStream(df: DataFrame, mode: String, name: String): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(120000), "stream did not terminate in time")
     spark.table(name)
   }
 
@@ -145,7 +145,7 @@ class EventsStreamSpec extends SparkSpec {
         .writeStream.format("parquet").outputMode("append")
         .option("checkpointLocation", ckpt).option("path", outDir)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(60000)
+      assert(q.awaitTermination(120000), "stream did not terminate in time")
     }
     addFile("01:00", 0 until 5, "f1.parquet"); runOneBatch()
     addFile("05:00", 5 until 10, "f2.parquet"); runOneBatch()
@@ -220,7 +220,7 @@ class EventsStreamSpec extends SparkSpec {
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(120000), "stream did not terminate in time")
     val expected = batchEvents.select("event_id").as[Long].collect()
     // dup event_ids exist in the fixture: every ROW arrives exactly once,
     // so per-id counts equal the batch frame's value_counts
