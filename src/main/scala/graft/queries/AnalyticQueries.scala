@@ -84,6 +84,49 @@ object AnalyticQueries {
           col("n_events"))
         .orderBy("user_id", "session_start")),
 
+    // ── Ordered funnel: signup → first later click → first later purchase
+    // Per-user staged conversion — the event-sequencing query a product
+    // warehouse runs constantly. Two conditional-min aggregations chained
+    // through left joins (each stage's timestamp must be strictly after
+    // the previous stage's); stage = how far the user got (1–3).
+    "q_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val su = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"))
+      val c = su.join(clicks, Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("signup_ts"))
+        .agg(min(when(col("cts") > col("signup_ts"), col("cts"))).as("click_ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"))
+      c.join(purchases, Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("signup_ts"), col("click_ts"))
+        .agg(min(when(col("pts") > col("click_ts"), col("pts"))).as("purchase_ts"))
+        .select(col("user_id"), col("signup_ts"), col("click_ts"),
+          col("purchase_ts"),
+          (lit(1) + when(col("click_ts").isNotNull, 1).otherwise(0)
+            + when(col("purchase_ts").isNotNull, 1).otherwise(0)).as("stage"))
+        .orderBy("user_id")
+    }),
+
+    // ── Weekly cohort retention matrix ──────────────────────────────────
+    // cohort week (user's first event) × activity week → distinct users:
+    // the classic retention triangle. Two aggregations + one keyed join.
+    "q_cohort" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val first = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).cast("timestamp_ntz")
+          .as("cohort_week"))
+      val act = ev.select(col("user_id"),
+          date_trunc("week", col("ts")).cast("timestamp_ntz").as("week"))
+        .distinct()
+      first.join(act, Seq("user_id"))
+        .groupBy(col("cohort_week"), col("week"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week")
+    }),
+
     // ── JSON (get_json_object + from_json) ──────────────────────────────
     "q_events_props" -> ((s, dir) =>
       t(s, dir, "events")
@@ -186,6 +229,37 @@ object AnalyticQueries {
            count(*) AS n_events
          FROM y GROUP BY user_id, sid
          ORDER BY user_id, session_start""",
+    "q_funnel" ->
+      """WITH su AS (
+           SELECT user_id, min(ts) AS signup_ts FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         c AS (
+           SELECT su.user_id, su.signup_ts,
+             min(CASE WHEN e.ts > su.signup_ts THEN e.ts END) AS click_ts
+           FROM su LEFT JOIN events e
+             ON e.user_id = su.user_id AND e.event_type = 'click'
+           GROUP BY 1, 2),
+         p AS (
+           SELECT c.user_id, c.signup_ts, c.click_ts,
+             min(CASE WHEN e.ts > c.click_ts THEN e.ts END) AS purchase_ts
+           FROM c LEFT JOIN events e
+             ON e.user_id = c.user_id AND e.event_type = 'purchase'
+           GROUP BY 1, 2, 3)
+         SELECT user_id, signup_ts, click_ts, purchase_ts,
+           1 + CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END AS stage
+         FROM p ORDER BY user_id""",
+    "q_cohort" ->
+      """WITH f AS (
+           SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+           FROM events GROUP BY 1),
+         a AS (
+           SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+           FROM events)
+         SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(a.week AS TIMESTAMP) AS week, count(*) AS n_users
+         FROM f JOIN a ON f.user_id = a.user_id
+         GROUP BY 1, 2 ORDER BY cohort_week, week""",
     "q_events_props" ->
       s"""SELECT CAST(json_extract_string(props, '$$.k') AS INT) AS k_path,
             CAST(json_extract_string(props, '$$.k') AS INT) AS k_struct,
