@@ -41,8 +41,8 @@ object SparkEntry {
       ExtensionQueries.oracles
 
   /** Queries Bench times — currently ALL of them, in stable name order:
-    * after the round-3 optimization pass the full 57-query sweep runs in
-    * ~38 s at sf0.1 (see BASELINE.md for the recorded gate number). Trim
-    * to a representative list only if the total outgrows minutes-scale. */
+    * the full 71-query sweep runs in ~45-50 s at sf0.1 (see BASELINE.md
+    * for the recorded gate number and run-variance note). Trim to a
+    * representative list only if the total outgrows minutes-scale. */
   def benchQueries: Seq[String] = queries.keys.toSeq.sorted
 }
