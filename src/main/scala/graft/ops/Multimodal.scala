@@ -51,6 +51,40 @@ object Multimodal {
   def withPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), encode(col(textCol), "UTF-8").as("payload"))
 
+  /** Deterministic frame-sampling PLAN over binary payloads — the video
+    * analogue of the decode stage's batching: the payload is modeled as
+    * consecutive `frameSize`-byte frames, every `stride`-th frame is
+    * selected up to `maxFrames` per item, and each selected window is cut
+    * out with substring so a downstream batched decoder receives only the
+    * sampled bytes, never the whole payload (the I/O point of frame
+    * sampling). Pure column arithmetic + a generate — narrow, no shuffle,
+    * no decode dependency, so the sampling plan itself is oracle-checkable
+    * (q_frames) even though real frame decode is stubbed in this
+    * environment. frame_md5 proves the offsets select the real bytes.
+    */
+  def sampleFrames(payloads: DataFrame, frameSize: Int, stride: Int,
+                   maxFrames: Int): DataFrame = {
+    require(frameSize >= 1, s"frameSize: $frameSize")
+    require(stride >= 1, s"stride: $stride")
+    require(maxFrames >= 1, s"maxFrames: $maxFrames")
+    val len = length(col("payload"))
+    val total = ceil(len.cast("double") / frameSize).cast("int")
+    val nSel = least(ceil(total.cast("double") / stride).cast("int"),
+      lit(maxFrames))
+    payloads
+      .where(len > 0)
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0), nSel - 1)).as("s"))
+      .select(col("doc_id"), col("payload"),
+        (col("s") * stride).cast("int").as("frame_idx"),
+        (col("s") * stride * frameSize).cast("int").as("byte_offset"))
+      .select(col("doc_id"), col("frame_idx"), col("byte_offset"),
+        least(lit(frameSize), length(col("payload")) - col("byte_offset"))
+          .cast("int").as("n_bytes"),
+        md5(col("payload").substr(col("byte_offset") + 1, lit(frameSize)))
+          .as("frame_md5"))
+  }
+
   /** Batched decode over partitions: the production plumbing. Batch size
     * bounds peak memory per task and gives a real decoder its
     * amortization unit; partition-local, so the stage is narrow and scales

@@ -32,6 +32,18 @@ object ExtensionQueries {
           md5(col("payload")).as("payload_md5"),
           lower(substring(hex(col("payload")), 1, 8)).as("header_hex"))
         .orderBy("doc_id")),
+
+    // Frame-sampling plan: 64-byte "frames", every 2nd sampled, ≤4 per
+    // item; frame_md5 proves the byte windows are the real payload bytes
+    // (fixture text is ASCII, so the oracle's string substr sees the same
+    // bytes the engine's binary substr does).
+    "q_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.withPayload(
+            Tables.table(s, dir, "documents").where(col("doc_id") < 100),
+            "doc_id", "text"),
+          frameSize = 64, stride = 2, maxFrames = 4)
+        .orderBy("doc_id", "frame_idx")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -47,5 +59,27 @@ object ExtensionQueries {
             md5(text) AS payload_md5,
             lower(substr(hex(encode(text)), 1, 8)) AS header_hex
          FROM documents ORDER BY doc_id""",
+    "q_frames" ->
+      """WITH t AS (
+           SELECT doc_id, text, length(text) AS len FROM documents
+           WHERE doc_id < 100 AND length(text) > 0),
+         n AS (
+           SELECT doc_id, text, len,
+             CAST(ceil(CAST(len AS DOUBLE) / 64) AS INT) AS total
+           FROM t),
+         sel AS (
+           SELECT doc_id, text, len,
+             least(CAST(ceil(CAST(total AS DOUBLE) / 2) AS INT), 4) AS nsel
+           FROM n),
+         g AS (
+           SELECT doc_id, text, len,
+             unnest(generate_series(0, nsel - 1)) AS s
+           FROM sel)
+         SELECT doc_id,
+           CAST(s * 2 AS INT) AS frame_idx,
+           CAST(s * 2 * 64 AS INT) AS byte_offset,
+           CAST(least(64, len - s * 2 * 64) AS INT) AS n_bytes,
+           md5(substr(text, CAST(s * 2 * 64 + 1 AS INT), 64)) AS frame_md5
+         FROM g ORDER BY doc_id, frame_idx""",
   )
 }
