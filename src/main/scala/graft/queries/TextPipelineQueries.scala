@@ -369,6 +369,36 @@ object TextPipelineQueries {
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
         .orderBy("doc_id")),
 
+    // ── Curation → training sequences, end to end ───────────────────────
+    // The OTHER composed pipeline (q_curate stops at the curated doc set):
+    // quality gate → exact-dedup keeper → overlapping chunking → greedy
+    // packing, ending in per-(lang, pack) sequence stats — i.e. the full
+    // path from raw corpus to context-window training batches, each stage
+    // one of the independently-gated operators, replayed relationally by
+    // the oracle end to end.
+    "q_assemble" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("quality", TextAnalysis.qualityScore(
+          TextAnalysis.qualityFeatures(col("text"))))
+        .withColumn("fp", TextAnalysis.contentFingerprint(col("text")))
+      val keeper = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      val kept = d.withColumn("fp_keeper", min(col("doc_id")).over(keeper))
+        .where(col("doc_id") === col("fp_keeper") && col("quality") >= 0.4)
+        .select(col("doc_id"), col("lang"), col("toks"))
+      val chunks = CorpusOps.chunkTokens(kept, "doc_id", "toks",
+          chunkSize = 64, overlap = 16)
+        .join(kept.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        // unique within-language order key: chunk_id < 100 per doc here
+        .withColumn("ord", col("doc_id") * 100 + col("chunk_id"))
+      CorpusOps.packByBudget(chunks, "lang", "ord", "n_tokens", budget = 256)
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).cast("long").as("pack_tokens"),
+          min(col("ord")).as("first_ord"))
+        .orderBy("lang", "pack_id")
+    }),
+
     // ── Dataset card: per-language corpus summary ───────────────────────
     "q_dataset_card" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -711,6 +741,50 @@ object TextPipelineQueries {
                  WHEN lang = 'de' THEN 2500
                  ELSE 1000 END
           ORDER BY doc_id""",
+    "q_assemble" -> {
+      val norm = s"trim(regexp_replace(lower(text), '$Re', ' ', 'g'))"
+      s"""WITH d0 AS (
+            SELECT doc_id, lang, text, $ToksSql AS toks,
+              CAST(len($ToksSql) AS INT) AS n_tokens,
+              CAST(length(text) AS INT) AS n_chars,
+              CAST(length(text) - length(regexp_replace(text, '[!-/:-@[-`{-~]', '', 'g')) AS INT) AS punct,
+              CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS digits
+            FROM documents),
+          scored AS (
+            SELECT doc_id, lang, text, toks, $QualityScoreSql AS q FROM d0),
+          norm AS (
+            SELECT doc_id, lang, toks, q, ${h60(norm)} AS fp FROM scored),
+          kept AS (
+            SELECT doc_id, lang, toks FROM (
+              SELECT *, min(doc_id) OVER (PARTITION BY fp) AS fk FROM norm)
+            WHERE doc_id = fk AND q >= 0.4),
+          chn AS (
+            SELECT doc_id, lang, toks,
+              CASE WHEN len(toks) <= 64 THEN 1
+                   ELSE 1 + CAST(ceil(CAST(len(toks) - 64 AS DOUBLE) / 48)
+                                 AS INT)
+              END AS nch
+            FROM kept WHERE len(toks) > 0),
+          g AS (
+            SELECT doc_id, lang, toks,
+              unnest(generate_series(1, nch)) AS i
+            FROM chn),
+          chunks AS (
+            SELECT doc_id, lang,
+              CAST(len(toks[(i - 1) * 48 + 1 : (i - 1) * 48 + 64]) AS INT)
+                AS n_tokens,
+              doc_id * 100 + (i - 1) AS ord
+            FROM g),
+          packed AS (
+            SELECT lang, ord, n_tokens,
+              CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY ord
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 256.0) AS BIGINT) AS pack_id
+            FROM chunks)
+          SELECT lang, pack_id, count(*) AS n_chunks,
+            SUM(n_tokens)::BIGINT AS pack_tokens, min(ord) AS first_ord
+          FROM packed GROUP BY 1, 2 ORDER BY lang, pack_id"""
+    },
     "q_pack" ->
       s"""WITH d AS (
             SELECT doc_id, lang, CAST(len($ToksSql) AS INT) AS n_tokens
