@@ -85,6 +85,26 @@ object Multimodal {
           .as("frame_md5"))
   }
 
+  /** Deterministic byte-stride downsample — the "resize" stand-in of the
+    * multimodal quartet (decode / feature-extract / resize / frame-sample):
+    * every `stride`-th byte of the payload, in order, as a new binary —
+    * the 1-D shape of an image stride-subsample or audio decimation. A
+    * real resample belongs in the decoder stage (codecs aren't in this
+    * environment); what Spark owns — and what this expresses — is the
+    * SELECTION plan and its verifiable output, as a narrow fold over the
+    * payload (no UDF, no shuffle). Output length = ⌈len/stride⌉.
+    */
+  def stridedDownsample(payload: org.apache.spark.sql.Column,
+                        stride: Int): org.apache.spark.sql.Column = {
+    require(stride >= 1, s"stride: $stride")
+    val len = length(payload)
+    val nOut = ceil(len.cast("double") / stride).cast("int")
+    aggregate(
+      sequence(lit(0), nOut - 1),
+      lit(Array.emptyByteArray),
+      (acc, i) => concat(acc, payload.substr(i * stride + 1, lit(1))))
+  }
+
   /** Batched decode over partitions: the production plumbing. Batch size
     * bounds peak memory per task and gives a real decoder its
     * amortization unit; partition-local, so the stage is narrow and scales

@@ -33,6 +33,19 @@ object ExtensionQueries {
           lower(substring(hex(col("payload")), 1, 8)).as("header_hex"))
         .orderBy("doc_id")),
 
+    // Byte-stride downsample ("resize" stand-in): every 4th byte; the
+    // output length and md5 prove the selection picked exactly the right
+    // bytes (ASCII fixture — string-side oracle sees the same bytes).
+    "q_resize" -> ((s, dir) =>
+      Multimodal.withPayload(
+          Tables.table(s, dir, "documents").where(col("doc_id") < 100),
+          "doc_id", "text")
+        .select(col("doc_id"),
+          length(col("payload")).as("orig_bytes"),
+          length(Multimodal.stridedDownsample(col("payload"), 4)).as("out_bytes"),
+          md5(Multimodal.stridedDownsample(col("payload"), 4)).as("resized_md5"))
+        .orderBy("doc_id")),
+
     // Frame-sampling plan: 64-byte "frames", every 2nd sampled, ≤4 per
     // item; frame_md5 proves the byte windows are the real payload bytes
     // (fixture text is ASCII, so the oracle's string substr sees the same
@@ -59,6 +72,20 @@ object ExtensionQueries {
             md5(text) AS payload_md5,
             lower(substr(hex(encode(text)), 1, 8)) AS header_hex
          FROM documents ORDER BY doc_id""",
+    "q_resize" ->
+      """WITH t AS (
+           SELECT doc_id, text, length(text) AS len FROM documents
+           WHERE doc_id < 100),
+         r AS (
+           SELECT doc_id, len,
+             array_to_string(list_transform(
+               generate_series(0, CAST(ceil(CAST(len AS DOUBLE) / 4) AS INT) - 1),
+               i -> substr(text, i * 4 + 1, 1)), '') AS resized
+           FROM t)
+         SELECT doc_id, CAST(len AS INT) AS orig_bytes,
+           CAST(length(resized) AS INT) AS out_bytes,
+           md5(resized) AS resized_md5
+         FROM r ORDER BY doc_id""",
     "q_frames" ->
       """WITH t AS (
            SELECT doc_id, text, length(text) AS len FROM documents
