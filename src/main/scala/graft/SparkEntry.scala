@@ -40,9 +40,10 @@ object SparkEntry {
       SimilarityQueries.oracles ++
       ExtensionQueries.oracles
 
-  /** Queries Bench times — currently ALL of them, in stable name order:
-    * the full 71-query sweep runs in ~45-50 s at sf0.1 (see BASELINE.md
-    * for the recorded gate number and run-variance note). Trim to a
-    * representative list only if the total outgrows minutes-scale. */
+  /** Queries Bench times — currently ALL of them, in stable name order
+    * (see BASELINE.md for the recorded full-sweep gate number and the
+    * run-variance note; don't restate the count or seconds here, they
+    * change every round). Trim to a representative list only if the
+    * total outgrows minutes-scale. */
   def benchQueries: Seq[String] = queries.keys.toSeq.sorted
 }

@@ -68,12 +68,14 @@ object CorpusOps {
     * one chunk; empty-token docs yield none.
     */
   def chunkTokens(df: DataFrame, idCol: String, toksCol: String,
-                  chunkSize: Int, overlap: Int): DataFrame = {
+                  chunkSize: Int, overlap: Int,
+                  carryCols: Seq[String] = Nil): DataFrame = {
     require(chunkSize >= 1, s"chunkSize: $chunkSize")
     require(overlap >= 0 && overlap < chunkSize,
       s"overlap $overlap must be in [0, chunkSize)")
     val stride = chunkSize - overlap
     val toks = col(toksCol)
+    val carried = carryCols.map(col)
     // number of windows: 1 + ⌈max(len − chunkSize, 0) / stride⌉ — the
     // last window starts at the largest multiple of stride < len that
     // still adds unseen tokens
@@ -81,13 +83,14 @@ object CorpusOps {
       .otherwise(lit(1) +
         ceil((size(toks) - chunkSize).cast("double") / stride).cast("int"))
     df.where(size(toks) > 0)
-      .select(col(idCol).as("doc_id"), toks.as("toks"),
-        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
-      .select(col("doc_id"), col("chunk_id"),
-        slice(col("toks"), col("chunk_id") * stride + 1, lit(chunkSize)).as("chunk"))
-      .select(col("doc_id"), col("chunk_id"),
-        size(col("chunk")).as("n_tokens"),
-        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .select(col(idCol).as("doc_id") +: toks.as("toks") +:
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id") +: carried: _*)
+      .select(col("doc_id") +: col("chunk_id") +:
+        slice(col("toks"), col("chunk_id") * stride + 1, lit(chunkSize)).as("chunk")
+        +: carried: _*)
+      .select(col("doc_id") +: col("chunk_id") +:
+        size(col("chunk")).as("n_tokens") +:
+        concat_ws(" ", col("chunk")).as("chunk_text") +: carried: _*)
   }
 
   /** Greedy sequence packing: within each `partitionCol` group, documents

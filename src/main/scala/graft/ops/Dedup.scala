@@ -325,19 +325,20 @@ object Dedup {
     * relation; output: (id, component) for every endpoint, component =
     * min id reachable.
     *
-    * Min-label propagation: every node starts labeled with itself; each
-    * round every node takes the min of its own and its neighbors' labels;
-    * fixpoint when a round changes nothing. Each round is one hash join
-    * (edges ⋈ labels) + one aggregation — all distributed; the driver
-    * loop only evaluates the scalar changed-count, the standard
+    * Min-label propagation WITH pointer jumping: every node starts
+    * labeled with itself; each round every node takes the min of its own
+    * and its neighbors' labels and then resolves one extra indirection
+    * (label(x) ← label(label(x)) — the Hash-to-Min/star-contraction idea
+    * in one join), so propagation distance doubles per round and the
+    * loop converges in O(log diameter) rounds, not O(diameter). Each
+    * round is two hash joins + one aggregation — all distributed; the
+    * driver loop only evaluates the scalar changed-count, the standard
     * iterate-to-convergence shape (same driver posture as
-    * [[Similarity.kmeansCentroids]]'s bounded Lloyd loop). Rounds needed
-    * = graph diameter: near-dup components are overlap cliques with tiny
-    * diameters (2–4 typ.), so the loop is short; for adversarial
-    * long-chain graphs production systems switch to the alternating
-    * large-star/small-star contraction (O(log n) rounds) — this operator
-    * documents that boundary rather than hiding it ([[maxIters]] guard
-    * throws instead of returning a half-converged clustering).
+    * [[Similarity.kmeansCentroids]]'s bounded Lloyd loop). Near-dup
+    * components are overlap cliques with tiny diameters (2–4 typ.), so
+    * the loop is a handful of rounds even on chain-shaped graphs; the
+    * `maxIters` guard throws instead of returning a half-converged
+    * clustering.
     *
     * The label relation is `localCheckpoint`ed each round — `persist`
     * alone does NOT cut logical-plan lineage, so without the checkpoint

@@ -40,10 +40,16 @@ object ExtensionQueries {
       Multimodal.withPayload(
           Tables.table(s, dir, "documents").where(col("doc_id") < 100),
           "doc_id", "text")
+        // materialize the downsample ONCE: it's an aggregate-HOF fold, and
+        // Catalyst neither CSEs across lambda bodies nor codegens HOFs —
+        // inlining it at both use sites would run the O(len) fold twice
+        // per row (the q_redact duplication class)
+        .select(col("doc_id"), col("payload"),
+          Multimodal.stridedDownsample(col("payload"), 4).as("resized"))
         .select(col("doc_id"),
           length(col("payload")).as("orig_bytes"),
-          length(Multimodal.stridedDownsample(col("payload"), 4)).as("out_bytes"),
-          md5(Multimodal.stridedDownsample(col("payload"), 4)).as("resized_md5"))
+          length(col("resized")).as("out_bytes"),
+          md5(col("resized")).as("resized_md5"))
         .orderBy("doc_id")),
 
     // Frame-sampling plan: 64-byte "frames", every 2nd sampled, ≤4 per

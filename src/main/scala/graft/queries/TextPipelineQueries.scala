@@ -205,8 +205,9 @@ object TextPipelineQueries {
           threshold = 0.8)
         .select(col("id_a"), col("id_b"))
       // doc_id < 500 caps the chain at 6 nodes at ANY scale factor —
-      // min-propagation rounds = chain diameter, so an unbounded chain
-      // would grow rounds with corpus size (49 at sf0.1: past maxIters)
+      // propagation rounds grow with chain diameter (O(log d) with the
+      // loop's pointer jumping, but still data-dependent), so an
+      // unbounded chain would tie round count to corpus size
       val chain = d.where(pmod(col("doc_id"), lit(100)) === 0 &&
           col("doc_id") < 500)
         .select(col("doc_id").as("id_a"), (col("doc_id") + 100).as("id_b"))
@@ -386,11 +387,16 @@ object TextPipelineQueries {
       val kept = d.withColumn("fp_keeper", min(col("doc_id")).over(keeper))
         .where(col("doc_id") === col("fp_keeper") && col("quality") >= 0.4)
         .select(col("doc_id"), col("lang"), col("toks"))
+      // lang rides through chunkTokens (carryCols) — a re-join against
+      // `kept` would recompute the whole tokenize+quality+fp pipeline for
+      // the second plan branch (no automatic branch reuse in Spark).
+      // ord multiplier 1e6: a collision would need a single doc yielding
+      // ≥10⁶ chunks (≈48M tokens at stride 48) — far beyond any document;
+      // a collision would make the pack cumsum tie-order-dependent, so
+      // the margin is deliberately absurd rather than merely comfortable.
       val chunks = CorpusOps.chunkTokens(kept, "doc_id", "toks",
-          chunkSize = 64, overlap = 16)
-        .join(kept.select(col("doc_id"), col("lang")), Seq("doc_id"))
-        // unique within-language order key: chunk_id < 100 per doc here
-        .withColumn("ord", col("doc_id") * 100 + col("chunk_id"))
+          chunkSize = 64, overlap = 16, carryCols = Seq("lang"))
+        .withColumn("ord", col("doc_id") * 1000000L + col("chunk_id"))
       CorpusOps.packByBudget(chunks, "lang", "ord", "n_tokens", budget = 256)
         .groupBy(col("lang"), col("pack_id"))
         .agg(count(lit(1)).as("n_chunks"),
@@ -773,7 +779,7 @@ object TextPipelineQueries {
             SELECT doc_id, lang,
               CAST(len(toks[(i - 1) * 48 + 1 : (i - 1) * 48 + 64]) AS INT)
                 AS n_tokens,
-              doc_id * 100 + (i - 1) AS ord
+              doc_id * 1000000 + (i - 1) AS ord
             FROM g),
           packed AS (
             SELECT lang, ord, n_tokens,

@@ -37,14 +37,10 @@ class PlanShapeSpec extends SparkSpec {
     "q_kmeans_assign" -> "seed collection is orderBy.limit(8); assignment itself is a narrow projection",
     "q_tfidf" -> "crossJoin of the single-row corpus-size aggregate (broadcast, one row)")
 
-  private def collectNodes(plan: SparkPlan): Seq[SparkPlan] = {
-    val self = plan match {
-      case a: AdaptiveSparkPlanExec => collectNodes(a.executedPlan)
-      case p => Seq(p)
-    }
-    self ++ plan.children.flatMap(collectNodes) ++
-      plan.subqueries.flatMap(collectNodes)
-  }
+  // the AQE-aware walker lives on SparkSpec (collectPlanNodes) so DedupSpec's
+  // ccRound audit and this guard can never drift apart
+  private def collectNodes(plan: SparkPlan): Seq[SparkPlan] =
+    collectPlanNodes(plan)
 
   test("no gated query plans a cartesian/broadcast-nested-loop join off-allowlist") {
     assumeFixtures()

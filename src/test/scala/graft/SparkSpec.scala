@@ -30,4 +30,30 @@ abstract class SparkSpec extends AnyFunSuite {
   def writeFile(dir: java.nio.file.Path, name: String, content: String): Unit =
     java.nio.file.Files.write(dir.resolve(name),
       content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Every physical node of an executed plan, unwrapping AQE and
+    * recursing into subqueries — THE shared walker for plan-shape
+    * assertions (TreeNode.collect treats AdaptiveSparkPlanExec as a leaf
+    * and silently finds nothing under AQE; a per-suite copy of this
+    * walker once dropped the subquery recursion — keep one definition).
+    */
+  def collectPlanNodes(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val self = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectPlanNodes(a.executedPlan)
+      case p => Seq(p)
+    }
+    self ++ plan.children.flatMap(collectPlanNodes) ++
+      plan.subqueries.flatMap(collectPlanNodes)
+  }
+
+  /** Assert a frame's executed plan contains no cartesian product or
+    * broadcast-nested-loop join. */
+  def assertKeyedJoins(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+    val bad = collectPlanNodes(df.queryExecution.executedPlan)
+      .map(_.nodeName).filter(n =>
+        n.contains("CartesianProduct") || n.contains("BroadcastNestedLoopJoin"))
+    assert(bad.isEmpty, s"$what plans an unkeyed join: $bad")
+  }
 }

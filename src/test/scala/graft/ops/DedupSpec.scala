@@ -189,23 +189,10 @@ class DedupSpec extends SparkSpec {
     // connectedComponents checkpoints every round, so q_dedup_clusters'
     // returned plan is a LogicalRDD leaf and the global plan guard sees
     // nothing (PlanShapeSpec exempts it); audit the propagation round's
-    // REAL join plan here instead, plus the pointer-jump self-join shape
-    def nodes(df: org.apache.spark.sql.DataFrame): Seq[String] = {
-      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
-        val self = p match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            walk(a.executedPlan)
-          case other => Seq(other.nodeName)
-        }
-        self ++ p.children.flatMap(walk)
-      }
-      walk(df.queryExecution.executedPlan)
-    }
-    def assertKeyed(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
-      val bad = nodes(df).filter(n =>
-        n.contains("CartesianProduct") || n.contains("BroadcastNestedLoopJoin"))
-      assert(bad.isEmpty, s"$what plans an unkeyed join: $bad")
-    }
+    // REAL join plan here instead, plus the pointer-jump self-join shape —
+    // via the SAME shared walker PlanShapeSpec uses (SparkSpec.assertKeyedJoins)
+    def assertKeyed(df: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assertKeyedJoins(df, what)
     val pairs = (0L until 6L).map(i => (i, i + 1)).toDF("src", "dst")
     val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
     val labels = edges.select(col("src").as("id")).distinct()
