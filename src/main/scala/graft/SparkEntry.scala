@@ -27,6 +27,7 @@ object SparkEntry {
       AnalyticQueries.queries ++
       TextPipelineQueries.queries ++
       SimilarityQueries.queries ++
+      CorpusStatsQueries.queries ++
       ExtensionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,6 +39,7 @@ object SparkEntry {
       AnalyticQueries.oracles ++
       TextPipelineQueries.oracles ++
       SimilarityQueries.oracles ++
+      CorpusStatsQueries.oracles ++
       ExtensionQueries.oracles
 
   /** Queries Bench times — currently ALL of them, in stable name order

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level language-model statistics — the operators a training-data
+  * pipeline runs between curation and tokenizer/model training: unigram
+  * LM scoring (the classic perplexity-proxy quality signal), PMI
+  * collocation mining, vocabulary-coverage curves (the tokenizer-design
+  * input), per-document token entropy, and temperature-scaled mixture
+  * weights (the data-recipe knob).
+  *
+  * Numeric contract (shared with the DuckDB oracles): every `ln`/`sqrt`
+  * is rounded to 6 decimals BEFORE any aggregation or ranking, every sum
+  * of rounded doubles accumulates in DECIMAL so the result is independent
+  * of partitioning and shuffle order, and divisions happen in double
+  * (never decimal ÷ decimal — the two engines' decimal scale rules
+  * differ). Integer counts stay exact longs end to end.
+  *
+  * Scale posture: all inputs arrive as an exploded `(doc, token)` stream;
+  * every operator below is one or two hash aggregations plus (at most)
+  * a join against a vocabulary-sized relation. Global windows appear
+  * only AFTER a top-k contraction (`orderBy.limit(k)` →
+  * `TakeOrderedAndProject`) or over per-group aggregates with
+  * group-count cardinality, never over row-scale data.
+  */
+object CorpusStats {
+
+  private val Dec = "decimal(28,10)"
+
+  /** Exploded `(doc_id, tok)` stream from a tokens-array column — the
+    * shared input shape for the per-token operators. */
+  def tokenStream(docs: DataFrame, idCol: String, toksCol: Column): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(toksCol).as("tok"))
+
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram LM — the cheap perplexity proxy used to score documents
+    * before a real LM is available. p(t) = count(t) / Σcounts, scored as
+    * mean over the document's token stream of round(ln p(t), 6).
+    *
+    * Plan: one hash agg builds the unigram table, one hash agg scores —
+    * the token→frequency join BROADCASTs the vocabulary (Heaps' law:
+    * vocab grows ~√corpus, so at 100 TB it is still ≪ executor memory
+    * after any sane frequency floor; drop the hint and let the hash join
+    * + AQE skew handling take over if an uncapped vocab outgrows it).
+    */
+  def unigramLogProb(tok: DataFrame): DataFrame = {
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum(col("c")).cast("long").as("n_total"))
+    tok.join(broadcast(freq), Seq("tok"))
+      .crossJoin(broadcast(tot)) // 1-row global total
+      .select(col("doc_id"),
+        round(log(col("c") / col("n_total")), 6).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lp").cast(Dec)).cast("double") / count(lit(1)), 6)
+          .as("mean_logprob"))
+  }
+
+  /** Top-k bigram collocations by pointwise mutual information:
+    * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) over the bigram
+    * stream and p(·) over the unigram stream, restricted to bigrams with
+    * count ≥ `minCount` (PMI is noise at low counts). Rank is over the
+    * ROUNDED score, ties by bigram text — engine-portable.
+    *
+    * The candidate set after the minCount floor is vocabulary²-bounded
+    * but in practice tiny (Zipf: almost no bigram type clears a real
+    * floor), and the final ranking is a `TakeOrderedAndProject` — the
+    * global row_number window only ever sees the k survivors.
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String, toksCol: Column,
+                      minCount: Long, k: Int): DataFrame = {
+    val toks = toksCol
+    // sequence(1, n-1) DESCENDS for n = 0 — guard empty/1-token docs
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bg = docs.select(explode(bigrams).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    val uni = tokenStream(docs, idCol, toks)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nUni = uni.agg(sum(col("c")).cast("long").as("n_uni"))
+    val nBig = docs.select(
+        greatest(size(toks) - 1, lit(0)).cast("long").as("nb"))
+      .agg(sum(col("nb")).as("n_big"))
+    val scored = bg
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c_a"))), Seq("w1"))
+      .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c_b"))), Seq("w2"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBig))
+      .select(col("bg"), col("c_ab"),
+        round(log((col("c_ab") / col("n_big"))
+          / ((col("c_a") / col("n_uni")) * (col("c_b") / col("n_uni")))), 6)
+          .as("pmi"))
+    // top-k contraction FIRST (TakeOrderedAndProject), then rank the k
+    // survivors — the global window never sees the full bigram table
+    val top = scored.orderBy(desc("pmi"), asc("bg")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(desc("pmi"), asc("bg"))).cast("int"))
+      .select(col("rank"), col("bg"), col("c_ab"), col("pmi"))
+  }
+
+  /** Vocabulary-coverage curve: the `k` most frequent tokens (ties by
+    * token text) with the cumulative fraction of the corpus token stream
+    * they cover — the input to tokenizer/vocab-size decisions.
+    *
+    * The `orderBy.limit(k)` contraction is a `TakeOrderedAndProject`
+    * (per-partition top-k, no global sort); the cumulative window then
+    * runs over exactly k rows.
+    */
+  def vocabCoverage(tok: DataFrame, k: Int): DataFrame = {
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum(col("c")).cast("long").as("n_total"))
+    val ord = Window.orderBy(desc("c"), asc("tok"))
+    freq.orderBy(desc("c"), asc("tok")).limit(k)
+      .crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(ord).cast("int"))
+      .withColumn("cum", sum(col("c")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("tok"), col("c"),
+        round(col("cum") / col("n_total"), 6).as("coverage"))
+  }
+
+  /** Per-document token-distribution statistics: Shannon entropy of the
+    * within-document unigram distribution, computed in the
+    * aggregation-friendly form H = ln(n) − (Σ c·ln c)/n (one pass over
+    * per-(doc, token) counts — no per-document normalization step), plus
+    * the type–token ratio. Documents with zero tokens have no unigram
+    * distribution and are absent (the oracle's unnest drops them too).
+    */
+  def docEntropy(tok: DataFrame): DataFrame =
+    tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum((col("c") * round(log(col("c")), 6)).cast(Dec)).as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(log(col("n_tokens")) - col("s").cast("double") / col("n_tokens"), 6)
+          .as("entropy"),
+        round(col("n_distinct") / col("n_tokens"), 6).as("ttr"))
+
+  /** Temperature-scaled mixture weights per group (the data-recipe knob):
+    * with p_g = tokens_g / Σtokens, the sampled weight at temperature
+    * T = 1/2 is w_g = p_g^½ / Σ p^½ = √tokens_g / Σ√tokens — the
+    * up-weighting of low-resource groups used in multilingual training.
+    * The global windows run over the per-group aggregate (one row per
+    * group — languages, sources), never over documents.
+    */
+  def mixtureWeights(docs: DataFrame, groupCol: String,
+                     nTokensCol: Column): DataFrame = {
+    val all = Window.partitionBy()
+    docs.select(col(groupCol).as("grp"), nTokensCol.as("nt"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).cast("long").as("grp_tokens"))
+      .withColumn("s", round(sqrt(col("grp_tokens")), 6).cast(Dec))
+      .withColumn("tok_tot", sum(col("grp_tokens")).over(all))
+      .withColumn("s_tot", sum(col("s")).over(all))
+      .select(col("grp"), col("n_docs"), col("grp_tokens"),
+        round(col("grp_tokens") / col("tok_tot"), 6).as("p_raw"),
+        round(col("s").cast("double") / col("s_tot").cast("double"), 6)
+          .as("w_sampled"))
+  }
+}

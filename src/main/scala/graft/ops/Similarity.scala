@@ -318,6 +318,56 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup (cluster-then-dedup): assign every
+    * vector to the Voronoi cell of its nearest seed — the `nSeeds`
+    * lowest-id vectors, the same deterministic seeding as
+    * [[kmeansCentroids]] — then search for cosine ≥ `threshold` pairs
+    * WITHIN each cell only. This is the scale shape of semantic dedup: the
+    * all-pairs product contracts by the cell count (candidates ≈ N²/cells
+    * for balanced cells), cells are tuned so a cell's pair block fits an
+    * executor, and the only shuffle is the hash self-join on the cell id.
+    *
+    * Determinism/oracle contract: assignment ranks by the ROUNDED
+    * exact-decimal cosine with ties to the lower cell index; survivors get
+    * the exact-decimal cosine. A [[cosineFast]] pre-filter (margin 1e-4
+    * ≫ the ~1e-14 double/decimal discrepancy) keeps the interpreted
+    * decimal path off the non-qualifying candidates.
+    */
+  def semDedupPairs(vecs: DataFrame, nSeeds: Int, threshold: Double): DataFrame = {
+    // one driver job for seeds AND their engine-pipeline norms (bit-equal
+    // to the oracle's sqrt(CAST(SUM(decimal) AS DOUBLE)))
+    val seedRows = vecs.orderBy("vec_id").limit(nSeeds)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(norm2Exact(col("embedding"))).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.toSeq, r.getDouble(2)))
+      .sortBy(_._1)
+    val nv = sqrt(norm2Exact(col("embedding")))
+    val scored = seedRows.toSeq.zipWithIndex.map { case ((_, sv, sn), j) =>
+      struct(
+        (round(dotExact(col("embedding"), typedlit(sv)) / (nv * sn), 6) * -1)
+          .as("neg_cos"),
+        lit(j).as("cell"))
+    }
+    val cell = array_min(array(scored: _*)).getField("cell")
+    // persisted: both self-join branches read the assignment, and the
+    // nSeeds decimal-exact dots behind it are the expensive projection.
+    // Cache lifetime is caller-managed (Verify/Bench clear per query).
+    val assigned = vecs
+      .select(col("vec_id"), col("embedding"), cell.as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(cosineFast(col("va"), col("vb"), scale = 8) >= threshold - 1e-4)
+      .select(col("cell"), col("id_a"), col("id_b"),
+        cosineExact(col("va"), col("vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** LSH-bucketed cosine top-k. Probes and corpus are bucketed by
     * [[signBits]]; candidates come from a hash join on the bucket id
     * (multiprobe: probe also visits all Hamming-1 buckets, trading nBits×

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{CorpusStats, TextAnalysis}
+import graft.tok.Tokenizer
+
+/** Corpus-statistics surface over `documents` ([[graft.ops.CorpusStats]]):
+  * unigram LM scoring, PMI collocations, vocabulary coverage, per-doc
+  * token entropy, and mixture weights. All five are oracle-gated — every
+  * `ln`/`sqrt` is rounded before aggregation and every sum of rounded
+  * doubles accumulates in DECIMAL, so DuckDB reproduces the numbers
+  * bit-for-bit (the q_tfidf portability result extended to the LM-stats
+  * family).
+  */
+object CorpusStatsQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  private def toks = TextAnalysis.tokens(col("text"))
+
+  private def tokStream(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.tokenStream(docs(s, dir), "doc_id", toks)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── Unigram LM score (perplexity proxy) ─────────────────────────────
+    "q_unigram_lm" -> ((s, dir) =>
+      CorpusStats.unigramLogProb(tokStream(s, dir)).orderBy("doc_id")),
+
+    // ── PMI collocations ────────────────────────────────────────────────
+    "q_collocations" -> ((s, dir) =>
+      CorpusStats.pmiCollocations(docs(s, dir), "doc_id", toks,
+          minCount = 10, k = 50)
+        .orderBy("rank")),
+
+    // ── Vocabulary coverage curve ───────────────────────────────────────
+    "q_vocab" -> ((s, dir) =>
+      CorpusStats.vocabCoverage(tokStream(s, dir), k = 100).orderBy("rank")),
+
+    // ── Per-doc token entropy + type–token ratio ────────────────────────
+    "q_doc_entropy" -> ((s, dir) =>
+      CorpusStats.docEntropy(tokStream(s, dir)).orderBy("doc_id")),
+
+    // ── Temperature-scaled mixture weights (T = 1/2) ────────────────────
+    "q_mixture" -> ((s, dir) =>
+      CorpusStats.mixtureWeights(docs(s, dir), "lang", size(toks))
+        .orderBy("grp")),
+  )
+
+  // ── Oracles ───────────────────────────────────────────────────────────
+
+  private val Re = Tokenizer.DefaultSplitRegex.replace("'", "''")
+  private val ToksSql =
+    s"list_filter(string_split_regex(lower(text), '$Re'), x -> x <> '')"
+  private val TokCte =
+    s"tok AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents)"
+
+  val oracles: Map[String, String] = Map(
+    "q_unigram_lm" ->
+      s"""WITH $TokCte,
+            freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM freq),
+            lp AS (
+              SELECT doc_id, ROUND(ln(c / n_total), 6) AS lp
+              FROM tok JOIN freq USING (tok) CROSS JOIN tot)
+          SELECT doc_id, count(*) AS n_tokens,
+            ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)
+              AS mean_logprob
+          FROM lp GROUP BY doc_id ORDER BY doc_id""",
+    "q_collocations" ->
+      s"""WITH $TokCte,
+            t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+            bgs AS (
+              SELECT unnest(list_transform(
+                  generate_series(1, greatest(len(toks) - 1, 0)),
+                  i -> toks[i] || ' ' || toks[i + 1])) AS bg
+              FROM t),
+            bg AS (SELECT bg, count(*) AS c_ab FROM bgs GROUP BY bg
+                   HAVING count(*) >= 10),
+            uni AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni),
+            nb AS (SELECT CAST(SUM(greatest(len($ToksSql) - 1, 0)) AS BIGINT)
+                     AS n_big FROM documents),
+            scored AS (
+              SELECT bg.bg, bg.c_ab,
+                ROUND(ln((c_ab / n_big)
+                      / ((a.c / n_uni) * (b.c / n_uni))), 6) AS pmi
+              FROM bg
+              JOIN uni a ON a.tok = split_part(bg.bg, ' ', 1)
+              JOIN uni b ON b.tok = split_part(bg.bg, ' ', 2)
+              CROSS JOIN nu CROSS JOIN nb),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC, bg ASC)
+                             AS INT) AS rank
+              FROM scored)
+          SELECT rank, bg, c_ab, pmi FROM ranked
+          WHERE rank <= 50 ORDER BY rank""",
+    "q_vocab" ->
+      s"""WITH $TokCte,
+            freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM freq),
+            ranked AS (
+              SELECT tok, c,
+                CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS INT)
+                  AS rank,
+                CAST(SUM(c) OVER (ORDER BY c DESC, tok ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cum
+              FROM freq)
+          SELECT rank, tok, c, ROUND(cum / n_total, 6) AS coverage
+          FROM ranked CROSS JOIN tot
+          WHERE rank <= 100 ORDER BY rank""",
+    "q_doc_entropy" ->
+      s"""WITH $TokCte,
+            cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok
+                    GROUP BY doc_id, tok),
+            agg AS (
+              SELECT doc_id,
+                CAST(SUM(c) AS BIGINT) AS n_tokens,
+                count(*) AS n_distinct,
+                SUM(CAST(c * ROUND(ln(c), 6) AS DECIMAL(28,10))) AS s
+              FROM cnt GROUP BY doc_id)
+          SELECT doc_id, n_tokens, n_distinct,
+            ROUND(ln(n_tokens) - CAST(s AS DOUBLE) / n_tokens, 6) AS entropy,
+            ROUND(n_distinct / n_tokens, 6) AS ttr
+          FROM agg ORDER BY doc_id""",
+    "q_mixture" ->
+      s"""WITH d AS (
+            SELECT lang AS grp, len($ToksSql) AS nt FROM documents),
+          g AS (
+            SELECT grp, count(*) AS n_docs,
+              CAST(SUM(nt) AS BIGINT) AS grp_tokens
+            FROM d GROUP BY grp),
+          s AS (
+            SELECT *, CAST(ROUND(sqrt(grp_tokens), 6) AS DECIMAL(28,10)) AS s
+            FROM g)
+          SELECT grp, n_docs, grp_tokens,
+            ROUND(grp_tokens / CAST(SUM(grp_tokens) OVER () AS BIGINT), 6)
+              AS p_raw,
+            ROUND(CAST(s AS DOUBLE) / CAST(SUM(s) OVER () AS DOUBLE), 6)
+              AS w_sampled
+          FROM s ORDER BY grp""",
+  )
+}

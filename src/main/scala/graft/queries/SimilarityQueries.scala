@@ -82,6 +82,17 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // SemDeDup-style semantic dedup: assign to nearest-seed Voronoi cell
+    // (8 lowest-id seeds — the kmeans seeding), cosine-pair search WITHIN
+    // cells only. The oracle replays assignment (argmax rounded cosine,
+    // ties to lower cell) and the within-cell pair scan all-pairs at
+    // fixture scale; the engine plan is the cell-partitioned self-join.
+    // Threshold 0.3 for the same reason as q_embed_neardup: fixture
+    // vectors are near-random (max pairwise cosine ≈ 0.51).
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDedupPairs(emb(s, dir), nSeeds = NSeeds, threshold = 0.3)
+        .orderBy("id_a", "id_b")),
+
     // One Lloyd ASSIGNMENT round of the IVF k-means, mirrored bit-for-bit
     // in DuckDB (VERDICT r03 #3's other half, complementing q_knn_ivf's
     // recall gate): seeds are the nSeeds lowest-id vectors; every corpus
@@ -252,6 +263,27 @@ object SimilarityQueries {
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
             ${cosineSql("a.embedding", "b.embedding")} AS cosine
           FROM sig a JOIN sig b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+          WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.3
+          ORDER BY id_a, id_b""",
+    "q_semdedup" ->
+      s"""WITH seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+              embedding AS sv
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $NSeeds)),
+          scored AS (
+            SELECT e.vec_id, e.embedding, s.cell,
+              ${cosineSql("e.embedding", "s.sv")} AS cos
+            FROM embeddings e CROSS JOIN seeds s),
+          assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+              FROM scored)
+            WHERE rn = 1)
+          SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+            ${cosineSql("a.embedding", "b.embedding")} AS cosine
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
           WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.3
           ORDER BY id_a, id_b""",
   )

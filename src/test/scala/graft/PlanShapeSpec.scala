@@ -35,7 +35,10 @@ class PlanShapeSpec extends SparkSpec {
     "q_knn_ivf" -> "runs the brute-force baseline alongside IVF for its recall gate",
     "q_hll_merge" -> "crossJoin of two single-row aggregates (sketch estimate x exact count)",
     "q_kmeans_assign" -> "seed collection is orderBy.limit(8); assignment itself is a narrow projection",
-    "q_tfidf" -> "crossJoin of the single-row corpus-size aggregate (broadcast, one row)")
+    "q_tfidf" -> "crossJoin of the single-row corpus-size aggregate (broadcast, one row)",
+    "q_unigram_lm" -> "crossJoin of the single-row corpus-token-total aggregate (broadcast, one row)",
+    "q_collocations" -> "crossJoins of the single-row unigram/bigram totals (broadcast, one row each)",
+    "q_vocab" -> "crossJoin of the single-row token-total aggregate onto the top-k survivors")
 
   // the AQE-aware walker lives on SparkSpec (collectPlanNodes) so DedupSpec's
   // ccRound audit and this guard can never drift apart

@@ -42,6 +42,12 @@ abstract class SparkSpec extends AnyFunSuite {
     val self = plan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         collectPlanNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        // materialized AQE stages (Shuffle/Broadcast/ResultQueryStage) hold
+        // their subtree in `plan`, not `children` — without this case every
+        // post-execution assertion sees a single opaque leaf and passes
+        // vacuously
+        q +: collectPlanNodes(q.plan)
       case p => Seq(p)
     }
     self ++ plan.children.flatMap(collectPlanNodes) ++

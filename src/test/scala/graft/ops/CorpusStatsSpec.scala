@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for [[CorpusStats]] — the oracle gate proves number
+  * equality against DuckDB; these prove the MATH means what it claims
+  * (entropy bounds, coverage monotonicity, mixture normalization,
+  * partition invariance) on corpora constructed to hit the edges.
+  */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tokStream(rows: Seq[(Long, String)]) =
+    CorpusStats.tokenStream(
+      rows.toDF("doc_id", "text"),
+      "doc_id", TextAnalysis.tokens(col("text")))
+
+  test("docEntropy: 0 for constant docs, ln(n) for all-distinct docs") {
+    val tok = tokStream(Seq(
+      (1L, "a a a a"),                // constant → H = 0
+      (2L, "a b c d e f g h"),        // uniform distinct → H = ln 8
+      (3L, "x x y y")))               // two evens → H = ln 2
+    val out = CorpusStats.docEntropy(tok)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0).getDouble(3) == 0.0)
+    assert(math.abs(out(1).getDouble(3) - math.log(8)) < 1e-5)
+    assert(math.abs(out(2).getDouble(3) - math.log(2)) < 1e-5)
+    // ttr: 1/4, 8/8, 2/4
+    assert(out.map(_.getDouble(4)).toSeq == Seq(0.25, 1.0, 0.5))
+  }
+
+  test("vocabCoverage: monotone, ends at 1.0 when k covers the vocab") {
+    val tok = tokStream(Seq((1L, "a a a b b c"), (2L, "a b d")))
+    val out = CorpusStats.vocabCoverage(tok, k = 10)
+      .orderBy("rank").collect()
+    assert(out.length == 4) // vocab = {a, b, c, d}
+    // frequency order with token tiebreak: a(4), b(3), c(1), d(1)
+    assert(out.map(_.getString(1)).toSeq == Seq("a", "b", "c", "d"))
+    val cov = out.map(_.getDouble(3)).toSeq
+    assert(cov == cov.sorted, s"coverage not monotone: $cov")
+    assert(cov.last == 1.0)
+  }
+
+  test("unigramLogProb: certain corpus scores 0; rarer docs score lower") {
+    // one-token corpus → p = 1 → mean_logprob = 0 exactly
+    val certain = CorpusStats.unigramLogProb(tokStream(Seq((1L, "a a a"))))
+      .collect()
+    assert(certain.head.getDouble(2) == 0.0)
+    // doc of rare tokens scores strictly below a doc of common tokens
+    val tok = tokStream(Seq(
+      (1L, "the the the the the the the the the"),
+      (2L, "rare words here")))
+    val out = CorpusStats.unigramLogProb(tok).orderBy("doc_id").collect()
+    assert(out(0).getDouble(2) > out(1).getDouble(2))
+    // partition invariance: decimal accumulation ⇒ exact equality
+    val rep = CorpusStats.unigramLogProb(tok.repartition(13))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.toSeq).toSeq == rep.map(_.toSeq).toSeq)
+  }
+
+  test("pmiCollocations: an exclusive pair outranks equal-marginal fillers") {
+    // all four tokens have identical marginals (30 each); "dolce vita"
+    // always co-occurs while alpha/beta alternate order, so each filler
+    // bigram has HALF the joint probability at the same marginals —
+    // PMI(dolce vita) = PMI(filler) + ln 2. (PMI rewards rare exclusive
+    // pairs, so a fair test must hold the marginals equal.)
+    val docs = (0 until 30).map { i =>
+      val filler = if (i % 2 == 0) "alpha beta" else "beta alpha"
+      (i.toLong, s"dolce vita $filler")
+    }
+    val out = CorpusStats.pmiCollocations(
+        docs.toDF("doc_id", "text"), "doc_id",
+        TextAnalysis.tokens(col("text")), minCount = 5, k = 10)
+      .orderBy("rank").collect()
+    assert(out.head.getString(1) == "dolce vita",
+      s"top collocation was ${out.head.getString(1)}")
+    // ranks are 1..n, dense and deterministic
+    assert(out.map(_.getInt(0)).toSeq == (1 to out.length).toSeq)
+  }
+
+  test("mixtureWeights: normalized, and T=1/2 upweights low-resource groups") {
+    val docs = Seq(
+      ("en", 900L), ("en", 900L), ("en", 900L), ("en", 900L), ("en", 900L),
+      ("it", 100L))
+      .toDF("lang", "nt")
+    val out = CorpusStats.mixtureWeights(docs, "lang", col("nt"))
+      .orderBy("grp").collect()
+    val pRaw = out.map(_.getDouble(3)).sum
+    val wSam = out.map(_.getDouble(4)).sum
+    assert(math.abs(pRaw - 1.0) < 1e-5 && math.abs(wSam - 1.0) < 1e-5)
+    val en = out.find(_.getString(0) == "en").get
+    val it = out.find(_.getString(0) == "it").get
+    // temperature flattens: the rare group's sampled share beats its raw share
+    assert(it.getDouble(4) > it.getDouble(3))
+    assert(en.getDouble(4) < en.getDouble(3))
+  }
+
+  test("unigramLogProb plan: vocabulary join is broadcast, agg is keyed") {
+    val tok = tokStream(Seq((1L, "a b c a"), (2L, "b c d")))
+    val df = CorpusStats.unigramLogProb(tok)
+    df.collect()
+    val nodes = collectPlanNodes(df.queryExecution.executedPlan)
+      .map(_.nodeName)
+    assert(nodes.exists(_.contains("BroadcastHashJoin")),
+      s"vocab join not broadcast: $nodes")
+    assert(!nodes.exists(_.contains("SortMergeJoin")),
+      "token→vocab join fell back to a full shuffle join")
+  }
+}

@@ -206,4 +206,29 @@ class SimilaritySpec extends SparkSpec {
       assert(c % 3 === p % 3, s"LSH neighbor $c not in probe $p's cluster")
     }
   }
+
+  test("semDedupPairs: exact within cells, in-cluster only, keyed join") {
+    val corpus = planted // 3 planted clusters of near-identical directions
+    val df = Similarity.semDedupPairs(corpus, nSeeds = 3, threshold = 0.9)
+    val pairs = df.select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty, "planted in-cluster dups must be found")
+    pairs.foreach { case (a, b, c) =>
+      assert(a % 3 === b % 3, s"cross-cluster pair ($a,$b)")
+      assert(c >= 0.9 && a < b)
+    }
+    // with 3 seeds from 3 planted clusters (seeds 0,1,2 — one per
+    // cluster), every in-cluster pair shares a cell, so the within-cell
+    // search is EXHAUSTIVE: result == all threshold-qualifying pairs
+    val brute = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
+        col("id_a") < col("id_b"))
+      .where(Similarity.cosineExact(col("va"), col("vb")) >= 0.9 &&
+        col("id_a") % 3 === col("id_b") % 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == brute,
+      "within-cell search must be exhaustive on cluster-aligned seeds")
+    // scale shape: the pair search is a hash join on the cell id
+    assertKeyedJoins(df, "semDedupPairs")
+  }
 }
