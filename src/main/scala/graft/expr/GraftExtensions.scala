@@ -24,6 +24,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("float_vec_dot_dec"),
+      new ExpressionInfo(classOf[FloatVecDotDec].getName, "float_vec_dot_dec"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"float_vec_dot_dec expects 2 arguments, got ${children.length}")
+        FloatVecDotDec(children.head, children(1))
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
       (children: Seq[Expression]) => {

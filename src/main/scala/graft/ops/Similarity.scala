@@ -34,8 +34,20 @@ object Similarity {
   // re-cast to (30,16) in the fold is lossless for |values| < 10^14. A (38,16)
   // accumulator would overflow precision and silently drop to scale 15.
 
-  /** Order-independent exact dot product of two float vectors (as double). */
+  /** Order-independent exact dot product of two float vectors (as double),
+    * via the native [[graft.expr.FloatVecDotDec]] loop — bit-identical to
+    * [[dotExactHof]] (spec-asserted) and ~20× faster (the HOF chain is
+    * interpreted per element and was the measured hot path of every exact
+    * cosine).
+    */
   def dotExact(a: Column, b: Column): Column =
+    call_function("float_vec_dot_dec", a, b)
+
+  /** The higher-order-function reference form of [[dotExact]] — the
+    * semantics the native expression must reproduce bit-for-bit; kept for
+    * the parity spec and as executable documentation.
+    */
+  def dotExactHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Dec)),
       lit(0).cast(Dec), (acc, x) => (acc + x).cast(Dec))
@@ -318,6 +330,48 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** The `nSeeds` lowest-id vectors with their engine-pipeline norms
+    * (bit-equal to the oracle's `sqrt(CAST(SUM(decimal) AS DOUBLE))`),
+    * collected in ONE driver job and sorted by id so the cell index is
+    * deterministic. Shared seeding for [[assignToSeeds]] callers.
+    */
+  def collectSeeds(vecs: DataFrame, nSeeds: Int): Seq[(Long, Seq[Float], Double)] =
+    vecs.orderBy("vec_id").limit(nSeeds)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(norm2Exact(col("embedding"))).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.toSeq, r.getDouble(2)))
+      .sortBy(_._1).toSeq
+
+  /** Deterministic nearest-seed Voronoi assignment: every vector gets the
+    * `cell` (seed index) and `seed_id` of its highest-cosine seed, ranking
+    * by the ROUNDED exact-decimal cosine with ties to the lower cell index
+    * — the assignment half of a Lloyd step, mirrored bit-for-bit by the
+    * DuckDB oracles.
+    *
+    * The row norm is hoisted into its own projection so it is computed
+    * ONCE per row: Catalyst does not CSE across lambda bodies, so writing
+    * `sqrt(norm2Exact(v))` inline in each per-seed struct re-runs the
+    * whole interpreted decimal fold nSeeds× per row (measured ~3× slower
+    * end-to-end at 8 seeds). CollapseProject leaves the split alone —
+    * it never inlines a non-cheap alias consumed more than once.
+    */
+  def assignToSeeds(vecs: DataFrame,
+                    seeds: Seq[(Long, Seq[Float], Double)]): DataFrame = {
+    val scored = seeds.zipWithIndex.map { case ((sid, sv, sn), j) =>
+      struct(
+        (round(dotExact(col("embedding"), typedlit(sv)) / (col("nv") * sn), 6)
+          * -1).as("neg_cos"),
+        lit(j).as("cell"), lit(sid).as("seed_id"))
+    }
+    vecs.select(col("vec_id"), col("embedding"),
+        sqrt(norm2Exact(col("embedding"))).as("nv"))
+      .select(col("vec_id"), col("embedding"), col("nv"),
+        array_min(array(scored: _*)).as("best"))
+      .select(col("vec_id"), col("embedding"), col("nv"),
+        col("best.cell").as("cell"), col("best.seed_id").as("seed_id"))
+  }
+
   /** SemDeDup-style semantic dedup (cluster-then-dedup): assign every
     * vector to the Voronoi cell of its nearest seed — the `nSeeds`
     * lowest-id vectors, the same deterministic seeding as
@@ -334,37 +388,29 @@ object Similarity {
     * decimal path off the non-qualifying candidates.
     */
   def semDedupPairs(vecs: DataFrame, nSeeds: Int, threshold: Double): DataFrame = {
-    // one driver job for seeds AND their engine-pipeline norms (bit-equal
-    // to the oracle's sqrt(CAST(SUM(decimal) AS DOUBLE)))
-    val seedRows = vecs.orderBy("vec_id").limit(nSeeds)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(norm2Exact(col("embedding"))).as("n"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.toSeq, r.getDouble(2)))
-      .sortBy(_._1)
-    val nv = sqrt(norm2Exact(col("embedding")))
-    val scored = seedRows.toSeq.zipWithIndex.map { case ((_, sv, sn), j) =>
-      struct(
-        (round(dotExact(col("embedding"), typedlit(sv)) / (nv * sn), 6) * -1)
-          .as("neg_cos"),
-        lit(j).as("cell"))
-    }
-    val cell = array_min(array(scored: _*)).getField("cell")
     // persisted: both self-join branches read the assignment, and the
     // nSeeds decimal-exact dots behind it are the expensive projection.
-    // Cache lifetime is caller-managed (Verify/Bench clear per query).
-    val assigned = vecs
-      .select(col("vec_id"), col("embedding"), cell.as("cell"))
+    // The exact row norm rides along from the assignment instead of being
+    // recomputed per candidate pair (a vector's norm would otherwise be
+    // re-derived once per pair it appears in — the dominant pair-phase
+    // cost). Cache lifetime is caller-managed (Verify/Bench clear per
+    // query).
+    val assigned = assignToSeeds(vecs, collectSeeds(vecs, nSeeds))
+      .select(col("vec_id"), col("embedding"), col("nv"), col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
-      col("embedding").as("va"))
+      col("embedding").as("va"), col("nv").as("na"))
     val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
-      col("embedding").as("vb"))
+      col("embedding").as("vb"), col("nv").as("nb"))
+    // prefilter: native double dot over the carried exact norms — within
+    // ~1e-15 of the exact cosine, far inside the 1e-4 margin
     a.join(b, Seq("cell"))
       .where(col("id_a") < col("id_b"))
-      .where(cosineFast(col("va"), col("vb"), scale = 8) >= threshold - 1e-4)
+      .where(round(dotFast(col("va"), col("vb")) / (col("na") * col("nb")), 8)
+        >= threshold - 1e-4)
       .select(col("cell"), col("id_a"), col("id_b"),
-        cosineExact(col("va"), col("vb")).as("cosine"))
+        round(dotExact(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cosine"))
       .where(col("cosine") >= threshold)
   }
 

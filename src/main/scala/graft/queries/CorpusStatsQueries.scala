@@ -60,14 +60,17 @@ object CorpusStatsQueries {
   val oracles: Map[String, String] = Map(
     "q_unigram_lm" ->
       s"""WITH $TokCte,
-            freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            dc AS (SELECT doc_id, tok, count(*) AS dc FROM tok
+                   GROUP BY doc_id, tok),
+            freq AS (SELECT tok, CAST(SUM(dc) AS BIGINT) AS c FROM dc
+                     GROUP BY tok),
             tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM freq),
             lp AS (
-              SELECT doc_id, ROUND(ln(c / n_total), 6) AS lp
-              FROM tok JOIN freq USING (tok) CROSS JOIN tot)
-          SELECT doc_id, count(*) AS n_tokens,
-            ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)
-              AS mean_logprob
+              SELECT doc_id, dc, ROUND(ln(c / n_total), 6) AS lp
+              FROM dc JOIN freq USING (tok) CROSS JOIN tot)
+          SELECT doc_id, CAST(SUM(dc) AS BIGINT) AS n_tokens,
+            ROUND(CAST(SUM(CAST(dc * lp AS DECIMAL(28,10))) AS DOUBLE)
+                  / SUM(dc), 6) AS mean_logprob
           FROM lp GROUP BY doc_id ORDER BY doc_id""",
     "q_collocations" ->
       s"""WITH $TokCte,

@@ -104,29 +104,11 @@ object SimilarityQueries {
     // (sqrt of norm2Exact), the same expression family the oracle's
     // cosineSql proves portable.
     "q_kmeans_assign" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.typedlit
       val e = emb(s, dir)
-      // ONE driver job for seeds AND their norms (review r04): the norm
-      // still comes from the engine's decimal pipeline so it is bit-equal
-      // to the oracle's sqrt(CAST(SUM(decimal) AS DOUBLE))
-      val seedRows = e.orderBy("vec_id").limit(NSeeds)
-        .select(col("vec_id"), col("embedding"),
-          sqrt(Similarity.norm2Exact(col("embedding"))).as("n"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
-        .sortBy(_._1)
-      val seeds = seedRows.map { case (id, v, _) => (id, v) }
-      val seedNorms = seedRows.map(_._3)
-      val nv = sqrt(Similarity.norm2Exact(col("embedding")))
-      val scored = seeds.toSeq.zipWithIndex.map { case ((sid, sv), j) =>
-        struct(
-          (round(Similarity.dotExact(col("embedding"), typedlit(sv.toSeq))
-            / (nv * seedNorms(j)), 6) * -1).as("neg_cos"),
-          lit(j).as("cell"), lit(sid).as("seed_id"))
-      }
-      val best = array_min(array(scored: _*))
-      e.select(best.getField("cell").as("cell"),
-          best.getField("seed_id").as("seed_id"),
+      // shared deterministic assignment (one driver job for seeds+norms,
+      // row norm hoisted so the decimal fold runs once per row)
+      Similarity.assignToSeeds(e, Similarity.collectSeeds(e, NSeeds))
+        .select(col("cell"), col("seed_id"),
           element_at(col("embedding"), 1).as("d1"))
         .groupBy("cell", "seed_id")
         .agg(count(lit(1)).as("n_members"),

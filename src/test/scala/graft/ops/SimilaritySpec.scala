@@ -207,6 +207,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("float_vec_dot_dec: bit-identical to the HOF reference form") {
+    val rnd = new scala.util.Random(7)
+    def vec(n: Int) = Array.fill(n)((rnd.nextDouble() * 2 - 1).toFloat)
+    val rows = Seq.fill(200)((vec(64), vec(64))) ++ Seq(
+      // edge shapes: zeros, signed zero, tiny/huge magnitudes, empty
+      (Array(0.0f, -0.0f, 1.5f), Array(-0.0f, 0.0f, 2.5f)),
+      // magnitudes stay within the documented |Σ| < 10^14 contract
+      (Array(1e-30f, 1e5f, -1e-30f), Array(1e-30f, 1e-10f, 1e5f)),
+      (Array.empty[Float], Array.empty[Float]))
+    val df = rows.toDF("a", "b").select(
+      Similarity.dotExact(col("a"), col("b")).as("native"),
+      Similarity.dotExactHof(col("a"), col("b")).as("hof"))
+    df.collect().zipWithIndex.foreach { case (r, i) =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"row $i: native ${r.getDouble(0)} != hof ${r.getDouble(1)}")
+    }
+    // null-poison parity: mismatched lengths are NULL in both forms
+    // (zip_with pads with nulls; the native loop checks lengths)
+    val mism = Seq((Array(1.0f, 2.0f), Array(1.0f)))
+      .toDF("a", "b").select(
+        Similarity.dotExact(col("a"), col("b")).as("native"),
+        Similarity.dotExactHof(col("a"), col("b")).as("hof"))
+      .collect().head
+    assert(mism.isNullAt(0) && mism.isNullAt(1))
+  }
+
   test("semDedupPairs: exact within cells, in-cluster only, keyed join") {
     val corpus = planted // 3 planted clusters of near-identical directions
     val df = Similarity.semDedupPairs(corpus, nSeeds = 3, threshold = 0.9)
