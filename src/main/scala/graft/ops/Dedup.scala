@@ -317,6 +317,78 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Positional n-gram hash relation `(id, pos, h)`: the hash of the
+    * k-token window STARTING at token index `pos` (0-based), one row per
+    * window including repeats — the positional sibling of
+    * [[hashedNgrams]]'s distinct set form, and the input
+    * [[substringRunPairs]] aligns on.
+    */
+  def positionalNgrams(docs: DataFrame, idCol: String, toksCol: Column,
+                       n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        posexplode(call_function("ngram_hashes",
+          transform(toksCol, t => Hashes.h60(t)), lit(n))).as(Seq("pos", "h")))
+
+  /** Cross-document EXACT substring duplication: pairs of documents
+    * sharing a verbatim run of ≥ `minRunTokens` consecutive tokens — the
+    * substring-level dedup signal (long verbatim overlap) that set-based
+    * near-dup (MinHash/Jaccard over n-gram SETS) dilutes away when the
+    * overlap is a small fraction of each document.
+    *
+    * Relational form of the suffix-array scan over a distributed corpus:
+    *  1. positional k-token n-gram hashes per doc ([[positionalNgrams]]);
+    *  2. df-cap: drop window hashes with > `maxDf` total occurrences
+    *     (boilerplate guard — same role as [[jaccardNearDups]]' cap, and
+    *     the join-fanout bound: candidate volume after it is the number
+    *     of genuinely shared rare windows, never |corpus|²);
+    *  3. equi-join on the hash → matched position pairs;
+    *  4. runs via DIAGONAL ISLANDS: aligned positions share
+    *     `diag = pos_a − pos_b`; within a (pair, diag) group, consecutive
+    *     `pos_a` values are one island (`pos_a − row_number()`), and an
+    *     island of `m` matched k-windows is a shared run of `m + k − 1`
+    *     tokens. Window partitions are (pair, diag) — match-sized, never
+    *     corpus-sized.
+    *
+    * Output: `(id_a, id_b, max_run_tokens, n_matches)` for pairs with
+    * `max_run_tokens ≥ minRunTokens`; all-integer columns, so the DuckDB
+    * oracle hash-matches exactly. Positions are alignment-internal (the
+    * island arithmetic is translation-invariant), so the engine's 0-based
+    * and the oracle's 1-based positions agree.
+    */
+  def substringRunPairs(docs: DataFrame, idCol: String, toksCol: Column,
+                        k: Int, minRunTokens: Int, maxDf: Int,
+                        persistIndex: Boolean = true): DataFrame = {
+    require(k >= 2, s"k: $k")
+    require(minRunTokens >= k, s"minRunTokens $minRunTokens < k $k")
+    require(maxDf >= 2, s"maxDf: $maxDf (a shared window needs df ≥ 2)")
+    val pos0 = positionalNgrams(docs, idCol, toksCol, k)
+    // feeds three plan branches (df aggregate + both join sides) — same
+    // caller-managed persist contract as jaccardNearDups
+    val pos =
+      if (persistIndex)
+        pos0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pos0
+    val keep = pos.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("h"))
+    val idx = pos.join(keep, Seq("h"))
+    val a = idx.select(col("h"), col("id").as("id_a"), col("pos").as("pos_a"))
+    val b = idx.select(col("h"), col("id").as("id_b"), col("pos").as("pos_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    a.join(b, Seq("h"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pos_a"),
+        (col("pos_a") - col("pos_b")).as("diag"))
+      .withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("island"))
+      .agg(count(lit(1)).as("run_ng"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg((max(col("run_ng")) + k - 1).as("max_run_tokens"),
+        sum(col("run_ng")).as("n_matches"))
+      .where(col("max_run_tokens") >= minRunTokens)
+  }
+
   /** Connected components of an undirected pair graph — the step that
     * turns pairwise near-dup output ([[verifiedNearDupsFromHashes]],
     * [[jaccardNearDups]], [[simhashNearDupPairs]]) into duplicate

@@ -42,16 +42,21 @@ object TextPipelineQueries {
     * token-hash-list expression: per window, (Σ A(j)·h[i+j] + B(0)) mod
     * 2^60 in HUGEINT (low-bits identity — see Sketches.affineSql).
     */
-  private def ngramHashesSql(hsExpr: String, n: Int): String = {
+  /** Positional (non-distinct) form: element i is the window hash at
+    * 1-based token position i — mirror of [[graft.expr.NgramHashes]]. */
+  private def ngramHashesPosSql(hsExpr: String, n: Int): String = {
     import graft.expr.Sketches
     val terms = (0 until n)
       .map(j => s"CAST(${Sketches.affineA(j)} AS HUGEINT) * ($hsExpr)[i+$j]")
       .mkString(" + ")
-    s"""list_distinct(list_transform(
+    s"""list_transform(
           generate_series(1, greatest(len($hsExpr) - ${n - 1}, 0)),
           i -> CAST((($terms + ${Sketches.affineB(0)}) % ${Sketches.Mask60 + 1})
-                    AS BIGINT)))"""
+                    AS BIGINT))"""
   }
+
+  private def ngramHashesSql(hsExpr: String, n: Int): String =
+    s"list_distinct(${ngramHashesPosSql(hsExpr, n)})"
 
   /** Mirror of [[TextAnalysis.qualityScore]] over columns named n_tokens /
     * n_chars / punct / digits — the ONE copy shared by every oracle that
@@ -246,6 +251,19 @@ object TextPipelineQueries {
       Dedup.contaminationPairs(train, bench, minShared = 3, maxTrainDf = 100)
         .orderBy("train_id", "bench_id")
     }),
+
+    // ── Cross-doc exact substring duplication ───────────────────────────
+    // Pairs sharing a verbatim run of ≥12 consecutive tokens, found via
+    // positional 8-gram hashes + diagonal-island run assembly — the
+    // substring-level dedup signal set-based near-dup dilutes away.
+    // df-cap 50 mutes corpus boilerplate windows before the join. The
+    // oracle replays positions 1-based (the island arithmetic is
+    // translation-invariant) on the same n-gram-hash basis.
+    "q_substr_dup" -> ((s, dir) =>
+      Dedup.substringRunPairs(docs(s, dir), "doc_id",
+          TextAnalysis.tokens(col("text")), k = 8, minRunTokens = 12,
+          maxDf = 50)
+        .orderBy("id_a", "id_b")),
 
     // ── Wide (120-bit) SimHash pair search — the large-corpus form ──────
     // Same pigeonhole machinery as q_simhash but over Dedup.simhashWide's
@@ -641,6 +659,37 @@ object TextPipelineQueries {
           GROUP BY train_id, bench_id
           HAVING count(*) >= 3
           ORDER BY train_id, bench_id""",
+    "q_substr_dup" ->
+      s"""WITH hs AS (
+            SELECT doc_id,
+              list_transform($ToksSql, t -> ${h60("t")}) AS hsarr
+            FROM documents),
+          ng AS (
+            SELECT doc_id, ${ngramHashesPosSql("hsarr", 8)} AS ngh FROM hs),
+          pos AS (
+            SELECT doc_id, unnest(ngh) AS h,
+              unnest(generate_series(1, len(ngh))) AS pos
+            FROM ng WHERE len(ngh) > 0),
+          dfc AS (SELECT h FROM pos GROUP BY h HAVING count(*) <= 50),
+          idx AS (SELECT pos.* FROM pos JOIN dfc USING (h)),
+          m AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+              a.pos - b.pos AS diag
+            FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id),
+          r AS (
+            SELECT id_a, id_b, diag, pos_a,
+              pos_a - row_number() OVER (
+                PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS island
+            FROM m),
+          runs AS (
+            SELECT id_a, id_b, count(*) AS run_ng
+            FROM r GROUP BY id_a, id_b, diag, island)
+          SELECT id_a, id_b,
+            CAST(max(run_ng) + 7 AS BIGINT) AS max_run_tokens,
+            CAST(sum(run_ng) AS BIGINT) AS n_matches
+          FROM runs GROUP BY id_a, id_b
+          HAVING max(run_ng) + 7 >= 12
+          ORDER BY id_a, id_b""",
     "q_simhash_wide" ->
       s"""WITH tok AS (
             SELECT doc_id, unnest($ToksSql) AS t FROM documents),

@@ -336,6 +336,42 @@ class DedupSpec extends SparkSpec {
     assert(ham(m(1L), m(3L)) > 24, "unrelated doc: large 120-bit distance")
   }
 
+  test("substringRunPairs: planted run length exact, fragments filtered, keyed") {
+    // doc 10 and 11 share tokens w20..w34 verbatim (a 15-token run) at
+    // different offsets; doc 12 shares only a 9-token run with doc 10;
+    // doc 13 is disjoint. k=4: runs assemble from 4-token windows.
+    def words(r: Range) = r.map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (10L, words(0 to 40)),                          // w20..w34 ⊂ doc 10
+      (11L, s"alpha beta ${words(20 to 34)} gamma delta"),
+      (12L, s"x1 x2 x3 ${words(26 to 34)} y1 y2"),    // 9-token overlap w/ 10
+      (13L, "p q r s t u v p2 q2 r2 s2 t2")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringRunPairs(d, "doc_id",
+        TextAnalysis.tokens(col("text")), k = 4, minRunTokens = 10, maxDf = 50)
+      .orderBy("id_a", "id_b")
+    val rows = out.select("id_a", "id_b", "max_run_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    // (10,11): 15-token run — exact length. (10,12)/(11,12): 9 < 10 —
+    // filtered. 13: no shared window at all.
+    assert(rows === Seq((10L, 11L, 15L)))
+    // below the threshold the 9-token fragment IS found with exact length
+    val lax = Dedup.substringRunPairs(d, "doc_id",
+        TextAnalysis.tokens(col("text")), k = 4, minRunTokens = 4, maxDf = 50)
+      .select("id_a", "id_b", "max_run_tokens")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(lax.contains((10L, 12L, 9L)) && lax.contains((11L, 12L, 9L)))
+    // df-cap mutes boilerplate: cap 2 keeps pair windows (df=2 or 3 for
+    // the triple-shared tail) out — with cap 2 the w26..w34 windows
+    // (df = 3: docs 10, 11, 12) vanish and 12 pairs with nobody
+    val capped = Dedup.substringRunPairs(d, "doc_id",
+        TextAnalysis.tokens(col("text")), k = 4, minRunTokens = 4, maxDf = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(!capped.exists(p => p._1 === 12L || p._2 === 12L))
+    // scale shape: hash-keyed joins only (window partitions are match-sized)
+    assertKeyedJoins(out, "substringRunPairs")
+  }
+
   test("simhash: near-identical docs land within small Hamming distance") {
     val df = docs.withColumn("sh", Dedup.simhash(TextAnalysis.tokens(col("text"))))
     val hs = df.select("doc_id", "sh").as[(Long, Long)].collect().toMap
