@@ -166,6 +166,32 @@ object CorpusStats {
           .as("entropy"),
         round(col("n_distinct") / col("n_tokens"), 6).as("ttr"))
 
+  /** Per-group relative score buckets (the CCNet curation idiom): split
+    * each group's score distribution at the `lo` and `hi` quantiles and
+    * label rows `head` (≥ hi), `middle` (≥ lo), `tail` — used to keep or
+    * re-weight the best-scoring slice of every language/source instead of
+    * applying one global threshold that starves low-resource groups.
+    *
+    * Plan: one per-group aggregate computes both thresholds (group-count
+    * cardinality — broadcast back), then a narrow CASE labels rows; no
+    * per-row window, no sort of the corpus. Thresholds are exact
+    * `percentile` rounded to 6 (the q_percentiles-proven portable pair
+    * with DuckDB `quantile_cont`); at 100 TB swap in `approx_percentile`
+    * if the per-group sort-agg ever dominates — the plan shape is
+    * unchanged.
+    */
+  def scoreBuckets(scored: DataFrame, grpCol: String, scoreCol: String,
+                   lo: Double = 1.0 / 3, hi: Double = 2.0 / 3): DataFrame = {
+    val th = scored.groupBy(col(grpCol))
+      .agg(round(expr(s"percentile($scoreCol, $lo)"), 6).as("t_lo"),
+        round(expr(s"percentile($scoreCol, $hi)"), 6).as("t_hi"))
+    scored.join(broadcast(th), Seq(grpCol))
+      .withColumn("bucket",
+        when(col(scoreCol) >= col("t_hi"), lit("head"))
+          .when(col(scoreCol) >= col("t_lo"), lit("middle"))
+          .otherwise(lit("tail")))
+  }
+
   /** Temperature-scaled mixture weights per group (the data-recipe knob):
     * with p_g = tokens_g / Σtokens, the sampled weight at temperature
     * T = 1/2 is w_g = p_g^½ / Σ p^½ = √tokens_g / Σ√tokens — the

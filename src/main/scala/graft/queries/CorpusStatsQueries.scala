@@ -47,6 +47,19 @@ object CorpusStatsQueries {
     "q_mixture" -> ((s, dir) =>
       CorpusStats.mixtureWeights(docs(s, dir), "lang", size(toks))
         .orderBy("grp")),
+
+    // ── CCNet-style per-language perplexity buckets ─────────────────────
+    // Unigram-LM score → per-lang tercile thresholds → head/middle/tail.
+    // Composes q_unigram_lm's scoring with the q_percentiles-portable
+    // exact-quantile pair; thresholds broadcast back (group-count rows).
+    "q_ppl_buckets" -> ((s, dir) => {
+      val lm = CorpusStats.unigramLogProb(tokStream(s, dir))
+      val scored = lm.join(docs(s, dir).select("doc_id", "lang"), "doc_id")
+      CorpusStats.scoreBuckets(scored, "lang", "mean_logprob")
+        .select(col("doc_id"), col("lang"), col("mean_logprob"),
+          col("t_lo"), col("t_hi"), col("bucket"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ── Oracles ───────────────────────────────────────────────────────────
@@ -72,6 +85,36 @@ object CorpusStatsQueries {
             ROUND(CAST(SUM(CAST(dc * lp AS DECIMAL(28,10))) AS DOUBLE)
                   / SUM(dc), 6) AS mean_logprob
           FROM lp GROUP BY doc_id ORDER BY doc_id""",
+    "q_ppl_buckets" ->
+      s"""WITH $TokCte,
+            dc AS (SELECT doc_id, tok, count(*) AS dc FROM tok
+                   GROUP BY doc_id, tok),
+            freq AS (SELECT tok, CAST(SUM(dc) AS BIGINT) AS c FROM dc
+                     GROUP BY tok),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM freq),
+            lp AS (
+              SELECT doc_id, dc, ROUND(ln(c / n_total), 6) AS lp
+              FROM dc JOIN freq USING (tok) CROSS JOIN tot),
+            lm AS (
+              SELECT doc_id,
+                ROUND(CAST(SUM(CAST(dc * lp AS DECIMAL(28,10))) AS DOUBLE)
+                      / SUM(dc), 6) AS mean_logprob
+              FROM lp GROUP BY doc_id),
+            scored AS (
+              SELECT lm.doc_id, d.lang, lm.mean_logprob
+              FROM lm JOIN documents d USING (doc_id)),
+            th AS (
+              SELECT lang,
+                ROUND(quantile_cont(mean_logprob, 0.3333333333333333), 6)
+                  AS t_lo,
+                ROUND(quantile_cont(mean_logprob, 0.6666666666666666), 6)
+                  AS t_hi
+              FROM scored GROUP BY lang)
+          SELECT doc_id, lang, mean_logprob, t_lo, t_hi,
+            CASE WHEN mean_logprob >= t_hi THEN 'head'
+                 WHEN mean_logprob >= t_lo THEN 'middle'
+                 ELSE 'tail' END AS bucket
+          FROM scored JOIN th USING (lang) ORDER BY doc_id""",
     "q_collocations" ->
       s"""WITH $TokCte,
             t AS (SELECT doc_id, $ToksSql AS toks FROM documents),

@@ -97,6 +97,30 @@ class CorpusStatsSpec extends SparkSpec {
     assert(en.getDouble(4) < en.getDouble(3))
   }
 
+  test("scoreBuckets: per-group terciles, boundary inclusive, group-relative") {
+    // group A: scores 1..9 — terciles at 1/3 and 2/3 quantiles; group B is
+    // uniformly worse than A but must still get its own head
+    val rows = (1 to 9).map(i => ("A", i * 100L, i.toDouble)) ++
+      (1 to 3).map(i => ("B", i + 900L, i / 100.0))
+    val out = CorpusStats.scoreBuckets(
+        rows.toDF("grp", "id", "score"), "grp", "score")
+      .select("grp", "id", "score", "bucket")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3)))
+    val a = out.filter(_._1 == "A").sortBy(_._2).map(_._3).toSeq
+    // 9 values: t_lo = q(1/3) between 3 and 4, t_hi = q(2/3) between 6
+    // and 7 → 1-3 tail, 4-6 middle, 7-9 head
+    assert(a === Seq("tail", "tail", "tail", "middle", "middle", "middle",
+      "head", "head", "head"))
+    // B's best value is far below A's worst, yet B still has a head
+    assert(out.exists(r => r._1 == "B" && r._3 == "head"))
+    // boundary: a score EXACTLY at t_hi is head (>= is inclusive)
+    val exact = CorpusStats.scoreBuckets(
+        Seq(("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 3.0))
+          .toDF("grp", "id", "score"), "grp", "score", lo = 0.0, hi = 1.0)
+      .where(col("id") === 3).select("bucket").as[String].head()
+    assert(exact === "head")
+  }
+
   test("unigramLogProb plan: vocabulary join is broadcast, agg is keyed") {
     val tok = tokStream(Seq((1L, "a b c a"), (2L, "b c d")))
     val df = CorpusStats.unigramLogProb(tok)
