@@ -213,4 +213,67 @@ object CorpusStats {
         round(col("s").cast("double") / col("s_tot").cast("double"), 6)
           .as("w_sampled"))
   }
+
+  /** Exact heavy hitters (tokens with count ≥ ⌈phi·N⌉) via a
+    * Count-Min-Sketch pre-pass — the two-pass heavy-hitter pattern. Pass
+    * 1 folds the stream into a fixed-size CMS (mergeable counters, built
+    * map-side by `DataFrameStatFunctions.countMinSketch`; merge order
+    * cannot change the counts, so the sketch is deterministic under any
+    * partitioning). The broadcast sketch then MAP-SIDE filters pass 2:
+    * only tokens whose CMS estimate clears the threshold reach the exact
+    * aggregation, so the shuffle carries ≤ 1/phi true heavy keys plus the
+    * eps·N over-count fringe instead of the whole vocabulary.
+    *
+    * Exact, not approximate: CMS never under-counts, so the candidate set
+    * is a superset of the true heavy hitters and the exact count+HAVING
+    * restores precision — the candidates→verify contract again. The
+    * driver holds one sketch of width e/eps × depth ln(1/δ) (a few MB),
+    * never the vocabulary.
+    */
+  def heavyHitters(tok: DataFrame, phi: Double, eps: Double = 1e-4,
+                   confidence: Double = 0.999, seed: Int = 42): DataFrame = {
+    require(phi > 0 && phi < 1, s"phi: $phi")
+    val cms = tok.stat.countMinSketch(col("tok"), eps, confidence, seed)
+    val threshold = math.ceil(phi * cms.totalCount).toLong
+    val cmsB = tok.sparkSession.sparkContext.broadcast(cms)
+    val isCandidate =
+      udf((t: String) => t != null && cmsB.value.estimateCount(t) >= threshold)
+    tok.where(isCandidate(col("tok")))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .where(col("cnt") >= threshold)
+  }
+
+  /** Per-group robust z-scores (median/MAD) of a numeric column — the
+    * standard outlier gate for quality metrics, where mean/stddev would
+    * let the outliers define their own yardstick. z = (x − med) /
+    * (1.4826·MAD) (1.4826 ≈ 1/Φ⁻¹(3/4) rescales MAD to σ under
+    * normality); MAD = 0 (over half the group at the median) yields NULL
+    * z and outlier=false rather than ±∞.
+    *
+    * Exact `percentile` is a sort-based aggregate per group — the
+    * exactness gate at fixture scale; at 100 TB swap `approx_percentile`
+    * in (same plan shape, the [[scoreBuckets]] note applies). Both
+    * quantile passes and the final projection join the per-GROUP
+    * aggregate back broadcast — group-count rows, never row-scale.
+    */
+  def robustZScores(rows: DataFrame, idCol: String, grpCol: String,
+                    xCol: Column, zMax: Double = 3.0): DataFrame = {
+    val base = rows.select(col(idCol).as("id"), col(grpCol).as("grp"),
+      xCol.cast("double").as("x"))
+    val med = base.groupBy(col("grp"))
+      .agg(round(expr("percentile(x, 0.5)"), 6).as("med"))
+    val dev = base.join(broadcast(med), Seq("grp"))
+      .withColumn("adev", abs(col("x") - col("med")))
+    val mad = dev.groupBy(col("grp"))
+      .agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+    dev.join(broadcast(mad), Seq("grp"))
+      .withColumn("z",
+        when(col("mad") === 0, lit(null).cast("double"))
+          .otherwise(round((col("x") - col("med"))
+            / (lit(1.4826) * col("mad")), 6)))
+      .withColumn("is_outlier", coalesce(abs(col("z")) > zMax, lit(false)))
+      .select(col("id"), col("grp"), col("x"), col("med"), col("mad"),
+        col("z"), col("is_outlier"))
+  }
 }

@@ -317,6 +317,52 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** [[contaminationPairs]] with a Bloom-filter pre-pass — the 100 TB
+    * form. The bench side's n-gram hashes (eval suites are MBs, not TBs)
+    * are folded into a compact Bloom filter (mergeable, built map-side by
+    * `DataFrameStatFunctions.bloomFilter`), broadcast, and applied as a
+    * MAP-SIDE filter on the exploded train stream BEFORE any shuffle —
+    * so the df aggregate and the bench join shuffle only n-grams that
+    * might appear in the bench set (|bench| + fpp·|train| rows) instead
+    * of the full corpus stream.
+    *
+    * The result is IDENTICAL to [[contaminationPairs]], not approximate:
+    * Bloom filters have no false negatives, the keep/drop decision is a
+    * pure function of the hash value (so for every surviving hash ALL its
+    * occurrences survive — train-df counts are unchanged), and false
+    * positives are exactly the hashes that then find no bench partner in
+    * the verify join. Same candidates→verify contract as the MinHash /
+    * FastSS families; the oracle is the exact query's oracle.
+    */
+  def contaminationPairsBloom(trainHashed: DataFrame, benchHashed: DataFrame,
+                              minShared: Int, maxTrainDf: Int,
+                              fpp: Double = 0.01): DataFrame = {
+    require(minShared >= 1, s"minShared: $minShared")
+    require(maxTrainDf >= 1, s"maxTrainDf: $maxTrainDf")
+    val bench = benchHashed
+      .select(col("id").as("bench_id"), explode(col("hs")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // count() doubles as the persist materializer; expectedNumItems is the
+    // (pre-distinct) row count — an over-estimate only shrinks the fpp
+    val nBench = math.max(bench.count(), 1L)
+    val bloom = bench.stat.bloomFilter("h", nBench, fpp)
+    val bloomB = trainHashed.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    val train = trainHashed
+      .select(col("id").as("train_id"), explode(col("hs")).as("h"))
+      .where(mightContain(col("h")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keepable = train.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxTrainDf)
+      .select(col("h"))
+    train.join(keepable, Seq("h"))
+      .join(bench, Seq("h"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Positional n-gram hash relation `(id, pos, h)`: the hash of the
     * k-token window STARTING at token index `pos` (0-based), one row per
     * window including repeats — the positional sibling of

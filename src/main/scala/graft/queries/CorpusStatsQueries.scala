@@ -60,6 +60,27 @@ object CorpusStatsQueries {
           col("t_lo"), col("t_hi"), col("bucket"))
         .orderBy("doc_id")
     }),
+
+    // ── CMS-prefiltered exact heavy hitters ─────────────────────────────
+    // Count-Min-Sketch pass 1 (map-side mergeable counters), broadcast
+    // sketch gates pass 2 so the exact aggregation shuffles only
+    // candidate tokens. Exact by the no-under-count property; the oracle
+    // is the plain exact HAVING query.
+    "q_heavy_hitters" -> ((s, dir) =>
+      CorpusStats.heavyHitters(tokStream(s, dir), phi = 0.002)
+        .orderBy(desc("cnt"), col("tok"))),
+
+    // ── Robust z-score outliers (median/MAD) over doc length ────────────
+    // The quality-metric outlier gate: per-language median + MAD, z =
+    // (x − med)/(1.4826·MAD), flag |z| > 3. Exact percentile at fixture
+    // scale (the q_percentiles-portable pair).
+    "q_outliers" -> ((s, dir) =>
+      CorpusStats.robustZScores(docs(s, dir), "doc_id", "lang",
+          col("n_chars"))
+        .select(col("id").as("doc_id"), col("grp").as("lang"),
+          col("x").as("n_chars"), col("med"), col("mad"), col("z"),
+          col("is_outlier"))
+        .orderBy("doc_id")),
   )
 
   // ── Oracles ───────────────────────────────────────────────────────────
@@ -188,5 +209,37 @@ object CorpusStatsQueries {
             ROUND(CAST(s AS DOUBLE) / CAST(SUM(s) OVER () AS DOUBLE), 6)
               AS w_sampled
           FROM s ORDER BY grp""",
+    // the CMS pre-pass changes the plan, never the answer (no-under-count
+    // superset + exact HAVING) — the oracle is the exact query
+    "q_heavy_hitters" ->
+      s"""WITH $TokCte,
+            tot AS (SELECT count(*) AS n FROM tok),
+            hh AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok
+                   GROUP BY tok)
+          SELECT tok, cnt FROM hh CROSS JOIN tot
+          WHERE cnt >= CEIL(0.002 * n)
+          ORDER BY cnt DESC, tok""",
+    "q_outliers" ->
+      """WITH base AS (
+            SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS x
+            FROM documents),
+          med AS (
+            SELECT lang, ROUND(quantile_cont(x, 0.5), 6) AS med
+            FROM base GROUP BY lang),
+          dev AS (
+            SELECT b.doc_id, b.lang, b.x, m.med, ABS(b.x - m.med) AS adev
+            FROM base b JOIN med m USING (lang)),
+          mad AS (
+            SELECT lang, ROUND(quantile_cont(adev, 0.5), 6) AS mad
+            FROM dev GROUP BY lang),
+          z AS (
+            SELECT d.doc_id, d.lang, d.x, d.med, m.mad,
+              CASE WHEN m.mad = 0 THEN NULL
+                   ELSE ROUND((d.x - d.med) / (1.4826 * m.mad), 6)
+              END AS z
+            FROM dev d JOIN mad m USING (lang))
+          SELECT doc_id, lang, x AS n_chars, med, mad, z,
+            COALESCE(ABS(z) > 3, FALSE) AS is_outlier
+          FROM z ORDER BY doc_id""",
   )
 }

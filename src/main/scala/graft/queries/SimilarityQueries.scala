@@ -116,6 +116,17 @@ object SimilarityQueries {
             .cast("double") / count(lit(1)), 6).as("mean_d1"))
         .orderBy("cell")
     }),
+
+    // FastSS edit-distance-1 similarity join over part names: deletion-
+    // neighborhood blocking (exact recall for d ≤ 1) + Levenshtein
+    // verify — the entity-resolution member of the candidates→verify
+    // family. The oracle is the all-pairs Levenshtein join, affordable
+    // only at fixture scale — exactly the quadratic the blocking buys
+    // away.
+    "q_fuzzy_join" -> ((s, dir) =>
+      graft.ops.StringSim.editDistance1Pairs(
+          Tables.table(s, dir, "part"), "p_name")
+        .orderBy("name_a", "name_b")),
   )
 
   // ── Oracle SQL ────────────────────────────────────────────────────────
@@ -268,5 +279,13 @@ object SimilarityQueries {
             ON a.cell = b.cell AND a.vec_id < b.vec_id
           WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.3
           ORDER BY id_a, id_b""",
+    "q_fuzzy_join" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part
+                    WHERE p_name IS NOT NULL)
+          SELECT a.name AS name_a, b.name AS name_b,
+            CAST(levenshtein(a.name, b.name) AS INT) AS dist
+          FROM n a JOIN n b ON a.name < b.name
+          WHERE levenshtein(a.name, b.name) <= 1
+          ORDER BY name_a, name_b""",
   )
 }

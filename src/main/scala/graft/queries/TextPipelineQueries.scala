@@ -58,6 +58,33 @@ object TextPipelineQueries {
   private def ngramHashesSql(hsExpr: String, n: Int): String =
     s"list_distinct(${ngramHashesPosSql(hsExpr, n)})"
 
+  /** The exact decontamination oracle — shared verbatim by
+    * `q_contamination` (the exact plan) and `q_decontam_bloom` (the
+    * Bloom-prefiltered plan): the two queries must produce the SAME rows.
+    */
+  private lazy val ContaminationSql =
+    s"""WITH hs AS (
+          SELECT doc_id,
+            list_transform($ToksSql, t -> ${h60("t")}) AS hsarr
+          FROM documents),
+        ng AS (
+          SELECT doc_id, ${ngramHashesSql("hsarr", 5)} AS ngh FROM hs),
+        train AS (
+          SELECT doc_id AS train_id, unnest(ngh) AS h FROM ng
+          WHERE len(ngh) > 0),
+        bench AS (
+          SELECT doc_id + 900000 AS bench_id, unnest(ngh) AS h FROM ng
+          WHERE doc_id % 100 = 0 AND len(ngh) > 0),
+        dfc AS (SELECT h, count(*) AS df FROM train GROUP BY h)
+        SELECT train_id, bench_id, count(*) AS n_shared
+        FROM train
+        JOIN dfc ON train.h = dfc.h
+        JOIN bench ON train.h = bench.h
+        WHERE dfc.df <= 100
+        GROUP BY train_id, bench_id
+        HAVING count(*) >= 3
+        ORDER BY train_id, bench_id"""
+
   /** Mirror of [[TextAnalysis.qualityScore]] over columns named n_tokens /
     * n_chars / punct / digits — the ONE copy shared by every oracle that
     * scores quality (q_quality, q_curate, q_dataset_card).
@@ -249,6 +276,21 @@ object TextPipelineQueries {
       val bench = train.where(pmod(col("id"), lit(100)) === 0)
         .select((col("id") + 900000).as("id"), col("hs"))
       Dedup.contaminationPairs(train, bench, minShared = 3, maxTrainDf = 100)
+        .orderBy("train_id", "bench_id")
+    }),
+
+    // ── Bloom-prefiltered decontamination (the 100 TB form) ─────────────
+    // Same inputs, same answer as q_contamination — the broadcast Bloom
+    // of bench n-grams map-side-filters the train stream before any
+    // shuffle (Dedup.contaminationPairsBloom scaladoc has the identity
+    // argument); gated against the SAME oracle SQL as the exact plan.
+    "q_decontam_bloom" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text")))
+      val train = Dedup.hashedNgrams(d, "doc_id", "toks", 5)
+      val bench = train.where(pmod(col("id"), lit(100)) === 0)
+        .select((col("id") + 900000).as("id"), col("hs"))
+      Dedup.contaminationPairsBloom(train, bench, minShared = 3,
+          maxTrainDf = 100)
         .orderBy("train_id", "bench_id")
     }),
 
@@ -637,28 +679,11 @@ object TextPipelineQueries {
           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
           ORDER BY id_a, id_b""",
-    "q_contamination" ->
-      s"""WITH hs AS (
-            SELECT doc_id,
-              list_transform($ToksSql, t -> ${h60("t")}) AS hsarr
-            FROM documents),
-          ng AS (
-            SELECT doc_id, ${ngramHashesSql("hsarr", 5)} AS ngh FROM hs),
-          train AS (
-            SELECT doc_id AS train_id, unnest(ngh) AS h FROM ng
-            WHERE len(ngh) > 0),
-          bench AS (
-            SELECT doc_id + 900000 AS bench_id, unnest(ngh) AS h FROM ng
-            WHERE doc_id % 100 = 0 AND len(ngh) > 0),
-          dfc AS (SELECT h, count(*) AS df FROM train GROUP BY h)
-          SELECT train_id, bench_id, count(*) AS n_shared
-          FROM train
-          JOIN dfc ON train.h = dfc.h
-          JOIN bench ON train.h = bench.h
-          WHERE dfc.df <= 100
-          GROUP BY train_id, bench_id
-          HAVING count(*) >= 3
-          ORDER BY train_id, bench_id""",
+    "q_contamination" -> ContaminationSql,
+    // identical answer by construction (Bloom has no false negatives and
+    // the per-hash keep decision preserves train-df counts) — the gate
+    // proves the scale path changes the plan, not the result
+    "q_decontam_bloom" -> ContaminationSql,
     "q_substr_dup" ->
       s"""WITH hs AS (
             SELECT doc_id,

@@ -132,4 +132,53 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!nodes.exists(_.contains("SortMergeJoin")),
       "token→vocab join fell back to a full shuffle join")
   }
+
+  test("heavyHitters: equals the exact HAVING query, at any partitioning") {
+    // known counts: a×12, b×6, c×3, d×1, e×1 → N=23
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(3)("c")
+      ++ Seq("d", "e")).mkString(" ")
+    val tok = tokStream(Seq((1L, text)))
+    def exact(phi: Double) = {
+      val n = tok.count()
+      val t = math.ceil(phi * n).toLong
+      tok.groupBy("tok").count().where(col("count") >= t)
+        .select("tok").as[String].collect().toSet
+    }
+    for (phi <- Seq(0.1, 0.2, 0.5)) {
+      val hh = CorpusStats.heavyHitters(tok, phi)
+        .select("tok").as[String].collect().toSet
+      assert(hh === exact(phi), s"phi=$phi")
+      // CMS counters are exact-merge commutative: repartitioning the
+      // stream cannot change the sketch, the threshold, or the answer
+      val hh7 = CorpusStats.heavyHitters(tok.repartition(7), phi)
+        .select("tok").as[String].collect().toSet
+      assert(hh7 === hh, s"partitioning changed heavyHitters at phi=$phi")
+    }
+    // counts come back exact, not estimated
+    val counted = CorpusStats.heavyHitters(tok, 0.1)
+      .as[(String, Long)].collect().toMap
+    assert(counted === Map("a" -> 12L, "b" -> 6L, "c" -> 3L))
+  }
+
+  test("robustZScores: median/MAD math, outlier flag, MAD=0 guard") {
+    val rows = Seq(
+      // group g: med = 15 ((14+16)/2), MAD = 3 (adevs 5,3,1,1,3,985 → 3)
+      ("g", 1L, 10.0), ("g", 2L, 12.0), ("g", 3L, 14.0),
+      ("g", 4L, 16.0), ("g", 5L, 18.0), ("g", 6L, 1000.0),
+      // group k: constant → MAD = 0 → z NULL, outlier false
+      ("k", 7L, 5.0), ("k", 8L, 5.0), ("k", 9L, 5.0))
+      .toDF("grp", "id", "x")
+    val out = CorpusStats.robustZScores(rows, "id", "grp", col("x"))
+      .orderBy("id").collect()
+    val g6 = out(5)
+    assert(g6.getDouble(3) === 15.0 && g6.getDouble(4) === 3.0)
+    assert(math.abs(g6.getDouble(5)
+      - BigDecimal((1000.0 - 15) / (1.4826 * 3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(g6.getBoolean(6), "planted outlier not flagged")
+    assert(out.take(5).forall(!_.getBoolean(6)), "inliers flagged")
+    val k = out.filter(_.getString(1) == "k")
+    assert(k.forall(r => r.isNullAt(5) && !r.getBoolean(6)),
+      "MAD=0 group must yield NULL z and no outlier flag")
+  }
 }

@@ -276,6 +276,32 @@ class DedupSpec extends SparkSpec {
     assert(run(1, 1) === Set((1L, 100L, 3L)))
   }
 
+  test("contaminationPairsBloom: identical to the exact plan at every cap") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "shared boiler plate words exactly here"),
+      (3L, "shared boiler plate words exactly here too"),
+      (4L, "wholly unrelated content that never matches anything at all"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon noise noise shared boiler plate words exactly here"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+    val th = Dedup.hashedNgrams(train, "doc_id", "toks", 3)
+    val bh = Dedup.hashedNgrams(bench, "doc_id", "toks", 3)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("train_id", "bench_id", "n_shared")
+        .as[(Long, Long, Long)].collect().toSet
+    for ((minShared, maxDf) <- Seq((2, 5), (1, 1), (3, 100))) {
+      val exact = collect(Dedup.contaminationPairs(th, bh, minShared, maxDf))
+      val bloomed =
+        collect(Dedup.contaminationPairsBloom(th, bh, minShared, maxDf))
+      assert(bloomed === exact, s"minShared=$minShared maxDf=$maxDf")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("simhashCapacity: block width pins the linear-regime corpus size") {
     assert(Dedup.simhashCapacity(5) === (1L << 10)) // 6 blocks × 10 bits
     assert(Dedup.simhashCapacity(2) === (1L << 20))
