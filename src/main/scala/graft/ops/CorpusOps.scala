@@ -36,6 +36,31 @@ object CorpusOps {
     df.where(sampleBasis(col(idCol), salt) < rateBp)
   }
 
+  /** Weighted sample of k rows WITHOUT replacement — deterministic
+    * Efraimidis–Spirakis (A-ES, "Weighted random sampling with a
+    * reservoir", 2006): each row draws key uᵂ with u uniform; the k
+    * largest keys are the sample. Expressed in the equivalent log form
+    * (−ln u)/w ascending, which avoids pow() (libm pow is not
+    * engine-portable; ln rounded to 6 is — the q_unigram_lm result).
+    * u comes from the [[sampleBasis]]-style h60 draw mapped to
+    * (0, 1) via (h % 1e6 + 0.5)/1e6 — never exactly 0 or 1, so ln is
+    * finite — making the "random" sample reproducible across engines,
+    * runs, and partitionings.
+    *
+    * Scale: one narrow projection + TakeOrderedAndProject(k) — no
+    * shuffle beyond the top-k tree. Weights must be > 0.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+                     k: Int, salt: String = "wsamp"): DataFrame = {
+    require(k >= 1, s"k: $k")
+    val u = (pmod(Hashes.h60(concat(lit(salt), lit(":"),
+        col(idCol).cast("string"))), lit(1000000L)) + 0.5) / 1000000.0
+    df.withColumn("es_key",
+        round(-log(u), 6) / weightCol.cast("double"))
+      .orderBy(col("es_key"), col(idCol))
+      .limit(k)
+  }
+
   /** Per-stratum sampling rates (basis points), e.g. downsample boilerplate
     * languages while keeping all of a rare one — the corpus-mixing knob of
     * an LLM data pipeline. Unlisted strata fall back to `defaultBp`.

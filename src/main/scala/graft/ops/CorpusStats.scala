@@ -244,6 +244,50 @@ object CorpusStats {
       .where(col("cnt") >= threshold)
   }
 
+  /** Okapi BM25 top-k retrieval over the token stream for a literal term
+    * set — the classic lexical ranking a curation stack runs for targeted
+    * corpus search (and the retrieval baseline embedding ANN is judged
+    * against). idf uses the Robertson/Lucene smooth form
+    * ln((N − df + ½)/(df + ½) + 1) ≥ 0.
+    *
+    * Plan: the term filter is pushed to the token stream FIRST, so tf, df
+    * and the scoring join all run on the |terms|-restricted stream; the
+    * corpus-wide inputs are one per-doc length aggregate (`dl`, reused by
+    * the 1-row stats aggregate and the scoring join — persisted, caller
+    * clears) and that single-row avgdl crossJoin. Final cut is
+    * `orderBy.limit(k)` → TakeOrderedAndProject, never a global sort.
+    *
+    * Numeric contract: idf and each per-term partial are rounded to 6
+    * BEFORE the decimal partial-sum, so scores are shuffle-order-exact —
+    * double arithmetic INSIDE a partial mirrors the oracle term for term
+    * (same literals, same association).
+    */
+  def bm25TopK(tok: DataFrame, terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "empty term set")
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("long").as("tok_total"))
+    val qtf = tok.where(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfc = qtf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = qtf.join(broadcast(dfc), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats)) // 1-row global (n_docs, tok_total)
+      .withColumn("idf",
+        round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6))
+      .withColumn("avgdl", col("tok_total").cast("double") / col("n_docs"))
+      .withColumn("s",
+        round(col("idf") * (col("tf") * lit(k1 + 1))
+          / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+    scored.groupBy(col("doc_id"))
+      .agg(round(sum(col("s").cast(Dec)).cast("double"), 6).as("bm25"),
+        count(lit(1)).cast("long").as("n_hit"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-group robust z-scores (median/MAD) of a numeric column — the
     * standard outlier gate for quality metrics, where mean/stddev would
     * let the outliers define their own yardstick. z = (x − med) /

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators over an edge relation — the entity-importance signal a
+  * curation stack computes over join-derived graphs (domain links, shared
+  * fingerprints, buyer/supplier relations).
+  *
+  * Engine-portable numeric contract: contribution sums accumulate in
+  * DECIMAL (order-independent), every other step is a deterministic IEEE
+  * double op — so intermediate ranks are bit-identical across
+  * partitionings and engines WITHOUT intermediate rounding, and a DuckDB
+  * oracle can replay the iterations as unrolled CTEs. Rounding happens
+  * exactly once, on the final output, at 6 decimals: per-iteration
+  * round(…, 9) was measurably non-portable (one fixture row landed on a
+  * round-half boundary where the two engines' double-rounding
+  * implementations disagree by 1 ulp; 6-decimal single-rounding is the
+  * precision the other 87 oracles have proven portable).
+  */
+object Graph {
+
+  private val Dec = "decimal(28,12)"
+
+  /** PageRank with a FIXED iteration count over `(src, dst)` edges:
+    * rank⁽ⁱ⁺¹⁾(v) = (1−d)/N + d·Σ_{u→v} rank⁽ⁱ⁾(u)/outdeg(u), rank⁽⁰⁾ =
+    * 1/N. Dangling-node mass is dropped, not redistributed (ranks then
+    * sum to < 1 — standard for the bounded-iteration form; symmetric
+    * edge sets have no dangling nodes anyway).
+    *
+    * Scale posture: each iteration is ONE keyed join (ranks×edges on src
+    * — ranks is node-scale, edges edge-scale) plus one hash aggregate on
+    * dst and one left join back to the node set; iteration count is a
+    * constant, so the lineage is a fixed-depth declarative plan Catalyst
+    * sees whole (no driver loop state). The node count is the single
+    * driver-side scalar (one count job).
+    */
+  def pageRank(edges: DataFrame, iters: Int, d: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters: $iters")
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node")).distinct()
+      .unionByName(e.select(col("dst").as("node")).distinct()).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // the one driver scalar; also materializes both
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var rank = nodes.withColumn("rank", lit(1.0) / n)
+    for (_ <- 1 to iters) {
+      val contrib = e.join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"),
+          (col("rank") / col("deg")).cast(Dec).as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).cast("double").as("in_sum"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - d) / n) + lit(d) * coalesce(col("in_sum"), lit(0.0)))
+            .as("rank"))
+    }
+    rank.select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+
+  /** Per-node triangle participation counts over an undirected edge set
+    * (any orientation, duplicates fine — canonicalized to distinct
+    * `a < b` internally). The classic wedge-close algorithm: enumerate
+    * wedges a–b–c along ID-oriented edges (a<b<c), close them with a hash
+    * probe back into the edge set — never an all-pairs product. Each
+    * triangle {a,b,c} is found exactly once, then credited to all three
+    * corners.
+    *
+    * Scale posture: both steps are keyed hash joins; wedge count is
+    * Σ_b outdeg⁺(b)², bounded in production by orienting edges
+    * low-degree → high-degree instead of by ID (same output — swap the
+    * orientation key; ID-orientation is kept here because the oracle
+    * mirrors it verbatim). Nodes in no triangle are absent from the
+    * result (COALESCE at the call site if zeros are wanted).
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") < col("b")) // drops self-loops
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wedges a<b<c sharing middle b … joined against the closing edge a-c
+    val wedges = canon.as("e1")
+      .join(canon.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("wa"), col("e1.b").as("wb"),
+        col("e2.b").as("wc"))
+    val tri = wedges.join(canon.as("e3"),
+        col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+      .select(col("wa").as("a"), col("wb").as("b"), col("wc").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).cast("long").as("n_triangles"))
+  }
+}

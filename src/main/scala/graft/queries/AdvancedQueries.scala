@@ -213,6 +213,40 @@ object AdvancedQueries {
           (coalesce(col("n_hits"), lit(0L)) >= 2).as("recall_ok"))
         .orderBy("probe_id")
     }),
+
+    // ── PageRank (3 iterations) over the supplier↔customer graph ────────
+    // Edges: distinct (supplier, customer) trade pairs from
+    // lineitem⋈orders, symmetrized (customer nodes offset by 1,000,000 to
+    // keep the key spaces disjoint). Fixed-iteration decimal-exact
+    // PageRank (Graph.pageRank); the oracle unrolls the three iterations
+    // as CTEs with identical literals and rounding.
+    "q_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + 1000000L).as("dst"))
+        .distinct()
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.Graph.pageRank(edges, iters = 3)
+        .orderBy(desc("rank"), col("node")).limit(50)
+    }),
+
+    // ── Per-node triangle counts over the part co-purchase graph ────────
+    // Edges: distinct part pairs appearing in the same order (keyed
+    // self-join on l_orderkey, a<b). Wedge-close triangle enumeration
+    // (Graph.triangleCounts) — two keyed joins, no product; top-100 most
+    // clustered parts.
+    "q_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.ops.Graph.triangleCounts(pairs)
+        .orderBy(desc("n_triangles"), col("node")).limit(100)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -314,5 +348,62 @@ object AdvancedQueries {
             ROUND(median(l_extendedprice), 6) AS med_price,
             TRUE AS p50_approx_ok
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    // three unrolled iterations with the engine's exact literals/rounding;
+    // all decimal-literal constants are CAST to DOUBLE (DuckDB parses
+    // bare 0.85 as DECIMAL, which would change the arithmetic)
+    "q_pagerank" -> {
+      def c(i: Int, prev: String) =
+        s"""c$i AS (
+              SELECT e.dst AS node,
+                CAST(SUM(CAST(r.rank / d.deg AS DECIMAL(28,12))) AS DOUBLE)
+                  AS in_sum
+              FROM edges e
+              JOIN $prev r ON e.src = r.node
+              JOIN deg d ON e.src = d.src
+              GROUP BY e.dst)"""
+      def r(i: Int) =
+        s"""r$i AS (
+              SELECT nodes.node,
+                (1 - CAST(0.85 AS DOUBLE)) / n
+                  + CAST(0.85 AS DOUBLE)
+                    * COALESCE(c$i.in_sum, CAST(0 AS DOUBLE)) AS rank
+              FROM nodes CROSS JOIN nn
+              LEFT JOIN c$i ON nodes.node = c$i.node)"""
+      s"""WITH fwd AS (
+            SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          edges AS (
+            SELECT src, dst FROM fwd
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM fwd),
+          nodes AS (SELECT DISTINCT src AS node FROM edges),
+          nn AS (SELECT count(*) AS n FROM nodes),
+          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+          r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank
+                 FROM nodes CROSS JOIN nn),
+          ${c(1, "r0")}, ${r(1)},
+          ${c(2, "r1")}, ${r(2)},
+          ${c(3, "r2")}, ${r(3)}
+          SELECT node, ROUND(rank, 6) AS rank FROM r3
+          ORDER BY ROUND(rank, 6) DESC, node LIMIT 50"""
+    },
+    "q_triangles" ->
+      """WITH pairs AS (
+            SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+            FROM lineitem x
+            JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+                           AND x.l_partkey < y.l_partkey),
+          tri AS (
+            SELECT e1.a, e1.b, e2.b AS c
+            FROM pairs e1
+            JOIN pairs e2 ON e1.b = e2.a
+            JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+          corners AS (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+          SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+          FROM corners GROUP BY node
+          ORDER BY n_triangles DESC, node LIMIT 100""",
   )
 }

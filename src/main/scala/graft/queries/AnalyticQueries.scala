@@ -177,6 +177,58 @@ object AnalyticQueries {
           abs(col("l_discount") - lit(0.05)).as("abs_disc"),
           pmod(col("l_orderkey"), lit(97L)).as("key_mod"))
         .orderBy("l_orderkey", "l_linenumber")),
+
+    // ── Portable Pearson correlation via decimal moment sums ────────────
+    // Built-in corr() accumulates covariance in shuffle order (engine- and
+    // partitioning-dependent low bits); this computes the five moment
+    // sums exactly in DECIMAL, then combines them in one fixed IEEE
+    // double expression — r is bit-identical at any partitioning and the
+    // oracle replays the same formula. x·y multiplies in double BEFORE
+    // the decimal cast (the q_doc_entropy portable weighted-sum shape).
+    "q_corr" -> ((s, dir) => {
+      val dec = "decimal(30,10)"
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sx"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sy"),
+          sum((col("l_quantity") * col("l_extendedprice")).cast(dec))
+            .cast("double").as("sxy"),
+          sum((col("l_quantity") * col("l_quantity")).cast(dec))
+            .cast("double").as("sxx"),
+          sum((col("l_extendedprice") * col("l_extendedprice")).cast(dec))
+            .cast("double").as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n").cast("double") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("n").cast("double") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("r"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ── Equi-width histogram per group ──────────────────────────────────
+    // 10 buckets of doc length per language: per-group min/max broadcast
+    // back (group-count rows), bucket = least(floor((x−min)/w), 9); the
+    // max value clamps into the last bucket, degenerate min==max groups
+    // collapse to bucket 0. All width arithmetic in double with the
+    // oracle's exact cast shape.
+    "q_histogram" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang"), col("n_chars"))
+      val stats = d.groupBy(col("lang"))
+        .agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
+      d.join(broadcast(stats), Seq("lang"))
+        .withColumn("w", (col("mx") - col("mn")).cast("double") / 10)
+        .withColumn("bucket",
+          when(col("w") === 0, lit(0).cast("int"))
+            .otherwise(least(floor((col("n_chars") - col("mn")) / col("w")),
+              lit(9.0)).cast("int")))
+        .groupBy(col("lang"), col("bucket"), col("mn"), col("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("lang"), col("bucket"), col("n"),
+          round(col("mn") + col("bucket") * col("w"), 6).as("lo"),
+          round(col("mn") + (col("bucket") + 1) * col("w"), 6).as("hi"))
+        .orderBy("lang", "bucket")
+    }),
   )
 
   private def oSum(expr: String, as: String, scale: Int = 4): String =
@@ -295,5 +347,41 @@ object AnalyticQueries {
             abs(l_discount - 0.05) AS abs_disc,
             l_orderkey % 97 AS key_mod
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_corr" ->
+      """WITH m AS (
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+                AS sy,
+              CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,10)))
+                   AS DOUBLE) AS sxy,
+              CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,10)))
+                   AS DOUBLE) AS sxx,
+              CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                            AS DECIMAL(30,10))) AS DOUBLE) AS syy
+            FROM lineitem GROUP BY l_returnflag)
+          SELECT l_returnflag, n,
+            ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                     * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r
+          FROM m ORDER BY l_returnflag""",
+    // width arithmetic mirrors the engine cast-for-cast (CAST(mx - mn AS
+    // DOUBLE)/10 — a bare 10.0 literal would make DuckDB divide in DECIMAL)
+    "q_histogram" ->
+      """WITH s AS (
+            SELECT lang, min(n_chars) AS mn, max(n_chars) AS mx
+            FROM documents GROUP BY lang),
+          b AS (
+            SELECT d.lang, s.mn, CAST(s.mx - s.mn AS DOUBLE) / 10 AS w,
+              CASE WHEN CAST(s.mx - s.mn AS DOUBLE) / 10 = 0 THEN 0
+                   ELSE CAST(LEAST(FLOOR((d.n_chars - s.mn)
+                          / (CAST(s.mx - s.mn AS DOUBLE) / 10)), 9) AS INT)
+              END AS bucket
+            FROM documents d JOIN s USING (lang))
+          SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n,
+            ROUND(mn + bucket * w, 6) AS lo,
+            ROUND(mn + (bucket + 1) * w, 6) AS hi
+          FROM b GROUP BY lang, bucket, mn, w
+          ORDER BY lang, bucket""",
   )
 }

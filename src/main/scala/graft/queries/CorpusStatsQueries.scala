@@ -70,6 +70,14 @@ object CorpusStatsQueries {
       CorpusStats.heavyHitters(tokStream(s, dir), phi = 0.002)
         .orderBy(desc("cnt"), col("tok"))),
 
+    // ── Okapi BM25 top-k retrieval ──────────────────────────────────────
+    // Lexical ranking for a literal 3-term query: term-filtered tf/df,
+    // one corpus length aggregate, TakeOrderedAndProject cut. Terms are
+    // mid-df fixture vocabulary so tf and length normalization both bite.
+    "q_bm25" -> ((s, dir) =>
+      CorpusStats.bm25TopK(tokStream(s, dir),
+        Seq("spark", "merge", "vector"), k = 20)),
+
     // ── Robust z-score outliers (median/MAD) over doc length ────────────
     // The quality-metric outlier gate: per-language median + MAD, z =
     // (x − med)/(1.4826·MAD), flag |z| > 3. Exact percentile at fixture
@@ -219,6 +227,30 @@ object CorpusStatsQueries {
           SELECT tok, cnt FROM hh CROSS JOIN tot
           WHERE cnt >= CEIL(0.002 * n)
           ORDER BY cnt DESC, tok""",
+    "q_bm25" ->
+      s"""WITH $TokCte,
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs,
+                        CAST(SUM(dl) AS BIGINT) AS tok_total FROM dl),
+            qtf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+                    WHERE tok IN ('spark', 'merge', 'vector')
+                    GROUP BY doc_id, tok),
+            dfc AS (SELECT tok, count(*) AS df FROM qtf GROUP BY tok),
+            s AS (
+              SELECT q.doc_id,
+                ROUND(ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1), 6)
+                        * (tf * 2.2)
+                      / (tf + 1.2 * (0.25 + 0.75 * d.dl
+                           / (CAST(tok_total AS DOUBLE) / n_docs))), 6) AS s
+              FROM qtf q
+              JOIN dfc USING (tok)
+              JOIN dl d USING (doc_id)
+              CROSS JOIN stats)
+          SELECT doc_id,
+            ROUND(CAST(SUM(CAST(s AS DECIMAL(28,10))) AS DOUBLE), 6) AS bm25,
+            CAST(count(*) AS BIGINT) AS n_hit
+          FROM s GROUP BY doc_id
+          ORDER BY bm25 DESC, doc_id LIMIT 20""",
     "q_outliers" ->
       """WITH base AS (
             SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS x

@@ -418,6 +418,17 @@ object TextPipelineQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // ── Weighted sample (Efraimidis–Spirakis, deterministic) ────────────
+    // 50 docs drawn ∝ n_chars without replacement: per-row key
+    // round(−ln u, 6)/w with the h60-derived uniform u — reproducible
+    // across engines/partitionings, so the ORACLE replays the exact draw.
+    // One projection + top-k, no shuffle beyond the tree.
+    "q_sample_weighted" -> ((s, dir) =>
+      CorpusOps.weightedSample(docs(s, dir), "doc_id", col("n_chars"),
+          k = 50)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("es_key"), 9).as("es_key"))),
+
     // ── Greedy sequence packing (context-window assembly) ───────────────
     // pack_id = floor(prev running tokens / budget) within each language,
     // doc order by id — the overflow-allowed packing policy, expressed as
@@ -821,6 +832,17 @@ object TextPipelineQueries {
                  WHEN lang = 'de' THEN 2500
                  ELSE 1000 END
           ORDER BY doc_id""",
+    // CAST-to-DOUBLE before the +0.5: DuckDB types bare 0.5 as DECIMAL and
+    // BIGINT+DECIMAL stays DECIMAL — the engine computes in IEEE double
+    "q_sample_weighted" ->
+      s"""WITH d AS (
+            SELECT doc_id, lang, n_chars,
+              ROUND(-ln((CAST(${h60("'wsamp:' || doc_id")} % 1000000
+                              AS DOUBLE) + 0.5) / 1000000), 6)
+                / CAST(n_chars AS DOUBLE) AS es_key
+            FROM documents)
+          SELECT doc_id, lang, n_chars, ROUND(es_key, 9) AS es_key
+          FROM d ORDER BY d.es_key, doc_id LIMIT 50""",
     "q_assemble" -> {
       val norm = s"trim(regexp_replace(lower(text), '$Re', ' ', 'g'))"
       s"""WITH d0 AS (

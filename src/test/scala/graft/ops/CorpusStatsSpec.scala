@@ -160,6 +160,22 @@ class CorpusStatsSpec extends SparkSpec {
     assert(counted === Map("a" -> 12L, "b" -> 6L, "c" -> 3L))
   }
 
+  test("bm25TopK: tf monotone, rarer term weighs more, non-hits excluded") {
+    val tok = tokStream(Seq(
+      (1L, "apple banana cherry date"),        // 1× apple
+      (2L, "apple apple banana cherry date"),  // 2× apple, same-ish length
+      (3L, "kiwi kiwi kiwi kiwi"),             // no query terms
+      (4L, "rare banana cherry date")))        // 1× rare (df=1 vs apple df=2)
+    val out = CorpusStats.bm25TopK(tok, Seq("apple", "rare"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!out.contains(3L), "doc without query terms must not appear")
+    assert(out(2L) > out(1L), "higher tf must score higher")
+    // df(rare)=1 < df(apple)=2 → idf(rare) > idf(apple); doc 4 and doc 1
+    // have equal length and tf=1, so the rarer term must win
+    assert(out(4L) > out(1L), "rarer term must contribute more")
+    spark.catalog.clearCache()
+  }
+
   test("robustZScores: median/MAD math, outlier flag, MAD=0 guard") {
     val rows = Seq(
       // group g: med = 15 ((14+16)/2), MAD = 3 (adevs 5,3,1,1,3,985 → 3)

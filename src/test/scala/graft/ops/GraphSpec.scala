@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for [[Graph.pageRank]]: the fixed point on a symmetric
+  * ring (uniform), centrality ordering on a star, mass conservation on
+  * dangling-free graphs, and partition invariance (the decimal-sum
+  * contract).
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int) =
+    Graph.pageRank(edges.toDF("src", "dst"), iters)
+      .as[(Long, Double)].collect().toMap
+
+  test("symmetric ring: uniform 1/N is the fixed point") {
+    // 0-1-2-3-0, both directions: deg 2 everywhere
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val sym = ring ++ ring.map(_.swap)
+    val r = ranks(sym, 3)
+    assert(r.size === 4)
+    r.values.foreach(v => assert(math.abs(v - 0.25) < 1e-8, r))
+  }
+
+  test("star: the hub outranks every leaf") {
+    // hub 0 <-> leaves 1..5 (symmetric)
+    val star = (1L to 5L).flatMap(l => Seq((0L, l), (l, 0L)))
+    val r = ranks(star, 3)
+    assert((1L to 5L).forall(l => r(0L) > r(l)), r)
+    // leaves are symmetric — identical ranks
+    assert((1L to 5L).map(r).distinct.size === 1, r)
+  }
+
+  test("dangling-free graph conserves rank mass (Σ ≈ 1)") {
+    val star = (1L to 5L).flatMap(l => Seq((0L, l), (l, 0L)))
+    // final ranks are rounded to 6 decimals → up to 0.5e-6 error per node
+    val total = ranks(star, 3).values.sum
+    assert(math.abs(total - 1.0) < 1e-5, s"mass: $total")
+  }
+
+  test("triangleCounts: K4, disjoint triangle, and non-triangles") {
+    // K4 on {0,1,2,3}: C(4,3)=4 triangles, each node in 3 of them;
+    // a separate triangle {10,11,12}: 1 each; a dangling path 20-21-22
+    // (open wedge, no triangle) must be absent entirely.
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (11L, 10L), (10L, 12L), (12L, 11L), // any orientation + dup-safe
+      (11L, 10L),
+      (20L, 21L), (21L, 22L))
+    val out = Graph.triangleCounts(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L,
+      10L -> 1L, 11L -> 1L, 12L -> 1L))
+    spark.catalog.clearCache()
+  }
+
+  test("triangleCounts == brute force on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 30
+    val edges = (for {
+      a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.2
+    } yield (a, b)).toSeq
+    val es = edges.toSet
+    val brute = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } Seq(a, b, c).foreach(v => brute(v) = brute.getOrElse(v, 0L) + 1)
+    val out = Graph.triangleCounts(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(out === brute.toMap)
+    spark.catalog.clearCache()
+  }
+
+  test("partition invariance: repartitioned edges give identical ranks") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L), (2L, 1L),
+      (1L, 0L), (3L, 0L), (0L, 3L))
+    val base = ranks(edges, 3)
+    val repart = Graph.pageRank(
+        edges.toDF("src", "dst").repartition(7), 3)
+      .as[(Long, Double)].collect().toMap
+    assert(repart === base)
+    spark.catalog.clearCache()
+  }
+}
