@@ -62,18 +62,22 @@ object Graph {
 
   /** Per-node triangle participation counts over an undirected edge set
     * (any orientation, duplicates fine — canonicalized to distinct
-    * `a < b` internally). The classic wedge-close algorithm: enumerate
-    * wedges a–b–c along ID-oriented edges (a<b<c), close them with a hash
-    * probe back into the edge set — never an all-pairs product. Each
-    * triangle {a,b,c} is found exactly once, then credited to all three
-    * corners.
+    * `a < b` internally). Compact-forward with DEGREE ordering (Ortmann &
+    * Brandes 2014 survey; public algorithm): orient every edge from the
+    * (degree, id)-smaller endpoint to the larger, enumerate wedges at
+    * their lowest-order corner, close each with a hash probe back into
+    * the directed edge set. Each triangle is found exactly once at its
+    * minimum-order corner, then credited to all three corners.
     *
-    * Scale posture: both steps are keyed hash joins; wedge count is
-    * Σ_b outdeg⁺(b)², bounded in production by orienting edges
-    * low-degree → high-degree instead of by ID (same output — swap the
-    * orientation key; ID-orientation is kept here because the oracle
-    * mirrors it verbatim). Nodes in no triangle are absent from the
-    * result (COALESCE at the call site if zeros are wanted).
+    * Scale posture: both steps are keyed hash joins, and degree ordering
+    * is what makes the wedge relation bounded — Σ outdeg⁺² with
+    * outdeg⁺ = O(√|E|) on any graph (arboricity bound), where naive ID
+    * orientation lets one dense hub emit deg² wedges. Measured on the
+    * part co-purchase graph at sf0.1 the unordered form was the
+    * single slowest query in the suite (25 s); the output is
+    * orientation-invariant, so the oracle needs no mirror of the
+    * internal order. Nodes in no triangle are absent from the result
+    * (COALESCE at the call site if zeros are wanted).
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val canon = edges.select(
@@ -82,14 +86,30 @@ object Graph {
       .where(col("a") < col("b")) // drops self-loops
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // wedges a<b<c sharing middle b … joined against the closing edge a-c
-    val wedges = canon.as("e1")
-      .join(canon.as("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("wa"), col("e1.b").as("wb"),
-        col("e2.b").as("wc"))
-    val tri = wedges.join(canon.as("e3"),
-        col("wa") === col("e3.a") && col("wc") === col("e3.b"))
-      .select(col("wa").as("a"), col("wb").as("b"), col("wc").as("c"))
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // total order: (deg, id); since a < b, a wins ties
+    val aFirst = canon
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .withColumn("a_first",
+        col("da") < col("db") || (col("da") === col("db")))
+    val dir = aFirst.select(
+        when(col("a_first"), col("a")).otherwise(col("b")).as("u"),
+        when(col("a_first"), col("b")).otherwise(col("a")).as("v"),
+        when(col("a_first"), col("db")).otherwise(col("da")).as("dv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wedges at the lowest-order corner u, legs ordered v < w in (deg, id)
+    val wedges = dir.as("e1")
+      .join(dir.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          (col("e1.dv") < col("e2.dv") ||
+            (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+      .select(col("e1.u").as("cu"), col("e1.v").as("x"), col("e2.v").as("y"))
+    // the closing edge is directed x→y exactly because ord(x) < ord(y)
+    val tri = wedges.join(
+        dir.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select(col("cu").as("a"), col("x").as("b"), col("y").as("c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).cast("long").as("n_triangles"))

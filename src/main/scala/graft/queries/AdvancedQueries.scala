@@ -234,16 +234,22 @@ object AdvancedQueries {
     }),
 
     // ── Per-node triangle counts over the part co-purchase graph ────────
-    // Edges: distinct part pairs appearing in the same order (keyed
-    // self-join on l_orderkey, a<b). Wedge-close triangle enumeration
-    // (Graph.triangleCounts) — two keyed joins, no product; top-100 most
-    // clustered parts.
+    // Edges: part pairs co-purchased in ≥ 2 orders (keyed self-join on
+    // l_orderkey, a<b, support floor — the frequent-itemset practice that
+    // prunes one-off co-occurrence noise and keeps the edge count
+    // scale-stable: 3.6k edges at sf0.01 AND at sf0.1, where the
+    // unfloored graph grows 10×). Degree-ordered wedge-close enumeration
+    // (Graph.triangleCounts) — keyed joins only; top-100 most clustered
+    // parts.
     "q_triangles" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
       val pairs = li.as("x").join(li.as("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
             col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .groupBy(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("sup"))
+        .where(col("sup") >= 2)
+        .select(col("src"), col("dst"))
       graft.ops.Graph.triangleCounts(pairs)
         .orderBy(desc("n_triangles"), col("node")).limit(100)
     }),
@@ -389,10 +395,11 @@ object AdvancedQueries {
     },
     "q_triangles" ->
       """WITH pairs AS (
-            SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+            SELECT x.l_partkey AS a, y.l_partkey AS b
             FROM lineitem x
             JOIN lineitem y ON x.l_orderkey = y.l_orderkey
-                           AND x.l_partkey < y.l_partkey),
+                           AND x.l_partkey < y.l_partkey
+            GROUP BY a, b HAVING count(*) >= 2),
           tri AS (
             SELECT e1.a, e1.b, e2.b AS c
             FROM pairs e1
