@@ -32,12 +32,17 @@ object Graph {
     * — ranks is node-scale, edges edge-scale) plus one hash aggregate on
     * dst and one left join back to the node set; iteration count is a
     * constant, so the lineage is a fixed-depth declarative plan Catalyst
-    * sees whole (no driver loop state). The node count is the single
+    * sees whole (no driver loop state). The edge relation is partitioned
+    * by dst ONCE before the loop: the per-iteration rank join broadcasts
+    * (node-scale build side) and so preserves that partitioning, which
+    * the contribution aggregate then reuses — the edge-scale shuffle
+    * happens once, not once per iteration. The node count is the single
     * driver-side scalar (one count job).
     */
   def pageRank(edges: DataFrame, iters: Int, d: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters: $iters")
     val e = edges.select(col("src"), col("dst"))
+      .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node")).distinct()
       .unionByName(e.select(col("dst").as("node")).distinct()).distinct()
@@ -46,13 +51,18 @@ object Graph {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var rank = nodes.withColumn("rank", lit(1.0) / n)
     for (_ <- 1 to iters) {
-      val contrib = e.join(rank.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
+      // rank and deg are node-scale — broadcast them so the edge relation
+      // streams in place (preserving its dst partitioning); drop the
+      // hints for graphs whose node set outgrows executor memory and let
+      // AQE pick the join sides
+      val contrib = e
+        .join(broadcast(rank.withColumnRenamed("node", "src")), Seq("src"))
+        .join(broadcast(deg), Seq("src"))
         .select(col("dst").as("node"),
           (col("rank") / col("deg")).cast(Dec).as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).cast("double").as("in_sum"))
-      rank = nodes.join(contrib, Seq("node"), "left")
+      rank = nodes.join(broadcast(contrib), Seq("node"), "left")
         .select(col("node"),
           (lit((1 - d) / n) + lit(d) * coalesce(col("in_sum"), lit(0.0)))
             .as("rank"))
