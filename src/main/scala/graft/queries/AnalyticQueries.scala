@@ -206,6 +206,32 @@ object AnalyticQueries {
         .orderBy("l_returnflag")
     }),
 
+    // ── Per-group OLS regression (slope/intercept) ──────────────────────
+    // Least-squares fit of price on quantity from the same five decimal
+    // moment sums as q_corr — the portable sibling of regr_slope/
+    // regr_intercept (whose built-in accumulation is shuffle-order-
+    // dependent). slope = (nΣxy−ΣxΣy)/(nΣxx−Σx²); b = (Σy−slope·Σx)/n.
+    "q_regression" -> ((s, dir) => {
+      val dec = "decimal(30,10)"
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sx"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sy"),
+          sum((col("l_quantity") * col("l_extendedprice")).cast(dec))
+            .cast("double").as("sxy"),
+          sum((col("l_quantity") * col("l_quantity")).cast(dec))
+            .cast("double").as("sxx"))
+        .withColumn("slope",
+          (col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+            / (col("n").cast("double") * col("sxx") - col("sx") * col("sx")))
+        .select(col("l_returnflag"), col("n"),
+          round(col("slope"), 6).as("slope"),
+          round((col("sy") - col("slope") * col("sx"))
+            / col("n").cast("double"), 6).as("intercept"))
+        .orderBy("l_returnflag")
+    }),
+
     // ── Equi-width histogram per group ──────────────────────────────────
     // 10 buckets of doc length per language: per-group min/max broadcast
     // back (group-count rows), bucket = least(floor((x−min)/w), 9); the
@@ -365,6 +391,26 @@ object AnalyticQueries {
                   / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
                      * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r
           FROM m ORDER BY l_returnflag""",
+    // the unrounded slope feeds the intercept on both sides (rounding it
+    // first would double-round the composite)
+    "q_regression" ->
+      """WITH m AS (
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+                AS sy,
+              CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,10)))
+                   AS DOUBLE) AS sxy,
+              CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,10)))
+                   AS DOUBLE) AS sxx
+            FROM lineitem GROUP BY l_returnflag),
+          k AS (
+            SELECT *, (CAST(n AS DOUBLE) * sxy - sx * sy)
+                      / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope
+            FROM m)
+          SELECT l_returnflag, n, ROUND(slope, 6) AS slope,
+            ROUND((sy - slope * sx) / CAST(n AS DOUBLE), 6) AS intercept
+          FROM k ORDER BY l_returnflag""",
     // width arithmetic mirrors the engine cast-for-cast (CAST(mx - mn AS
     // DOUBLE)/10 — a bare 10.0 literal would make DuckDB divide in DECIMAL)
     "q_histogram" ->

@@ -78,6 +78,31 @@ object CorpusStatsQueries {
       CorpusStats.bm25TopK(tokStream(s, dir),
         Seq("spark", "merge", "vector"), k = 20)),
 
+    // ── Pointwise mutual information: lang × source association ─────────
+    // The corpus-composition diagnostic: one pass builds the (lang,
+    // source) contingency cells; marginals and the total derive from the
+    // CELLS (group-count rows), never from a second corpus scan. PMI =
+    // ln(N·c_ls / (c_l·c_s)), expected = c_l·c_s/N, both rounded 6.
+    "q_mi" -> ((s, dir) => {
+      val cells = docs(s, dir).groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("c_ls"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cl = cells.groupBy(col("lang"))
+        .agg(sum(col("c_ls")).cast("long").as("c_l"))
+      val cs = cells.groupBy(col("source"))
+        .agg(sum(col("c_ls")).cast("long").as("c_s"))
+      val tot = cells.agg(sum(col("c_ls")).cast("long").as("n_tot"))
+      cells.join(broadcast(cl), Seq("lang"))
+        .join(broadcast(cs), Seq("source"))
+        .crossJoin(broadcast(tot)) // 1-row total
+        .select(col("lang"), col("source"), col("c_ls"),
+          round(col("c_l").cast("double") * col("c_s") / col("n_tot"), 6)
+            .as("expected"),
+          round(log(col("n_tot").cast("double") * col("c_ls")
+            / (col("c_l") * col("c_s"))), 6).as("pmi"))
+        .orderBy("lang", "source")
+    }),
+
     // ── Robust z-score outliers (median/MAD) over doc length ────────────
     // The quality-metric outlier gate: per-language median + MAD, z =
     // (x − med)/(1.4826·MAD), flag |z| > 3. Exact percentile at fixture
@@ -251,6 +276,23 @@ object CorpusStatsQueries {
             CAST(count(*) AS BIGINT) AS n_hit
           FROM s GROUP BY doc_id
           ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    "q_mi" ->
+      """WITH cells AS (
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS c_ls
+            FROM documents GROUP BY lang, source),
+          cl AS (SELECT lang, CAST(SUM(c_ls) AS BIGINT) AS c_l
+                 FROM cells GROUP BY lang),
+          cs AS (SELECT source, CAST(SUM(c_ls) AS BIGINT) AS c_s
+                 FROM cells GROUP BY source),
+          tot AS (SELECT CAST(SUM(c_ls) AS BIGINT) AS n_tot FROM cells)
+          SELECT cells.lang, cells.source, c_ls,
+            ROUND(CAST(c_l AS DOUBLE) * c_s / n_tot, 6) AS expected,
+            ROUND(ln(CAST(n_tot AS DOUBLE) * c_ls / (c_l * c_s)), 6) AS pmi
+          FROM cells
+          JOIN cl USING (lang)
+          JOIN cs USING (source)
+          CROSS JOIN tot
+          ORDER BY lang, source""",
     "q_outliers" ->
       """WITH base AS (
             SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS x

@@ -40,7 +40,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_ppl_buckets" -> "composes q_unigram_lm, inheriting its single-row token-total crossJoin; the threshold join itself is keyed on lang",
     "q_collocations" -> "crossJoins of the single-row unigram/bigram totals (broadcast, one row each)",
     "q_vocab" -> "crossJoin of the single-row token-total aggregate onto the top-k survivors",
-    "q_bm25" -> "crossJoin of the single-row (n_docs, tok_total) aggregate (broadcast, one row)")
+    "q_bm25" -> "crossJoin of the single-row (n_docs, tok_total) aggregate (broadcast, one row)",
+    "q_mi" -> "crossJoin of the single-row corpus-total aggregate (broadcast, one row)")
 
   // the AQE-aware walker lives on SparkSpec (collectPlanNodes) so DedupSpec's
   // ccRound audit and this guard can never drift apart
