@@ -51,11 +51,16 @@ object Bench {
       } + "\""
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def line(ts: Map[String, Double], omitted: Int): String = {
+    def line(ts: Map[String, Double], omitted: Int,
+             maxErrors: Int = Int.MaxValue, errLen: Int = 200): String = {
       val qs = ts.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
-      val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+      val es = errors.take(maxErrors)
+        .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(errLen))}" }
+        .mkString("{", ",", "}")
+      val eo = if (errors.size > maxErrors)
+        s""","errors_omitted":${errors.size - maxErrors}""" else ""
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(times.values.sum)},"unit":"sec","n_queries":${times.size},"queries":$qs$om,"errors":$es,"failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(times.values.sum)},"unit":"sec","n_queries":${times.size},"queries":$qs$om,"errors":$es$eo,"failed":${errors.size},"sf":"$sfDir"}"""
     }
     // The harness that invokes this keeps only the last ~2000 characters of
     // stdout, and sbt appends a "[success] Total time..." trailer after us —
@@ -74,12 +79,14 @@ object Bench {
       if (fullLine.length <= MaxLine) fullLine
       else {
         val bySlow = times.toSeq.sortBy(-_._2)
-        // keep the slowest k queries such that the line still fits
+        // shrink the error payload first (failure runs can overflow on
+        // errors alone), then keep the slowest k queries that still fit
         var k = bySlow.length
-        var cand = fullLine
-        while (cand.length > MaxLine && k > 1) {
+        var cand = line(times, 0, maxErrors = 5, errLen = 80)
+        while (cand.length > MaxLine && k > 0) {
           k -= 1
-          cand = line(ListMap(bySlow.take(k).sortBy(_._1): _*), times.size - k)
+          cand = line(ListMap(bySlow.take(k).sortBy(_._1): _*),
+            times.size - k, maxErrors = 5, errLen = 80)
         }
         cand
       }

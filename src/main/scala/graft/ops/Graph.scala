@@ -102,8 +102,7 @@ object Graph {
     val aFirst = canon
       .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
-      .withColumn("a_first",
-        col("da") < col("db") || (col("da") === col("db")))
+      .withColumn("a_first", col("da") <= col("db")) // (deg,id): a<b breaks deg ties
     val dir = aFirst.select(
         when(col("a_first"), col("a")).otherwise(col("b")).as("u"),
         when(col("a_first"), col("b")).otherwise(col("a")).as("v"),

@@ -98,8 +98,10 @@ object CorpusStatsQueries {
         .select(col("lang"), col("source"), col("c_ls"),
           round(col("c_l").cast("double") * col("c_s") / col("n_tot"), 6)
             .as("expected"),
+          // c_l·c_s multiplies in DOUBLE: a long product overflows 2^63
+          // at ~3e9 docs per marginal — exactly the scale this runs at
           round(log(col("n_tot").cast("double") * col("c_ls")
-            / (col("c_l") * col("c_s"))), 6).as("pmi"))
+            / (col("c_l").cast("double") * col("c_s"))), 6).as("pmi"))
         .orderBy("lang", "source")
     }),
 
@@ -262,9 +264,16 @@ object CorpusStatsQueries {
                     GROUP BY doc_id, tok),
             dfc AS (SELECT tok, count(*) AS df FROM qtf GROUP BY tok),
             s AS (
+              -- tf * CAST(2.2 AS DOUBLE): a bare 2.2 would multiply in
+              -- DuckDB DECIMAL (exact 6.6 -> nearest double) where Spark
+              -- multiplies doubles (3 * 2.2d = 6.6000000000000005) — a
+              -- pre-round ulp divergence waiting for a half boundary
+              -- same for the idf ratio: both operands cast to DOUBLE so
+              -- the division is IEEE, not DuckDB DECIMAL/DECIMAL
               SELECT q.doc_id,
-                ROUND(ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1), 6)
-                        * (tf * 2.2)
+                ROUND(ROUND(ln((CAST(n_docs - df AS DOUBLE) + 0.5)
+                               / (CAST(df AS DOUBLE) + 0.5) + 1), 6)
+                        * (tf * CAST(2.2 AS DOUBLE))
                       / (tf + 1.2 * (0.25 + 0.75 * d.dl
                            / (CAST(tok_total AS DOUBLE) / n_docs))), 6) AS s
               FROM qtf q
@@ -287,7 +296,8 @@ object CorpusStatsQueries {
           tot AS (SELECT CAST(SUM(c_ls) AS BIGINT) AS n_tot FROM cells)
           SELECT cells.lang, cells.source, c_ls,
             ROUND(CAST(c_l AS DOUBLE) * c_s / n_tot, 6) AS expected,
-            ROUND(ln(CAST(n_tot AS DOUBLE) * c_ls / (c_l * c_s)), 6) AS pmi
+            ROUND(ln(CAST(n_tot AS DOUBLE) * c_ls
+                     / (CAST(c_l AS DOUBLE) * c_s)), 6) AS pmi
           FROM cells
           JOIN cl USING (lang)
           JOIN cs USING (source)

@@ -426,8 +426,12 @@ object TextPipelineQueries {
     "q_sample_weighted" -> ((s, dir) =>
       CorpusOps.weightedSample(docs(s, dir), "doc_id", col("n_chars"),
           k = 50)
+        // output rounded at 6, not 9: Spark and DuckDB double-rounding
+        // implementations measurably disagree at the 9th decimal on
+        // round-half boundaries (the q_pagerank lesson); ORDERING uses
+        // the unrounded key, which is IEEE-identical on both engines
         .select(col("doc_id"), col("lang"), col("n_chars"),
-          round(col("es_key"), 9).as("es_key"))),
+          round(col("es_key"), 6).as("es_key"))),
 
     // ── Greedy sequence packing (context-window assembly) ───────────────
     // pack_id = floor(prev running tokens / budget) within each language,
@@ -841,7 +845,7 @@ object TextPipelineQueries {
                               AS DOUBLE) + 0.5) / 1000000), 6)
                 / CAST(n_chars AS DOUBLE) AS es_key
             FROM documents)
-          SELECT doc_id, lang, n_chars, ROUND(es_key, 9) AS es_key
+          SELECT doc_id, lang, n_chars, ROUND(es_key, 6) AS es_key
           FROM d ORDER BY d.es_key, doc_id LIMIT 50""",
     "q_assemble" -> {
       val norm = s"trim(regexp_replace(lower(text), '$Re', ' ', 'g'))"
