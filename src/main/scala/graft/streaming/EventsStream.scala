@@ -46,6 +46,23 @@ object EventsStream {
       .select(col("w.start").as("hour"), col("event_type"), col("cnt"),
         col("sum_value"))
 
+  /** Hourly unique users via HLL (`approx_count_distinct`) — the
+    * streaming cardinality pattern: exact per-window distinct would hold
+    * every key in state, while the HLL register array is fixed-size per
+    * window regardless of user cardinality. Deterministic (register max
+    * is merge-order-independent), so stream == batch exactly — the
+    * equivalence spec holds bit-for-bit, and the exact count rides along
+    * at fixture scale for the error-bound assertion.
+    */
+  def hourlyUniqueUsers(events: DataFrame,
+                        lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("hour"), col("approx_users"), col("n_events"))
+
   /** Sliding-window rate: 1-hour windows every 15 minutes. */
   def slidingRate(events: DataFrame, lateness: String = "2 hours"): DataFrame =
     events

@@ -62,6 +62,22 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.count() === 4 * 2) // 4 hour-windows × 2 event types
   }
 
+  test("hourlyUniqueUsers: stream == batch; HLL within bound of exact") {
+    val streamed = runStream(
+      EventsStream.hourlyUniqueUsers(streamEvents), "complete", "uniqUsers")
+    val batch = EventsStream.hourlyUniqueUsers(batchEvents)
+    // HLL register max is merge-order-independent → bit-equal, not close
+    assert(canon(streamed) === canon(batch))
+    assert(streamed.count() === 4) // 4 hour-windows
+    // fixture has 3 distinct users per hour; default rsd 5% must land
+    // exact at this tiny cardinality (sparse-mode HLL is exact there)
+    val exact = batchEvents.groupBy(window(col("ts"), "1 hour"))
+      .agg(countDistinct(col("user_id")).as("exact")).select("exact")
+      .as[Long].collect().toSet
+    val approx = streamed.select("approx_users").as[Long].collect().toSet
+    assert(approx === exact, s"approx $approx vs exact $exact")
+  }
+
   test("RocksDB state store: same stateful result as the default provider") {
     // the 100 TB posture documented in EventsStream's scaladoc, proven
     // in-environment: the provider is session conf, not plan shape, so a
