@@ -78,6 +78,24 @@ object CorpusStatsQueries {
       CorpusStats.bm25TopK(tokStream(s, dir),
         Seq("spark", "merge", "vector"), k = 20)),
 
+    // ── First BPE merge iteration: top adjacent char-pair candidates ────
+    // The tokenizer-training input the reference's own word count feeds:
+    // word-frequency table (the wc core) → per-word adjacent character
+    // pairs weighted by word count → top-20 merge candidates. One agg
+    // over the VOCABULARY (Heaps-law-small), not the token stream — the
+    // BPE-iteration shape at corpus scale.
+    "q_bpe_merge" -> ((s, dir) => {
+      val wf = tokStream(s, dir).groupBy(col("tok"))
+        .agg(count(lit(1)).as("wc"))
+      val pairs = wf.select(col("wc"),
+        explode(when(length(col("tok")) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), length(col("tok")) - 1),
+            i => col("tok").substr(i, lit(2))))).as("pair"))
+      pairs.groupBy(col("pair"))
+        .agg(sum(col("wc")).cast("long").as("cnt"))
+        .orderBy(desc("cnt"), col("pair")).limit(20)
+    }),
+
     // ── Pointwise mutual information: lang × source association ─────────
     // The corpus-composition diagnostic: one pass builds the (lang,
     // source) contingency cells; marginals and the total derive from the
@@ -285,6 +303,16 @@ object CorpusStatsQueries {
             CAST(count(*) AS BIGINT) AS n_hit
           FROM s GROUP BY doc_id
           ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    "q_bpe_merge" ->
+      s"""WITH $TokCte,
+            wf AS (SELECT tok, count(*) AS wc FROM tok GROUP BY tok),
+            p AS (
+              SELECT wc, unnest(list_transform(
+                generate_series(1, len(tok) - 1), i -> tok[i:i+1])) AS pair
+              FROM wf)
+          SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+          FROM p GROUP BY pair
+          ORDER BY cnt DESC, pair LIMIT 20""",
     "q_mi" ->
       """WITH cells AS (
             SELECT lang, source, CAST(count(*) AS BIGINT) AS c_ls
