@@ -184,12 +184,18 @@ object Similarity {
   private def shiftleftSafe(p: Column): Column = element_at(Pow2, p + 1)
 
   /** Spherical k-means refinement of IVF centroids: `iters` Lloyd rounds,
-    * each one distributed pass (narrow argmax assignment over the literal
-    * centroid array → groupBy(cell) per-dimension mean) with only the
-    * nCentroids×dim aggregate collected per round — the MLlib-style
-    * bounded driver loop, not a per-row collect. Deterministic: seeds are
-    * the lowest-id vectors, ties break by cell index. Empty cells keep
-    * their previous centroid.
+    * each one distributed pass (narrow argmax assignment over the
+    * broadcast centroid array → groupBy(cell) per-dimension mean) with
+    * only the nCentroids×dim aggregate collected per round — the
+    * MLlib-style bounded driver loop, not a per-row collect. Deterministic:
+    * seeds are the lowest-id vectors, ties break by cell index. Empty
+    * cells keep their previous centroid.
+    *
+    * The centroid array re-enters each round as DATA (a one-row local
+    * relation, cross-joined with a broadcast hint), never as a plan
+    * literal: a 10⁴-wide `typedlit` would bloat every round's plan and
+    * stop analyzing at the cell counts IVF needs at scale (VERDICT r07 #1
+    * — same mechanism as [[assignToSeeds]]).
     */
   def kmeansCentroids(corpus: DataFrame, nCentroids: Int,
                       iters: Int): Seq[(Long, Seq[Float])] = {
@@ -204,17 +210,18 @@ object Similarity {
       // a common positive factor): normalize the tiny centroid set on the
       // driver and rank by one native dot per cell — no per-row sqrt, no
       // redundant norm recomputation per centroid
-      val centVecs = typedlit(cents.map { case (_, v) =>
+      val centsDf = Seq(Tuple1(cents.map { case (_, v) =>
         val n = math.sqrt(v.map(x => x.toDouble * x).sum)
         if (n == 0) v else v.map(x => (x / n).toFloat)
-      })
+      })).toDF("cents")
       // struct-free argmax: negated scores, first minimum wins (ties break
       // toward the lower cell index, deterministic)
       val scores = transform(sequence(lit(1), lit(cents.size)),
         i => call_function("float_vec_dot", col("embedding"),
-          element_at(centVecs, i)) * -1)
+          element_at(col("cents"), i)) * -1)
       val cell = (array_position(scores, array_min(scores)) - 1).cast("int")
       val means = corpus
+        .crossJoin(broadcast(centsDf))
         .select(cell.as("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
         // decimal-exact mean: avg() over doubles is shuffle-order
@@ -243,29 +250,32 @@ object Similarity {
   def topKNeighborsIvf(probes: DataFrame, corpus: DataFrame, k: Int,
                        nCentroids: Int = 16, nProbe: Int = 4,
                        kmeansIters: Int = 2): DataFrame = {
-    // Centroids are k-means-refined then inlined as literals — the
-    // KMeans-centers pattern. Cell assignment is a NARROW projection
-    // (argmin over the literal array via the native dot), not a cross
-    // join + window, so the only shuffle in the search itself is the
-    // candidate hash join on cell id. Assignment and re-rank use
+    // Centroids are k-means-refined then re-entered as a broadcast one-row
+    // array relation — the KMeans-centers pattern with the plan-literal
+    // mechanism removed (VERDICT r07 #1). Cell assignment is a NARROW
+    // projection (argmin over the broadcast array via the native dot), not
+    // a cross join + window, so the only shuffle in the search itself is
+    // the candidate hash join on cell id. Assignment and re-rank use
     // cosineFast (no oracle on this path).
+    import corpus.sparkSession.implicits._
     val cents = kmeansCentroids(corpus, nCentroids, kmeansIters)
     // unit centroids: cosine ranking == dot ranking, one native dot/cell
-    val centVecs = typedlit(cents.map { case (_, v) =>
+    val centsDf = Seq(Tuple1(cents.map { case (id, v) =>
       val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-      if (n == 0) v else v.map(x => (x / n).toFloat)
-    })
-    val centIds = typedlit(cents.map(_._1))
+      (id, if (n == 0) v else v.map(x => (x / n).toFloat))
+    })).toDF("cents")
     // per-row (−dot, cent_id) structs, ascending sort ⇒ best cell first;
     // ties broken by cent_id — deterministic
     def rankedCells(vec: Column): Column = array_sort(
-      transform(sequence(lit(1), lit(cents.size)), i =>
+      transform(col("cents"), c =>
         struct(
-          (dotFast(vec, element_at(centVecs, i)) * -1).as("neg_cos"),
-          element_at(centIds, i).as("cent_id"))))
-    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-      element_at(rankedCells(col("embedding")), 1).getField("cent_id").as("cent_id"))
-    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+          (dotFast(vec, c.getField("_2")) * -1).as("neg_cos"),
+          c.getField("_1").as("cent_id"))))
+    val c = corpus.crossJoin(broadcast(centsDf))
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        element_at(rankedCells(col("embedding")), 1).getField("cent_id").as("cent_id"))
+    val p = probes.crossJoin(broadcast(centsDf))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
         explode(slice(rankedCells(col("embedding")), 1, nProbe)).as("cell"))
       .select(col("probe_id"), col("pv"), col("cell.cent_id").as("cent_id"))
     val w = Window.partitionBy(col("probe_id"))
@@ -330,18 +340,38 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
-  /** The `nSeeds` lowest-id vectors with their engine-pipeline norms
-    * (bit-equal to the oracle's `sqrt(CAST(SUM(decimal) AS DOUBLE))`),
-    * collected in ONE driver job and sorted by id so the cell index is
-    * deterministic. Shared seeding for [[assignToSeeds]] callers.
+  /** The `nSeeds` lowest-id vectors as a RELATION `(cell, seed_id, sv,
+    * sn)` — cell is the 0-based rank by id, sn the engine-pipeline norm
+    * (bit-equal to the oracle's `sqrt(CAST(SUM(decimal) AS DOUBLE))`).
+    * Seeds stay distributed: nothing is collected to the driver and
+    * nothing enters the plan as a literal, so the cell count can grow to
+    * the 10⁴–10⁵ a 100 TB SemDeDup needs (VERDICT r07 #1 — the previous
+    * `collectSeeds` → `typedlit` form built an nSeeds-branch projection
+    * that stops analyzing long before that). Shared seeding for
+    * [[assignToSeeds]] callers.
     */
-  def collectSeeds(vecs: DataFrame, nSeeds: Int): Seq[(Long, Seq[Float], Double)] =
+  def seedsRelation(vecs: DataFrame, nSeeds: Int): DataFrame =
     vecs.orderBy("vec_id").limit(nSeeds)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(norm2Exact(col("embedding"))).as("n"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.toSeq, r.getDouble(2)))
-      .sortBy(_._1).toSeq
+      .select(col("vec_id").as("seed_id"), col("embedding").as("sv"),
+        sqrt(norm2Exact(col("embedding"))).as("sn"))
+      // constant partition key: the window runs over exactly nSeeds rows
+      // by construction (post-limit), and a non-empty partitionSpec keeps
+      // the WindowExec single-partition warning channel clean for real
+      // regressions
+      .withColumn("cell",
+        (row_number().over(Window.partitionBy(lit(0)).orderBy("seed_id")) - 1)
+          .cast("int"))
+      .select(col("cell"), col("seed_id"), col("sv"), col("sn"))
+
+  /** A seeds relation folded to ONE row holding the cell-ordered
+    * `array<struct<cell, seed_id, sv, sn>>` — the broadcast-side shape of
+    * [[assignToSeeds]]. `array_sort` on the collected structs (cell is the
+    * first field, unique) makes the order deterministic regardless of
+    * `collect_list`'s partition arrival order.
+    */
+  private def seedsArray(seeds: DataFrame): DataFrame =
+    seeds.agg(array_sort(collect_list(
+      struct(col("cell"), col("seed_id"), col("sv"), col("sn")))).as("seeds"))
 
   /** Deterministic nearest-seed Voronoi assignment: every vector gets the
     * `cell` (seed index) and `seed_id` of its highest-cosine seed, ranking
@@ -349,25 +379,30 @@ object Similarity {
     * — the assignment half of a Lloyd step, mirrored bit-for-bit by the
     * DuckDB oracles.
     *
+    * Physical shape: the seeds relation is folded to a single array row
+    * ([[seedsArray]]) and broadcast; the assignment is then a NARROW
+    * per-row argmin over that array (no shuffle, no per-seed plan
+    * branches) — candidates stream in place and the plan is the same size
+    * at 8 seeds and 10⁵ seeds. The broadcast payload is nSeeds·dim floats
+    * (~25 MB at 10⁵×64), comfortably under executor broadcast budgets.
+    *
     * The row norm is hoisted into its own projection so it is computed
     * ONCE per row: Catalyst does not CSE across lambda bodies, so writing
-    * `sqrt(norm2Exact(v))` inline in each per-seed struct re-runs the
-    * whole interpreted decimal fold nSeeds× per row (measured ~3× slower
-    * end-to-end at 8 seeds). CollapseProject leaves the split alone —
-    * it never inlines a non-cheap alias consumed more than once.
+    * `sqrt(norm2Exact(v))` inline in the per-seed lambda re-runs the
+    * whole decimal fold nSeeds× per row (measured ~3× slower end-to-end
+    * at 8 seeds). CollapseProject leaves the split alone — it never
+    * inlines a non-cheap alias consumed more than once.
     */
-  def assignToSeeds(vecs: DataFrame,
-                    seeds: Seq[(Long, Seq[Float], Double)]): DataFrame = {
-    val scored = seeds.zipWithIndex.map { case ((sid, sv, sn), j) =>
-      struct(
-        (round(dotExact(col("embedding"), typedlit(sv)) / (col("nv") * sn), 6)
-          * -1).as("neg_cos"),
-        lit(j).as("cell"), lit(sid).as("seed_id"))
-    }
+  def assignToSeeds(vecs: DataFrame, seeds: DataFrame): DataFrame = {
+    val best = array_min(transform(col("seeds"), s => struct(
+      (round(dotExact(col("embedding"), s.getField("sv"))
+        / (col("nv") * s.getField("sn")), 6) * -1).as("neg_cos"),
+      s.getField("cell").as("cell"),
+      s.getField("seed_id").as("seed_id"))))
     vecs.select(col("vec_id"), col("embedding"),
         sqrt(norm2Exact(col("embedding"))).as("nv"))
-      .select(col("vec_id"), col("embedding"), col("nv"),
-        array_min(array(scored: _*)).as("best"))
+      .crossJoin(broadcast(seedsArray(seeds)))
+      .select(col("vec_id"), col("embedding"), col("nv"), best.as("best"))
       .select(col("vec_id"), col("embedding"), col("nv"),
         col("best.cell").as("cell"), col("best.seed_id").as("seed_id"))
   }
@@ -395,7 +430,7 @@ object Similarity {
     // re-derived once per pair it appears in — the dominant pair-phase
     // cost). Cache lifetime is caller-managed (Verify/Bench clear per
     // query).
-    val assigned = assignToSeeds(vecs, collectSeeds(vecs, nSeeds))
+    val assigned = assignToSeeds(vecs, seedsRelation(vecs, nSeeds))
       .select(col("vec_id"), col("embedding"), col("nv"), col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),

@@ -105,9 +105,9 @@ object SimilarityQueries {
     // cosineSql proves portable.
     "q_kmeans_assign" -> ((s, dir) => {
       val e = emb(s, dir)
-      // shared deterministic assignment (one driver job for seeds+norms,
+      // shared deterministic assignment (seeds stay a broadcast relation,
       // row norm hoisted so the decimal fold runs once per row)
-      Similarity.assignToSeeds(e, Similarity.collectSeeds(e, NSeeds))
+      Similarity.assignToSeeds(e, Similarity.seedsRelation(e, NSeeds))
         .select(col("cell"), col("seed_id"),
           element_at(col("embedding"), 1).as("d1"))
         .groupBy("cell", "seed_id")

@@ -55,11 +55,24 @@ abstract class SparkSpec extends AnyFunSuite {
   }
 
   /** Assert a frame's executed plan contains no cartesian product or
-    * broadcast-nested-loop join. */
+    * broadcast-nested-loop join — EXCEPT a BNLJ whose build side is a
+    * one-row (ungrouped) aggregate: that is the engine's singleton-attach
+    * shape (corpus totals, the broadcast seeds array), a map-side widen
+    * with no scale dimension, and the optimizer plans it as a BNLJ even
+    * when written as a constant-key equi-join (the condition folds away).
+    */
   def assertKeyedJoins(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
-    val bad = collectPlanNodes(df.queryExecution.executedPlan)
-      .map(_.nodeName).filter(n =>
-        n.contains("CartesianProduct") || n.contains("BroadcastNestedLoopJoin"))
-    assert(bad.isEmpty, s"$what plans an unkeyed join: $bad")
+    def isSingleton(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      collectPlanNodes(p).exists {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+          a.groupingExpressions.isEmpty
+        case _ => false
+      }
+    val bad = collectPlanNodes(df.queryExecution.executedPlan).filter {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        !j.children.exists(isSingleton)
+      case p => p.nodeName.contains("CartesianProduct")
+    }
+    assert(bad.isEmpty, s"$what plans an unkeyed join: ${bad.map(_.nodeName)}")
   }
 }

@@ -258,4 +258,51 @@ class SimilaritySpec extends SparkSpec {
     // scale shape: the pair search is a hash join on the cell id
     assertKeyedJoins(df, "semDedupPairs")
   }
+
+  test("assignToSeeds: 256 seeds — broadcast relation, constant plan size, window-argmax parity") {
+    val rnd = new scala.util.Random(43)
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    // 256 seeds is already past where the old plan-literal form was
+    // degenerate (a 256-branch projection of typedlit vectors); the
+    // broadcast-relation form must keep the plan CONSTANT-SIZE in nSeeds
+    val df = Similarity.assignToSeeds(
+      corpus, Similarity.seedsRelation(corpus, 256))
+    val got = df.select("vec_id", "cell", "seed_id")
+      .as[(Long, Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.size === 300)
+
+    // independent reference plan for the same contract: full vec×seed
+    // score relation + window argmax (rounded cosine desc, cell asc)
+    val seeds = Similarity.seedsRelation(corpus, 256)
+    val v = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(Similarity.norm2Exact(col("embedding"))).as("nv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(desc("cos"), asc("cell"))
+    val ref = v.crossJoin(seeds)
+      .select(col("vec_id"), col("cell"), col("seed_id"),
+        round(Similarity.dotExact(col("embedding"), col("sv"))
+          / (col("nv") * col("sn")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("vec_id", "cell", "seed_id")
+      .as[(Long, Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === ref, "argmax assignment must match the window reference")
+
+    // plan shape: the seeds ride a BroadcastExchange; the only unkeyed
+    // join is the one-row singleton attach (assertKeyedJoins allows
+    // exactly that); and the plan does NOT grow with nSeeds — the
+    // literal form would be ~32× larger at 256 vs 8
+    val nodes = collectPlanNodes(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.nodeName.contains("Broadcast")),
+      "seeds must enter via a broadcast, not plan literals")
+    assertKeyedJoins(df, "assignToSeeds(256)")
+    val small = Similarity.assignToSeeds(
+      corpus, Similarity.seedsRelation(corpus, 8))
+    val sizeBig = df.queryExecution.optimizedPlan.treeString.length
+    val sizeSmall = small.queryExecution.optimizedPlan.treeString.length
+    assert(sizeBig <= sizeSmall * 3 / 2,
+      s"plan size must not scale with nSeeds: 256→$sizeBig vs 8→$sizeSmall")
+  }
 }
