@@ -118,12 +118,20 @@ object CorpusStats {
       .select(col("bg"), col("c_ab"),
         round(log((col("c_ab") / col("n_big"))
           / ((col("c_a") / col("n_uni")) * (col("c_b") / col("n_uni")))), 6)
-          .as("pmi"))
+          .as("pmi"),
+        col("n_big"))
     // top-k contraction FIRST (TakeOrderedAndProject), then rank the k
-    // survivors — the global window never sees the full bigram table
+    // survivors — the global window never sees the full bigram table.
+    // The carried 1-row total doubles as the window's constant partition
+    // key (the q_vocab trick: a foldable lit(0) is stripped by the
+    // optimizer and an empty spec logs the single-partition warning):
+    // same single partition over the k post-limit rows, but the
+    // WindowExec warning channel stays clean for real row-scale
+    // regressions (VERDICT r07 #7).
     val top = scored.orderBy(desc("pmi"), asc("bg")).limit(k)
     top.withColumn("rank",
-        row_number().over(Window.orderBy(desc("pmi"), asc("bg"))).cast("int"))
+        row_number().over(Window.partitionBy(col("n_big"))
+          .orderBy(desc("pmi"), asc("bg"))).cast("int"))
       .select(col("rank"), col("bg"), col("c_ab"), col("pmi"))
   }
 
@@ -138,7 +146,12 @@ object CorpusStats {
   def vocabCoverage(tok: DataFrame, k: Int): DataFrame = {
     val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val tot = freq.agg(sum(col("c")).cast("long").as("n_total"))
-    val ord = Window.orderBy(desc("c"), asc("tok"))
+    // the crossJoined 1-row total doubles as the window's constant
+    // partition key: same single partition over the k post-limit rows,
+    // but the partitionSpec is non-empty (and survives the optimizer,
+    // unlike a foldable lit(0)), so the WindowExec single-partition
+    // warning channel stays clean for real regressions (VERDICT r07 #7)
+    val ord = Window.partitionBy(col("n_total")).orderBy(desc("c"), asc("tok"))
     freq.orderBy(desc("c"), asc("tok")).limit(k)
       .crossJoin(broadcast(tot))
       .withColumn("rank", row_number().over(ord).cast("int"))
@@ -201,13 +214,19 @@ object CorpusStats {
     */
   def mixtureWeights(docs: DataFrame, groupCol: String,
                      nTokensCol: Column): DataFrame = {
-    val all = Window.partitionBy()
-    docs.select(col(groupCol).as("grp"), nTokensCol.as("nt"))
+    // totals via the engine's one-row-aggregate + broadcast crossJoin
+    // idiom instead of empty-partition windows: same values (both sums
+    // are order-independent), no WindowExec single-partition warning
+    // (VERDICT r07 #7). `g` is group-count rows, persisted because the
+    // totals aggregate and the final projection both read it (lifetime
+    // caller-managed; Verify/Bench clear per query).
+    val g = docs.select(col(groupCol).as("grp"), nTokensCol.as("nt"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).cast("long").as("grp_tokens"))
       .withColumn("s", round(sqrt(col("grp_tokens")), 6).cast(Dec))
-      .withColumn("tok_tot", sum(col("grp_tokens")).over(all))
-      .withColumn("s_tot", sum(col("s")).over(all))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = g.agg(sum(col("grp_tokens")).as("tok_tot"), sum(col("s")).as("s_tot"))
+    g.crossJoin(broadcast(tot))
       .select(col("grp"), col("n_docs"), col("grp_tokens"),
         round(col("grp_tokens") / col("tok_tot"), 6).as("p_raw"),
         round(col("s").cast("double") / col("s_tot").cast("double"), 6)
@@ -286,6 +305,64 @@ object CorpusStats {
         count(lit(1)).cast("long").as("n_hit"))
       .orderBy(desc("bm25"), col("doc_id"))
       .limit(k)
+  }
+
+  /** Iterated BPE training over the word-frequency table: `k` successive
+    * merges, re-deriving pair counts from the merged vocabulary between
+    * iterations — the actual tokenizer-training loop, extending the
+    * single-iteration candidate scan (`q_bpe_merge`). Returns one row per
+    * merge step: `(step, a, b, cnt)` — the pair merged and its count at
+    * the time of the merge.
+    *
+    * Representation: a word's current symbolization is its symbols joined
+    * by a TWO-SPACE separator (symbols never contain whitespace — the
+    * tokenizer strips it). The greedy left-to-right merge is then exactly
+    * `replace(sym, 'a  b', 'ab')`: both Spark's and DuckDB's `replace`
+    * scan left to right over non-overlapping occurrences and never
+    * rescan replaced text, which is precisely BPE's within-iteration
+    * greedy semantics ("a a a" + merge (a,a) → "aa a") — so the oracle
+    * is the structurally identical CTE chain, not a reimplementation.
+    *
+    * Scale posture: every iteration is one hash aggregate over the
+    * VOCABULARY (Heaps-law-small, not the token stream) plus a
+    * TakeOrderedAndProject(1) and a one-row broadcast crossJoin into the
+    * merge projection; k is a constant, so the lineage is a fixed-depth
+    * declarative plan (the `pageRank` pattern). Each round's vocabulary
+    * and winning pair are persisted — the union of k steps would
+    * otherwise re-derive round i's vocabulary k−i times (cache lifetime
+    * caller-managed; Verify/Bench clear per query).
+    */
+  def bpeTrain(tok: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k: $k")
+    val Sep = "  "
+    val chars = transform(sequence(lit(1), length(col("tok"))),
+      i => col("tok").substr(i, lit(1)))
+    var vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("wc"))
+      .select(array_join(chars, Sep).as("sym"), col("wc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val steps = (1 to k).map { step =>
+      val syms = split(col("sym"), Sep)
+      // sequence(1, n-1) DESCENDS for n = 1 — guard single-symbol words
+      val pairs = when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1),
+          i => struct(element_at(syms, i).as("a"),
+            element_at(syms, i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val top = vocab.select(col("wc"), explode(pairs).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).cast("long").as("cnt"))
+        .orderBy(desc("cnt"), col("a"), col("b")).limit(1)
+        .select(lit(step).as("step"), col("a"), col("b"), col("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      vocab = vocab.crossJoin(broadcast(top))
+        .select(call_function("replace", col("sym"),
+            concat(col("a"), lit(Sep), col("b")),
+            concat(col("a"), col("b"))).as("sym"),
+          col("wc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      top
+    }
+    steps.reduce(_ unionByName _)
   }
 
   /** Per-group robust z-scores (median/MAD) of a numeric column — the

@@ -96,6 +96,16 @@ object CorpusStatsQueries {
         .orderBy(desc("cnt"), col("pair")).limit(20)
     }),
 
+    // ── Iterated BPE training: k successive merges ──────────────────────
+    // The tokenizer-training loop proper (extends q_bpe_merge's single
+    // candidate scan): each round counts adjacent symbol pairs over the
+    // CURRENT vocabulary, merges the winner greedily left-to-right, and
+    // recounts. Both engines express the merge as replace(sym,'a  b','ab')
+    // over the two-space-joined symbolization — structurally identical
+    // plans, bit-identical results (see CorpusStats.bpeTrain).
+    "q_bpe_train" -> ((s, dir) =>
+      CorpusStats.bpeTrain(tokStream(s, dir), k = BpeK).orderBy("step")),
+
     // ── Pointwise mutual information: lang × source association ─────────
     // The corpus-composition diagnostic: one pass builds the (lang,
     // source) contingency cells; marginals and the total derive from the
@@ -136,7 +146,43 @@ object CorpusStatsQueries {
         .orderBy("doc_id")),
   )
 
+  private val BpeK = 5
+
   // ── Oracles ───────────────────────────────────────────────────────────
+
+  /** Unrolled CTE chain mirroring [[CorpusStats.bpeTrain]] step for step
+    * (the q_pagerank fixed-iteration oracle pattern): v0 is the two-space
+    * symbolization of the word-frequency table; each round derives pair
+    * counts from v(i−1), takes the (cnt DESC, a, b) winner, and merges it
+    * with the same `replace` call the engine runs.
+    */
+  private def bpeTrainSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+            SELECT wc, unnest(list_transform(
+                generate_series(1, len(string_split(sym, '  ')) - 1),
+                j -> struct_pack(a := string_split(sym, '  ')[j],
+                                 b := string_split(sym, '  ')[j + 1]))) AS p
+            FROM v${i - 1}),
+          t$i AS (
+            SELECT $i AS step, p.a AS a, p.b AS b,
+              CAST(SUM(wc) AS BIGINT) AS cnt
+            FROM p$i GROUP BY p.a, p.b
+            ORDER BY cnt DESC, a, b LIMIT 1),
+          v$i AS (
+            SELECT replace(sym, a || '  ' || b, a || b) AS sym, wc
+            FROM v${i - 1} CROSS JOIN t$i)"""
+    }.mkString(",\n")
+    val union = (1 to k).map(i => s"SELECT * FROM t$i").mkString(" UNION ALL ")
+    s"""WITH $TokCte,
+          v0 AS (
+            SELECT array_to_string(list_transform(
+                generate_series(1, length(tok)), i -> tok[i]), '  ') AS sym,
+              count(*) AS wc
+            FROM tok GROUP BY tok),
+          $rounds
+        SELECT step, a, b, cnt FROM ($union) ORDER BY step"""
+  }
 
   private val Re = Tokenizer.DefaultSplitRegex.replace("'", "''")
   private val ToksSql =
@@ -313,6 +359,7 @@ object CorpusStatsQueries {
           SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
           FROM p GROUP BY pair
           ORDER BY cnt DESC, pair LIMIT 20""",
+    "q_bpe_train" -> bpeTrainSql(BpeK),
     "q_mi" ->
       """WITH cells AS (
             SELECT lang, source, CAST(count(*) AS BIGINT) AS c_ls

@@ -197,4 +197,29 @@ class CorpusStatsSpec extends SparkSpec {
     assert(k.forall(r => r.isNullAt(5) && !r.getBoolean(6)),
       "MAD=0 group must yield NULL z and no outlier flag")
   }
+
+  test("bpeTrain: k greedy merges with pair recount between iterations") {
+    // corpus: "aaab"×3, "ab"×2 — hand-traced BPE:
+    //   step 1: (a,a) cnt 6 (two positions per "aaab") beats (a,b) cnt 5
+    //           → "aaab" becomes [aa, a, b]
+    //   step 2: (a,b) cnt 5 (3 from "aaab" + 2 from "ab") beats (aa,a) 3
+    //           → [aa, ab] and [ab]
+    //   step 3: (aa,ab) cnt 3 — "ab" is single-symbol, contributes none
+    val tok = (Seq.fill(3)("aaab") ++ Seq.fill(2)("ab"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "tok")
+    val got = CorpusStats.bpeTrain(tok, 3).orderBy("step")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got === Seq((1, "a", "a", 6L), (2, "a", "b", 5L),
+      (3, "aa", "ab", 3L)))
+  }
+
+  test("bpeTrain: within-iteration merge is greedy left-to-right, no rescan") {
+    // "a a a a" + merge (a,a) must give [aa, aa] (positions 1-2 then 3-4,
+    // the replaced text never re-participates), NOT [aaa, a] or [aaaa]
+    val tok = Seq((0L, "aaaa")).toDF("doc_id", "tok")
+    val got = CorpusStats.bpeTrain(tok, 2).orderBy("step")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got === Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
 }
