@@ -23,23 +23,33 @@ object Graph {
   private val Dec = "decimal(28,12)"
 
   /** PageRank with a FIXED iteration count over `(src, dst)` edges:
-    * rank⁽ⁱ⁺¹⁾(v) = (1−d)/N + d·Σ_{u→v} rank⁽ⁱ⁾(u)/outdeg(u), rank⁽⁰⁾ =
-    * 1/N. Dangling-node mass is dropped, not redistributed (ranks then
-    * sum to < 1 — standard for the bounded-iteration form; symmetric
-    * edge sets have no dangling nodes anyway).
+    * rank⁽ⁱ⁺¹⁾(v) = (1−d)/N + d·(Σ_{u→v} rank⁽ⁱ⁾(u)/outdeg(u) [+ D⁽ⁱ⁾/N]),
+    * rank⁽⁰⁾ = 1/N. With `redistributeDangling` the mass D⁽ⁱ⁾ parked on
+    * out-degree-0 nodes is spread uniformly each iteration, so ranks sum
+    * to 1 (the form NetworkX/standard references compute); without it the
+    * dangling mass is dropped (ranks sum < 1 — fine for symmetric edge
+    * sets, which have no dangling nodes, and cheaper by one node-scale
+    * anti-join + one-row aggregate per iteration).
     *
     * Scale posture: each iteration is ONE keyed join (ranks×edges on src
     * — ranks is node-scale, edges edge-scale) plus one hash aggregate on
     * dst and one left join back to the node set; iteration count is a
     * constant, so the lineage is a fixed-depth declarative plan Catalyst
     * sees whole (no driver loop state). The edge relation is partitioned
-    * by dst ONCE before the loop: the per-iteration rank join broadcasts
-    * (node-scale build side) and so preserves that partitioning, which
-    * the contribution aggregate then reuses — the edge-scale shuffle
-    * happens once, not once per iteration. The node count is the single
-    * driver-side scalar (one count job).
+    * by dst ONCE before the loop: when the node-scale relations broadcast,
+    * the per-iteration joins preserve that partitioning and the
+    * contribution aggregate reuses it — the edge-scale shuffle happens
+    * once, not once per iteration. The node count is the single
+    * driver-side scalar (one count job), and it GATES the broadcast
+    * hints (VERDICT r07 #2): above `broadcastMaxNodes` the same plan
+    * runs hint-free and AQE picks the join sides — the rank relation of
+    * a node set that outgrows executor memory is never force-broadcast.
+    * The dangling sum accumulates in DECIMAL (order-independent), like
+    * the contribution sums.
     */
-  def pageRank(edges: DataFrame, iters: Int, d: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, d: Double = 0.85,
+               redistributeDangling: Boolean = false,
+               broadcastMaxNodes: Long = 10000000L): DataFrame = {
     require(iters >= 1, s"iters: $iters")
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("dst"))
@@ -48,24 +58,37 @@ object Graph {
       .unionByName(e.select(col("dst").as("node")).distinct()).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // the one driver scalar; also materializes both
+    def bcast(df: DataFrame): DataFrame =
+      if (n <= broadcastMaxNodes) broadcast(df) else df
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var rank = nodes.withColumn("rank", lit(1.0) / n)
     for (_ <- 1 to iters) {
-      // rank and deg are node-scale — broadcast them so the edge relation
-      // streams in place (preserving its dst partitioning); drop the
-      // hints for graphs whose node set outgrows executor memory and let
-      // AQE pick the join sides
       val contrib = e
-        .join(broadcast(rank.withColumnRenamed("node", "src")), Seq("src"))
-        .join(broadcast(deg), Seq("src"))
+        .join(bcast(rank.withColumnRenamed("node", "src")), Seq("src"))
+        .join(bcast(deg), Seq("src"))
         .select(col("dst").as("node"),
           (col("rank") / col("deg")).cast(Dec).as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).cast("double").as("in_sum"))
-      rank = nodes.join(broadcast(contrib), Seq("node"), "left")
-        .select(col("node"),
-          (lit((1 - d) / n) + lit(d) * coalesce(col("in_sum"), lit(0.0)))
-            .as("rank"))
+      val base = nodes.join(bcast(contrib), Seq("node"), "left")
+      rank =
+        if (!redistributeDangling)
+          base.select(col("node"),
+            (lit((1 - d) / n) + lit(d) * coalesce(col("in_sum"), lit(0.0)))
+              .as("rank"))
+        else {
+          // mass parked on sinks this iteration: node-scale anti-join
+          // against the out-degree relation, decimal-exact one-row sum
+          val dang = rank
+            .join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
+            .agg(coalesce(sum(col("rank").cast(Dec)).cast("double"), lit(0.0))
+              .as("dang"))
+          base.crossJoin(broadcast(dang))
+            .select(col("node"),
+              (lit((1 - d) / n) + lit(d)
+                * (coalesce(col("in_sum"), lit(0.0)) + col("dang") / n))
+                .as("rank"))
+        }
     }
     rank.select(col("node"), round(col("rank"), 6).as("rank"))
   }

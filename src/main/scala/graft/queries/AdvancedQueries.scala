@@ -233,6 +233,23 @@ object AdvancedQueries {
         .orderBy(desc("rank"), col("node")).limit(50)
     }),
 
+    // ── PageRank with dangling-mass redistribution (ranks sum to 1) ─────
+    // Same trade graph but DIRECTED (supplier → customer only): every
+    // customer node is a sink, so the dangling term is exercised for
+    // real. The oracle's unrolled CTEs carry the per-iteration dangling
+    // sum (decimal-exact, mirrored literals) — the form a user comparing
+    // against NetworkX expects.
+    "q_pagerank_full" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + 1000000L).as("dst"))
+        .distinct()
+      graft.ops.Graph.pageRank(edges, iters = 3, redistributeDangling = true)
+        .orderBy(desc("rank"), col("node")).limit(50)
+    }),
+
     // ── Per-node triangle counts over the part co-purchase graph ────────
     // Edges: part pairs co-purchased in ≥ 2 orders (keyed self-join on
     // l_orderkey, a<b, support floor — the frequent-itemset practice that
@@ -390,6 +407,52 @@ object AdvancedQueries {
           ${c(1, "r0")}, ${r(1)},
           ${c(2, "r1")}, ${r(2)},
           ${c(3, "r2")}, ${r(3)}
+          SELECT node, ROUND(rank, 6) AS rank FROM r3
+          ORDER BY ROUND(rank, 6) DESC, node LIMIT 50"""
+    },
+    // dangling-mass form: per-iteration CTEs also carry the decimal-exact
+    // sum of rank parked on out-degree-0 nodes, redistributed uniformly —
+    // same literals/rounding/IEEE op order as Graph.pageRank's
+    // redistributeDangling branch
+    "q_pagerank_full" -> {
+      def c(i: Int, prev: String) =
+        s"""c$i AS (
+              SELECT e.dst AS node,
+                CAST(SUM(CAST(r.rank / d.deg AS DECIMAL(28,12))) AS DOUBLE)
+                  AS in_sum
+              FROM edges e
+              JOIN $prev r ON e.src = r.node
+              JOIN deg d ON e.src = d.src
+              GROUP BY e.dst)"""
+      def dang(i: Int, prev: String) =
+        s"""dang$i AS (
+              SELECT COALESCE(
+                CAST(SUM(CAST(rank AS DECIMAL(28,12))) AS DOUBLE),
+                CAST(0 AS DOUBLE)) AS dang
+              FROM $prev WHERE node NOT IN (SELECT src FROM deg))"""
+      def r(i: Int) =
+        s"""r$i AS (
+              SELECT nodes.node,
+                (1 - CAST(0.85 AS DOUBLE)) / n
+                  + CAST(0.85 AS DOUBLE)
+                    * (COALESCE(c$i.in_sum, CAST(0 AS DOUBLE))
+                       + dang$i.dang / n) AS rank
+              FROM nodes CROSS JOIN nn CROSS JOIN dang$i
+              LEFT JOIN c$i ON nodes.node = c$i.node)"""
+      s"""WITH edges AS (
+            SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          nodes AS (
+            SELECT src AS node FROM edges
+            UNION
+            SELECT dst AS node FROM edges),
+          nn AS (SELECT count(*) AS n FROM nodes),
+          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+          r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank
+                 FROM nodes CROSS JOIN nn),
+          ${c(1, "r0")}, ${dang(1, "r0")}, ${r(1)},
+          ${c(2, "r1")}, ${dang(2, "r1")}, ${r(2)},
+          ${c(3, "r2")}, ${dang(3, "r2")}, ${r(3)}
           SELECT node, ROUND(rank, 6) AS rank FROM r3
           ORDER BY ROUND(rank, 6) DESC, node LIMIT 50"""
     },

@@ -74,6 +74,48 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dangling redistribution: sinks return their mass, Σ ranks ≈ 1") {
+    // directed chain into a sink + a side sink: 0→1→2, 0→3; nodes 2 and 3
+    // have no out-edges. Without redistribution mass leaks every
+    // iteration; with it the total stays 1.
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 3L)).toDF("src", "dst")
+    val dropped = Graph.pageRank(edges, 3)
+      .as[(Long, Double)].collect().toMap
+    val full = Graph.pageRank(edges, 3, redistributeDangling = true)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(full.values.sum - 1.0) < 1e-5,
+      s"redistributed mass: ${full.values.sum}")
+    assert(dropped.values.sum < 1.0 - 1e-3,
+      s"dropped-mass form must leak on a sink graph: ${dropped.values.sum}")
+    spark.catalog.clearCache()
+  }
+
+  test("broadcast hints are gated by the measured node count") {
+    val star = (1L to 5L).flatMap(l => Seq((0L, l), (l, 0L)))
+    def broadcastHints(threshold: Long): Int = {
+      val df = Graph.pageRank(star.toDF("src", "dst"), 2,
+        broadcastMaxNodes = threshold)
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.hint.leftHint.exists(_.strategy.isDefined) ||
+              j.hint.rightHint.exists(_.strategy.isDefined) => j
+      }.size
+    }
+    // node count 6: above the threshold the rank/deg/contrib joins carry
+    // NO broadcast hint (AQE owns the choice); below it they all do
+    assert(broadcastHints(threshold = 0) === 0,
+      "no forced broadcast above the node-count threshold")
+    assert(broadcastHints(threshold = 100) > 0,
+      "small graphs keep the broadcast hints")
+    // plan-only switch: identical ranks either way
+    val a = Graph.pageRank(star.toDF("src", "dst"), 2, broadcastMaxNodes = 0)
+      .as[(Long, Double)].collect().toMap
+    val b = Graph.pageRank(star.toDF("src", "dst"), 2)
+      .as[(Long, Double)].collect().toMap
+    assert(a === b)
+    spark.catalog.clearCache()
+  }
+
   test("partition invariance: repartitioned edges give identical ranks") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L), (2L, 1L),
       (1L, 0L), (3L, 0L), (0L, 3L))
