@@ -6,15 +6,21 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media (image/audio/video) travel as opaque
   * `binary` payloads next to typed metadata, and per-item decoding runs as
   * batched partition-local processing — the Spark-side shape of a decode /
-  * feature-extract stage. The actual media codecs are NOT in this
-  * environment, so [[FakeDecoder]] is an explicitly-marked deterministic
-  * stand-in; everything around it (schema, batching, partitioning, the
-  * `mapPartitions` boundary) is the real production plumbing and is what
-  * the tests cover.
+  * feature-extract stage.
+  *
+  * IMAGE decode is REAL: [[decodeImageMeta]] runs `javax.imageio`
+  * (PNG/BMP/GIF — the pure-JVM codecs, no new dependencies) behind the
+  * batched `mapPartitions` boundary, and is oracle-gated end to end
+  * (q_decode_meta: deterministic synthetic PNGs whose geometry and pixel
+  * statistics DuckDB derives analytically — a decode bug breaks the
+  * hash). Audio/video codecs are NOT in this environment, so
+  * [[FakeDecoder]] remains the explicitly-marked deterministic stand-in
+  * for those; the plumbing around it (schema, batching, partitioning) is
+  * the production shape either way.
   *
   * Scale notes: payloads stay columnar (parquet binary) until the decode
   * stage; the decode is a narrow `mapPartitions` (no shuffle), batched so a
-  * vectorized/NAtive decoder could amortize per-call overhead — the same
+  * vectorized/native decoder could amortize per-call overhead — the same
   * batch shape `mapInPandas`/Arrow uses in PySpark.
   */
 object Multimodal {
@@ -23,10 +29,113 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, n_bytes: Int, header: String,
                            checksum: Long, feature: Array[Float])
 
-  /** STUB — deterministic fake decoder standing in for a real media codec
-    * (???-grade: replace with actual image/audio decode where libs exist).
-    * Consumes raw payload bytes, emits a fixed-width "feature" derived only
-    * from the bytes, so tests and reruns are reproducible.
+  /** One decoded IMAGE's geometry + exact pixel statistics (sum/min/max
+    * over every sample of every band — integers, so engine-portable with
+    * no float contract needed). */
+  case class ImageMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+                       n_channels: Int, px_sum: Long, px_min: Int, px_max: Int)
+
+  /** Deterministic synthetic images for the decode gate and specs: doc
+    * `id` maps to a `(id mod 13 + 1) × (id mod 7 + 1)` 8-bit image with
+    * gray(x, y) = (id + 3x + 5y) mod 256 — closed forms a SQL oracle can
+    * replay without any codec. `grayPng` renders those pixels into REAL
+    * PNG bytes via `javax.imageio`, so a decoder reading them back is
+    * verified against ground truth the oracle derives independently.
+    */
+  object SyntheticImages {
+    def dims(id: Long): (Int, Int) = ((id % 13 + 1).toInt, (id % 7 + 1).toInt)
+
+    def px(id: Long, x: Int, y: Int): Int = ((id + 3L * x + 5L * y) % 256L).toInt
+
+    def render(id: Long, imageType: Int): java.awt.image.BufferedImage = {
+      val (w, h) = dims(id)
+      val img = new java.awt.image.BufferedImage(w, h, imageType)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < raster.getNumBands) {
+            raster.setSample(x, y, b, px(id + b, x, y))
+            b += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    def encode(img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ok = javax.imageio.ImageIO.write(img, format, bos)
+      require(ok, s"no ImageIO writer for format $format")
+      bos.toByteArray
+    }
+
+    def grayPng(id: Long): Array[Byte] =
+      encode(render(id, java.awt.image.BufferedImage.TYPE_BYTE_GRAY), "png")
+  }
+
+  /** `(doc_id, payload)` with REAL synthetic-PNG bytes per document — the
+    * stored-media stand-in for the decode gate. Encoding happens at the
+    * same batched partition-local boundary decoding does.
+    */
+  def syntheticImagePayloads(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, SyntheticImages.grayPng(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL image decode (`javax.imageio`): width/height/band-count plus
+    * exact integer pixel statistics per payload. Same narrow batched
+    * `mapPartitions` boundary as [[decodeFeatures]] — batch size bounds
+    * peak memory and is the amortization unit a vectorized decoder would
+    * use. Fails loudly on undecodable bytes (a silent null would
+    * misreport corpus health downstream).
+    */
+  def decodeImageMeta(spark: SparkSession, payloads: DataFrame,
+                      batchSize: Int = 64): Dataset[ImageMeta] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            require(img != null, s"doc $id: payload is not a decodable image")
+            val raster = img.getRaster
+            val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+            var (sum, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                var b = 0
+                while (b < bands) {
+                  val v = raster.getSample(x, y, b)
+                  sum += v
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  b += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            ImageMeta(id, bytes.length, w, h, bands, sum, mn, mx)
+          }
+        }
+      }
+  }
+
+  /** STUB — deterministic fake decoder standing in for the NON-image
+    * media codecs (audio/video) absent from this environment (image
+    * decode is real — [[decodeImageMeta]]). Consumes raw payload bytes,
+    * emits a fixed-width "feature" derived only from the bytes, so tests
+    * and reruns are reproducible.
     */
   object FakeDecoder {
     val FeatureDim = 8

@@ -33,6 +33,24 @@ object ExtensionQueries {
           lower(substring(hex(col("payload")), 1, 8)).as("header_hex"))
         .orderBy("doc_id")),
 
+    // REAL image decode (javax.imageio) gated against analytic ground
+    // truth: each doc gets a deterministic synthetic PNG (geometry and
+    // pixels are closed forms of doc_id — Multimodal.SyntheticImages),
+    // the engine DECODES the actual PNG bytes back, and the oracle
+    // recomputes the expected geometry + exact integer pixel statistics
+    // without any codec. A decode defect (wrong size, band order,
+    // sample corruption) breaks the hash.
+    "q_decode_meta" -> ((s, dir) => {
+      val payloads = Multimodal.syntheticImagePayloads(
+        s, Tables.table(s, dir, "documents").select("doc_id"))
+      Multimodal.decodeImageMeta(s, payloads).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_channels"),
+          col("px_sum"), col("px_min"), col("px_max"),
+          round(col("px_sum").cast("double")
+            / (col("width") * col("height")), 6).as("mean_px"))
+        .orderBy("doc_id")
+    }),
+
     // Byte-stride downsample ("resize" stand-in): every 4th byte; the
     // output length and md5 prove the selection picked exactly the right
     // bytes (ASCII fixture — string-side oracle sees the same bytes).
@@ -78,6 +96,26 @@ object ExtensionQueries {
             md5(text) AS payload_md5,
             lower(substr(hex(encode(text)), 1, 8)) AS header_hex
          FROM documents ORDER BY doc_id""",
+    // the engine decodes real PNG bytes; the oracle replays the synthetic
+    // pixel formula (id mod 13 + 1) × (id mod 7 + 1), v = (id+3x+5y) mod 256
+    "q_decode_meta" ->
+      """WITH g AS (
+           SELECT doc_id, CAST(doc_id % 13 + 1 AS INT) AS width,
+                  CAST(doc_id % 7 + 1 AS INT) AS height
+           FROM documents),
+         px AS (
+           SELECT doc_id, width, height,
+             unnest(flatten(list_transform(generate_series(0, height - 1), y ->
+               list_transform(generate_series(0, width - 1), x ->
+                 (doc_id + 3 * x + 5 * y) % 256)))) AS v
+           FROM g)
+         SELECT doc_id, width, height, CAST(1 AS INT) AS n_channels,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS INT) AS px_min,
+           CAST(MAX(v) AS INT) AS px_max,
+           ROUND(CAST(SUM(v) AS DOUBLE) / (width * height), 6) AS mean_px
+         FROM px GROUP BY doc_id, width, height
+         ORDER BY doc_id""",
     "q_resize" ->
       """WITH t AS (
            SELECT doc_id, text, length(text) AS len FROM documents
