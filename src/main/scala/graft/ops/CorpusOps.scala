@@ -48,15 +48,22 @@ object CorpusOps {
     * runs, and partitionings.
     *
     * Scale: one narrow projection + TakeOrderedAndProject(k) — no
-    * shuffle beyond the top-k tree. Weights must be > 0.
+    * shuffle beyond the top-k tree. Weights must be > 0 — ENFORCED per
+    * row (ADVICE r07: a zero weight would draw key +∞ and be silently
+    * excluded, a negative one would sort FIRST and silently corrupt the
+    * sample; both now raise instead).
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
                      k: Int, salt: String = "wsamp"): DataFrame = {
     require(k >= 1, s"k: $k")
     val u = (pmod(Hashes.h60(concat(lit(salt), lit(":"),
         col(idCol).cast("string"))), lit(1000000L)) + 0.5) / 1000000.0
-    df.withColumn("es_key",
-        round(-log(u), 6) / weightCol.cast("double"))
+    val w = weightCol.cast("double")
+    val wChecked = when(w > 0, w).otherwise(raise_error(concat(
+      lit("weightedSample: weight must be > 0, got "),
+      coalesce(w.cast("string"), lit("NULL")),
+      lit(" for id "), col(idCol).cast("string"))))
+    df.withColumn("es_key", round(-log(u), 6) / wChecked)
       .orderBy(col("es_key"), col(idCol))
       .limit(k)
   }

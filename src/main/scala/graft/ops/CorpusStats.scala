@@ -252,12 +252,17 @@ object CorpusStats {
   def heavyHitters(tok: DataFrame, phi: Double, eps: Double = 1e-4,
                    confidence: Double = 0.999, seed: Int = 42): DataFrame = {
     require(phi > 0 && phi < 1, s"phi: $phi")
-    val cms = tok.stat.countMinSketch(col("tok"), eps, confidence, seed)
+    // NULL tokens are dropped BEFORE the sketch so the threshold's N and
+    // the candidate stream count the same population (ADVICE r07: the
+    // sketch's totalCount skips nulls while a count(*) would not — a
+    // null-bearing stream would silently diverge the two)
+    val nn = tok.where(col("tok").isNotNull)
+    val cms = nn.stat.countMinSketch(col("tok"), eps, confidence, seed)
     val threshold = math.ceil(phi * cms.totalCount).toLong
-    val cmsB = tok.sparkSession.sparkContext.broadcast(cms)
+    val cmsB = nn.sparkSession.sparkContext.broadcast(cms)
     val isCandidate =
       udf((t: String) => t != null && cmsB.value.estimateCount(t) >= threshold)
-    tok.where(isCandidate(col("tok")))
+    nn.where(isCandidate(col("tok")))
       .groupBy(col("tok"))
       .agg(count(lit(1)).cast("long").as("cnt"))
       .where(col("cnt") >= threshold)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.ops.TextAnalysis
 
@@ -49,6 +49,74 @@ object DocStream {
         .dropDuplicatesWithinWatermark("fp")
     else fingerprinted.dropDuplicates("fp")
   }
+
+  /** Streaming decontamination against a STANDING benchmark set — the
+    * sketch-prefilter family composed with Structured Streaming (VERDICT
+    * r07 #8). Construction (once, while the returned function lives):
+    * the bench side's n-gram hashes are exploded, persisted, folded into
+    * a Bloom filter and BROADCAST. The returned per-batch function is
+    * then applied inside `foreachBatch` ([[decontaminatedSink]]): each
+    * micro-batch's docs explode their own n-gram hash sets, the
+    * broadcast sketch drops non-candidate hashes MAP-SIDE (no false
+    * negatives — a clean doc's hashes never reach a shuffle), survivors
+    * get the exact verify join against the bench hashes, and docs
+    * sharing ≥ `minShared` distinct n-grams with any bench doc are
+    * anti-joined away.
+    *
+    * Batch-equivalence contract (the spec's gate): the keep/drop
+    * decision for a document is a pure function of (document, bench set)
+    * — no cross-document state — so the UNION of per-micro-batch outputs
+    * is bit-equal to running the same function over the whole corpus in
+    * one batch, under ANY micro-batch slicing. (That is also why this is
+    * the right streaming member of the family: the df-capped
+    * [[graft.ops.Dedup.contaminationPairsBloom]] needs corpus-global df
+    * counts, which a micro-batch cannot see — its place is the periodic
+    * batch compaction, same lambda split as [[firstSeenDocs]].)
+    */
+  def decontaminator(bench: DataFrame, benchIdCol: String, benchToks: Column,
+                     docIdCol: String, docToks: Column,
+                     n: Int, minShared: Int,
+                     fpp: Double = 0.01): DataFrame => DataFrame = {
+    require(minShared >= 1, s"minShared: $minShared")
+    val benchH = bench.select(col(benchIdCol).as("bench_id"),
+        explode(graft.ops.Dedup.ngramHashSet(benchToks, n)).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // count() doubles as the persist materializer; the (pre-distinct) row
+    // count over-estimates items, which only shrinks the effective fpp
+    val nBench = math.max(benchH.count(), 1L)
+    val bloom = benchH.stat.bloomFilter("h", nBench, fpp)
+    val bloomB = bench.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    (docs: DataFrame) => {
+      // ngramHashSet is distinct per doc, so the verify join's count is
+      // the distinct shared-n-gram count with no re-distinct
+      val contaminated = docs
+        .select(col(docIdCol), explode(graft.ops.Dedup.ngramHashSet(docToks, n)).as("h"))
+        .where(mightContain(col("h"))) // map-side sketch prune
+        .join(broadcast(benchH), Seq("h"))
+        .groupBy(col(docIdCol), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= minShared)
+        .select(col(docIdCol)).distinct()
+      docs.join(contaminated, Seq(docIdCol), "left_anti")
+    }
+  }
+
+  /** Wire a per-batch decontamination function into a streaming sink:
+    * `foreachBatch` applies it to every micro-batch and appends the
+    * surviving docs to a parquet path — the ingest-side "filter before
+    * store" deployment shape.
+    */
+  def decontaminatedSink(docs: DataFrame, decon: DataFrame => DataFrame,
+                         outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        decon(batch).write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 
   /** Per-micro-batch ingest statistics: docs seen and distinct
     * fingerprints per tumbling ingest-time window — the monitoring

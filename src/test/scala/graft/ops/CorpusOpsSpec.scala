@@ -84,4 +84,21 @@ class CorpusOpsSpec extends SparkSpec {
       assert(packs === packs.sorted, s"pack ids must be monotone in $g")
     }
   }
+
+  test("weightedSample: non-positive weights raise instead of corrupting the sample") {
+    import spark.implicits._
+    // a zero weight would draw es_key = +Inf (silent exclusion), a
+    // negative one a negative key that sorts FIRST (silent corruption) —
+    // both must fail loudly (ADVICE r07)
+    for (bad <- Seq(0.0, -1.5)) {
+      val df = Seq((1L, 2.0), (2L, bad)).toDF("id", "w")
+      val e = intercept[Exception] {
+        CorpusOps.weightedSample(df, "id", col("w"), 2).collect()
+      }
+      assert(e.getMessage != null)
+    }
+    // positive weights: unchanged happy path
+    val ok = Seq((1L, 1.0), (2L, 5.0), (3L, 2.0)).toDF("id", "w")
+    assert(CorpusOps.weightedSample(ok, "id", col("w"), 2).count() === 2)
+  }
 }

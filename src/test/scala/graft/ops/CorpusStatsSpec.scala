@@ -198,6 +198,20 @@ class CorpusStatsSpec extends SparkSpec {
       "MAD=0 group must yield NULL z and no outlier flag")
   }
 
+  test("heavyHitters: null tokens count in neither the threshold nor the candidates") {
+    // 65 non-null tokens (hot=60, cold=5) + 40 nulls. phi = 0.7:
+    // non-null threshold = ceil(0.7·65) = 46 → hot qualifies; a
+    // null-inclusive N would demand ceil(0.7·105) = 74 and wrongly
+    // reject it (ADVICE r07 — the two Ns must be the same population)
+    val tok = (Seq.fill(60)(Option("hot")) ++ Seq.fill(5)(Option("cold"))
+        ++ Seq.fill(40)(Option.empty[String]))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "tok")
+    val out = CorpusStats.heavyHitters(tok, phi = 0.7)
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("hot" -> 60L))
+  }
+
   test("bpeTrain: k greedy merges with pair recount between iterations") {
     // corpus: "aaab"×3, "ab"×2 — hand-traced BPE:
     //   step 1: (a,a) cnt 6 (two positions per "aaab") beats (a,b) cnt 5

@@ -78,4 +78,35 @@ class DocStreamSpec extends SparkSpec {
     assert(canon(streamed) === canon(batch))
     assert(streamed.agg(sum("n_docs")).as[Long].head() === 30L)
   }
+
+  test("decontaminator: foreachBatch stream == batch, sketch keeps every clean doc") {
+    def toks = graft.ops.TextAnalysis.tokens(col("text"))
+    // bench doc = verbatim copy of doc 3 ⇒ doc 3 AND its mangled twin
+    // doc 5 ("Document number 3 ... !!!", identical token stream) share
+    // all six 3-grams; every other doc shares exactly the two 3-grams of
+    // the common tail "with some shared words" — under minShared = 3
+    // precisely {3, 5} are contaminated
+    val bench = Seq((100L, "document number 3 with some shared words"))
+      .toDF("bench_id", "text")
+    val decon = DocStream.decontaminator(bench, "bench_id", toks,
+      "doc_id", toks, n = 3, minShared = 3)
+    val batchClean = decon(batchDocs).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(!batchClean.contains(3L) && !batchClean.contains(5L),
+      "bench copy and its mangled twin must be dropped")
+    assert(batchClean.size === 28,
+      s"docs sharing only the 2-n-gram tail must survive: $batchClean")
+    // stream the same corpus one file per micro-batch through the SAME
+    // per-batch function inside foreachBatch; union of outputs must be
+    // bit-equal to the batch run (per-doc decisions carry no cross-batch
+    // state)
+    val out = tempDir("deconOut").toString + "/clean"
+    val ck = tempDir("deconCk").toString
+    val q = DocStream.decontaminatedSink(streamDocs, decon, out, ck)
+    assert(q.awaitTermination(120000), "decontamination stream did not finish")
+    val streamed = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(streamed === batchClean)
+    spark.catalog.clearCache()
+  }
 }

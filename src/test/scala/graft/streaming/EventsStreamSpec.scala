@@ -70,11 +70,16 @@ class EventsStreamSpec extends SparkSpec {
     assert(canon(streamed) === canon(batch))
     assert(streamed.count() === 4) // 4 hour-windows
     // fixture has 3 distinct users per hour; default rsd 5% must land
-    // exact at this tiny cardinality (sparse-mode HLL is exact there)
+    // exact at this tiny cardinality (sparse-mode HLL is exact there).
+    // Compare keyed BY HOUR (ADVICE r07: a Set of counts collapses
+    // duplicates and loses the pairing — (3,3,3,4) vs (4,4,4,3) would
+    // both reduce to {3,4} and pass)
     val exact = batchEvents.groupBy(window(col("ts"), "1 hour"))
-      .agg(countDistinct(col("user_id")).as("exact")).select("exact")
-      .as[Long].collect().toSet
-    val approx = streamed.select("approx_users").as[Long].collect().toSet
+      .agg(countDistinct(col("user_id")).as("exact"))
+      .select(col("window.start").as("hour"), col("exact"))
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    val approx = streamed.select(col("hour"), col("approx_users"))
+      .as[(java.sql.Timestamp, Long)].collect().toMap
     assert(approx === exact, s"approx $approx vs exact $exact")
   }
 
