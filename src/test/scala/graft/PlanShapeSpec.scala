@@ -41,7 +41,9 @@ class PlanShapeSpec extends SparkSpec {
     "q_collocations" -> "crossJoins of the single-row unigram/bigram totals (broadcast, one row each)",
     "q_vocab" -> "crossJoin of the single-row token-total aggregate onto the top-k survivors",
     "q_bm25" -> "crossJoin of the single-row (n_docs, tok_total) aggregate (broadcast, one row)",
-    "q_mi" -> "crossJoin of the single-row corpus-total aggregate (broadcast, one row)")
+    "q_mi" -> "crossJoin of the single-row corpus-total aggregate (broadcast, one row)",
+    "q_mixture" -> "crossJoin of the single-row (tok_tot, s_tot) totals aggregate (broadcast, one row — replaced the empty-partition windows, VERDICT r07 #7)",
+    "q_pagerank_full" -> "per-iteration crossJoin of the single-row decimal-exact dangling-mass aggregate (broadcast, one row)")
 
   // the AQE-aware walker lives on SparkSpec (collectPlanNodes) so DedupSpec's
   // ccRound audit and this guard can never drift apart
