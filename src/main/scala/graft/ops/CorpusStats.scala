@@ -71,6 +71,55 @@ object CorpusStats {
           / sum(col("dc")), 6).as("mean_logprob"))
   }
 
+  /** Per-document mean BIGRAM conditional log-probability under the
+    * corpus's own add-one-smoothed bigram LM — the next rung above
+    * [[unigramLogProb]] on the perplexity-proxy ladder (context-aware
+    * scoring that penalizes improbable token TRANSITIONS, not just rare
+    * tokens): lp(w_i | w_{i−1}) = ln((c(w_{i−1}w_i) + 1) / (c(w_{i−1}) + V)),
+    * V = unigram vocabulary size (Laplace smoothing keeps unseen
+    * transitions finite), scored as the per-doc mean of round(lp, 6)
+    * over the doc's bigram stream. Docs with < 2 tokens have no bigram
+    * stream and are absent (the [[docEntropy]] absence semantics).
+    *
+    * Plan: per-(doc, bigram) counts FIRST (map-side contraction), then
+    * one KEYED join against the bigram-type relation (bigram types are
+    * corpus-scale in the worst case — never broadcast; AQE owns the
+    * sides), one broadcast join against the vocabulary-sized unigram
+    * marginals (the Heaps-law note on [[unigramLogProb]] applies), and
+    * the single-row vocab-size crossJoin. Same decimal weighted-sum
+    * portability contract as the rest of the family.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, toksCol: Column): DataFrame = {
+    // tokenize once: the bigram stream and the unigram marginals both
+    // read it (cache lifetime caller-managed; Verify/Bench clear per query)
+    val tokenized = docs.select(col(idCol).as("doc_id"), toksCol.as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = col("toks")
+    // sequence(1, n-1) DESCENDS for n = 0 — guard empty/1-token docs
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val db = tokenized.select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("dc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bgFreq = db.groupBy(col("bg")).agg(sum(col("dc")).cast("long").as("c_ab"))
+    val uni = tokenized.select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = uni.agg(count(lit(1)).cast("long").as("v"))
+    db.join(bgFreq, Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(broadcast(uni.select(col("tok").as("w1"), col("c_a"))), Seq("w1"))
+      .crossJoin(broadcast(vocab)) // 1-row vocabulary size
+      .select(col("doc_id"), col("dc"),
+        round(log((col("c_ab") + 1) / (col("c_a") + col("v"))), 6).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("dc")).cast("long").as("n_bigrams"),
+        round(sum((col("dc") * col("lp")).cast(Dec)).cast("double")
+          / sum(col("dc")), 6).as("mean_logprob"))
+  }
+
   /** Top-k bigram collocations by pointwise mutual information:
     * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) over the bigram
     * stream and p(·) over the unigram stream, restricted to bigrams with

@@ -63,6 +63,14 @@ object Graph {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var rank = nodes.withColumn("rank", lit(1.0) / n)
     for (_ <- 1 to iters) {
+      // the dangling form reads rank⁽ⁱ⁻¹⁾ from TWO branches (contribution
+      // join + dangling aggregate); unpersisted, each iteration's lineage
+      // re-derives the previous one twice — 2^iters blowup (measured
+      // 6.6 s vs 2.3 s for the drop-mass form at sf0.1). Persisting the
+      // node-scale relation per iteration makes it linear; cache lifetime
+      // is caller-managed like the edge/node persists above.
+      if (redistributeDangling)
+        rank = rank.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val contrib = e
         .join(bcast(rank.withColumnRenamed("node", "src")), Seq("src"))
         .join(bcast(deg), Seq("src"))

@@ -29,6 +29,11 @@ object CorpusStatsQueries {
     "q_unigram_lm" -> ((s, dir) =>
       CorpusStats.unigramLogProb(tokStream(s, dir)).orderBy("doc_id")),
 
+    // ── Smoothed bigram LM score (transition-aware perplexity proxy) ────
+    "q_bigram_lm" -> ((s, dir) =>
+      CorpusStats.bigramLogProb(docs(s, dir), "doc_id", toks)
+        .orderBy("doc_id")),
+
     // ── PMI collocations ────────────────────────────────────────────────
     "q_collocations" -> ((s, dir) =>
       CorpusStats.pmiCollocations(docs(s, dir), "doc_id", toks,
@@ -202,6 +207,31 @@ object CorpusStatsQueries {
               SELECT doc_id, dc, ROUND(ln(c / n_total), 6) AS lp
               FROM dc JOIN freq USING (tok) CROSS JOIN tot)
           SELECT doc_id, CAST(SUM(dc) AS BIGINT) AS n_tokens,
+            ROUND(CAST(SUM(CAST(dc * lp AS DECIMAL(28,10))) AS DOUBLE)
+                  / SUM(dc), 6) AS mean_logprob
+          FROM lp GROUP BY doc_id ORDER BY doc_id""",
+    "q_bigram_lm" ->
+      s"""WITH $TokCte,
+            t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+            bgs AS (
+              SELECT doc_id, unnest(list_transform(
+                  generate_series(1, greatest(len(toks) - 1, 0)),
+                  i -> toks[i] || ' ' || toks[i + 1])) AS bg
+              FROM t),
+            db AS (SELECT doc_id, bg, count(*) AS dc FROM bgs
+                   GROUP BY doc_id, bg),
+            bf AS (SELECT bg, CAST(SUM(dc) AS BIGINT) AS c_ab FROM db
+                   GROUP BY bg),
+            uni AS (SELECT tok, count(*) AS c_a FROM tok GROUP BY tok),
+            vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+            lp AS (
+              SELECT doc_id, dc,
+                ROUND(ln((c_ab + 1) / (c_a + v)), 6) AS lp
+              FROM db
+              JOIN bf USING (bg)
+              JOIN uni ON uni.tok = split_part(bg, ' ', 1)
+              CROSS JOIN vv)
+          SELECT doc_id, CAST(SUM(dc) AS BIGINT) AS n_bigrams,
             ROUND(CAST(SUM(CAST(dc * lp AS DECIMAL(28,10))) AS DOUBLE)
                   / SUM(dc), 6) AS mean_logprob
           FROM lp GROUP BY doc_id ORDER BY doc_id""",

@@ -198,6 +198,25 @@ class CorpusStatsSpec extends SparkSpec {
       "MAD=0 group must yield NULL z and no outlier flag")
   }
 
+  test("bigramLogProb: frequent transitions outscore rare ones; short docs absent") {
+    // corpus: "a b" ×10, "a z" ×1, "solo" ×1 — c(a b)=10, c(a z)=1,
+    // c(a)=11, V={a,b,z,solo}=4: lp(a b)=ln(11/15), lp(a z)=ln(2/15)
+    val rows = (0L until 10L).map(i => (i, "a b")) ++
+      Seq((10L, "a z"), (11L, "solo"))
+    val out = CorpusStats.bigramLogProb(
+        rows.toDF("doc_id", "text"), "doc_id",
+        TextAnalysis.tokens(col("text")))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(11L), "single-token doc has no bigram stream")
+    assert(out.size === 11)
+    assert(out(0L)._2 === 1L && out(10L)._2 === 1L)
+    assert(out(0L)._3 > out(10L)._3, "frequent transition must outscore rare")
+    assert(math.abs(out(0L)._3 - math.log(11.0 / 15)) < 1e-6)
+    assert(math.abs(out(10L)._3 - math.log(2.0 / 15)) < 1e-6,
+      "Laplace smoothing: unseen-ish transition stays finite and exact")
+    spark.catalog.clearCache()
+  }
+
   test("heavyHitters: null tokens count in neither the threshold nor the candidates") {
     // 65 non-null tokens (hot=60, cold=5) + 40 nulls. phi = 0.7:
     // non-null threshold = ceil(0.7·65) = 46 → hot qualifies; a
