@@ -386,7 +386,19 @@ object CorpusStats {
     * otherwise re-derive round i's vocabulary k−i times (cache lifetime
     * caller-managed; Verify/Bench clear per query).
     */
-  def bpeTrain(tok: DataFrame, k: Int): DataFrame = {
+  def bpeTrain(tok: DataFrame, k: Int): DataFrame =
+    bpeRounds(tok, k)._1.reduce(_ unionByName _)
+
+  /** The APPLY half of BPE: the word-frequency table re-symbolized by the
+    * `k` trained merges — `(sym, wc)` with `sym` the two-space-joined
+    * subword units. Exploding it weighted by `wc` gives corpus-frequency
+    * statistics of the learned subword vocabulary (what a tokenizer
+    * design reads off a trained merge list). Same fixed-depth plan as
+    * [[bpeTrain]]; both derive from one shared iteration chain.
+    */
+  def bpeVocab(tok: DataFrame, k: Int): DataFrame = bpeRounds(tok, k)._2
+
+  private def bpeRounds(tok: DataFrame, k: Int): (Seq[DataFrame], DataFrame) = {
     require(k >= 1, s"k: $k")
     val Sep = "  "
     val chars = transform(sequence(lit(1), length(col("tok"))),
@@ -416,7 +428,7 @@ object CorpusStats {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       top
     }
-    steps.reduce(_ unionByName _)
+    (steps, vocab)
   }
 
   /** Per-group robust z-scores (median/MAD) of a numeric column — the

@@ -111,6 +111,18 @@ object CorpusStatsQueries {
     "q_bpe_train" -> ((s, dir) =>
       CorpusStats.bpeTrain(tokStream(s, dir), k = BpeK).orderBy("step")),
 
+    // ── BPE apply: subword-unit corpus frequencies after k merges ───────
+    // The other half of tokenizer training: re-symbolize the
+    // word-frequency table with the trained merges and read off the
+    // corpus frequency of every resulting subword unit (top-20). Oracle
+    // = the same unrolled chain, final vocabulary exploded.
+    "q_bpe_apply" -> ((s, dir) =>
+      CorpusStats.bpeVocab(tokStream(s, dir), k = BpeK)
+        .select(explode(split(col("sym"), "  ")).as("unit"), col("wc"))
+        .groupBy(col("unit"))
+        .agg(sum(col("wc")).cast("long").as("cnt"))
+        .orderBy(desc("cnt"), col("unit")).limit(20)),
+
     // ── Pointwise mutual information: lang × source association ─────────
     // The corpus-composition diagnostic: one pass builds the (lang,
     // source) contingency cells; marginals and the total derive from the
@@ -161,7 +173,7 @@ object CorpusStatsQueries {
     * counts from v(i−1), takes the (cnt DESC, a, b) winner, and merges it
     * with the same `replace` call the engine runs.
     */
-  private def bpeTrainSql(k: Int): String = {
+  private def bpeChainSql(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""p$i AS (
             SELECT wc, unnest(list_transform(
@@ -178,16 +190,28 @@ object CorpusStatsQueries {
             SELECT replace(sym, a || '  ' || b, a || b) AS sym, wc
             FROM v${i - 1} CROSS JOIN t$i)"""
     }.mkString(",\n")
-    val union = (1 to k).map(i => s"SELECT * FROM t$i").mkString(" UNION ALL ")
     s"""WITH $TokCte,
           v0 AS (
             SELECT array_to_string(list_transform(
                 generate_series(1, length(tok)), i -> tok[i]), '  ') AS sym,
               count(*) AS wc
             FROM tok GROUP BY tok),
-          $rounds
+          $rounds"""
+  }
+
+  private def bpeTrainSql(k: Int): String = {
+    val union = (1 to k).map(i => s"SELECT * FROM t$i").mkString(" UNION ALL ")
+    s"""${bpeChainSql(k)}
         SELECT step, a, b, cnt FROM ($union) ORDER BY step"""
   }
+
+  private def bpeApplySql(k: Int): String =
+    s"""${bpeChainSql(k)},
+          units AS (
+            SELECT unnest(string_split(sym, '  ')) AS unit, wc FROM v$k)
+        SELECT unit, CAST(SUM(wc) AS BIGINT) AS cnt
+        FROM units GROUP BY unit
+        ORDER BY cnt DESC, unit LIMIT 20"""
 
   private val Re = Tokenizer.DefaultSplitRegex.replace("'", "''")
   private val ToksSql =
@@ -390,6 +414,7 @@ object CorpusStatsQueries {
           FROM p GROUP BY pair
           ORDER BY cnt DESC, pair LIMIT 20""",
     "q_bpe_train" -> bpeTrainSql(BpeK),
+    "q_bpe_apply" -> bpeApplySql(BpeK),
     "q_mi" ->
       """WITH cells AS (
             SELECT lang, source, CAST(count(*) AS BIGINT) AS c_ls

@@ -245,6 +245,11 @@ class CorpusStatsSpec extends SparkSpec {
       .as[(Int, String, String, Long)].collect().toSeq
     assert(got === Seq((1, "a", "a", 6L), (2, "a", "b", 5L),
       (3, "aa", "ab", 3L)))
+    // apply half: after (a,a), (a,b), (aa,ab) the words are single units
+    val vocab = CorpusStats.bpeVocab(tok, 3)
+      .as[(String, Long)].collect().toMap
+    assert(vocab === Map("aaab" -> 3L, "ab" -> 2L))
+    spark.catalog.clearCache()
   }
 
   test("bpeTrain: within-iteration merge is greedy left-to-right, no rescan") {
