@@ -68,6 +68,31 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** Per-GROUP weighted sample of k rows without replacement — the
+    * stratified form of [[weightedSample]] (a per-language eval draw, a
+    * per-source audit sample): the k smallest A-ES log-form keys WITHIN
+    * each group win. Same deterministic h60 draw and per-row positive-
+    * weight guard; the cut is one group-partitioned window (rank ≤ k) —
+    * hash-partitioned on the group, no global sort, no driver state.
+    */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String, grpCol: String,
+                             weightCol: Column, k: Int,
+                             salt: String = "wsamp"): DataFrame = {
+    require(k >= 1, s"k: $k")
+    val u = (pmod(Hashes.h60(concat(lit(salt), lit(":"),
+        col(idCol).cast("string"))), lit(1000000L)) + 0.5) / 1000000.0
+    val w = weightCol.cast("double")
+    val wChecked = when(w > 0, w).otherwise(raise_error(concat(
+      lit("weightedSamplePerGroup: weight must be > 0, got "),
+      coalesce(w.cast("string"), lit("NULL")),
+      lit(" for id "), col(idCol).cast("string"))))
+    val win = Window.partitionBy(col(grpCol)).orderBy(col("es_key"), col(idCol))
+    df.withColumn("es_key", round(-log(u), 6) / wChecked)
+      .withColumn("rk", row_number().over(win))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+
   /** Per-stratum sampling rates (basis points), e.g. downsample boilerplate
     * languages while keeping all of a rare one — the corpus-mixing knob of
     * an LLM data pipeline. Unlisted strata fall back to `defaultBp`.

@@ -433,6 +433,17 @@ object TextPipelineQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           round(col("es_key"), 6).as("es_key"))),
 
+    // ── Per-language weighted sample (stratified eval draw) ─────────────
+    // The group-stratified form of q_sample_weighted: 10 docs PER
+    // LANGUAGE ∝ n_chars, one group-partitioned window over the same
+    // deterministic A-ES key — no global sort.
+    "q_sample_group" -> ((s, dir) =>
+      CorpusOps.weightedSamplePerGroup(docs(s, dir), "doc_id", "lang",
+          col("n_chars"), k = 10)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("es_key"), 6).as("es_key"))
+        .orderBy("lang", "doc_id")),
+
     // ── Greedy sequence packing (context-window assembly) ───────────────
     // pack_id = floor(prev running tokens / budget) within each language,
     // doc order by id — the overflow-allowed packing policy, expressed as
@@ -847,6 +858,19 @@ object TextPipelineQueries {
             FROM documents)
           SELECT doc_id, lang, n_chars, ROUND(es_key, 6) AS es_key
           FROM d ORDER BY d.es_key, doc_id LIMIT 50""",
+    "q_sample_group" ->
+      s"""WITH d AS (
+            SELECT doc_id, lang, n_chars,
+              ROUND(-ln((CAST(${h60("'wsamp:' || doc_id")} % 1000000
+                              AS DOUBLE) + 0.5) / 1000000), 6)
+                / CAST(n_chars AS DOUBLE) AS es_key
+            FROM documents),
+          r AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY lang ORDER BY es_key, doc_id) AS rk
+            FROM d)
+          SELECT doc_id, lang, n_chars, ROUND(es_key, 6) AS es_key
+          FROM r WHERE rk <= 10 ORDER BY lang, doc_id""",
     "q_assemble" -> {
       val norm = s"trim(regexp_replace(lower(text), '$Re', ' ', 'g'))"
       s"""WITH d0 AS (

@@ -85,6 +85,25 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("weightedSamplePerGroup: k per group, short groups whole, deterministic") {
+    import spark.implicits._
+    val df = (0 until 40).map(i =>
+      (i.toLong, if (i < 20) "a" else "b", (i % 7 + 1).toDouble))
+      .toDF("id", "g", "w")
+    val out = CorpusOps.weightedSamplePerGroup(df, "id", "g", col("w"), 5)
+      .select("id", "g").as[(Long, String)].collect().toSeq
+    assert(out.groupBy(_._2).view.mapValues(_.size).toMap
+      === Map("a" -> 5, "b" -> 5))
+    // deterministic draw: identical result on a different partitioning
+    val again = CorpusOps.weightedSamplePerGroup(df.repartition(7), "id", "g",
+        col("w"), 5)
+      .select("id", "g").as[(Long, String)].collect().toSeq
+    assert(out.toSet === again.toSet)
+    // a group smaller than k returns the whole group
+    assert(CorpusOps.weightedSamplePerGroup(
+      df.where(col("id") < 3), "id", "g", col("w"), 5).count() === 3)
+  }
+
   test("weightedSample: non-positive weights raise instead of corrupting the sample") {
     import spark.implicits._
     // a zero weight would draw es_key = +Inf (silent exclusion), a
