@@ -420,10 +420,16 @@ object CorpusStats {
         .orderBy(desc("cnt"), col("a"), col("b")).limit(1)
         .select(lit(step).as("step"), col("a"), col("b"), col("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      vocab = vocab.crossJoin(broadcast(top))
-        .select(call_function("replace", col("sym"),
-            concat(col("a"), lit(Sep), col("b")),
-            concat(col("a"), col("b"))).as("sym"),
+      // LEFT join on TRUE, not crossJoin: when the corpus exhausts its
+      // merge candidates before round k, `top` is EMPTY and a crossJoin
+      // would annihilate the vocabulary (bpeVocab silently returning an
+      // empty corpus); the left join passes every word through unchanged
+      // instead — later rounds are no-ops and bpeTrain just emits < k rows
+      vocab = vocab.join(broadcast(top), lit(true), "left")
+        .select(when(col("a").isNull, col("sym"))
+            .otherwise(call_function("replace", col("sym"),
+              concat(col("a"), lit(Sep), col("b")),
+              concat(col("a"), col("b")))).as("sym"),
           col("wc"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       top

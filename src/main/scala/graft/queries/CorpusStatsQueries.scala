@@ -187,8 +187,12 @@ object CorpusStatsQueries {
             FROM p$i GROUP BY p.a, p.b
             ORDER BY cnt DESC, a, b LIMIT 1),
           v$i AS (
-            SELECT replace(sym, a || '  ' || b, a || b) AS sym, wc
-            FROM v${i - 1} CROSS JOIN t$i)"""
+            -- LEFT JOIN ON TRUE mirrors the engine: an exhausted merge
+            -- round (empty t$i) passes the vocabulary through unchanged
+            SELECT CASE WHEN t$i.a IS NULL THEN sym
+                        ELSE replace(sym, t$i.a || '  ' || t$i.b,
+                                     t$i.a || t$i.b) END AS sym, wc
+            FROM v${i - 1} LEFT JOIN t$i ON TRUE)"""
     }.mkString(",\n")
     s"""WITH $TokCte,
           v0 AS (

@@ -252,6 +252,20 @@ class CorpusStatsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("bpeTrain/bpeVocab: exhausted merges stop emitting, vocabulary survives") {
+    // "ab" has exactly ONE possible merge; rounds 2 and 3 find no pairs.
+    // bpeTrain must emit just the one real merge (not pad), and bpeVocab
+    // must return the fully-merged corpus, NOT an empty relation (a
+    // crossJoin against the empty round-2 winner would annihilate it)
+    val tok = Seq((0L, "ab")).toDF("doc_id", "tok")
+    val merges = CorpusStats.bpeTrain(tok, 3).orderBy("step")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges === Seq((1, "a", "b", 1L)))
+    val vocab = CorpusStats.bpeVocab(tok, 3).as[(String, Long)].collect().toMap
+    assert(vocab === Map("ab" -> 1L))
+    spark.catalog.clearCache()
+  }
+
   test("bpeTrain: within-iteration merge is greedy left-to-right, no rescan") {
     // "a a a a" + merge (a,a) must give [aa, aa] (positions 1-2 then 3-4,
     // the replaced text never re-participates), NOT [aaa, a] or [aaaa]
