@@ -369,13 +369,20 @@ object CorpusStats {
     * the time of the merge.
     *
     * Representation: a word's current symbolization is its symbols joined
-    * by a TWO-SPACE separator (symbols never contain whitespace — the
-    * tokenizer strips it). The greedy left-to-right merge is then exactly
-    * `replace(sym, 'a  b', 'ab')`: both Spark's and DuckDB's `replace`
-    * scan left to right over non-overlapping occurrences and never
-    * rescan replaced text, which is precisely BPE's within-iteration
-    * greedy semantics ("a a a" + merge (a,a) → "aa a") — so the oracle
-    * is the structurally identical CTE chain, not a reimplementation.
+    * by a TWO-SPACE separator and wrapped in ONE sentinel space on each
+    * end (symbols never contain whitespace — the tokenizer strips it), so
+    * every symbol is flanked by ≥1 space on both sides. The greedy
+    * left-to-right merge is then exactly `replace(sym, ' a  b ', ' ab ')`:
+    * the pattern consumes one boundary space from each side (anchoring
+    * BOTH symbol boundaries — without the flanks, ' a  b' would match the
+    * trailing 'a' of an 'aa' symbol and fuse symbols that are not the
+    * merge pair) and the replacement restores them, so consecutive
+    * disjoint occurrences still all merge. Both Spark's and DuckDB's
+    * `replace` scan left to right over non-overlapping occurrences and
+    * never rescan replaced text, which is precisely BPE's
+    * within-iteration greedy semantics ("a a a" + merge (a,a) → "aa a") —
+    * so the oracle is the structurally identical CTE chain, not a
+    * reimplementation.
     *
     * Scale posture: every iteration is one hash aggregate over the
     * VOCABULARY (Heaps-law-small, not the token stream) plus a
@@ -391,12 +398,14 @@ object CorpusStats {
 
   /** The APPLY half of BPE: the word-frequency table re-symbolized by the
     * `k` trained merges — `(sym, wc)` with `sym` the two-space-joined
-    * subword units. Exploding it weighted by `wc` gives corpus-frequency
-    * statistics of the learned subword vocabulary (what a tokenizer
-    * design reads off a trained merge list). Same fixed-depth plan as
-    * [[bpeTrain]]; both derive from one shared iteration chain.
+    * subword units (sentinel flanks trimmed). Exploding it weighted by
+    * `wc` gives corpus-frequency statistics of the learned subword
+    * vocabulary (what a tokenizer design reads off a trained merge list).
+    * Same fixed-depth plan as [[bpeTrain]]; both derive from one shared
+    * iteration chain.
     */
-  def bpeVocab(tok: DataFrame, k: Int): DataFrame = bpeRounds(tok, k)._2
+  def bpeVocab(tok: DataFrame, k: Int): DataFrame =
+    bpeRounds(tok, k)._2.select(trim(col("sym")).as("sym"), col("wc"))
 
   private def bpeRounds(tok: DataFrame, k: Int): (Seq[DataFrame], DataFrame) = {
     require(k >= 1, s"k: $k")
@@ -404,10 +413,11 @@ object CorpusStats {
     val chars = transform(sequence(lit(1), length(col("tok"))),
       i => col("tok").substr(i, lit(1)))
     var vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("wc"))
-      .select(array_join(chars, Sep).as("sym"), col("wc"))
+      .select(concat(lit(" "), array_join(chars, Sep), lit(" ")).as("sym"),
+        col("wc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val steps = (1 to k).map { step =>
-      val syms = split(col("sym"), Sep)
+      val syms = split(trim(col("sym")), Sep)
       // sequence(1, n-1) DESCENDS for n = 1 — guard single-symbol words
       val pairs = when(size(syms) >= 2,
         transform(sequence(lit(1), size(syms) - 1),
@@ -428,8 +438,8 @@ object CorpusStats {
       vocab = vocab.join(broadcast(top), lit(true), "left")
         .select(when(col("a").isNull, col("sym"))
             .otherwise(call_function("replace", col("sym"),
-              concat(col("a"), lit(Sep), col("b")),
-              concat(col("a"), col("b")))).as("sym"),
+              concat(lit(" "), col("a"), lit(Sep), col("b"), lit(" ")),
+              concat(lit(" "), col("a"), col("b"), lit(" ")))).as("sym"),
           col("wc"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       top

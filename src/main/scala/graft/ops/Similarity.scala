@@ -340,38 +340,41 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
-  /** The `nSeeds` lowest-id vectors as a RELATION `(cell, seed_id, sv,
-    * sn)` — cell is the 0-based rank by id, sn the engine-pipeline norm
-    * (bit-equal to the oracle's `sqrt(CAST(SUM(decimal) AS DOUBLE))`).
-    * Seeds stay distributed: nothing is collected to the driver and
-    * nothing enters the plan as a literal, so the cell count can grow to
-    * the 10⁴–10⁵ a 100 TB SemDeDup needs (VERDICT r07 #1 — the previous
-    * `collectSeeds` → `typedlit` form built an nSeeds-branch projection
-    * that stops analyzing long before that). Shared seeding for
-    * [[assignToSeeds]] callers.
+  /** The `nSeeds` lowest-id vectors as a RELATION `(seed_id, sv, sn)` —
+    * sn is the engine-pipeline norm (bit-equal to the oracle's
+    * `sqrt(CAST(SUM(decimal) AS DOUBLE))`). Seeds stay distributed:
+    * nothing is collected to the driver and nothing enters the plan as a
+    * literal, so the cell count can grow to the 10⁴–10⁵ a 100 TB
+    * SemDeDup needs (VERDICT r07 #1 — the previous `collectSeeds` →
+    * `typedlit` form built an nSeeds-branch projection that stops
+    * analyzing long before that). The 0-based `cell` index (rank by
+    * seed_id) is assigned in [[seedsArray]] from the sorted array
+    * position — not by a window here, whose empty-after-optimization
+    * partitionSpec would re-pollute the WindowExec warning channel (a
+    * foldable partition key gets stripped by the optimizer). Shared
+    * seeding for [[assignToSeeds]] callers.
     */
   def seedsRelation(vecs: DataFrame, nSeeds: Int): DataFrame =
     vecs.orderBy("vec_id").limit(nSeeds)
       .select(col("vec_id").as("seed_id"), col("embedding").as("sv"),
         sqrt(norm2Exact(col("embedding"))).as("sn"))
-      // constant partition key: the window runs over exactly nSeeds rows
-      // by construction (post-limit), and a non-empty partitionSpec keeps
-      // the WindowExec single-partition warning channel clean for real
-      // regressions
-      .withColumn("cell",
-        (row_number().over(Window.partitionBy(lit(0)).orderBy("seed_id")) - 1)
-          .cast("int"))
-      .select(col("cell"), col("seed_id"), col("sv"), col("sn"))
 
   /** A seeds relation folded to ONE row holding the cell-ordered
     * `array<struct<cell, seed_id, sv, sn>>` — the broadcast-side shape of
-    * [[assignToSeeds]]. `array_sort` on the collected structs (cell is the
-    * first field, unique) makes the order deterministic regardless of
-    * `collect_list`'s partition arrival order.
+    * [[assignToSeeds]]. `array_sort` on the collected structs (seed_id is
+    * the first field, unique) makes the order deterministic regardless of
+    * `collect_list`'s partition arrival order; `cell` is then simply the
+    * sorted position (0-based rank by seed_id — the oracles' contract),
+    * injected with an indexed transform instead of a window.
     */
   private def seedsArray(seeds: DataFrame): DataFrame =
     seeds.agg(array_sort(collect_list(
-      struct(col("cell"), col("seed_id"), col("sv"), col("sn")))).as("seeds"))
+        struct(col("seed_id"), col("sv"), col("sn")))).as("ss"))
+      .select(transform(col("ss"), (s, i) => struct(
+        i.cast("int").as("cell"),
+        s.getField("seed_id").as("seed_id"),
+        s.getField("sv").as("sv"),
+        s.getField("sn").as("sn"))).as("seeds"))
 
   /** Deterministic nearest-seed Voronoi assignment: every vector gets the
     * `cell` (seed index) and `seed_id` of its highest-cosine seed, ranking

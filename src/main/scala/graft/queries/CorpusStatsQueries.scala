@@ -177,9 +177,9 @@ object CorpusStatsQueries {
     val rounds = (1 to k).map { i =>
       s"""p$i AS (
             SELECT wc, unnest(list_transform(
-                generate_series(1, len(string_split(sym, '  ')) - 1),
-                j -> struct_pack(a := string_split(sym, '  ')[j],
-                                 b := string_split(sym, '  ')[j + 1]))) AS p
+                generate_series(1, len(string_split(trim(sym), '  ')) - 1),
+                j -> struct_pack(a := string_split(trim(sym), '  ')[j],
+                                 b := string_split(trim(sym), '  ')[j + 1]))) AS p
             FROM v${i - 1}),
           t$i AS (
             SELECT $i AS step, p.a AS a, p.b AS b,
@@ -188,16 +188,19 @@ object CorpusStatsQueries {
             ORDER BY cnt DESC, a, b LIMIT 1),
           v$i AS (
             -- LEFT JOIN ON TRUE mirrors the engine: an exhausted merge
-            -- round (empty t$i) passes the vocabulary through unchanged
+            -- round (empty t$i) passes the vocabulary through unchanged.
+            -- The pattern's sentinel-space flanks anchor both symbol
+            -- boundaries (see CorpusStats.bpeTrain)
             SELECT CASE WHEN t$i.a IS NULL THEN sym
-                        ELSE replace(sym, t$i.a || '  ' || t$i.b,
-                                     t$i.a || t$i.b) END AS sym, wc
+                        ELSE replace(sym, ' ' || t$i.a || '  ' || t$i.b || ' ',
+                                     ' ' || t$i.a || t$i.b || ' ') END AS sym, wc
             FROM v${i - 1} LEFT JOIN t$i ON TRUE)"""
     }.mkString(",\n")
     s"""WITH $TokCte,
           v0 AS (
-            SELECT array_to_string(list_transform(
-                generate_series(1, length(tok)), i -> tok[i]), '  ') AS sym,
+            SELECT ' ' || array_to_string(list_transform(
+                generate_series(1, length(tok)), i -> tok[i]), '  ') || ' '
+              AS sym,
               count(*) AS wc
             FROM tok GROUP BY tok),
           $rounds"""
@@ -212,7 +215,7 @@ object CorpusStatsQueries {
   private def bpeApplySql(k: Int): String =
     s"""${bpeChainSql(k)},
           units AS (
-            SELECT unnest(string_split(sym, '  ')) AS unit, wc FROM v$k)
+            SELECT unnest(string_split(trim(sym), '  ')) AS unit, wc FROM v$k)
         SELECT unit, CAST(SUM(wc) AS BIGINT) AS cnt
         FROM units GROUP BY unit
         ORDER BY cnt DESC, unit LIMIT 20"""

@@ -103,16 +103,24 @@ object DocStream {
   }
 
   /** Wire a per-batch decontamination function into a streaming sink:
-    * `foreachBatch` applies it to every micro-batch and appends the
-    * surviving docs to a parquet path — the ingest-side "filter before
-    * store" deployment shape.
+    * `foreachBatch` applies it to every micro-batch and writes the
+    * surviving docs under a `batch_id=<id>` subdirectory of the parquet
+    * path — the ingest-side "filter before store" deployment shape.
+    *
+    * IDEMPOTENT under replay: foreachBatch is at-least-once (a crash
+    * between a successful write and the offset commit re-runs the same
+    * micro-batch), so a plain `append` would duplicate the batch; keying
+    * the write on the provided batchId and OVERWRITING that directory
+    * makes the re-run converge to the same bytes. Readers load `outPath`
+    * whole (partition discovery adds the `batch_id` column).
     */
   def decontaminatedSink(docs: DataFrame, decon: DataFrame => DataFrame,
                          outPath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        decon(batch).write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        decon(batch).write.mode("overwrite")
+          .parquet(s"$outPath/batch_id=$batchId")
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

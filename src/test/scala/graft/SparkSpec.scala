@@ -55,22 +55,40 @@ abstract class SparkSpec extends AnyFunSuite {
   }
 
   /** Assert a frame's executed plan contains no cartesian product or
-    * broadcast-nested-loop join — EXCEPT a BNLJ whose build side is a
+    * broadcast-nested-loop join — EXCEPT a BNLJ whose BUILD side IS a
     * one-row (ungrouped) aggregate: that is the engine's singleton-attach
     * shape (corpus totals, the broadcast seeds array), a map-side widen
     * with no scale dimension, and the optimizer plans it as a BNLJ even
     * when written as a constant-key equi-join (the condition folds away).
+    * The check unwraps only exchange/codegen/project WRAPPERS above the
+    * aggregate and looks at the build side specifically — searching
+    * either child's whole subtree would exempt a genuine row-scale BNLJ
+    * whenever some upstream lineage happens to contain a one-row totals
+    * aggregate (the ubiquitous crossJoin(broadcast(tot)) idiom).
     */
   def assertKeyedJoins(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
-    def isSingleton(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-      collectPlanNodes(p).exists {
-        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
-          a.groupingExpressions.isEmpty
-        case _ => false
-      }
+    import org.apache.spark.sql.execution._
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: adaptive.AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: adaptive.QueryStageExec => unwrap(q.plan)
+      case e: exchange.BroadcastExchangeExec => unwrap(e.child)
+      case r: exchange.ReusedExchangeExec => unwrap(r.child)
+      case w: WholeStageCodegenExec => unwrap(w.child)
+      case i: InputAdapter => unwrap(i.child)
+      case p: ProjectExec => unwrap(p.child)
+      case p => p
+    }
+    def isSingletonBuild(p: SparkPlan): Boolean = unwrap(p) match {
+      case a: aggregate.BaseAggregateExec => a.groupingExpressions.isEmpty
+      case _ => false
+    }
     val bad = collectPlanNodes(df.queryExecution.executedPlan).filter {
-      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
-        !j.children.exists(isSingleton)
+      case j: joins.BroadcastNestedLoopJoinExec =>
+        val build = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case _ => j.right
+        }
+        !isSingletonBuild(build)
       case p => p.nodeName.contains("CartesianProduct")
     }
     assert(bad.isEmpty, s"$what plans an unkeyed join: ${bad.map(_.nodeName)}")

@@ -252,6 +252,25 @@ class CorpusStatsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("bpeTrain: merge pattern anchors symbol boundaries — no cross-symbol fusion") {
+    // corpus: "aa"×10, "ab"×6, "aab"×1. Step 1 merges (a,a) cnt 11
+    // (10 + 1 from "aab"), leaving "aab" as [aa, b]; step 2 merges (a,b)
+    // cnt 6 (the "aab" occurrence is GONE after step 1 — recount works).
+    // The (a,b) pattern must NOT match the trailing 'a' of the "aa"
+    // SYMBOL in [aa, b]: an unanchored replace would fuse it to "aab"
+    // under a merge pair that is neither of its symbols.
+    val tok = (Seq.fill(10)("aa") ++ Seq.fill(6)("ab") ++ Seq("aab"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "tok")
+    val merges = CorpusStats.bpeTrain(tok, 2).orderBy("step")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges === Seq((1, "a", "a", 11L), (2, "a", "b", 6L)))
+    val vocab = CorpusStats.bpeVocab(tok, 2).as[(String, Long)].collect().toMap
+    assert(vocab === Map("aa" -> 10L, "ab" -> 6L, "aa  b" -> 1L),
+      "\"aab\" must stay [aa, b] — (a,b) cannot merge across the aa|b boundary")
+    spark.catalog.clearCache()
+  }
+
   test("bpeTrain/bpeVocab: exhausted merges stop emitting, vocabulary survives") {
     // "ab" has exactly ONE possible merge; rounds 2 and 3 find no pairs.
     // bpeTrain must emit just the one real merge (not pad), and bpeVocab

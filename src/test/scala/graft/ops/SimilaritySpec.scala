@@ -274,8 +274,13 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size === 300)
 
     // independent reference plan for the same contract: full vec×seed
-    // score relation + window argmax (rounded cosine desc, cell asc)
-    val seeds = Similarity.seedsRelation(corpus, 256)
+    // score relation + window argmax (rounded cosine desc, cell asc);
+    // cell = 0-based rank by seed_id, attached from a driver-built map
+    // (test-only collect)
+    val seedRel = Similarity.seedsRelation(corpus, 256)
+    val cellDf = seedRel.select("seed_id").as[Long].collect().sorted
+      .zipWithIndex.toSeq.toDF("seed_id", "cell")
+    val seeds = seedRel.join(cellDf, Seq("seed_id"))
     val v = corpus.select(col("vec_id"), col("embedding"),
       sqrt(Similarity.norm2Exact(col("embedding"))).as("nv"))
     val w = org.apache.spark.sql.expressions.Window
