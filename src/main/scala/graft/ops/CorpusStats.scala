@@ -361,6 +361,44 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** Pairwise n-gram overlap between corpus GROUPS (sources, languages):
+    * for every group pair, the Jaccard similarity of their distinct
+    * n-gram hash sets — the dataset-card-level signal for "how much of
+    * source B is already in source A" that drives mixing and dedup
+    * decisions between data sources. Pairs with zero shared n-grams are
+    * absent (inner join semantics).
+    *
+    * Scale posture: the `(grp, h)` relation is distinct n-grams ×
+    * groups (vocabulary-scale, not corpus-scale); the self-join key `h`
+    * carries at most nGroups rows per hash, so candidate volume is
+    * bounded by nGroups² per n-gram type — keyed hash joins only, and
+    * the per-group set sizes broadcast back (group-count rows).
+    */
+  def groupOverlap(docs: DataFrame, grpCol: String, toksCol: Column,
+                   n: Int): DataFrame = {
+    // distinct per (group, n-gram); persisted — the sizes aggregate and
+    // both self-join branches read it (lifetime caller-managed;
+    // Verify/Bench clear per query)
+    val gh = docs.select(col(grpCol).as("grp"),
+        explode(Dedup.ngramHashSet(toksCol, n)).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = gh.groupBy(col("grp")).agg(count(lit(1)).as("n_set"))
+    val pairs = gh.select(col("grp").as("grp_a"), col("h"))
+      .join(gh.select(col("grp").as("grp_b"), col("h")), Seq("h"))
+      .where(col("grp_a") < col("grp_b"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select(col("grp").as("grp_a"), col("n_set").as("n_a"))),
+        Seq("grp_a"))
+      .join(broadcast(sizes.select(col("grp").as("grp_b"), col("n_set").as("n_b"))),
+        Seq("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"), col("n_shared"),
+        round(col("n_shared") / (col("n_a") + col("n_b") - col("n_shared")), 6)
+          .as("jaccard"))
+  }
+
   /** Iterated BPE training over the word-frequency table: `k` successive
     * merges, re-deriving pair counts from the merged vocabulary between
     * iterations — the actual tokenizer-training loop, extending the

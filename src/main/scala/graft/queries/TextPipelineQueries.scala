@@ -294,6 +294,16 @@ object TextPipelineQueries {
         .orderBy("train_id", "bench_id")
     }),
 
+    // ── Pairwise source overlap (dataset-card diagnostics) ──────────────
+    // Jaccard similarity of distinct 5-gram hash sets between every pair
+    // of data sources — "how much of source B is already in source A",
+    // the between-source mixing/dedup signal. Keyed self-join on the
+    // n-gram hash (≤ nGroups rows per hash), set sizes broadcast back.
+    "q_source_overlap" -> ((s, dir) =>
+      graft.ops.CorpusStats.groupOverlap(docs(s, dir), "source",
+          TextAnalysis.tokens(col("text")), n = 5)
+        .orderBy("grp_a", "grp_b")),
+
     // ── Cross-doc exact substring duplication ───────────────────────────
     // Pairs sharing a verbatim run of ≥12 consecutive tokens, found via
     // positional 8-gram hashes + diagonal-island run assembly — the
@@ -705,6 +715,26 @@ object TextPipelineQueries {
           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
           ORDER BY id_a, id_b""",
+    "q_source_overlap" ->
+      s"""WITH hs AS (
+            SELECT source, list_transform($ToksSql, t -> ${h60("t")}) AS hsarr
+            FROM documents),
+          ng AS (
+            SELECT source, ${ngramHashesSql("hsarr", 5)} AS ngh FROM hs),
+          gh AS (SELECT DISTINCT source AS grp, unnest(ngh) AS h FROM ng),
+          sizes AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS n_set FROM gh GROUP BY grp),
+          pairs AS (
+            SELECT a.grp AS grp_a, b.grp AS grp_b,
+              CAST(count(*) AS BIGINT) AS n_shared
+            FROM gh a JOIN gh b ON a.h = b.h AND a.grp < b.grp
+            GROUP BY a.grp, b.grp)
+          SELECT grp_a, grp_b, sa.n_set AS n_a, sb.n_set AS n_b, n_shared,
+            ROUND(n_shared / (sa.n_set + sb.n_set - n_shared), 6) AS jaccard
+          FROM pairs
+          JOIN sizes sa ON sa.grp = grp_a
+          JOIN sizes sb ON sb.grp = grp_b
+          ORDER BY grp_a, grp_b""",
     "q_contamination" -> ContaminationSql,
     // identical answer by construction (Bloom has no false negatives and
     // the per-hash keep decision preserves train-df counts) — the gate

@@ -198,6 +198,18 @@ class CorpusStatsSpec extends SparkSpec {
       "MAD=0 group must yield NULL z and no outlier flag")
   }
 
+  test("groupOverlap: hand-computed pairwise Jaccard, zero-overlap pairs absent") {
+    // bigram sets: x = {ab, bc}, y = {bc, cd}, z = {qr}
+    // (x,y): 1 shared of 3 distinct → 1/3; z overlaps nothing → absent
+    val docs = Seq((0L, "x", "a b c"), (1L, "y", "b c d"), (2L, "z", "q r"))
+      .toDF("doc_id", "src", "text")
+    val out = CorpusStats.groupOverlap(docs, "src",
+        TextAnalysis.tokens(col("text")), n = 2)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(("x", "y", 2L, 2L, 1L, 0.333333)))
+    spark.catalog.clearCache()
+  }
+
   test("bigramLogProb: frequent transitions outscore rare ones; short docs absent") {
     // corpus: "a b" ×10, "a z" ×1, "solo" ×1 — c(a b)=10, c(a z)=1,
     // c(a)=11, V={a,b,z,solo}=4: lp(a b)=ln(11/15), lp(a z)=ln(2/15)
