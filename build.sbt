@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g, not 8g: the full bench sweep runs 100+ queries in one JVM with
+  // per-query MEMORY_AND_DISK persists; at 8g the tail of the sweep ran
+  // under visible GC/eviction pressure (BENCH_r08's q_fingerprint/q_mi
+  // inflation on code-unchanged paths) on a 128 GiB box running local[32]
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

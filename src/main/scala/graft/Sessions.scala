@@ -26,6 +26,17 @@ object Sessions {
       // never mutated mid-session (ADVICE r01).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the SQL-listener plan description is generated EAGERLY for every
+      // action even with the UI off, and the default "formatted" mode
+      // (ExplainUtils.generateOperatorIDs) re-walks shared subtrees per
+      // PATH — on iterative queries whose persisted layers nest
+      // InMemoryRelations (BPE rounds, dangling PageRank) that walk is
+      // exponential and was measured dominating entire actions. "simple"
+      // skips operator-ID generation; explain("formatted") on demand is
+      // unaffected.
+      .config("spark.sql.ui.explainMode", "simple")
+      // belt-and-braces bound on any plan string the session does render
+      .config("spark.sql.maxPlanStringLength", "100000")
 
   def local(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

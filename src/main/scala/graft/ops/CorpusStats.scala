@@ -40,12 +40,16 @@ object CorpusStats {
     * mean over the document's token stream of round(ln p(t), 6).
     *
     * Plan: one hash agg builds the unigram table, one hash agg scores —
-    * the token→frequency join BROADCASTs the vocabulary (Heaps' law:
-    * vocab grows ~√corpus, so at 100 TB it is still ≪ executor memory
-    * after any sane frequency floor; drop the hint and let the hash join
-    * + AQE skew handling take over if an uncapped vocab outgrows it).
+    * the token→frequency join broadcasts the vocabulary only when its
+    * MEASURED size is under `broadcastMaxVocab` (Heaps' law: vocab grows
+    * ~√corpus, so at 100 TB it is usually still ≪ executor memory — but
+    * a web-scale uncapped vocabulary can reach hundreds of millions of
+    * rows, so the hint is GATED like [[graft.ops.Graph.pageRank]]'s
+    * `broadcastMaxNodes` and AQE owns the join sides above the
+    * threshold). The size probe doubles as the persist materializer.
     */
-  def unigramLogProb(tok: DataFrame): DataFrame = {
+  def unigramLogProb(tok: DataFrame,
+                     broadcastMaxVocab: Long = 10000000L): DataFrame = {
     // pre-aggregate to per-(doc, token) counts FIRST: one tokenize pass
     // (persisted — the frequency table and the scoring join both read it;
     // cache lifetime is caller-managed, Verify/Bench clear per query), and
@@ -57,11 +61,17 @@ object CorpusStats {
       .agg(count(lit(1)).as("dc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = dc.groupBy(col("tok")).agg(sum(col("dc")).cast("long").as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one driver scalar gates the broadcast hint (and materializes the
+    // dc/freq caches the two downstream branches share)
+    val v = freq.count()
+    def bcast(df: DataFrame): DataFrame =
+      if (v <= broadcastMaxVocab) broadcast(df) else df
     val tot = freq.agg(sum(col("c")).cast("long").as("n_total"))
     // dc·lp multiplies in DOUBLE on both engines (bit-identical IEEE), the
     // PRODUCT is cast to decimal, and only the sum accumulates exactly —
     // the q_doc_entropy-proven portable weighted-sum shape
-    dc.join(broadcast(freq), Seq("tok"))
+    dc.join(bcast(freq), Seq("tok"))
       .crossJoin(broadcast(tot)) // 1-row global total
       .select(col("doc_id"), col("dc"),
         round(log(col("c") / col("n_total")), 6).as("lp"))
@@ -84,12 +94,17 @@ object CorpusStats {
     * Plan: per-(doc, bigram) counts FIRST (map-side contraction), then
     * one KEYED join against the bigram-type relation (bigram types are
     * corpus-scale in the worst case — never broadcast; AQE owns the
-    * sides), one broadcast join against the vocabulary-sized unigram
-    * marginals (the Heaps-law note on [[unigramLogProb]] applies), and
-    * the single-row vocab-size crossJoin. Same decimal weighted-sum
-    * portability contract as the rest of the family.
+    * sides), and one join against the vocabulary-sized unigram
+    * marginals whose broadcast hint is GATED on the measured vocabulary
+    * size (`broadcastMaxVocab`, the [[unigramLogProb]] /
+    * [[graft.ops.Graph.pageRank]] pattern — a web-scale uncapped
+    * vocabulary must not be force-broadcast). The measured size also
+    * supplies the smoothing constant V directly, replacing the one-row
+    * vocab-size crossJoin. Same decimal weighted-sum portability
+    * contract as the rest of the family.
     */
-  def bigramLogProb(docs: DataFrame, idCol: String, toksCol: Column): DataFrame = {
+  def bigramLogProb(docs: DataFrame, idCol: String, toksCol: Column,
+                    broadcastMaxVocab: Long = 10000000L): DataFrame = {
     // tokenize once: the bigram stream and the unigram marginals both
     // read it (cache lifetime caller-managed; Verify/Bench clear per query)
     val tokenized = docs.select(col(idCol).as("doc_id"), toksCol.as("toks"))
@@ -107,13 +122,16 @@ object CorpusStats {
     val uni = tokenized.select(explode(toks).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c_a"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vocab = uni.agg(count(lit(1)).cast("long").as("v"))
+    // V is the one driver scalar: it gates the broadcast hint AND is the
+    // Laplace smoothing constant (materializes tokenized/uni on the way)
+    val v = uni.count()
+    def bcast(df: DataFrame): DataFrame =
+      if (v <= broadcastMaxVocab) broadcast(df) else df
     db.join(bgFreq, Seq("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .join(broadcast(uni.select(col("tok").as("w1"), col("c_a"))), Seq("w1"))
-      .crossJoin(broadcast(vocab)) // 1-row vocabulary size
+      .join(bcast(uni.select(col("tok").as("w1"), col("c_a"))), Seq("w1"))
       .select(col("doc_id"), col("dc"),
-        round(log((col("c_ab") + 1) / (col("c_a") + col("v"))), 6).as("lp"))
+        round(log((col("c_ab") + 1) / (col("c_a") + lit(v))), 6).as("lp"))
       .groupBy(col("doc_id"))
       .agg(sum(col("dc")).cast("long").as("n_bigrams"),
         round(sum((col("dc") * col("lp")).cast(Dec)).cast("double")
@@ -425,14 +443,28 @@ object CorpusStats {
     * Scale posture: every iteration is one hash aggregate over the
     * VOCABULARY (Heaps-law-small, not the token stream) plus a
     * TakeOrderedAndProject(1) and a one-row broadcast crossJoin into the
-    * merge projection; k is a constant, so the lineage is a fixed-depth
-    * declarative plan (the `pageRank` pattern). Each round's vocabulary
-    * and winning pair are persisted — the union of k steps would
-    * otherwise re-derive round i's vocabulary k−i times (cache lifetime
-    * caller-managed; Verify/Bench clear per query).
+    * merge projection. Each round's vocabulary and winning pair are
+    * persisted — the union of k steps would otherwise re-derive round
+    * i's vocabulary k−i times (cache lifetime caller-managed;
+    * Verify/Bench clear per query). For LARGE k (a real tokenizer
+    * trainer runs 30k–50k merges) the plan would otherwise nest one
+    * join+aggregate layer per round and Catalyst analysis cost would grow
+    * with k, so every `checkpointEvery` rounds the vocabulary lineage is
+    * cut with an eager `localCheckpoint` (the [[graft.ops.Dedup.connectedComponents]]
+    * pattern) and cache entries of superseded rounds are released — plan
+    * depth and per-round cost stay CONSTANT in k (spec-gated by
+    * plan-size equality across k in `CorpusStatsSpec`). The segment
+    * length is also a STRING cost bound: each lazy round references the
+    * previous vocabulary ~2× (merge winner + merge projection), and
+    * AQE's per-stage plan-description updates walk such shared subtrees
+    * once per PATH — ~2^segment — so large-k callers should pass
+    * `checkpointEvery` ≤ 4 (measured: 8-round segments at k≈60 spent
+    * minutes in plan-string generation; 4-round segments are flat). The
+    * default (8) keeps the oracle-gated k=5 queries on a single fully
+    * lazy declarative plan, byte-identical to the pre-cut behavior.
     */
-  def bpeTrain(tok: DataFrame, k: Int): DataFrame =
-    bpeRounds(tok, k)._1.reduce(_ unionByName _)
+  def bpeTrain(tok: DataFrame, k: Int, checkpointEvery: Int = 8): DataFrame =
+    bpeRounds(tok, k, checkpointEvery)._1.reduce(_ unionByName _)
 
   /** The APPLY half of BPE: the word-frequency table re-symbolized by the
     * `k` trained merges — `(sym, wc)` with `sym` the two-space-joined
@@ -442,11 +474,14 @@ object CorpusStats {
     * Same fixed-depth plan as [[bpeTrain]]; both derive from one shared
     * iteration chain.
     */
-  def bpeVocab(tok: DataFrame, k: Int): DataFrame =
-    bpeRounds(tok, k)._2.select(trim(col("sym")).as("sym"), col("wc"))
+  def bpeVocab(tok: DataFrame, k: Int, checkpointEvery: Int = 8): DataFrame =
+    bpeRounds(tok, k, checkpointEvery)._2
+      .select(trim(col("sym")).as("sym"), col("wc"))
 
-  private def bpeRounds(tok: DataFrame, k: Int): (Seq[DataFrame], DataFrame) = {
+  private def bpeRounds(tok: DataFrame, k: Int, checkpointEvery: Int)
+      : (Seq[DataFrame], DataFrame) = {
     require(k >= 1, s"k: $k")
+    require(checkpointEvery >= 1, s"checkpointEvery: $checkpointEvery")
     val Sep = "  "
     val chars = transform(sequence(lit(1), length(col("tok"))),
       i => col("tok").substr(i, lit(1)))
@@ -454,6 +489,11 @@ object CorpusStats {
       .select(concat(lit(" "), array_join(chars, Sep), lit(" ")).as("sym"),
         col("wc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // vocab cache entries since the last lineage cut — released on the
+    // next checkpoint round, once their data is safely materialized
+    // (unpersisting a LAZY round would silently force a recompute
+    // through the full lineage instead)
+    var supersedable = List(vocab)
     val steps = (1 to k).map { step =>
       val syms = split(trim(col("sym")), Sep)
       // sequence(1, n-1) DESCENDS for n = 1 — guard single-symbol words
@@ -473,13 +513,24 @@ object CorpusStats {
       // would annihilate the vocabulary (bpeVocab silently returning an
       // empty corpus); the left join passes every word through unchanged
       // instead — later rounds are no-ops and bpeTrain just emits < k rows
-      vocab = vocab.join(broadcast(top), lit(true), "left")
+      val merged = vocab.join(broadcast(top), lit(true), "left")
         .select(when(col("a").isNull, col("sym"))
             .otherwise(call_function("replace", col("sym"),
               concat(lit(" "), col("a"), lit(Sep), col("b"), lit(" ")),
               concat(lit(" "), col("a"), col("b"), lit(" ")))).as("sym"),
           col("wc"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (step % checkpointEvery == 0) {
+        // eager lineage cut: materializes this round's vocabulary (and
+        // its `top`, which the plan consumes) as a checkpoint scan —
+        // the next round's plan starts from depth 0 regardless of k
+        vocab = merged.localCheckpoint()
+        supersedable.foreach(_.unpersist())
+        supersedable = Nil
+      } else {
+        vocab = merged
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        supersedable ::= vocab
+      }
       top
     }
     (steps, vocab)

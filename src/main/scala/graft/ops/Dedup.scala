@@ -319,12 +319,24 @@ object Dedup {
 
   /** [[contaminationPairs]] with a Bloom-filter pre-pass — the 100 TB
     * form. The bench side's n-gram hashes (eval suites are MBs, not TBs)
-    * are folded into a compact Bloom filter (mergeable, built map-side by
-    * `DataFrameStatFunctions.bloomFilter`), broadcast, and applied as a
+    * are folded into a compact Bloom filter, broadcast, and applied as a
     * MAP-SIDE filter on the exploded train stream BEFORE any shuffle —
     * so the df aggregate and the bench join shuffle only n-grams that
     * might appear in the bench set (|bench| + fpp·|train| rows) instead
     * of the full corpus stream.
+    *
+    * The filter is built in ONE `treeAggregate` pass over the COMPACT
+    * `(id, hs)` bench relation — no explode shuffle, no persist, and no
+    * exact `count()` sizing job (the round-8 driver bench measured those
+    * two extra per-invocation jobs at up to 7× the exact plan's cost).
+    * Capacity comes from `expectedBenchHashes`, a caller-supplied
+    * over-estimate: exceeding the real cardinality only wastes a few
+    * filter bits, and a real bench set larger than the estimate only
+    * RAISES the false-positive rate — more train n-grams survive to the
+    * verify join, which discards them; no correct pair can be lost. The
+    * default (4M hashes ≈ 5 MB at fpp 0.01) covers eval suites orders of
+    * magnitude larger than MMLU-scale; size it to the corpus snapshot at
+    * 100 TB.
     *
     * The result is IDENTICAL to [[contaminationPairs]], not approximate:
     * Bloom filters have no false negatives, the keep/drop decision is a
@@ -336,18 +348,21 @@ object Dedup {
     */
   def contaminationPairsBloom(trainHashed: DataFrame, benchHashed: DataFrame,
                               minShared: Int, maxTrainDf: Int,
-                              fpp: Double = 0.01): DataFrame = {
+                              fpp: Double = 0.01,
+                              expectedBenchHashes: Long = 4000000L): DataFrame = {
     require(minShared >= 1, s"minShared: $minShared")
     require(maxTrainDf >= 1, s"maxTrainDf: $maxTrainDf")
-    val bench = benchHashed
-      .select(col("id").as("bench_id"), explode(col("hs")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // count() doubles as the persist materializer; expectedNumItems is the
-    // (pre-distinct) row count — an over-estimate only shrinks the fpp
-    val nBench = math.max(bench.count(), 1L)
-    val bloom = bench.stat.bloomFilter("h", nBench, fpp)
+    require(expectedBenchHashes >= 1, s"expectedBenchHashes: $expectedBenchHashes")
+    require(fpp > 0 && fpp < 1, s"fpp: $fpp")
+    val bloom = benchHashed.select(col("hs")).rdd.treeAggregate(
+        org.apache.spark.util.sketch.BloomFilter.create(expectedBenchHashes, fpp))(
+      (bf, row) => { row.getSeq[Long](0).foreach(bf.putLong); bf },
+      (a, b) => a.mergeInPlace(b))
     val bloomB = trainHashed.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    // The filtered train stream feeds TWO branches (df aggregate + bench
+    // join); persist keeps the full-corpus tokenize+hash to one pass.
+    // Same caller-managed lifetime contract as contaminationPairs.
     val train = trainHashed
       .select(col("id").as("train_id"), explode(col("hs")).as("h"))
       .where(mightContain(col("h")))
@@ -356,6 +371,8 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .where(col("df") <= maxTrainDf)
       .select(col("h"))
+    val bench = benchHashed
+      .select(col("id").as("bench_id"), explode(col("hs")).as("h"))
     train.join(keepable, Seq("h"))
       .join(bench, Seq("h"))
       .groupBy(col("train_id"), col("bench_id"))

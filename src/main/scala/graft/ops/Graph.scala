@@ -46,11 +46,28 @@ object Graph {
     * a node set that outgrows executor memory is never force-broadcast.
     * The dangling sum accumulates in DECIMAL (order-independent), like
     * the contribution sums.
+    *
+    * Lineage and cache lifetime (dangling form): each iteration's plan
+    * references the previous rank ~3× (contribution join, dangling
+    * aggregate, node re-join), so the fully-lazy LOGICAL TREE grows
+    * ~3^iters paths — persist stops re-COMPUTATION but Catalyst still
+    * walks the tree, and past ~10 lazy iterations analysis itself
+    * becomes the bottleneck (measured: 20 lazy iterations are
+    * intractable). Every `checkpointEvery` iterations the rank lineage
+    * is therefore cut with an eager `localCheckpoint` (the
+    * [[graft.ops.CorpusStats.bpeTrain]] pattern), which also releases
+    * the superseded iterations' caches — plan size and storage stay
+    * bounded by the cut cadence, constant in `iters`. The default (6)
+    * keeps short oracle-gated runs (3 iterations) on the single
+    * fully-lazy declarative plan; remaining entries are caller-managed
+    * like the edge/node persists.
     */
   def pageRank(edges: DataFrame, iters: Int, d: Double = 0.85,
                redistributeDangling: Boolean = false,
-               broadcastMaxNodes: Long = 10000000L): DataFrame = {
+               broadcastMaxNodes: Long = 10000000L,
+               checkpointEvery: Int = 6): DataFrame = {
     require(iters >= 1, s"iters: $iters")
+    require(checkpointEvery >= 1, s"checkpointEvery: $checkpointEvery")
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -62,15 +79,27 @@ object Graph {
       if (n <= broadcastMaxNodes) broadcast(df) else df
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var rank = nodes.withColumn("rank", lit(1.0) / n)
-    for (_ <- 1 to iters) {
+    var supersedable = List.empty[DataFrame]
+    for (it <- 1 to iters) {
       // the dangling form reads rank⁽ⁱ⁻¹⁾ from TWO branches (contribution
       // join + dangling aggregate); unpersisted, each iteration's lineage
       // re-derives the previous one twice — 2^iters blowup (measured
       // 6.6 s vs 2.3 s for the drop-mass form at sf0.1). Persisting the
-      // node-scale relation per iteration makes it linear; cache lifetime
-      // is caller-managed like the edge/node persists above.
-      if (redistributeDangling)
-        rank = rank.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // node-scale relation per iteration makes it linear; on
+      // checkpointEvery boundaries an EAGER localCheckpoint cuts the
+      // lineage instead, which is the one safe point to release the
+      // superseded iterations' caches (their data is materialized into
+      // the checkpoint, so nothing can recompute through them).
+      if (redistributeDangling) {
+        if (it > 1 && (it - 1) % checkpointEvery == 0) {
+          rank = rank.localCheckpoint()
+          supersedable.foreach(_.unpersist())
+          supersedable = Nil
+        } else {
+          rank = rank.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          supersedable ::= rank
+        }
+      }
       val contrib = e
         .join(bcast(rank.withColumnRenamed("node", "src")), Seq("src"))
         .join(bcast(deg), Seq("src"))

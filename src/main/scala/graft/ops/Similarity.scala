@@ -196,6 +196,15 @@ object Similarity {
     * literal: a 10⁴-wide `typedlit` would bloat every round's plan and
     * stop analyzing at the cell counts IVF needs at scale (VERDICT r07 #1
     * — same mechanism as [[assignToSeeds]]).
+    *
+    * Driver-memory envelope: the per-round collect is nCentroids×dim
+    * numbers, bounded by `require` at 2²⁵ (≈3.4×10⁷ — ~10⁴ centroids of
+    * ~10³ dims, a few hundred MB of Row overhead at the ceiling; the
+    * loop is spec-exercised at 1024 centroids). Past that bound the
+    * centroid SET itself is distributed data and this driver-resident
+    * Lloyd loop is the wrong tool — keep assignments as a DataFrame and
+    * iterate wholly distributed instead (the [[assignToSeeds]] relation
+    * shape), trading the broadcast-array assignment for a keyed join.
     */
   def kmeansCentroids(corpus: DataFrame, nCentroids: Int,
                       iters: Int): Seq[(Long, Seq[Float])] = {
@@ -205,6 +214,11 @@ object Similarity {
         .select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])].collect().toSeq
         .map { case (id, v) => (id, v.toSeq) }
+    val dim = cents.headOption.map(_._2.size.toLong).getOrElse(0L)
+    require(nCentroids.toLong * dim <= (1L << 25),
+      s"nCentroids×dim = ${nCentroids.toLong * dim} exceeds the 2^25 " +
+        "driver-collect envelope — distribute the centroid relation instead " +
+        "(see kmeansCentroids scaladoc)")
     for (_ <- 1 to iters) {
       // cosine argmax == dot argmax against UNIT centroids (the row norm is
       // a common positive factor): normalize the tiny centroid set on the

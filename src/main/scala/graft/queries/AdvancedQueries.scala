@@ -225,7 +225,7 @@ object AdvancedQueries {
       val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
       val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("src"),
-          (col("o_custkey") + 1000000L).as("dst"))
+          (col("o_custkey") + 1000000000000L).as("dst"))
         .distinct()
       val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -244,7 +244,7 @@ object AdvancedQueries {
       val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
       val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("src"),
-          (col("o_custkey") + 1000000L).as("dst"))
+          (col("o_custkey") + 1000000000000L).as("dst"))
         .distinct()
       graft.ops.Graph.pageRank(edges, iters = 3, redistributeDangling = true)
         .orderBy(desc("rank"), col("node")).limit(50)
@@ -393,7 +393,7 @@ object AdvancedQueries {
               FROM nodes CROSS JOIN nn
               LEFT JOIN c$i ON nodes.node = c$i.node)"""
       s"""WITH fwd AS (
-            SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+            SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000000000 AS dst
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
           edges AS (
             SELECT src, dst FROM fwd
@@ -440,7 +440,7 @@ object AdvancedQueries {
               FROM nodes CROSS JOIN nn CROSS JOIN dang$i
               LEFT JOIN c$i ON nodes.node = c$i.node)"""
       s"""WITH edges AS (
-            SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+            SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000000000 AS dst
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
           nodes AS (
             SELECT src AS node FROM edges

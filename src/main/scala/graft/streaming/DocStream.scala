@@ -113,10 +113,41 @@ object DocStream {
     * the write on the provided batchId and OVERWRITING that directory
     * makes the re-run converge to the same bytes. Readers load `outPath`
     * whole (partition discovery adds the `batch_id` column).
+    *
+    * `outPath` is COUPLED to `checkpoint`: idempotence holds only within
+    * one checkpoint lineage (batch ids restart at 0 for a fresh
+    * checkpoint, so `batch_id=N` dirs left by a PRIOR run under a
+    * different checkpoint would be silently merged with — not replaced
+    * by — the new run's output when readers load `outPath` whole). When
+    * the checkpoint directory is new (no `offsets/` yet), any
+    * pre-existing `batch_id=` dirs under `outPath` are therefore
+    * rejected loudly rather than merged.
     */
+  /** Batch-id-keyed sinks are only idempotent WITHIN one checkpoint
+    * lineage: a fresh checkpoint restarts batch ids at 0, so `batch_id=`
+    * dirs left under an output path by a prior run would be silently
+    * merged — not replaced — when readers load the path whole. Reject
+    * that loudly at start. */
+  private def requireFreshOutputs(checkpoint: String,
+                                  outPaths: Seq[String]): Unit = {
+    val freshCheckpoint =
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(checkpoint, "offsets"))
+    if (freshCheckpoint) outPaths.foreach { p =>
+      val stale = Option(new java.io.File(p).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      require(stale.isEmpty,
+        s"output path $p holds ${stale.length} batch_id= dir(s) from a " +
+          s"prior run but checkpoint $checkpoint is fresh — replay would " +
+          "merge stale batches with the new lineage; point at a fresh " +
+          "output path or keep the original checkpoint")
+    }
+  }
+
   def decontaminatedSink(docs: DataFrame, decon: DataFrame => DataFrame,
                          outPath: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireFreshOutputs(checkpoint, Seq(outPath))
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         decon(batch).write.mode("overwrite")
@@ -125,6 +156,7 @@ object DocStream {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** Per-micro-batch ingest statistics: docs seen and distinct
     * fingerprints per tumbling ingest-time window — the monitoring
@@ -143,4 +175,81 @@ object DocStream {
         approx_count_distinct(col("fp")).as("approx_distinct"))
       .select(col("w.start").as("w_start"), col("n_docs"),
         col("approx_distinct"))
+
+  // ── Composed ingest pipeline: first-seen → decontaminate → stats ─────
+  //
+  // The three stages above are each spec-gated alone; the functions below
+  // run them as ONE streaming DAG inside a single foreachBatch (VERDICT
+  // r08 #5). The stats stage switches from approx_count_distinct to
+  // MERGEABLE Datasketches HLL partials (the q_hll_merge pattern): each
+  // micro-batch writes its per-window (n_docs, sketch) rows once, and
+  // readers fold partials with hll_union_agg WITHOUT rescanning the
+  // accumulated corpus — counts stay additive and distinct-estimates stay
+  // correct across any micro-batch slicing, which is exactly what the
+  // composed-equals-batch gate needs.
+
+  /** Per-window PARTIAL ingest stats of one batch: doc count + mergeable
+    * HLL sketch of the content fingerprints. The merge half is
+    * [[mergeIngestStats]]; together they equal [[ingestStats]]'s
+    * monitoring surface in fold-without-rescan form.
+    */
+  def ingestPartialStats(docs: DataFrame, tsCol: String,
+                         textCol: String = "text",
+                         window_ : String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", TextAnalysis.contentFingerprint(col(textCol)))
+      .groupBy(window(col(tsCol), window_).as("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("hll_sketch_agg(fp)").as("sk"))
+      .select(col("w.start").as("w_start"), col("n_docs"), col("sk"))
+
+  /** Fold [[ingestPartialStats]] partials (any number of batches, any
+    * slicing) into final per-window stats: counts add, sketches union —
+    * Datasketches HLL union is order- and slicing-insensitive, so the
+    * result is identical to computing the partials over the whole corpus
+    * in one batch.
+    */
+  def mergeIngestStats(partials: DataFrame): DataFrame =
+    partials.groupBy(col("w_start"))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        round(expr("hll_sketch_estimate(hll_union_agg(sk))"), 6)
+          .as("approx_distinct"))
+
+  /** The composed ingest pipeline as one streaming query:
+    * [[firstSeenDocs]] (stateful in-horizon dedup) feeds a single
+    * `foreachBatch` that decontaminates the surviving docs and writes BOTH
+    * the clean documents and their per-window stat partials under
+    * batch-id-keyed directories (idempotent under replay, same contract
+    * as [[decontaminatedSink]]). Read the store with
+    * `spark.read.parquet(outPath)` and the stats with
+    * `mergeIngestStats(spark.read.parquet(statsPath))`.
+    *
+    * Batch equivalence (the spec's gate): dedup decisions are per-
+    * fingerprint within the watermark horizon, decontamination is
+    * per-document against the standing bench set, and stat partials fold
+    * associatively — so under any micro-batch slicing inside the horizon
+    * the accumulated output is bit-equal to running the same three
+    * stages over the whole corpus as one batch.
+    */
+  def ingestPipelineSink(docs: DataFrame, decon: DataFrame => DataFrame,
+                         tsCol: String, outPath: String, statsPath: String,
+                         checkpoint: String, textCol: String = "text",
+                         horizon: String = "1 hour",
+                         window_ : String = "1 hour")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireFreshOutputs(checkpoint, Seq(outPath, statsPath))
+    firstSeenDocs(docs, tsCol, textCol, horizon).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val clean = decon(batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        clean.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        ingestPartialStats(clean, tsCol, textCol, window_)
+          .write.mode("overwrite").parquet(s"$statsPath/batch_id=$batchId")
+        clean.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
 }

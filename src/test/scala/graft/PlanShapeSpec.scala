@@ -37,7 +37,6 @@ class PlanShapeSpec extends SparkSpec {
     "q_kmeans_assign" -> "seed collection is orderBy.limit(8); assignment itself is a narrow projection",
     "q_tfidf" -> "crossJoin of the single-row corpus-size aggregate (broadcast, one row)",
     "q_unigram_lm" -> "crossJoin of the single-row corpus-token-total aggregate (broadcast, one row)",
-    "q_bigram_lm" -> "crossJoin of the single-row vocabulary-size aggregate (broadcast, one row); the bigram-type join is keyed",
     "q_ppl_buckets" -> "composes q_unigram_lm, inheriting its single-row token-total crossJoin; the threshold join itself is keyed on lang",
     "q_collocations" -> "crossJoins of the single-row unigram/bigram totals (broadcast, one row each)",
     "q_vocab" -> "crossJoin of the single-row token-total aggregate onto the top-k survivors",

@@ -297,6 +297,75 @@ class CorpusStatsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("unigram/bigram LM: vocabulary broadcast hint gated by measured size") {
+    // the GraphSpec broadcastMaxNodes pattern: above the threshold the
+    // vocabulary join must carry NO broadcast hint (AQE owns the sides);
+    // the answer must be identical either way
+    val rows = Seq((1L, "the cat sat on the mat"), (2L, "the cat ran"))
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.hint.leftHint.exists(_.strategy.isDefined) ||
+              j.hint.rightHint.exists(_.strategy.isDefined) => j
+      }.size
+    val tok = tokStream(rows)
+    assert(hints(CorpusStats.unigramLogProb(tok, broadcastMaxVocab = 0)) <
+      hints(CorpusStats.unigramLogProb(tok)),
+      "above-threshold unigram plan must shed the vocabulary broadcast hint")
+    val uniA = CorpusStats.unigramLogProb(tok, broadcastMaxVocab = 0)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val uniB = CorpusStats.unigramLogProb(tok).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(uniA === uniB)
+    val docsDf = rows.toDF("doc_id", "text")
+    def bg(thresh: Long) = CorpusStats.bigramLogProb(
+      docsDf, "doc_id", TextAnalysis.tokens(col("text")),
+      broadcastMaxVocab = thresh)
+    assert(hints(bg(0)) < hints(bg(10000000L)),
+      "above-threshold bigram plan must shed the vocabulary broadcast hint")
+    assert(bg(0).orderBy("doc_id").collect().map(_.toSeq).toSeq
+      === bg(10000000L).orderBy("doc_id").collect().map(_.toSeq).toSeq)
+    spark.catalog.clearCache()
+  }
+
+  test("bpeTrain: lineage cuts keep plan depth constant in k (large-k posture)") {
+    // Two long words of distinct symbols give 60+ real merge rounds.
+    val w1 = (('a' to 'z') ++ ('0' to '9')).mkString       // 36 symbols
+    val w2 = w1.reverse
+    val tok = Seq((0L, w1), (1L, w2)).toDF("doc_id", "tok")
+    // Semantics are unchanged by the cut cadence: the hand-traced corpus
+    // must produce the same merges whether the lineage is cut every
+    // round, every other round, or never within k=3.
+    val traced = (Seq.fill(3)("aaab") ++ Seq.fill(2)("ab"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "tok")
+    val expect = Seq((1, "a", "a", 6L), (2, "a", "b", 5L), (3, "aa", "ab", 3L))
+    for (every <- Seq(1, 2, 8)) {
+      val got = CorpusStats.bpeTrain(traced, 3, checkpointEvery = every)
+        .orderBy("step").as[(Int, String, String, Long)].collect().toSeq
+      assert(got === expect, s"checkpointEvery=$every")
+      spark.catalog.clearCache()
+    }
+    // Flat-in-k plan: with checkpointEvery=4, k=62 and k=14 both sit 2
+    // lazy rounds past their last checkpoint — the analyzed plan of the
+    // final vocabulary must be the SAME SIZE (no O(k) lineage growth,
+    // no O(k) Catalyst analysis cost per round).
+    def planNodes(k: Int): Int = {
+      val n = CorpusStats.bpeVocab(tok, k, checkpointEvery = 4)
+        .queryExecution.analyzed.collect { case p => p }.size
+      spark.catalog.clearCache()
+      n
+    }
+    assert(planNodes(62) === planNodes(14),
+      "final-vocab plan size must not grow with k past a lineage cut")
+    // and a 64-round train actually completes, emitting one row per merge
+    val merges = CorpusStats.bpeTrain(tok, 64, checkpointEvery = 4)
+      .orderBy("step")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges.size === 64 && merges.map(_._1) === (1 to 64))
+    spark.catalog.clearCache()
+  }
+
   test("bpeTrain: within-iteration merge is greedy left-to-right, no rescan") {
     // "a a a a" + merge (a,a) must give [aa, aa] (positions 1-2 then 3-4,
     // the replaced text never re-participates), NOT [aaa, a] or [aaaa]

@@ -298,6 +298,12 @@ class DedupSpec extends SparkSpec {
       val bloomed =
         collect(Dedup.contaminationPairsBloom(th, bh, minShared, maxDf))
       assert(bloomed === exact, s"minShared=$minShared maxDf=$maxDf")
+      // capacity over-run: a bench set far past expectedBenchHashes only
+      // raises the fpp (more survivors into the verify join) — the final
+      // answer must not move
+      val tiny = collect(Dedup.contaminationPairsBloom(
+        th, bh, minShared, maxDf, expectedBenchHashes = 2L))
+      assert(tiny === exact, s"tiny-capacity minShared=$minShared maxDf=$maxDf")
     }
     spark.catalog.clearCache()
   }

@@ -116,6 +116,38 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dangling form: lineage cuts don't change ranks, caches stay bounded") {
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 3L), (3L, 1L)).toDF("src", "dst")
+    // semantics: 6 iterations fully lazy (cadence past iters — still a
+    // tractable ~3^6-path tree) vs cuts every 2: bit-identical output,
+    // localCheckpoint is plan-only
+    val lazyForm = Graph.pageRank(edges, 6, redistributeDangling = true,
+        checkpointEvery = 100)
+      .as[(Long, Double)].collect().toMap
+    spark.catalog.clearCache()
+    val cut6 = Graph.pageRank(edges, 6, redistributeDangling = true,
+        checkpointEvery = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(cut6 === lazyForm)
+    spark.catalog.clearCache()
+    // boundedness: 20 iterations is INTRACTABLE fully lazy (the plan
+    // tree grows ~3^iters paths — the reason the cut exists); with cuts
+    // every 4 it completes, conserves rank mass, and the superseded
+    // iterations' caches were released on each cut: what remains is the
+    // lazy tail since the last cut (≤ checkpointEvery), the edge/node
+    // persists, and ≤ one checkpoint RDD per cut awaiting ContextCleaner
+    // GC — far below the 22 entries the unreleased form would keep
+    val cut20 = Graph.pageRank(edges, 20, redistributeDangling = true,
+        checkpointEvery = 4)
+      .as[(Long, Double)].collect().toMap
+    val cached = spark.sparkContext.getPersistentRDDs.size
+    assert(cached <= 12,
+      s"cache entries after 20 cut iterations: $cached")
+    assert(math.abs(cut20.values.sum - 1.0) < 1e-5,
+      s"redistributed mass after 20 iterations: ${cut20.values.sum}")
+    spark.catalog.clearCache()
+  }
+
   test("partition invariance: repartitioned edges give identical ranks") {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L), (2L, 1L),
       (1L, 0L), (3L, 0L), (0L, 3L))

@@ -126,6 +126,29 @@ class SimilaritySpec extends SparkSpec {
     assert(cents === again)
   }
 
+  test("kmeansCentroids: honest cell counts — 1024 centroids stay sane, envelope enforced") {
+    import spark.implicits._
+    // 1400 deterministic dim-8 vectors → a full IVF-scale Lloyd loop:
+    // 1024 seeds, two refinement rounds, 1024×8 collected per round
+    val corpus = (0 until 1400).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (((i * 31 + d * 17) % 97) / 97.0f) - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(corpus, nCentroids = 1024, iters = 2)
+    assert(cents.size === 1024)
+    assert(cents.map(_._1).distinct.size === 1024, "seed ids unique")
+    assert(cents === Similarity.kmeansCentroids(corpus, 1024, 2),
+      "1024-centroid refinement is deterministic")
+    // past the documented 2^25 nCentroids×dim envelope the driver-resident
+    // loop must refuse loudly, not OOM the driver
+    val wide = Seq((0L, Array.fill(1 << 20)(0.1f))).toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(wide, nCentroids = 64, iters = 1)
+    }
+    assert(err.getMessage.contains("2^25"))
+    spark.catalog.clearCache()
+  }
+
   test("signBits: deterministic, in [0, 2^nBits), equal for identical vectors") {
     val df = planted
     val sigs = df.select(col("vec_id"),

@@ -109,4 +109,64 @@ class DocStreamSpec extends SparkSpec {
     assert(streamed === batchClean)
     spark.catalog.clearCache()
   }
+
+  test("ingestPipelineSink: composed stream == composed batch under 3-slice replay") {
+    // Fixture: 12 originals over 3 hours plus 3 BYTE-IDENTICAL duplicate
+    // rows (same doc_id/ts/text — the same crawl shard delivered twice),
+    // so whichever copy the dedup keeps, the surviving ROW is identical
+    // and bit-for-bit comparison is meaningful. Doc 5 is a verbatim bench
+    // match (≥3 shared 3-grams); every other doc shares only the
+    // 2-3-gram tail and must survive decontamination.
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val originals = (0 until 12).map { i =>
+      (i.toLong, new java.sql.Timestamp(base.getTime + i * 15 * 60 * 1000L),
+        s"unique document $i with shared tail words")
+    }
+    val rows = originals ++ Seq(0, 3, 7).map(originals(_))
+    val dir = tempDir("pipeDocs").toString
+    rows.toDF("doc_id", "ingest_ts", "text")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+
+    def toks = graft.ops.TextAnalysis.tokens(col("text"))
+    val bench = Seq((100L, "unique document 5 with shared tail words"))
+      .toDF("bench_id", "text")
+    val decon = DocStream.decontaminator(bench, "bench_id", toks,
+      "doc_id", toks, n = 3, minShared = 3)
+
+    val out = tempDir("pipeOut").toString + "/clean"
+    val stats = tempDir("pipeStats").toString + "/stats"
+    val ck = tempDir("pipeCk").toString
+    val q = DocStream.ingestPipelineSink(stream, decon, "ingest_ts",
+      out, stats, ck, horizon = "6 hours", window_ = "1 hour")
+    assert(q.awaitTermination(120000), "composed pipeline did not finish")
+
+    // composed batch: the SAME three stages over the whole corpus at once
+    val cleanBatch = decon(DocStream.firstSeenDocs(
+      spark.read.parquet(dir), "ingest_ts", horizon = "6 hours"))
+    def canon(df: DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).toSeq).toSeq.sorted(
+        Ordering.Implicits.seqOrdering[Seq, String])
+    val docCols = Seq("doc_id", "ingest_ts", "text", "fp").map(col)
+    assert(canon(spark.read.parquet(out).select(docCols: _*))
+      === canon(cleanBatch.select(docCols: _*)),
+      "accumulated clean store must equal the one-batch run bit-for-bit")
+    assert(canon(DocStream.mergeIngestStats(spark.read.parquet(stats)))
+      === canon(DocStream.mergeIngestStats(
+        DocStream.ingestPartialStats(cleanBatch, "ingest_ts"))),
+      "folded stat partials must equal the one-batch stats bit-for-bit")
+    // 11 survivors (12 originals − doc 5), no window lost
+    assert(spark.read.parquet(out).count() === 11L)
+    // stale-output guard: a FRESH checkpoint pointed at the populated
+    // outPath must be rejected, not silently merged
+    val ck2 = tempDir("pipeCk2").toString
+    val err = intercept[IllegalArgumentException] {
+      DocStream.ingestPipelineSink(stream, decon, "ingest_ts",
+        out, stats, ck2, horizon = "6 hours")
+    }
+    assert(err.getMessage.contains("batch_id="))
+    spark.catalog.clearCache()
+  }
 }
