@@ -327,8 +327,10 @@ object CorpusStats {
     val cms = nn.stat.countMinSketch(col("tok"), eps, confidence, seed)
     val threshold = math.ceil(phi * cms.totalCount).toLong
     val cmsB = nn.sparkSession.sparkContext.broadcast(cms)
-    val isCandidate =
-      udf((t: String) => t != null && cmsB.value.estimateCount(t) >= threshold)
+    // native codegen'd predicate, not a UDF: the candidate filter runs on
+    // the corpus-scale token stream and must stay inside the fused stage
+    // (null-safe by Expression contract; the stream is already null-free)
+    val isCandidate = graft.expr.CmsAtLeast(cmsB, threshold) _
     nn.where(isCandidate(col("tok")))
       .groupBy(col("tok"))
       .agg(count(lit(1)).cast("long").as("cnt"))

@@ -359,7 +359,9 @@ object Dedup {
       (bf, row) => { row.getSeq[Long](0).foreach(bf.putLong); bf },
       (a, b) => a.mergeInPlace(b))
     val bloomB = trainHashed.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    // native codegen'd predicate, not a UDF: the filter runs on the
+    // exploded corpus-scale stream and must stay inside the fused stage
+    val mightContain = graft.expr.BloomMightContainLong(bloomB) _
     // The filtered train stream feeds TWO branches (df aggregate + bench
     // join); persist keeps the full-corpus tokenize+hash to one pass.
     // Same caller-managed lifetime contract as contaminationPairs.

@@ -284,9 +284,17 @@ object TextPipelineQueries {
     // of bench n-grams map-side-filters the train stream before any
     // shuffle (Dedup.contaminationPairsBloom scaladoc has the identity
     // argument); gated against the SAME oracle SQL as the exact plan.
+    // The COMPACT hashed-corpus relation is persisted here and feeds the
+    // bloom build, the train stream, and the bench side: the corpus is
+    // tokenized+hashed once per invocation, and because this plan carries
+    // no broadcast handle it canonicalizes identically across invocations
+    // (the operator's own filtered-train persist embeds the per-run Bloom
+    // and so never can) — at 100 TB this relation is the reusable
+    // per-snapshot artifact the contaminationPairs scaladoc describes.
     "q_decontam_bloom" -> ((s, dir) => {
       val d = docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text")))
       val train = Dedup.hashedNgrams(d, "doc_id", "toks", 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bench = train.where(pmod(col("id"), lit(100)) === 0)
         .select((col("id") + 900000).as("id"), col("hs"))
       Dedup.contaminationPairsBloom(train, bench, minShared = 3,

@@ -86,7 +86,10 @@ object DocStream {
     val nBench = math.max(benchH.count(), 1L)
     val bloom = benchH.stat.bloomFilter("h", nBench, fpp)
     val bloomB = bench.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    // native codegen'd predicate (graft.expr.BloomMightContainLong): the
+    // per-batch doc stream is corpus-scale and the filter must stay
+    // inside the fused stage, same rationale as contaminationPairsBloom
+    val mightContain = graft.expr.BloomMightContainLong(bloomB) _
     (docs: DataFrame) => {
       // ngramHashSet is distinct per doc, so the verify join's count is
       // the distinct shared-n-gram count with no re-distinct
