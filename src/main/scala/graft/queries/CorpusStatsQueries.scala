@@ -108,8 +108,16 @@ object CorpusStatsQueries {
     // recounts. Both engines express the merge as replace(sym,'a  b','ab')
     // over the two-space-joined symbolization — structurally identical
     // plans, bit-identical results (see CorpusStats.bpeTrain).
+    // checkpointEvery = 2: with every round persisted lazily, the
+    // SQL-listener plan description renders each InMemoryRelation's
+    // cachedPlan RECURSIVELY — a 5-round nest built a ~24 MB description
+    // per action and dominated the timed bench run (6 s, data fully
+    // cached). Two-round lazy segments keep the nesting (and the string)
+    // shallow; values are unchanged (lineage cuts are plan-only,
+    // spec-gated in CorpusStatsSpec).
     "q_bpe_train" -> ((s, dir) =>
-      CorpusStats.bpeTrain(tokStream(s, dir), k = BpeK).orderBy("step")),
+      CorpusStats.bpeTrain(tokStream(s, dir), k = BpeK, checkpointEvery = 2)
+        .orderBy("step")),
 
     // ── BPE apply: subword-unit corpus frequencies after k merges ───────
     // The other half of tokenizer training: re-symbolize the
@@ -117,7 +125,7 @@ object CorpusStatsQueries {
     // corpus frequency of every resulting subword unit (top-20). Oracle
     // = the same unrolled chain, final vocabulary exploded.
     "q_bpe_apply" -> ((s, dir) =>
-      CorpusStats.bpeVocab(tokStream(s, dir), k = BpeK)
+      CorpusStats.bpeVocab(tokStream(s, dir), k = BpeK, checkpointEvery = 2)
         .select(explode(split(col("sym"), "  ")).as("unit"), col("wc"))
         .groupBy(col("unit"))
         .agg(sum(col("wc")).cast("long").as("cnt"))
