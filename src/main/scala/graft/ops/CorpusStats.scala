@@ -480,6 +480,35 @@ object CorpusStats {
     bpeRounds(tok, k, checkpointEvery)._2
       .select(trim(col("sym")).as("sym"), col("wc"))
 
+  /** BPE INFERENCE: per-document subword segmentation statistics under
+    * the k merges trained on the corpus's own word table — `(doc_id,
+    * n_tokens, n_units)` with `n_units` the total subword count after
+    * segmentation (n_units/n_tokens is the fertility a tokenizer design
+    * tracks). Applying merges in rank order, each exhaustively, yields
+    * exactly the trained vocabulary's symbolization for every trained
+    * word, so segmentation is a KEYED JOIN of the token stream against
+    * the vocabulary-scale `(word → unit count)` relation — the trained
+    * artifact is reused, not recomputed per occurrence, and the join is
+    * the [[unigramLogProb]] shape (Heaps-small build side, broadcast
+    * gated on measured size).
+    */
+  def bpeSegmentStats(tok: DataFrame, k: Int, checkpointEvery: Int = 8,
+                      broadcastMaxVocab: Long = 10000000L): DataFrame = {
+    val Sep = "  "
+    // unit lists never contain whitespace and join on exactly two
+    // spaces, so collapsing the separators reconstructs the word
+    val words = bpeVocab(tok, k, checkpointEvery)
+      .select(call_function("replace", col("sym"), lit(Sep), lit("")).as("tok"),
+        size(split(col("sym"), Sep)).cast("long").as("nu"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = words.count() // driver scalar gating the hint (and materializer)
+    val dict = if (v <= broadcastMaxVocab) broadcast(words) else words
+    tok.join(dict, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("nu")).cast("long").as("n_units"))
+  }
+
   private def bpeRounds(tok: DataFrame, k: Int, checkpointEvery: Int)
       : (Seq[DataFrame], DataFrame) = {
     require(k >= 1, s"k: $k")

@@ -131,6 +131,18 @@ object CorpusStatsQueries {
         .agg(sum(col("wc")).cast("long").as("cnt"))
         .orderBy(desc("cnt"), col("unit")).limit(20)),
 
+    // ── BPE inference: per-doc segmentation under the trained merges ────
+    // The tokenizer's inference half: every document's token stream is
+    // segmented with the k trained merges and the per-doc token/subword
+    // counts read off (n_units/n_tokens = fertility). Expressed as a
+    // keyed join against the vocabulary-scale (word → unit count)
+    // relation — the trained artifact is reused, not re-derived per
+    // occurrence (CorpusStats.bpeSegmentStats).
+    "q_bpe_segment" -> ((s, dir) =>
+      CorpusStats.bpeSegmentStats(tokStream(s, dir), k = BpeK,
+          checkpointEvery = 2)
+        .orderBy("doc_id")),
+
     // ── Pointwise mutual information: lang × source association ─────────
     // The corpus-composition diagnostic: one pass builds the (lang,
     // source) contingency cells; marginals and the total derive from the
@@ -227,6 +239,22 @@ object CorpusStatsQueries {
         SELECT unit, CAST(SUM(wc) AS BIGINT) AS cnt
         FROM units GROUP BY unit
         ORDER BY cnt DESC, unit LIMIT 20"""
+
+  /** [[bpeChainSql]]'s final vocabulary as a (word → unit count)
+    * dictionary joined back onto the token stream — the inference half's
+    * oracle (unit lists never contain whitespace, so collapsing the
+    * two-space separators reconstructs the word).
+    */
+  private def bpeSegmentSql(k: Int): String =
+    s"""${bpeChainSql(k)},
+          w AS (
+            SELECT replace(trim(sym), '  ', '') AS tok,
+              CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS nu
+            FROM v$k)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(SUM(nu) AS BIGINT) AS n_units
+        FROM tok JOIN w USING (tok)
+        GROUP BY doc_id ORDER BY doc_id"""
 
   private val Re = Tokenizer.DefaultSplitRegex.replace("'", "''")
   private val ToksSql =
@@ -430,6 +458,7 @@ object CorpusStatsQueries {
           ORDER BY cnt DESC, pair LIMIT 20""",
     "q_bpe_train" -> bpeTrainSql(BpeK),
     "q_bpe_apply" -> bpeApplySql(BpeK),
+    "q_bpe_segment" -> bpeSegmentSql(BpeK),
     "q_mi" ->
       """WITH cells AS (
             SELECT lang, source, CAST(count(*) AS BIGINT) AS c_ls

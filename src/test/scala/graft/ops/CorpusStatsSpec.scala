@@ -328,6 +328,22 @@ class CorpusStatsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("bpeSegmentStats: per-doc unit counts match the trained segmentation") {
+    // corpus: doc 1 = [aaab, ab], doc 2 = [ab]. Word table {aaab:1, ab:2};
+    // k=1 trains merge (a,a) cnt 2 (two positions in "aaab") vs (a,b)
+    // cnt 3 — (a,b) wins. Segmentations: "aaab" → [a, a, ab] (3 units),
+    // "ab" → [ab] (1 unit).
+    val tok = Seq((1L, "aaab"), (1L, "ab"), (2L, "ab")).toDF("doc_id", "tok")
+    val out = CorpusStats.bpeSegmentStats(tok, k = 1)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L, 4L), (2L, 1L, 1L)))
+    // above the broadcast gate the keyed join sheds its hint, same rows
+    val gated = CorpusStats.bpeSegmentStats(tok, k = 1, broadcastMaxVocab = 0)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(gated === out)
+    spark.catalog.clearCache()
+  }
+
   test("bpeTrain: lineage cuts keep plan depth constant in k (large-k posture)") {
     // Two long words of distinct symbols give 60+ real merge rounds.
     val w1 = (('a' to 'z') ++ ('0' to '9')).mkString       // 36 symbols
