@@ -464,6 +464,10 @@ object CorpusStats {
     * minutes in plan-string generation; 4-round segments are flat). The
     * default (8) keeps the oracle-gated k=5 queries on a single fully
     * lazy declarative plan, byte-identical to the pre-cut behavior.
+    * Fault-tolerance trade: `localCheckpoint` blocks live on executors
+    * without lineage — a 30k-merge run on preemptible hardware should use
+    * reliable checkpointing instead (the [[graft.ops.Graph.pageRank]]
+    * note applies verbatim).
     */
   def bpeTrain(tok: DataFrame, k: Int, checkpointEvery: Int = 8): DataFrame =
     bpeRounds(tok, k, checkpointEvery)._1.reduce(_ unionByName _)

@@ -60,7 +60,12 @@ object Graph {
     * bounded by the cut cadence, constant in `iters`. The default (6)
     * keeps short oracle-gated runs (3 iterations) on the single
     * fully-lazy declarative plan; remaining entries are caller-managed
-    * like the edge/node persists.
+    * like the edge/node persists. Fault-tolerance trade: `localCheckpoint`
+    * stores blocks on executors WITHOUT lineage, so on a multi-executor
+    * cluster an executor lost after a cut fails the job instead of
+    * recomputing — for multi-hour runs on preemptible hardware use
+    * reliable checkpointing (`sc.setCheckpointDir` + `.checkpoint()`),
+    * same cadence, at the cost of a distributed write per cut.
     */
   def pageRank(edges: DataFrame, iters: Int, d: Double = 0.85,
                redistributeDangling: Boolean = false,

@@ -209,16 +209,20 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, nCentroids: Int,
                       iters: Int): Seq[(Long, Seq[Float])] = {
     import corpus.sparkSession.implicits._
+    // probe the dimensionality from ONE row and enforce the envelope
+    // BEFORE the seed collect — a guard placed after it would arrive
+    // exactly one driver OOM too late (review r9)
+    val dim = corpus.select(col("embedding")).limit(1)
+      .as[Array[Float]].collect().headOption.map(_.length.toLong).getOrElse(0L)
+    require(nCentroids.toLong * dim <= (1L << 25),
+      s"nCentroids×dim = ${nCentroids.toLong * dim} exceeds the 2^25 " +
+        "driver-collect envelope — distribute the centroid relation instead " +
+        "(see kmeansCentroids scaladoc)")
     var cents: Seq[(Long, Seq[Float])] =
       corpus.orderBy("vec_id").limit(nCentroids)
         .select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])].collect().toSeq
         .map { case (id, v) => (id, v.toSeq) }
-    val dim = cents.headOption.map(_._2.size.toLong).getOrElse(0L)
-    require(nCentroids.toLong * dim <= (1L << 25),
-      s"nCentroids×dim = ${nCentroids.toLong * dim} exceeds the 2^25 " +
-        "driver-collect envelope — distribute the centroid relation instead " +
-        "(see kmeansCentroids scaladoc)")
     for (_ <- 1 to iters) {
       // cosine argmax == dot argmax against UNIT centroids (the row norm is
       // a common positive factor): normalize the tiny centroid set on the

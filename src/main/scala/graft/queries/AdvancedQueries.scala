@@ -216,8 +216,9 @@ object AdvancedQueries {
 
     // ── PageRank (3 iterations) over the supplier↔customer graph ────────
     // Edges: distinct (supplier, customer) trade pairs from
-    // lineitem⋈orders, symmetrized (customer nodes offset by 1,000,000 to
-    // keep the key spaces disjoint). Fixed-iteration decimal-exact
+    // lineitem⋈orders, symmetrized (customer nodes offset by 10^12 so the
+    // key spaces stay disjoint at every sf — suppliers are sf·10⁴, far
+    // below it). Fixed-iteration decimal-exact
     // PageRank (Graph.pageRank); the oracle unrolls the three iterations
     // as CTEs with identical literals and rounding.
     "q_pagerank" -> ((s, dir) => {

@@ -105,6 +105,38 @@ object DocStream {
     }
   }
 
+  /** Batch-id-keyed sinks are only idempotent WITHIN one checkpoint
+    * lineage: a fresh checkpoint restarts batch ids at 0, so `batch_id=`
+    * dirs left under an output path by a prior run would be silently
+    * merged — not replaced — when readers load the path whole. Reject
+    * that loudly at start. Paths go through the Hadoop FileSystem API
+    * (the same resolution the parquet sink itself uses), so URI-form and
+    * non-local locations (`file:/…`, object stores) are probed correctly
+    * — local-only `java.io` probes would both spuriously reject valid
+    * resumes and silently miss remote stale dirs (review r9).
+    */
+  private def requireFreshOutputs(spark: org.apache.spark.sql.SparkSession,
+                                  checkpoint: String,
+                                  outPaths: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val ckOffsets = new Path(checkpoint, "offsets")
+    val freshCheckpoint = !ckOffsets.getFileSystem(conf).exists(ckOffsets)
+    if (freshCheckpoint) outPaths.foreach { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val stale =
+        if (!fs.exists(path)) Array.empty[org.apache.hadoop.fs.FileStatus]
+        else fs.listStatus(path).filter(s =>
+          s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      require(stale.isEmpty,
+        s"output path $p holds ${stale.length} batch_id= dir(s) from a " +
+          s"prior run but checkpoint $checkpoint is fresh — replay would " +
+          "merge stale batches with the new lineage; point at a fresh " +
+          "output path or keep the original checkpoint")
+    }
+  }
+
   /** Wire a per-batch decontamination function into a streaming sink:
     * `foreachBatch` applies it to every micro-batch and writes the
     * surviving docs under a `batch_id=<id>` subdirectory of the parquet
@@ -115,42 +147,14 @@ object DocStream {
     * micro-batch), so a plain `append` would duplicate the batch; keying
     * the write on the provided batchId and OVERWRITING that directory
     * makes the re-run converge to the same bytes. Readers load `outPath`
-    * whole (partition discovery adds the `batch_id` column).
-    *
-    * `outPath` is COUPLED to `checkpoint`: idempotence holds only within
-    * one checkpoint lineage (batch ids restart at 0 for a fresh
-    * checkpoint, so `batch_id=N` dirs left by a PRIOR run under a
-    * different checkpoint would be silently merged with — not replaced
-    * by — the new run's output when readers load `outPath` whole). When
-    * the checkpoint directory is new (no `offsets/` yet), any
-    * pre-existing `batch_id=` dirs under `outPath` are therefore
-    * rejected loudly rather than merged.
+    * whole (partition discovery adds the `batch_id` column). `outPath`
+    * is COUPLED to `checkpoint` — see [[requireFreshOutputs]], which
+    * guards exactly that at start.
     */
-  /** Batch-id-keyed sinks are only idempotent WITHIN one checkpoint
-    * lineage: a fresh checkpoint restarts batch ids at 0, so `batch_id=`
-    * dirs left under an output path by a prior run would be silently
-    * merged — not replaced — when readers load the path whole. Reject
-    * that loudly at start. */
-  private def requireFreshOutputs(checkpoint: String,
-                                  outPaths: Seq[String]): Unit = {
-    val freshCheckpoint =
-      !java.nio.file.Files.exists(java.nio.file.Paths.get(checkpoint, "offsets"))
-    if (freshCheckpoint) outPaths.foreach { p =>
-      val stale = Option(new java.io.File(p).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
-      require(stale.isEmpty,
-        s"output path $p holds ${stale.length} batch_id= dir(s) from a " +
-          s"prior run but checkpoint $checkpoint is fresh — replay would " +
-          "merge stale batches with the new lineage; point at a fresh " +
-          "output path or keep the original checkpoint")
-    }
-  }
-
   def decontaminatedSink(docs: DataFrame, decon: DataFrame => DataFrame,
                          outPath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    requireFreshOutputs(checkpoint, Seq(outPath))
+    requireFreshOutputs(docs.sparkSession, checkpoint, Seq(outPath))
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         decon(batch).write.mode("overwrite")
@@ -199,8 +203,11 @@ object DocStream {
   def ingestPartialStats(docs: DataFrame, tsCol: String,
                          textCol: String = "text",
                          window_ : String = "1 hour"): DataFrame =
-    docs
-      .withColumn("fp", TextAnalysis.contentFingerprint(col(textCol)))
+    // a frame that already carries fp (firstSeenDocs output) is not
+    // re-hashed — the fingerprint pass over full text is the expensive
+    // half of this stage at corpus scale (review r9)
+    (if (docs.columns.contains("fp")) docs
+     else docs.withColumn("fp", TextAnalysis.contentFingerprint(col(textCol))))
       .groupBy(window(col(tsCol), window_).as("w"))
       .agg(count(lit(1)).as("n_docs"),
         expr("hll_sketch_agg(fp)").as("sk"))
@@ -240,7 +247,7 @@ object DocStream {
                          horizon: String = "1 hour",
                          window_ : String = "1 hour")
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    requireFreshOutputs(checkpoint, Seq(outPath, statsPath))
+    requireFreshOutputs(docs.sparkSession, checkpoint, Seq(outPath, statsPath))
     firstSeenDocs(docs, tsCol, textCol, horizon).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val clean = decon(batch)
