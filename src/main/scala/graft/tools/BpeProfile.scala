@@ -8,6 +8,9 @@ package graft.tools
 object BpeProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names =
+      if (args.length > 1) args(1).split(",").toSeq
+      else Seq("q_bpe_apply", "q_bpe_train", "q_semdedup")
     val spark = graft.Sessions.local("bpe-profile")
     def once(name: String): Double = {
       val t0 = System.nanoTime()
@@ -15,7 +18,7 @@ object BpeProfile {
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
-    for (name <- Seq("q_bpe_apply", "q_bpe_train", "q_semdedup")) {
+    for (name <- names) {
       val w = once(name); val t = once(name)
       val qe = graft.SparkEntry.queries(name)(spark, sfDir).queryExecution
       val imr = qe.optimizedPlan.collect {

@@ -68,7 +68,7 @@ object ScalingProfile {
       java.nio.file.Files.list(dir).mapToLong(p => p.toFile.length).sum()
     println(f"[scaling] corpus ${corpusBytes / 1024.0 / 1024.0}%.0f MB at $dir")
 
-    // ── the ladder ─────────────────────────────────────────────────────
+    // ── strong scaling: fixed corpus, growing width ────────────────────
     var t1 = Double.NaN
     widths.foreach { n =>
       val spark = graft.Sessions.builder("graft-scaling", n.toString)
@@ -84,6 +84,35 @@ object ScalingProfile {
         if (t1.isNaN) t1 = sec
         println(f"[scaling] local[$n%2d]  $sec%7.2f s  speedup ${t1 / sec}%5.2f×  " +
           f"${corpusBytes / sec / 1024 / 1024}%6.0f MB/s")
+      } finally spark.stop()
+    }
+
+    // ── weak scaling: fixed bytes PER THREAD, growing width ────────────
+    // The reference's second curve (efficiency t1/tN at 1 GB per node,
+    // ≈0.90 on m4 — Documentation.md:466). Per-width input = the first
+    // ceil(n × perThreadFiles) corpus files, so the byte/thread ratio is
+    // constant while the file set stays a prefix (stable enumeration).
+    val files = java.nio.file.Files.list(dir).sorted().toArray
+      .map(_.toString)
+    val perThreadFiles = math.max(1, files.length / widths.max)
+    var tw1 = Double.NaN
+    widths.foreach { n =>
+      val take = math.min(files.length, n * perThreadFiles)
+      val spark = graft.Sessions.builder("graft-weak", n.toString)
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        def run(): Unit =
+          graft.wc.WordCount.fromText(
+              spark.read.text(files.take(take): _*), "value",
+              graft.tok.Tokenizer.DefaultSplitRegex)
+            .write.mode("overwrite").format("noop").save()
+        run()
+        val t0 = System.nanoTime(); run()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (tw1.isNaN) tw1 = sec
+        println(f"[weak]    local[$n%2d]  $take%3d files  $sec%7.2f s  " +
+          f"efficiency ${tw1 / sec}%5.2f")
       } finally spark.stop()
     }
   }
