@@ -328,6 +328,13 @@ class CorpusStatsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("bpeSegmentStats/bpeVocab: empty token stream yields empty results") {
+    val tok = Seq.empty[(Long, String)].toDF("doc_id", "tok")
+    assert(CorpusStats.bpeVocab(tok, 2).count() === 0L)
+    assert(CorpusStats.bpeSegmentStats(tok, 2).count() === 0L)
+    spark.catalog.clearCache()
+  }
+
   test("bpeSegmentStats: per-doc unit counts match the trained segmentation") {
     // corpus: doc 1 = [aaab, ab], doc 2 = [ab]. Word table {aaab:1, ab:2};
     // k=1 trains merge (a,a) cnt 2 (two positions in "aaab") vs (a,b)

@@ -308,6 +308,20 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("contaminationPairsBloom: empty bench set yields empty pairs, no crash") {
+    // the treeAggregate bloom build must tolerate an empty (or
+    // all-filtered) bench relation — zero-value blooms merge to an empty
+    // filter and every train n-gram is dropped map-side
+    val train = Seq((1L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+    val th = Dedup.hashedNgrams(train, "doc_id", "toks", 3)
+    val bh = th.where(lit(false))
+    assert(Dedup.contaminationPairsBloom(th, bh, 1, 100).count() === 0L)
+    assert(Dedup.contaminationPairs(th, bh, 1, 100).count() === 0L)
+    spark.catalog.clearCache()
+  }
+
   test("simhashCapacity: block width pins the linear-regime corpus size") {
     assert(Dedup.simhashCapacity(5) === (1L << 10)) // 6 blocks × 10 bits
     assert(Dedup.simhashCapacity(2) === (1L << 20))
