@@ -202,11 +202,16 @@ object DocStream {
     */
   def ingestPartialStats(docs: DataFrame, tsCol: String,
                          textCol: String = "text",
-                         window_ : String = "1 hour"): DataFrame =
-    // a frame that already carries fp (firstSeenDocs output) is not
-    // re-hashed — the fingerprint pass over full text is the expensive
-    // half of this stage at corpus scale (review r9)
-    (if (docs.columns.contains("fp")) docs
+                         window_ : String = "1 hour",
+                         reuseFpCol: Boolean = false): DataFrame =
+    // reuseFpCol skips the content re-hash when the CALLER asserts the
+    // existing fp column is a contentFingerprint (the ingestPipelineSink
+    // path, whose frame comes from firstSeenDocs) — the fingerprint pass
+    // over full text is the expensive half of this stage at corpus
+    // scale. It is opt-in, not inferred from the column name: silently
+    // sketching an unrelated caller column that happens to be called fp
+    // would corrupt the distinct counts with no error (review r9).
+    (if (reuseFpCol && docs.columns.contains("fp")) docs
      else docs.withColumn("fp", TextAnalysis.contentFingerprint(col(textCol))))
       .groupBy(window(col(tsCol), window_).as("w"))
       .agg(count(lit(1)).as("n_docs"),
@@ -253,7 +258,9 @@ object DocStream {
         val clean = decon(batch)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         clean.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
-        ingestPartialStats(clean, tsCol, textCol, window_)
+        // reuseFpCol: clean descends from firstSeenDocs, whose fp IS the
+        // content fingerprint — the one caller entitled to skip the re-hash
+        ingestPartialStats(clean, tsCol, textCol, window_, reuseFpCol = true)
           .write.mode("overwrite").parquet(s"$statsPath/batch_id=$batchId")
         clean.unpersist()
         ()

@@ -9,7 +9,7 @@ object BpeProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names =
-      if (args.length > 1) args(1).split(",").toSeq
+      if (args.length > 1) args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
       else Seq("q_bpe_apply", "q_bpe_train", "q_semdedup")
     val spark = graft.Sessions.local("bpe-profile")
     def once(name: String): Double = {
