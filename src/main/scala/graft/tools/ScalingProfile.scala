@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   * ladder (and labelled with it — pass 1 first for a true-serial
   * baseline). Diagnosis/benchmark tool, not gated surface.
   *
-  * Usage: runMain graft.tools.ScalingProfile [targetMB] [widths,...]
+  * Usage: runMain graft.tools.ScalingProfile [targetMB] [widths,...] [strong|weak|both]
   * The corpus must hold at least max(widths) files so the weak ladder
   * can keep bytes/thread constant — enforced, not silently capped.
   */
@@ -38,6 +38,8 @@ object ScalingProfile {
     val widths = args.drop(1).headOption
       .map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(1, 2, 4, 8, 16, 32))
+    val mode = args.drop(2).headOption.getOrElse("both")
+    require(Set("strong", "weak", "both")(mode), s"mode: $mode")
     val dir = java.nio.file.Paths.get("target/scaling/corpus")
     val perFile = 64L * 1024 * 1024
     val nFiles = math.max(widths.max,
@@ -94,7 +96,7 @@ object ScalingProfile {
     // ── strong scaling: fixed corpus, growing width ────────────────────
     val base = widths.head
     var t1 = Double.NaN
-    widths.foreach { n =>
+    if (mode != "weak") widths.foreach { n =>
       val spark = graft.Sessions.builder("graft-scaling", n.toString)
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
@@ -124,7 +126,7 @@ object ScalingProfile {
       s"corpus has ${files.length} files < max width ${widths.max} — " +
         "raise targetMB so bytes/thread can stay constant")
     var tw1 = Double.NaN
-    widths.foreach { n =>
+    if (mode != "strong") widths.foreach { n =>
       val take = n * perThreadFiles
       val spark = graft.Sessions.builder("graft-weak", n.toString)
         .getOrCreate()
