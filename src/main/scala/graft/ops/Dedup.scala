@@ -354,10 +354,30 @@ object Dedup {
     require(maxTrainDf >= 1, s"maxTrainDf: $maxTrainDf")
     require(expectedBenchHashes >= 1, s"expectedBenchHashes: $expectedBenchHashes")
     require(fpp > 0 && fpp < 1, s"fpp: $fpp")
-    val bloom = benchHashed.select(col("hs")).rdd.treeAggregate(
-        org.apache.spark.util.sketch.BloomFilter.create(expectedBenchHashes, fpp))(
-      (bf, row) => { row.getSeq[Long](0).foreach(bf.putLong); bf },
-      (a, b) => a.mergeInPlace(b))
+    // null-safe seqOp (a null `hs` array is skipped, matching the old
+    // explode-based build — ADVICE r09 #1), and the insert count rides
+    // along so capacity-estimate misses are LOUD: past the estimate the
+    // filter silently degrades toward fpp→1 (still correct — the verify
+    // join discards the extra survivors — but the pre-pass stops paying
+    // for itself), which is invisible without this number (ADVICE r09 #4).
+    val (bloom, inserted) = benchHashed.select(col("hs")).rdd.treeAggregate(
+        (org.apache.spark.util.sketch.BloomFilter.create(expectedBenchHashes, fpp), 0L))(
+      (acc, row) => {
+        if (row.isNullAt(0)) acc
+        else {
+          val hs = row.getSeq[Long](0)
+          hs.foreach(acc._1.putLong)
+          (acc._1, acc._2 + hs.size)
+        }
+      },
+      (a, b) => { a._1.mergeInPlace(b._1); (a._1, a._2 + b._2) })
+    if (inserted > expectedBenchHashes)
+      System.err.println(
+        s"[graft] contaminationPairsBloom: inserted $inserted hashes into a " +
+          s"Bloom filter sized for $expectedBenchHashes — effective fpp is " +
+          s"above the requested $fpp and the pre-pass filters less than " +
+          "designed (results stay exact); raise expectedBenchHashes to at " +
+          "least the bench set's n-gram count")
     val bloomB = trainHashed.sparkSession.sparkContext.broadcast(bloom)
     // native codegen'd predicate, not a UDF: the filter runs on the
     // exploded corpus-scale stream and must stay inside the fused stage

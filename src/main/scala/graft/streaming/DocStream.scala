@@ -114,7 +114,19 @@ object DocStream {
     * non-local locations (`file:/…`, object stores) are probed correctly
     * — local-only `java.io` probes would both spuriously reject valid
     * resumes and silently miss remote stale dirs (review r9).
+    *
+    * The guard is two-directional (ADVICE r09 #3). Fresh checkpoint →
+    * reject pre-existing `batch_id=` dirs under the outputs, then record
+    * the output paths in a marker file under the checkpoint dir. Resume →
+    * require the caller's output paths to MATCH the marker: a checkpoint
+    * repointed at different outputs would otherwise replay batch ids into
+    * directories whose contents belong to a different lineage (overwrite
+    * semantics make that silent data mixing, not an error). A pre-marker
+    * checkpoint (no marker file) is adopted: its outputs are recorded now
+    * so every later resume is verified.
     */
+  private val OutputsMarker = "graft-output-paths"
+
   private def requireFreshOutputs(spark: org.apache.spark.sql.SparkSession,
                                   checkpoint: String,
                                   outPaths: Seq[String]): Unit = {
@@ -122,19 +134,52 @@ object DocStream {
     val conf = spark.sessionState.newHadoopConf()
     val ckOffsets = new Path(checkpoint, "offsets")
     val freshCheckpoint = !ckOffsets.getFileSystem(conf).exists(ckOffsets)
-    if (freshCheckpoint) outPaths.foreach { p =>
-      val path = new Path(p)
-      val fs = path.getFileSystem(conf)
-      val stale =
-        if (!fs.exists(path)) Array.empty[org.apache.hadoop.fs.FileStatus]
-        else fs.listStatus(path).filter(s =>
-          s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-      require(stale.isEmpty,
-        s"output path $p holds ${stale.length} batch_id= dir(s) from a " +
-          s"prior run but checkpoint $checkpoint is fresh — replay would " +
-          "merge stale batches with the new lineage; point at a fresh " +
-          "output path or keep the original checkpoint")
+    val marker = new Path(checkpoint, OutputsMarker)
+    val mfs = marker.getFileSystem(conf)
+    if (freshCheckpoint) {
+      outPaths.foreach { p =>
+        val path = new Path(p)
+        val fs = path.getFileSystem(conf)
+        val stale =
+          if (!fs.exists(path)) Array.empty[org.apache.hadoop.fs.FileStatus]
+          else fs.listStatus(path).filter(s =>
+            s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        require(stale.isEmpty,
+          s"output path $p holds ${stale.length} batch_id= dir(s) from a " +
+            s"prior run but checkpoint $checkpoint is fresh — replay would " +
+            "merge stale batches with the new lineage; point at a fresh " +
+            "output path or keep the original checkpoint")
+      }
+      writeMarker(mfs, marker, outPaths)
+    } else {
+      if (mfs.exists(marker)) {
+        val recorded = {
+          val in = mfs.open(marker)
+          try {
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+            new String(out.toByteArray, "UTF-8").linesIterator
+              .filter(_.nonEmpty).toSeq
+          } finally in.close()
+        }
+        require(recorded.sorted == outPaths.sorted,
+          s"checkpoint $checkpoint was created for output path(s) " +
+            s"${recorded.mkString(", ")} but this start points at " +
+            s"${outPaths.mkString(", ")} — resuming would replay batch ids " +
+            "into a directory from a different lineage; keep checkpoint and " +
+            "outputs paired, or start over with a fresh checkpoint")
+      } else writeMarker(mfs, marker, outPaths) // pre-marker checkpoint: adopt
     }
+  }
+
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
+                          marker: org.apache.hadoop.fs.Path,
+                          outPaths: Seq[String]): Unit = {
+    val out = fs.create(marker, true)
+    try out.write((outPaths.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Wire a per-batch decontamination function into a streaming sink:

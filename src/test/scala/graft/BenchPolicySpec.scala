@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench outlier/prior policy is pure — test it without a session:
+  * re-time only past 2× the prior, flag sustained regressions, and never
+  * let a confirmed regression become its own baseline (VERDICT r09 #5).
+  */
+class BenchPolicySpec extends AnyFunSuite {
+
+  private def counting(vals: Double*): (() => Double, () => Int) = {
+    var i = 0
+    val it = vals.iterator
+    (() => { i += 1; it.next() }, () => i)
+  }
+
+  test("no prior: first timing reported, no re-time") {
+    val (re, n) = counting(99.0, 99.0)
+    assert(Bench.settle(None, 5.0, re) === ((5.0, false)))
+    assert(n() === 0)
+  }
+
+  test("within 2x of prior: first timing reported, no re-time") {
+    val (re, n) = counting(99.0, 99.0)
+    assert(Bench.settle(Some(3.0), 5.9, re) === ((5.9, false)))
+    assert(n() === 0)
+  }
+
+  test("first timing past 2x, median recovers: de-noised, not regressed") {
+    // 13.0 then 1.8, 2.2 → median 2.2, under 2×2.0
+    val (re, n) = counting(1.8, 2.2)
+    assert(Bench.settle(Some(2.0), 13.0, re) === ((2.2, false)))
+    assert(n() === 2)
+  }
+
+  test("median still past 2x: reported AND flagged regressed") {
+    // the r9 q_pagerank shape: slow on all three back-to-back timings
+    val (re, _) = counting(13.3, 12.9)
+    assert(Bench.settle(Some(2.0), 13.1, re) === ((13.1, true)))
+  }
+
+  test("zero/negative prior never divides the policy") {
+    val (re, n) = counting(99.0)
+    assert(Bench.settle(Some(0.0), 13.0, re) === ((13.0, false)))
+    assert(n() === 0)
+  }
+
+  test("nextPriors: regressions keep the old prior, the rest refresh") {
+    val times = Map("q_a" -> 13.1, "q_b" -> 0.9, "q_new" -> 4.0)
+    val priors = Map("q_a" -> 1.9, "q_b" -> 1.0)
+    val next = Bench.nextPriors(times, priors, Set("q_a", "q_new"))
+    assert(next("q_a") === 1.9)  // regressed: old prior carried forward
+    assert(next("q_b") === 0.9)  // normal: fresh measurement
+    assert(next("q_new") === 4.0) // regressed but no old prior: fresh
+  }
+
+  test("parsePriors prefers the priors map over measured queries") {
+    val txt = """{"metric":"total","value":14.0,"queries":{"q_a":13.100,"q_b":0.900},""" +
+      """"regressed":["q_a"],"priors":{"q_a":1.900,"q_b":0.900},"sf":"/d/sf0.1"}"""
+    assert(Bench.parsePriors(txt, "/d/sf0.1") ===
+      Map("q_a" -> 1.9, "q_b" -> 0.9))
+  }
+
+  test("parsePriors falls back to query-keyed numbers on r9-era files") {
+    val txt = """{"metric":"total","queries":{"q_a":2.500,"wc_words":0.300},"sf":"/d/sf0.1"}"""
+    assert(Bench.parsePriors(txt, "/d/sf0.1") ===
+      Map("q_a" -> 2.5, "wc_words" -> 0.3))
+  }
+
+  test("parsePriors discards priors from a different scale factor") {
+    val txt = """{"queries":{"q_a":2.500},"priors":{"q_a":2.500},"sf":"/d/sf0.001"}"""
+    assert(Bench.parsePriors(txt, "/d/sf0.1") === Map.empty)
+  }
+}

@@ -167,6 +167,19 @@ class DocStreamSpec extends SparkSpec {
         out, stats, ck2, horizon = "6 hours")
     }
     assert(err.getMessage.contains("batch_id="))
+    // resume guard (marker file): the ORIGINAL checkpoint repointed at a
+    // DIFFERENT output path must be rejected too — replaying batch ids
+    // into a directory from another lineage is silent data mixing
+    val err2 = intercept[IllegalArgumentException] {
+      DocStream.ingestPipelineSink(stream, decon, "ingest_ts",
+        tempDir("pipeOut2").toString + "/clean", stats, ck, horizon = "6 hours")
+    }
+    assert(err2.getMessage.contains("different lineage"))
+    // while the matched resume (same checkpoint, same outputs) still starts
+    val q2 = DocStream.ingestPipelineSink(stream, decon, "ingest_ts",
+      out, stats, ck, horizon = "6 hours", window_ = "1 hour")
+    assert(q2.awaitTermination(120000), "matched resume did not finish")
+    assert(spark.read.parquet(out).count() === 11L)
     spark.catalog.clearCache()
   }
 }
