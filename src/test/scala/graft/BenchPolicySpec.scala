@@ -39,6 +39,14 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(Bench.settle(Some(2.0), 13.1, re) === ((13.1, true)))
   }
 
+  test("sub-second excursions de-noise via the median but never flag") {
+    // the q_pivot shape: 0.20 s prior, ~0.5 s sustained — scheduler noise
+    // territory (RegressFloorSec), not a regression worth a flag/retry
+    val (re, n) = counting(0.48, 0.49)
+    assert(Bench.settle(Some(0.20), 0.50, re) === ((0.49, false)))
+    assert(n() === 2)
+  }
+
   test("zero/negative prior never divides the policy") {
     val (re, n) = counting(99.0)
     assert(Bench.settle(Some(0.0), 13.0, re) === ((13.0, false)))
