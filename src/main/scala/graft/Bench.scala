@@ -129,11 +129,25 @@ object Bench {
     // inflation measurable (two sweeps, different seeds, diff per-query)
     // instead of folklore. Unset → stable alphabetical order.
     val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.trim.toLong)
+    // Opt-in subset (diagnosis only, unset for the gated sweep): a
+    // comma-separated allowlist so a single slow query can be profiled
+    // under the exact harness protocol (warm-up + timed noop sink +
+    // cleanup) without paying the other 100 queries' wall-clock.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val all = only match {
+      case Some(sel) =>
+        val missing = sel -- SparkEntry.benchQueries.toSet
+        require(missing.isEmpty, s"unknown bench queries: ${missing.mkString(",")}")
+        System.err.println(s"[bench] SUBSET of ${sel.size} queries (diagnosis mode)")
+        SparkEntry.benchQueries.filter(sel)
+      case None => SparkEntry.benchQueries
+    }
     val names = seed match {
       case Some(s) =>
         System.err.println(s"[bench] randomized query order, seed=$s")
-        new scala.util.Random(s).shuffle(SparkEntry.benchQueries)
-      case None => SparkEntry.benchQueries
+        new scala.util.Random(s).shuffle(all)
+      case None => all
     }
 
     var times = ListMap.empty[String, Double]
@@ -253,8 +267,9 @@ object Bench {
     try {
       // the FILE additionally carries next-round priors ("queries" stays
       // the measured truth; "priors" is what the next sweep compares to —
-      // identical except regressed queries keep their old prior)
-      java.nio.file.Files.write(
+      // identical except regressed queries keep their old prior). A
+      // diagnosis-subset run must never replace the full sweep's priors.
+      if (only.isEmpty) java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
         (line(times, 0, extra =
           s""","priors":${jmap(nextPriors(times, prior, regressed.toSet))}""")
