@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hybrid-retrieval post-processing: rank fusion and result
+  * diversification — the steps between per-modality rankers (BM25,
+  * embedding ANN) and the final result list a retrieval-augmented
+  * pipeline consumes.
+  *
+  * Scale posture: both operators run AFTER the rankers' top-k cut, so
+  * their inputs are k-row relations regardless of corpus size — the
+  * 100 TB cost lives in the rankers themselves ([[CorpusStats.bm25TopK]],
+  * [[Similarity.topKNeighborsLsh]]), which are the bucketed scale paths.
+  * For a batch of queries, add the query id to every join/window key and
+  * the same plans apply per group with no new shuffle structure.
+  */
+object Retrieval {
+
+  /** Reciprocal Rank Fusion (Cormack/Clarke/Büttcher, SIGIR 2009):
+    * rrf(d) = Σ_r 1 / (kRrf + rank_r(d)) over the rankings that contain d.
+    *
+    * `rankings` are (name, df) pairs where each df has columns
+    * (`id`, `rank`) — rank 1-based, already top-k-cut. The result carries
+    * one `<name>_rank` column per input (null where the ranking missed the
+    * id) plus the fused `rrf` score, rounded to 6 so the float is
+    * engine-portable (the repo-wide oracle rounding discipline).
+    *
+    * The fold of full-outer joins is over k-row inputs; Catalyst
+    * broadcasts them. Determinism: the score is a fixed-order sum of N
+    * terms (N = rankings.size, a constant), each 1/(kRrf+rank) an exact
+    * IEEE division — no accumulation-order sensitivity.
+    */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], kRrf: Int = 60,
+              topK: Int = 20): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings")
+    require(kRrf >= 1, s"rrfFuse: kRrf=$kRrf")
+    val named = rankings.map { case (name, df) =>
+      name -> df.select(col("id"), col("rank").cast("int").as(s"${name}_rank"))
+    }
+    val joined = named.map(_._2).reduce(_.join(_, Seq("id"), "full_outer"))
+    val score = named.map { case (name, _) =>
+      coalesce(lit(1.0) / (lit(kRrf) + col(s"${name}_rank")), lit(0.0))
+    }.reduce(_ + _)
+    joined.select(
+      (col("id") +: round(score, 6).as("rrf") +:
+        named.map { case (name, _) => col(s"${name}_rank") }): _*)
+      .orderBy(desc("rrf"), col("id"))
+      .limit(topK)
+  }
+
+  /** Result-list diversification: drop any result whose similarity to a
+    * higher-ranked result is ≥ `threshold` — the one-pass (non-greedy)
+    * relaxation of MMR that stays a pure join/anti-join, so it is
+    * expressible in any SQL engine and needs no sequential driver loop.
+    * (Greedy MMR compares only against *kept* higher ranks; this form is
+    * strictly more aggressive and order-equivalent on its survivors.)
+    *
+    * `ranked` has (`id`, `rank`, `vec`); similarity is exact cosine via
+    * [[Similarity.cosineExact]] (decimal-summed dot, rounded to 6 — the
+    * oracle-portable form). The self-join is rank_i < rank_j over a
+    * top-k-cut input: O(k²) pairs on k rows, never corpus-scale.
+    */
+  def diversify(ranked: DataFrame, threshold: Double): DataFrame = {
+    val hi = ranked.select(col("rank").as("hi_rank"), col("vec").as("hi_vec"))
+    val suppressed = ranked.as("r")
+      .join(hi, col("hi_rank") < col("rank") &&
+        (Similarity.cosineExact(col("vec"), col("hi_vec")) >= threshold),
+        "left_semi")
+      .select(col("id"))
+    ranked.join(suppressed, Seq("id"), "left_anti")
+  }
+}

@@ -44,10 +44,12 @@ object AdvancedQueries {
 
     // ── As-of join: every view event carries the user's most recent click ─
     // Union+window form (one shuffle on user_id) — see AsofJoin scaladoc.
-    // Time axis: microseconds since epoch as BIGINT on both engines (the
-    // fixture's ns timestamps truncate identically).
+    // Time axis: microseconds since epoch as BIGINT on both engines
+    // (Tables.events normalizes either fixture generation to µs; session
+    // TZ is UTC so the NTZ→instant cast is identity).
     "q_join_asof" -> ((s, dir) => {
-      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
       val views = ev.where(col("event_type") === "view")
         .select(col("event_id"), col("user_id"), col("ts_us"))
       val clicks = ev.where(col("event_type") === "click")

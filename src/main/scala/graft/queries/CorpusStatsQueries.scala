@@ -1,9 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{CorpusStats, TextAnalysis}
+import graft.ops.{CorpusStats, Retrieval, Similarity, TextAnalysis}
 import graft.tok.Tokenizer
 
 /** Corpus-statistics surface over `documents` ([[graft.ops.CorpusStats]]):
@@ -82,6 +83,29 @@ object CorpusStatsQueries {
     "q_bm25" -> ((s, dir) =>
       CorpusStats.bm25TopK(tokStream(s, dir),
         Seq("spark", "merge", "vector"), k = 20)),
+
+    // ── Hybrid retrieval: RRF fusion of BM25 and dense rankings ─────────
+    // The standard two-tower retrieval shape: a lexical ranker (BM25 over
+    // the token stream) and a dense ranker (exact-cosine top-k against a
+    // probe embedding) each produce a top-50 cut; Reciprocal Rank Fusion
+    // joins them on doc id (doc_id ≡ vec_id in the fixtures). Both
+    // rankers are the existing scale paths — the fuse itself is a join of
+    // two 50-row relations, corpus-size-independent (Retrieval.rrfFuse).
+    // The global row_number window is applied AFTER the top-50 cut, so
+    // its single-partition sort sees ≤50 rows at any corpus size.
+    "q_rrf_hybrid" -> ((s, dir) => {
+      val lexW = Window.orderBy(desc("bm25"), col("doc_id"))
+      val lex = CorpusStats
+        .bm25TopK(tokStream(s, dir), Seq("spark", "merge", "vector"), k = 50)
+        .select(col("doc_id").as("id"),
+          row_number().over(lexW).as("rank"))
+      val e = Tables.table(s, dir, "embeddings")
+      val dense = Similarity.topKNeighbors(e.where(col("vec_id") === 0), e, 50)
+        .select(col("cand_id").as("id"), col("rank"))
+      Retrieval.rrfFuse(Seq("lex" -> lex, "dense" -> dense),
+          kRrf = 60, topK = 20)
+        .orderBy(desc("rrf"), col("id"))
+    }),
 
     // ── First BPE merge iteration: top adjacent char-pair candidates ────
     // The tokenizer-training input the reference's own word count feeds:
@@ -446,6 +470,60 @@ object CorpusStatsQueries {
             CAST(count(*) AS BIGINT) AS n_hit
           FROM s GROUP BY doc_id
           ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    // Same BM25 pipeline at k=50 feeding the lexical leg of the fusion;
+    // the dense leg is the q_knn_brute cosine with probe vec_id = 0.
+    // Ranks are computed over the ROUNDED scores with id tie-breaks on
+    // both sides, so engine ulp drift cannot flip a rank.
+    "q_rrf_hybrid" ->
+      s"""WITH $TokCte,
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs,
+                        CAST(SUM(dl) AS BIGINT) AS tok_total FROM dl),
+            qtf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+                    WHERE tok IN ('spark', 'merge', 'vector')
+                    GROUP BY doc_id, tok),
+            dfc AS (SELECT tok, count(*) AS df FROM qtf GROUP BY tok),
+            s AS (
+              SELECT q.doc_id,
+                ROUND(ROUND(ln((CAST(n_docs - df AS DOUBLE) + 0.5)
+                               / (CAST(df AS DOUBLE) + 0.5) + 1), 6)
+                        * (tf * CAST(2.2 AS DOUBLE))
+                      / (tf + 1.2 * (0.25 + 0.75 * d.dl
+                           / (CAST(tok_total AS DOUBLE) / n_docs))), 6) AS s
+              FROM qtf q
+              JOIN dfc USING (tok)
+              JOIN dl d USING (doc_id)
+              CROSS JOIN stats),
+            lexs AS (
+              SELECT doc_id,
+                ROUND(CAST(SUM(CAST(s AS DECIMAL(28,10))) AS DOUBLE), 6) AS bm25
+              FROM s GROUP BY doc_id
+              ORDER BY bm25 DESC, doc_id LIMIT 50),
+            lex AS (
+              SELECT doc_id AS id,
+                CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+                  AS lex_rank
+              FROM lexs),
+            dpairs AS (
+              SELECT c.vec_id AS id,
+                ${SimilarityQueries.cosineSql("p.embedding", "c.embedding")}
+                  AS cosine
+              FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+              WHERE p.vec_id = 0),
+            dranked AS (
+              SELECT id, row_number() OVER (ORDER BY cosine DESC, id) AS rk
+              FROM dpairs),
+            dense AS (
+              SELECT id, CAST(rk AS INT) AS dense_rank
+              FROM dranked WHERE rk <= 50)
+          SELECT COALESCE(l.id, d.id) AS id,
+            ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank),
+                           CAST(0 AS DOUBLE))
+                + COALESCE(CAST(1 AS DOUBLE) / (60 + d.dense_rank),
+                           CAST(0 AS DOUBLE)), 6) AS rrf,
+            l.lex_rank, d.dense_rank
+          FROM lex l FULL JOIN dense d ON l.id = d.id
+          ORDER BY rrf DESC, id LIMIT 20""",
     "q_bpe_merge" ->
       s"""WITH $TokCte,
             wf AS (SELECT tok, count(*) AS wc FROM tok GROUP BY tok),

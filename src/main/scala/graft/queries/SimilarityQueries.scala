@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Hashes
-import graft.ops.Similarity
+import graft.ops.{Retrieval, Similarity}
 
 /** Similarity-search surface over `embeddings` (`array<float>`, 64-dim).
   *
@@ -50,6 +50,23 @@ object SimilarityQueries {
       val e = emb(s, dir)
       Similarity.topKNeighborsLsh(e.where(col("vec_id") < 5), e, K, NBits)
         .orderBy("probe_id", "rank")
+    }),
+
+    // Result-list diversification: brute-force top-30 for probe 0, then
+    // drop any result whose cosine to a higher-ranked result ≥ 0.25
+    // (Retrieval.diversify — the join-form MMR relaxation). Surviving
+    // rows keep their ORIGINAL rank, so the gate sees exactly which
+    // results were suppressed. The O(k²) self-join is over the top-k cut
+    // (30 rows), corpus-size-independent.
+    "q_rank_diversify" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val top = Similarity.topKNeighbors(e.where(col("vec_id") === 0), e, 30)
+      val ranked = e.join(broadcast(top), col("vec_id") === col("cand_id"))
+        .select(col("cand_id").as("id"), col("rank"),
+          col("embedding").as("vec"), col("cosine"))
+      Retrieval.diversify(ranked, threshold = 0.25)
+        .select(col("id"), col("rank").cast("int").as("rank"), col("cosine"))
+        .orderBy("rank")
     }),
 
     // Embedding-cosine near-dup: bucket-collision pairs over threshold.
@@ -175,6 +192,27 @@ object SimilarityQueries {
             FROM pairs)
           SELECT probe_id, cand_id, cosine, CAST(rank AS INT) AS rank
           FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""",
+    // Brute-force top-30 for probe 0, then NOT EXISTS a higher-ranked
+    // result with cosine ≥ 0.25 — the all-pairs mirror of
+    // Retrieval.diversify (valid at fixture scale; both sides compare
+    // the same 6-rounded cosine, so the threshold cannot ulp-flip).
+    "q_rank_diversify" ->
+      s"""WITH dpairs AS (
+            SELECT c.vec_id AS id, c.embedding AS vec,
+              ${cosineSql("p.embedding", "c.embedding")} AS cosine
+            FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+            WHERE p.vec_id = 0),
+          ranked AS (
+            SELECT id, vec, cosine,
+              row_number() OVER (ORDER BY cosine DESC, id) AS rk
+            FROM dpairs),
+          topn AS (SELECT * FROM ranked WHERE rk <= 30),
+          hi AS (SELECT r.id AS rid, ${cosineSql("h.vec", "r.vec")} AS hc
+                 FROM topn r JOIN topn h ON h.rk < r.rk),
+          suppr AS (SELECT DISTINCT rid FROM hi WHERE hc >= 0.25)
+          SELECT t.id, CAST(t.rk AS INT) AS rank, t.cosine FROM topn t
+          LEFT JOIN suppr ON t.id = suppr.rid WHERE suppr.rid IS NULL
+          ORDER BY rank""",
     "q_knn_lsh" ->
       s"""WITH sig AS (
             SELECT vec_id, embedding, ${bucketSql("embedding", NBits)} AS b0

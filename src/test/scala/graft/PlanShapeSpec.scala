@@ -41,6 +41,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_collocations" -> "crossJoins of the single-row unigram/bigram totals (broadcast, one row each)",
     "q_vocab" -> "crossJoin of the single-row token-total aggregate onto the top-k survivors",
     "q_bm25" -> "crossJoin of the single-row (n_docs, tok_total) aggregate (broadcast, one row)",
+    "q_rrf_hybrid" -> "composes q_bm25 (its single-row stats crossJoin) and q_knn_brute (the documented broadcast-NLJ dense baseline); the RRF fuse itself is an equi full-outer join of two top-50 cuts",
+    "q_rank_diversify" -> "composes q_knn_brute's broadcast-NLJ baseline; the diversify suppression join is rank_i<rank_j over the top-30 cut — 435 pairs regardless of corpus size (Retrieval.diversify)",
     "q_mi" -> "crossJoin of the single-row corpus-total aggregate (broadcast, one row)",
     "q_mixture" -> "crossJoin of the single-row (tok_tot, s_tot) totals aggregate (broadcast, one row — replaced the empty-partition windows, VERDICT r07 #7)",
     "q_pagerank_full" -> "per-iteration crossJoin of the single-row decimal-exact dangling-mass aggregate (broadcast, one row)")
