@@ -61,9 +61,14 @@ object SimilarityQueries {
     "q_rank_diversify" -> ((s, dir) => {
       val e = emb(s, dir)
       val top = Similarity.topKNeighbors(e.where(col("vec_id") === 0), e, 30)
+      // Persist the 30-row cut: diversify references it three times
+      // (survivor side, higher-ranked side, anti-join) and without a
+      // persist each reference re-runs the full brute-force cosine scan —
+      // the corpus-sized part of the plan (q_decontam_bloom pattern).
       val ranked = e.join(broadcast(top), col("vec_id") === col("cand_id"))
         .select(col("cand_id").as("id"), col("rank"),
           col("embedding").as("vec"), col("cosine"))
+        .persist()
       Retrieval.diversify(ranked, threshold = 0.25)
         .select(col("id"), col("rank").cast("int").as("rank"), col("cosine"))
         .orderBy("rank")
