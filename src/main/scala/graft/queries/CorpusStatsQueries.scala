@@ -92,9 +92,13 @@ object CorpusStatsQueries {
     // rankers are the existing scale paths — the fuse itself is a join of
     // two 50-row relations, corpus-size-independent (Retrieval.rrfFuse).
     // The global row_number window is applied AFTER the top-50 cut, so
-    // its single-partition sort sees ≤50 rows at any corpus size.
+    // its single-partition sort sees ≤50 rows at any corpus size; its
+    // partition key is a carried non-foldable constant (pmod(doc_id,1)
+    // ≡ 0 — the q_vocab trick) so the WindowExec single-partition
+    // warning channel stays clean for real row-scale regressions.
     "q_rrf_hybrid" -> ((s, dir) => {
-      val lexW = Window.orderBy(desc("bm25"), col("doc_id"))
+      val lexW = Window.partitionBy(pmod(col("doc_id"), lit(1L)))
+        .orderBy(desc("bm25"), col("doc_id"))
       val lex = CorpusStats
         .bm25TopK(tokStream(s, dir), Seq("spark", "merge", "vector"), k = 50)
         .select(col("doc_id").as("id"),
