@@ -23,6 +23,37 @@ object CorpusOps {
     pmod(Hashes.h60(concat(lit(salt), lit(":"), idCol.cast("string"))),
       lit(10000L))
 
+  /** Mixture-recipe assembly: the per-group A-ES draw of
+    * [[weightedSamplePerGroup]] where each group's keep count comes from
+    * a `(grpCol, quota)` relation instead of a fixed k — the step that
+    * turns a mixture recipe ([[CorpusStats.mixtureWeights]]) into an
+    * actual sampled training set. Same determinism contract as every
+    * sampler here: the draw is a pure function of (salt, id), so grown
+    * corpora and re-partitioning never reshuffle old decisions.
+    *
+    * `quotas` is group-count rows (small by Heaps-law-ish group
+    * cardinality), broadcast into the rank filter; the draw itself is
+    * one shuffle on the group key — no new shuffle structure over the
+    * fixed-k form at any corpus size.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, grpCol: String,
+                    weightCol: Column, quotas: DataFrame,
+                    salt: String = "wsamp"): DataFrame = {
+    val u = (pmod(Hashes.h60(concat(lit(salt), lit(":"),
+        col(idCol).cast("string"))), lit(1000000L)) + 0.5) / 1000000.0
+    val w = weightCol.cast("double")
+    val wChecked = when(w > 0, w).otherwise(raise_error(concat(
+      lit("mixtureSample: weight must be > 0, got "),
+      coalesce(w.cast("string"), lit("NULL")),
+      lit(" for id "), col(idCol).cast("string"))))
+    val win = Window.partitionBy(col(grpCol)).orderBy(col("es_key"), col(idCol))
+    df.withColumn("es_key", round(-log(u), 6) / wChecked)
+      .withColumn("rk", row_number().over(win))
+      .join(broadcast(quotas), grpCol)
+      .where(col("rk") <= col("quota"))
+      .drop("rk")
+  }
+
   /** Keep each row with probability `rateBp`/10000 — deterministically:
     * the same (salt, id) always draws the same value, new rows never
     * reshuffle old decisions, and re-partitioning cannot change the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Hashes
-import graft.ops.{CorpusOps, Dedup, TextAnalysis}
+import graft.ops.{CorpusOps, CorpusStats, Dedup, TextAnalysis}
 import graft.tok.Tokenizer
 
 /** LLM-training-data pipeline operators over `documents` (north-star
@@ -462,6 +462,26 @@ object TextPipelineQueries {
           round(col("es_key"), 6).as("es_key"))
         .orderBy("lang", "doc_id")),
 
+    // ── Mixture-recipe assembly: recipe weights → quotas → sample ───────
+    // Composes q_mixture's temperature-scaled per-language weights into
+    // integer doc quotas (floor(100·w)+1 — floor, not round, so the
+    // quota can never ulp-flip across engines) and draws each language's
+    // quota with the q_sample_group A-ES key. The quotas relation is
+    // group-count rows, broadcast; the draw is the same one-shuffle
+    // window — the full recipe-to-training-set step with no new shuffle
+    // structure (CorpusOps.mixtureSample).
+    "q_mixture_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val quotas = CorpusStats
+        .mixtureWeights(d, "lang", size(TextAnalysis.tokens(col("text"))))
+        .select(col("grp").as("lang"),
+          (floor(col("w_sampled") * 100).cast("long") + 1).as("quota"))
+      CorpusOps.mixtureSample(d, "doc_id", "lang", col("n_chars"), quotas)
+        .select(col("doc_id"), col("lang"), col("quota"),
+          round(col("es_key"), 6).as("es_key"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // ── Greedy sequence packing (context-window assembly) ───────────────
     // pack_id = floor(prev running tokens / budget) within each language,
     // doc order by id — the overflow-allowed packing policy, expressed as
@@ -909,6 +929,37 @@ object TextPipelineQueries {
             FROM d)
           SELECT doc_id, lang, n_chars, ROUND(es_key, 6) AS es_key
           FROM r WHERE rk <= 10 ORDER BY lang, doc_id""",
+    // q_mixture's weight pipeline (sqrt-temperature over per-lang token
+    // mass) → floor(100·w)+1 quotas → the q_sample_group A-ES draw cut
+    // at each language's quota.
+    "q_mixture_sample" ->
+      s"""WITH t AS (
+            SELECT lang AS grp, len($ToksSql) AS nt FROM documents),
+          g AS (
+            SELECT grp, CAST(SUM(nt) AS BIGINT) AS grp_tokens
+            FROM t GROUP BY grp),
+          sg AS (
+            SELECT *, CAST(ROUND(sqrt(grp_tokens), 6) AS DECIMAL(28,10)) AS s
+            FROM g),
+          q AS (
+            SELECT grp AS lang,
+              CAST(FLOOR(ROUND(CAST(s AS DOUBLE)
+                                 / CAST(SUM(s) OVER () AS DOUBLE), 6)
+                         * 100) AS BIGINT) + 1 AS quota
+            FROM sg),
+          d AS (
+            SELECT doc_id, lang,
+              ROUND(-ln((CAST(${h60("'wsamp:' || doc_id")} % 1000000
+                              AS DOUBLE) + 0.5) / 1000000), 6)
+                / CAST(n_chars AS DOUBLE) AS es_key
+            FROM documents),
+          r AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY lang ORDER BY es_key, doc_id) AS rk
+            FROM d)
+          SELECT r.doc_id, r.lang, q.quota, ROUND(r.es_key, 6) AS es_key
+          FROM r JOIN q USING (lang) WHERE r.rk <= q.quota
+          ORDER BY lang, doc_id""",
     "q_assemble" -> {
       val norm = s"trim(regexp_replace(lower(text), '$Re', ' ', 'g'))"
       s"""WITH d0 AS (

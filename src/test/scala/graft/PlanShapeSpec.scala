@@ -45,6 +45,7 @@ class PlanShapeSpec extends SparkSpec {
     "q_rank_diversify" -> "composes q_knn_brute's broadcast-NLJ baseline; the diversify suppression join is rank_i<rank_j over the top-30 cut — 435 pairs regardless of corpus size (Retrieval.diversify)",
     "q_mi" -> "crossJoin of the single-row corpus-total aggregate (broadcast, one row)",
     "q_mixture" -> "crossJoin of the single-row (tok_tot, s_tot) totals aggregate (broadcast, one row — replaced the empty-partition windows, VERDICT r07 #7)",
+    "q_mixture_sample" -> "composes q_mixture's recipe weights, inheriting its single-row totals crossJoin; the quota join and A-ES draw are keyed on the group column",
     "q_pagerank_full" -> "per-iteration crossJoin of the single-row decimal-exact dangling-mass aggregate (broadcast, one row)")
 
   // the AQE-aware walker lives on SparkSpec (collectPlanNodes) so DedupSpec's

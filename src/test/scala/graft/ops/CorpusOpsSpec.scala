@@ -104,6 +104,27 @@ class CorpusOpsSpec extends SparkSpec {
       df.where(col("id") < 3), "id", "g", col("w"), 5).count() === 3)
   }
 
+  test("mixtureSample: per-group quotas respected, equals fixed-k form when quotas match") {
+    import spark.implicits._
+    val df = (0 until 40).map(i =>
+      (i.toLong, if (i < 20) "a" else "b", (i % 7 + 1).toDouble))
+      .toDF("id", "g", "w")
+    val quotas = Seq(("a", 3L), ("b", 7L)).toDF("g", "quota")
+    val out = CorpusOps.mixtureSample(df, "id", "g", col("w"), quotas)
+    assert(out.groupBy("g").count().as[(String, Long)].collect().toMap
+      === Map("a" -> 3L, "b" -> 7L))
+    // same draw as weightedSamplePerGroup where the quota equals its k
+    val fixedA = CorpusOps.weightedSamplePerGroup(df.where(col("g") === "a"),
+        "id", "g", col("w"), 3)
+      .select("id").as[Long].collect().toSet
+    assert(out.where(col("g") === "a")
+      .select("id").as[Long].collect().toSet === fixedA)
+    // a group absent from quotas contributes nothing (inner join contract)
+    val partial = CorpusOps.mixtureSample(df, "id", "g", col("w"),
+      Seq(("a", 2L)).toDF("g", "quota"))
+    assert(partial.select("g").distinct().as[String].collect().toSeq === Seq("a"))
+  }
+
   test("weightedSample: non-positive weights raise instead of corrupting the sample") {
     import spark.implicits._
     // a zero weight would draw es_key = +Inf (silent exclusion), a
