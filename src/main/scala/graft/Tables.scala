@@ -31,14 +31,33 @@ object Tables {
     *
     * Either way the column is surfaced as TIMESTAMP_NTZ (session TZ is
     * UTC) so parquet round-trips compare naive-to-naive.
+    *
+    * The LongType branch ASSUMES the raw values are ns-since-epoch (that
+    * is the only LONG-ts fixture generation that has existed), and
+    * enforces the assumption by magnitude (ADVICE r10): ns epochs for any
+    * plausible fixture date are ≥ 1e17 (≈ 1973-03) while µs epochs are
+    * ~1.7e15 — a future fixture shipping µs-as-plain-INT64 (no timestamp
+    * logical type) would otherwise be silently divided by 1000 into 1970.
+    * The guard is a narrow per-row `when` inside the same projection —
+    * no extra pass, fails the read loudly.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
-    val ts = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(expr("ts div 1000")) // legacy ns-as-long fixture
-      case _ => col("ts") // native µs-timestamp fixture
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // legacy ns-as-long fixture
+        raw.withColumn("__ts_ns",
+            when(col("ts").isNull || col("ts") >= 100000000000000000L, col("ts"))
+              .otherwise(raise_error(concat(
+                lit("events.ts INT64 value "), col("ts").cast("string"),
+                lit(" is too small to be ns-since-epoch (< 1e17): the fixture"),
+                lit(" likely ships µs-as-INT64 without the timestamp logical"),
+                lit(" type — refusing the ns->µs division")))))
+          .withColumn("ts", // integral div: long/long via `/` coerces to
+            // double, and ns epochs exceed double's 2^53 mantissa
+            timestamp_micros(expr("__ts_ns div 1000")).cast("timestamp_ntz"))
+          .drop("__ts_ns")
+      case _ => // native µs-timestamp fixture
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
     }
-    raw.withColumn("ts", ts.cast("timestamp_ntz"))
   }
 }

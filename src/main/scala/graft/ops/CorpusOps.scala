@@ -35,6 +35,14 @@ object CorpusOps {
     * cardinality), broadcast into the rank filter; the draw itself is
     * one shuffle on the group key — no new shuffle structure over the
     * fixed-k form at any corpus size.
+    *
+    * Contract: `quotas` must carry EXACTLY ONE row per group — the join
+    * is a plain inner join, so a duplicated group would silently
+    * duplicate every sampled row of that group (ADVICE r10). Enforced in
+    * the plan: a per-group count window over the (tiny) quota relation
+    * guards the quota value with `raise_error`, so a duplicated group
+    * fails the job loudly instead of corrupting the sample — no extra
+    * driver action, and the window shuffles only the group-count rows.
     */
   def mixtureSample(df: DataFrame, idCol: String, grpCol: String,
                     weightCol: Column, quotas: DataFrame,
@@ -46,10 +54,17 @@ object CorpusOps {
       lit("mixtureSample: weight must be > 0, got "),
       coalesce(w.cast("string"), lit("NULL")),
       lit(" for id "), col(idCol).cast("string"))))
+    val qCount = count(lit(1)).over(Window.partitionBy(col(grpCol)))
+    val uniqueQuotas = quotas
+      .withColumn("quota", when(qCount === 1, col("quota")).otherwise(
+        raise_error(concat(
+          lit("mixtureSample: quotas must have exactly one row per group; "),
+          lit("group "), col(grpCol).cast("string"),
+          lit(" has "), qCount.cast("string"), lit(" rows")))))
     val win = Window.partitionBy(col(grpCol)).orderBy(col("es_key"), col(idCol))
     df.withColumn("es_key", round(-log(u), 6) / wChecked)
       .withColumn("rk", row_number().over(win))
-      .join(broadcast(quotas), grpCol)
+      .join(broadcast(uniqueQuotas), grpCol)
       .where(col("rk") <= col("quota"))
       .drop("rk")
   }

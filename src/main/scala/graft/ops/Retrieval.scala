@@ -26,14 +26,24 @@ object Retrieval {
     * id) plus the fused `rrf` score, rounded to 6 so the float is
     * engine-portable (the repo-wide oracle rounding discipline).
     *
-    * The fold of full-outer joins is over k-row inputs; Catalyst
-    * broadcasts them. Determinism: the score is a fixed-order sum of N
-    * terms (N = rankings.size, a constant), each 1/(kRrf+rank) an exact
+    * The fold of full-outer joins runs over k-row inputs, so its
+    * exchanges are trivial at any corpus size (full-outer equi-joins are
+    * not broadcastable — Spark plans them sort-merge/shuffled-hash; the
+    * cost that matters stays in the rankers, per the object doc).
+    * Determinism: the score is a fixed-order sum of N terms
+    * (N = rankings.size, a constant), each 1/(kRrf+rank) an exact
     * IEEE division — no accumulation-order sensitivity.
+    *
+    * Ranking names must be distinct: each becomes a `<name>_rank` output
+    * column, and a duplicate would either fail ambiguous-column
+    * resolution or silently double-count in the score (ADVICE r10).
     */
   def rrfFuse(rankings: Seq[(String, DataFrame)], kRrf: Int = 60,
               topK: Int = 20): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse: no rankings")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      s"rrfFuse: ranking names must be distinct, got " +
+        rankings.map(_._1).mkString(", "))
     require(kRrf >= 1, s"rrfFuse: kRrf=$kRrf")
     val named = rankings.map { case (name, df) =>
       name -> df.select(col("id"), col("rank").cast("int").as(s"${name}_rank"))

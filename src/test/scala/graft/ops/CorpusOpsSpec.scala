@@ -125,6 +125,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(partial.select("g").distinct().as[String].collect().toSeq === Seq("a"))
   }
 
+  test("mixtureSample: duplicated quota group fails loudly, not silently duplicating rows") {
+    import spark.implicits._
+    // the quota join is a plain inner join — a duplicate quota row would
+    // silently duplicate every sampled row of that group (ADVICE r10);
+    // the in-plan window guard must raise instead
+    val df = (0 until 10).map(i => (i.toLong, "a", 1.0)).toDF("id", "g", "w")
+    val dup = Seq(("a", 3L), ("a", 5L)).toDF("g", "quota")
+    val e = intercept[Exception] {
+      CorpusOps.mixtureSample(df, "id", "g", col("w"), dup).collect()
+    }
+    assert(e.getMessage.contains("exactly one row per group") ||
+      Option(e.getCause).exists(_.getMessage.contains("exactly one row per group")))
+  }
+
   test("weightedSample: non-positive weights raise instead of corrupting the sample") {
     import spark.implicits._
     // a zero weight would draw es_key = +Inf (silent exclusion), a

@@ -39,6 +39,16 @@ class RetrievalSpec extends SparkSpec {
     assert(top.getAs[Int]("a_rank") == 1 || top.getAs[Int]("b_rank") == 1)
   }
 
+  test("rrfFuse rejects duplicate ranking names") {
+    // duplicate names would produce two identically-named <name>_rank
+    // columns — ambiguous resolution or silent double-counting (ADVICE r10)
+    val a = Seq((1L, 1)).toDF("id", "rank")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq("lex" -> a, "lex" -> a))
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
+
   test("diversify drops results similar to ANY higher-ranked result") {
     // rank1 = e0; rank2 ≈ e0 (cos≈1, suppressed); rank3 = e1 (kept);
     // rank4 ≈ e1 (suppressed by kept rank3); rank5 ≈ rank2 (suppressed by
