@@ -50,6 +50,17 @@ object Bench {
     */
   val RegressFloorSec = 1.0
 
+  /** Every query whose FIRST timing reaches this many seconds is re-timed
+    * twice and reported as the median of 3 — with all three samples
+    * logged to bench_full.json — even when no prior trips the 2× policy
+    * (VERDICT r10 #2: q_neardup_jaccard drifted 1.52 → 3.23 s UNFLAGGED
+    * because its carried prior was already high, and the single recorded
+    * number was undiagnosable post-hoc). Expensive queries are exactly
+    * the ones whose drift matters; the extra cost is bounded by the
+    * handful of >2 s queries in the sweep.
+    */
+  val SampleAtSec = 2.0
+
   def settle(prior: Option[Double], first: Double,
              retime: () => Double): (Double, Boolean) =
     settleSamples(prior, first, retime) match {
@@ -61,30 +72,84 @@ object Bench {
     * diagnosis story (transient machine state caught by the median) than
     * three inflated ones (degraded sweep context), and BENCH_r09's 13.1 s
     * q_pagerank was only diagnosable because the judge knew it was a
-    * median.
+    * median. Re-times when the first timing exceeds 2× the prior OR
+    * reaches [[SampleAtSec]]; the regression flag is judged on the
+    * MEDIAN either way, so sustained drift that sneaks under the first-
+    * timing trigger still flags.
     */
   def settleSamples(prior: Option[Double], first: Double,
-                    retime: () => Double): (Double, Boolean, Seq[Double]) =
-    prior match {
-      case Some(p) if p > 0 && first > 2 * p =>
-        val samples = Seq(first, retime(), retime())
-        val med = samples.sorted.apply(1)
-        (med, med > 2 * p && med >= RegressFloorSec, samples)
-      case _ => (first, false, Seq(first))
-    }
+                    retime: () => Double): (Double, Boolean, Seq[Double]) = {
+    val overPrior = prior.exists(p => p > 0 && first > 2 * p)
+    if (overPrior || first >= SampleAtSec) {
+      val samples = Seq(first, retime(), retime())
+      val med = samples.sorted.apply(1)
+      val regressed = prior.exists(p => p > 0 && med > 2 * p) &&
+        med >= RegressFloorSec
+      (med, regressed, samples)
+    } else (first, false, Seq(first))
+  }
 
-  /** Next-round priors (VERDICT r09 #5): a confirmed regression must NOT
-    * become its own baseline — r9's 13.1 s q_pagerank was silently written
-    * into bench_full.json, so the r10 policy would have treated ~13 s as
-    * normal and stopped re-timing it. Regressed queries carry their OLD
-    * prior forward (re-arming the policy on the last honest number);
-    * everything else records the fresh measurement.
+  /** A confirmed regression whose measurement exceeds this many times its
+    * old prior keeps the OLD prior (the r9 shape: 13.1 s vs a 1.9 s prior
+    * = 6.9× — an all-sweep host stall must never become the baseline).
+    * Below the cap the confirmed number IS accepted as the next prior —
+    * see [[nextPriors]].
+    */
+  val PriorAcceptCap = 4.0
+
+  /** Next-round priors (VERDICT r09 #5, revised r11): a TRANSIENT outlier
+    * must not become its own baseline — but a regression that survived
+    * the end-of-sweep re-measure (fresh warm-up + 3 more samples, minutes
+    * after the mid-sweep flag) is this box's sustained number, and
+    * carrying the old prior forever makes the flag permanent when the
+    * prior came from a different (faster) machine: BENCH_r10's
+    * q_source_overlap flagged against a 0.49 s builder-box rested prior
+    * while the driver box has measured ~0.9–1.1 s for two rounds — a
+    * cross-box envelope, not a plan change. So: confirmed regressions
+    * within [[PriorAcceptCap]]× of the old prior record the confirmed
+    * measurement (one-shot flag — the next same-box sweep compares
+    * against the box's own number); beyond the cap the old prior is
+    * carried (stall protection, the flag stays armed). Everything else
+    * records the fresh measurement.
     */
   def nextPriors(times: Map[String, Double], priors: Map[String, Double],
                  regressed: Set[String]): Map[String, Double] =
     times.map { case (k, t) =>
-      k -> (if (regressed(k)) priors.getOrElse(k, t) else t)
+      k -> (if (regressed(k)) {
+        val old = priors.getOrElse(k, t)
+        if (t <= PriorAcceptCap * old) t else old
+      } else t)
     }
+
+  // CPU probe DCE sink — the JIT must not elide the probe loop
+  @volatile private var probeSink = 0L
+
+  /** Fixed single-thread CPU probe (VERDICT r10 #3): a sequential
+    * xorshift-mix loop whose wall-clock tracks effective single-core
+    * speed. Run BEFORE and AFTER the sweep and recorded in the bench
+    * JSON line, so a throttle-inflated sweep carries its own in-band
+    * evidence: the triage work measured this box running ~20–25 % slower
+    * immediately after sustained 32-thread load (BASELINE.md round-10
+    * notes) — `probe_after / probe_before ≳ 1.2` says "the box, not the
+    * plan". Sequential dependency defeats vectorization; median of 3
+    * after a JIT warm pass defeats compilation noise.
+    */
+  def cpuProbe(): Double = {
+    def once(n: Int): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        x ^= (x >>> 33)
+        i += 1
+      }
+      probeSink += x
+      (System.nanoTime() - t0) / 1e9
+    }
+    once(20000000) // JIT warm
+    Seq(once(200000000), once(200000000), once(200000000)).sorted.apply(1)
+  }
 
   /** Parse same-box priors from a bench_full.json text: the `"priors"`
     * object when present (carry-forward aware, written since r10), else
@@ -153,6 +218,7 @@ object Bench {
     var times = ListMap.empty[String, Double]
     var errors = ListMap.empty[String, String]
     var regressed = List.empty[String]
+    var samplesLog = ListMap.empty[String, Seq[Double]]
     var ran = 0
     def timedRun(name: String): Double = {
       val t0 = System.nanoTime()
@@ -183,11 +249,14 @@ object Bench {
       ran += 1
       if (ran % GcEvery == 0) System.gc() // between timed regions
     }
+    val probeBefore = cpuProbe()
+    System.err.println(f"[bench] cpu probe before sweep: $probeBefore%.3f s")
     names.foreach { name =>
       try {
         runOnce(name) // warm-up, untimed
         val (t, isRegressed, samples) =
           settleSamples(prior.get(name), timedRun(name), () => timedRun(name))
+        if (samples.size > 1) samplesLog += name -> samples
         if (isRegressed) {
           regressed ::= name
           System.err.println(f"[bench] $name REGRESSED: median $t%.2f s vs " +
@@ -218,6 +287,7 @@ object Bench {
         runOnce(name) // re-warm
         val (t2, still, samples2) =
           settleSamples(prior.get(name), timedRun(name), () => timedRun(name))
+        samplesLog += name -> (samplesLog.getOrElse(name, Seq.empty) ++ samples2)
         val midSweep = times(name)
         if (t2 < midSweep) times += name -> t2
         if (!still) {
@@ -246,6 +316,14 @@ object Bench {
       if (regressed.isEmpty) ""
       else s""","regressed":${regressed.reverse.map(jstr).mkString("[", ",", "]")}"""
     val seedJson = seed.map(s => s""","seed":$s""").getOrElse("")
+    // post-sweep probe: ran after every timed region (including the
+    // end-of-sweep re-measures), so probe_after/probe_before is the
+    // in-band throttle evidence for THIS sweep's numbers
+    val probeAfter = cpuProbe()
+    System.err.println(f"[bench] cpu probe after sweep: $probeAfter%.3f s " +
+      f"(before: $probeBefore%.3f s, ratio ${probeAfter / probeBefore}%.2f)")
+    val probeJson =
+      s""","probe_before":${fmt(probeBefore)},"probe_after":${fmt(probeAfter)}"""
     def line(ts: Map[String, Double], omitted: Int,
              maxErrors: Int = Int.MaxValue, errLen: Int = 200,
              extra: String = ""): String = {
@@ -255,7 +333,7 @@ object Bench {
       val eo = if (errors.size > maxErrors)
         s""","errors_omitted":${errors.size - maxErrors}""" else ""
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(times.values.sum)},"unit":"sec","n_queries":${times.size},"queries":${jmap(ts)}$om,"errors":$es$eo,"failed":${errors.size}$regressedJson$seedJson$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(times.values.sum)},"unit":"sec","n_queries":${times.size},"queries":${jmap(ts)}$om,"errors":$es$eo,"failed":${errors.size}$regressedJson$seedJson$probeJson$extra,"sf":"$sfDir"}"""
     }
     // The harness that invokes this keeps only the last ~2000 characters of
     // stdout, and sbt appends a "[success] Total time..." trailer after us —
@@ -269,10 +347,19 @@ object Bench {
       // the measured truth; "priors" is what the next sweep compares to —
       // identical except regressed queries keep their old prior). A
       // diagnosis-subset run must never replace the full sweep's priors.
+      // the FILE also carries the raw re-time samples of every query that
+      // was sampled (>2 s or >2× prior) — the post-hoc diagnosis record
+      // VERDICT r10 #2 asked for (a lone recorded number can't distinguish
+      // "one bad sample among three" from "three sustained bad samples")
+      val samplesJson =
+        if (samplesLog.isEmpty) ""
+        else s""","samples":${samplesLog.map { case (k, v) =>
+          s"${jstr(k)}:${v.map(fmt).mkString("[", ",", "]")}"
+        }.mkString("{", ",", "}")}"""
       if (only.isEmpty) java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
         (line(times, 0, extra =
-          s""","priors":${jmap(nextPriors(times, prior, regressed.toSet))}""")
+          s""","priors":${jmap(nextPriors(times, prior, regressed.toSet))}$samplesJson""")
           + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // best-effort; the stdout line is the contract
     val MaxLine = 1700

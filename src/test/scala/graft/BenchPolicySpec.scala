@@ -14,16 +14,33 @@ class BenchPolicySpec extends AnyFunSuite {
     (() => { i += 1; it.next() }, () => i)
   }
 
-  test("no prior: first timing reported, no re-time") {
+  test("no prior, under the sampling floor: first timing reported, no re-time") {
     val (re, n) = counting(99.0, 99.0)
-    assert(Bench.settle(None, 5.0, re) === ((5.0, false)))
+    assert(Bench.settle(None, 1.5, re) === ((1.5, false)))
     assert(n() === 0)
   }
 
-  test("within 2x of prior: first timing reported, no re-time") {
+  test("within 2x of prior and under the floor: no re-time") {
     val (re, n) = counting(99.0, 99.0)
-    assert(Bench.settle(Some(3.0), 5.9, re) === ((5.9, false)))
+    assert(Bench.settle(Some(1.2), 1.9, re) === ((1.9, false)))
     assert(n() === 0)
+  }
+
+  test(">2s queries are always sampled: median reported, samples kept") {
+    // VERDICT r10 #2: expensive queries log all 3 samples even unflagged,
+    // so unexplained drift is diagnosable post-hoc
+    val (re, n) = counting(2.4, 2.6)
+    assert(Bench.settleSamples(None, 2.5, re) ===
+      ((2.5, false, Seq(2.5, 2.4, 2.6))))
+    assert(n() === 2)
+  }
+
+  test("sustained drift under the first-timing trigger still flags via the median") {
+    // the q_neardup_jaccard r10 shape: carried prior high enough that the
+    // first timing doesn't trip 2×, but the ≥2 s sampling band re-times
+    // anyway and the median exceeds 2× the prior → flagged, not silent
+    val (re, _) = counting(3.3, 3.1)
+    assert(Bench.settle(Some(1.5), 2.9, re) === ((3.1, true)))
   }
 
   test("first timing past 2x, median recovers: de-noised, not regressed") {
@@ -48,18 +65,30 @@ class BenchPolicySpec extends AnyFunSuite {
   }
 
   test("zero/negative prior never divides the policy") {
-    val (re, n) = counting(99.0)
+    // ≥2 s still samples (the band is priorless by design) but a
+    // degenerate prior can never produce a flag
+    val (re, n) = counting(13.2, 12.8)
     assert(Bench.settle(Some(0.0), 13.0, re) === ((13.0, false)))
-    assert(n() === 0)
+    assert(n() === 2)
   }
 
-  test("nextPriors: regressions keep the old prior, the rest refresh") {
+  test("nextPriors: stall-scale regressions keep the old prior, the rest refresh") {
     val times = Map("q_a" -> 13.1, "q_b" -> 0.9, "q_new" -> 4.0)
     val priors = Map("q_a" -> 1.9, "q_b" -> 1.0)
     val next = Bench.nextPriors(times, priors, Set("q_a", "q_new"))
-    assert(next("q_a") === 1.9)  // regressed: old prior carried forward
+    assert(next("q_a") === 1.9)  // 13.1 > 4×1.9: stall scale, prior held
     assert(next("q_b") === 0.9)  // normal: fresh measurement
     assert(next("q_new") === 4.0) // regressed but no old prior: fresh
+  }
+
+  test("nextPriors: a confirmed regression within the cap becomes the new prior") {
+    // the BENCH_r10 q_source_overlap shape: 0.49 s builder-box prior vs a
+    // sustained ~1.1 s driver-box number — a cross-box envelope, not a
+    // stall; accepting the confirmed number makes the flag one-shot
+    // instead of permanent (r11 policy)
+    val next = Bench.nextPriors(
+      Map("q_so" -> 1.13), Map("q_so" -> 0.49), Set("q_so"))
+    assert(next("q_so") === 1.13) // 1.13 ≤ 4×0.49: accepted
   }
 
   test("parsePriors prefers the priors map over measured queries") {
