@@ -124,18 +124,31 @@ object DocStream {
     * semantics make that silent data mixing, not an error). A pre-marker
     * checkpoint (no marker file) is adopted: its outputs are recorded now
     * so every later resume is verified.
+    *
+    * OPERATOR PARAMS get the same treatment (VERDICT r10 #5): the dedup
+    * horizon / stats window / column names are recorded in a second
+    * marker at first start, and a resume whose params differ fails
+    * loudly — state built under one horizon replayed under another would
+    * silently change which documents dedup (the state rows already
+    * evicted/retained don't match the new watermark), and a changed
+    * stats window would mix incompatible partials under one store. A
+    * pre-marker checkpoint is adopted, same as outputs.
     */
   private val OutputsMarker = "graft-output-paths"
+  private val ParamsMarker = "graft-operator-params"
 
   private def requireFreshOutputs(spark: org.apache.spark.sql.SparkSession,
                                   checkpoint: String,
-                                  outPaths: Seq[String]): Unit = {
+                                  outPaths: Seq[String],
+                                  params: Seq[(String, String)] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     val ckOffsets = new Path(checkpoint, "offsets")
     val freshCheckpoint = !ckOffsets.getFileSystem(conf).exists(ckOffsets)
     val marker = new Path(checkpoint, OutputsMarker)
+    val paramsMarker = new Path(checkpoint, ParamsMarker)
     val mfs = marker.getFileSystem(conf)
+    val paramLines = params.map { case (k, v) => s"$k=$v" }.sorted
     if (freshCheckpoint) {
       outPaths.foreach { p =>
         val path = new Path(p)
@@ -150,35 +163,51 @@ object DocStream {
             "merge stale batches with the new lineage; point at a fresh " +
             "output path or keep the original checkpoint")
       }
-      writeMarker(mfs, marker, outPaths)
+      writeMarker(mfs, marker, outPaths.sorted)
+      if (params.nonEmpty) writeMarker(mfs, paramsMarker, paramLines)
     } else {
       if (mfs.exists(marker)) {
-        val recorded = {
-          val in = mfs.open(marker)
-          try {
-            val out = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](8192)
-            var n = in.read(buf)
-            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-            new String(out.toByteArray, "UTF-8").linesIterator
-              .filter(_.nonEmpty).toSeq
-          } finally in.close()
-        }
+        val recorded = readMarker(mfs, marker)
         require(recorded.sorted == outPaths.sorted,
           s"checkpoint $checkpoint was created for output path(s) " +
             s"${recorded.mkString(", ")} but this start points at " +
             s"${outPaths.mkString(", ")} — resuming would replay batch ids " +
             "into a directory from a different lineage; keep checkpoint and " +
             "outputs paired, or start over with a fresh checkpoint")
-      } else writeMarker(mfs, marker, outPaths) // pre-marker checkpoint: adopt
+      } else writeMarker(mfs, marker, outPaths.sorted) // pre-marker: adopt
+      if (params.nonEmpty) {
+        if (mfs.exists(paramsMarker)) {
+          val recorded = readMarker(mfs, paramsMarker)
+          require(recorded == paramLines,
+            s"checkpoint $checkpoint was created with operator params " +
+              s"[${recorded.mkString(", ")}] but this start uses " +
+              s"[${paramLines.mkString(", ")}] — resuming streaming state " +
+              "under different params would silently change dedup/window " +
+              "semantics for the retained state; keep the params, or start " +
+              "over with a fresh checkpoint")
+        } else writeMarker(mfs, paramsMarker, paramLines) // pre-marker: adopt
+      }
     }
+  }
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+                         marker: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(marker)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8").linesIterator
+        .filter(_.nonEmpty).toSeq
+    } finally in.close()
   }
 
   private def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
                           marker: org.apache.hadoop.fs.Path,
-                          outPaths: Seq[String]): Unit = {
+                          lines: Seq[String]): Unit = {
     val out = fs.create(marker, true)
-    try out.write((outPaths.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -297,7 +326,11 @@ object DocStream {
                          horizon: String = "1 hour",
                          window_ : String = "1 hour")
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    requireFreshOutputs(docs.sparkSession, checkpoint, Seq(outPath, statsPath))
+    // horizon/window/columns are part of the checkpoint's identity: the
+    // dedup state and stat partials were built under them (VERDICT r10 #5)
+    requireFreshOutputs(docs.sparkSession, checkpoint, Seq(outPath, statsPath),
+      params = Seq("tsCol" -> tsCol, "textCol" -> textCol,
+        "horizon" -> horizon, "window" -> window_))
     firstSeenDocs(docs, tsCol, textCol, horizon).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val clean = decon(batch)

@@ -175,6 +175,21 @@ class DocStreamSpec extends SparkSpec {
         tempDir("pipeOut2").toString + "/clean", stats, ck, horizon = "6 hours")
     }
     assert(err2.getMessage.contains("different lineage"))
+    // param guard (VERDICT r10 #5): same checkpoint, same outputs, but a
+    // DIFFERENT dedup horizon — the retained state was built under the
+    // old horizon, so resuming under a new one would silently change
+    // which documents dedup; must fail loudly at start
+    val err3 = intercept[IllegalArgumentException] {
+      DocStream.ingestPipelineSink(stream, decon, "ingest_ts",
+        out, stats, ck, horizon = "2 hours", window_ = "1 hour")
+    }
+    assert(err3.getMessage.contains("operator params"))
+    // ...and a changed stats window is equally a state-identity change
+    val err4 = intercept[IllegalArgumentException] {
+      DocStream.ingestPipelineSink(stream, decon, "ingest_ts",
+        out, stats, ck, horizon = "6 hours", window_ = "30 minutes")
+    }
+    assert(err4.getMessage.contains("operator params"))
     // while the matched resume (same checkpoint, same outputs) still starts
     val q2 = DocStream.ingestPipelineSink(stream, decon, "ingest_ts",
       out, stats, ck, horizon = "6 hours", window_ = "1 hour")
