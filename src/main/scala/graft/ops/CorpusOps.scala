@@ -69,6 +69,74 @@ object CorpusOps {
       .drop("rk")
   }
 
+  /** DSIR-style importance resampling (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023 — public
+    * method): score every document by how much more likely its hashed
+    * n-gram features are under a TARGET domain's bag-of-features unigram
+    * LM than under the raw corpus's, then draw `k` docs without
+    * replacement with probability ∝ exp(score) — the classifier-free way
+    * to tilt a crawl toward a target domain (the paper's hashed-n-gram
+    * variant matched trained-classifier selection on GLUE).
+    *
+    * Math, all engine-portable: features hash into `buckets` bins
+    * (b = fh mod B); with add-one smoothing over occurrence totals T
+    * (target) and Q (all), each bin's log importance ratio is
+    * lr(b) = ln((T_b+1)/(T+B)) − ln((Q_b+1)/(Q+B)), rounded to 6 (the
+    * repo-wide ln-portability discipline); a doc's score is the
+    * DECIMAL-exact sum of lr over its feature OCCURRENCES. The draw is
+    * A-ES in log-log form: with weight w = exp(score), the standard
+    * ascending key (−ln u)/w ranks identically to ln(−ln u) − score —
+    * so the exp never happens and the whole draw stays inside the
+    * proven-portable ln/round algebra. u is the [[sampleBasis]]-style
+    * deterministic h60 draw — same reproducibility contract as every
+    * sampler here.
+    *
+    * Scale posture: the bucket relation is ≤ B rows — broadcast into the
+    * per-doc scoring join; the exploded feature stream is persisted once
+    * (caller-managed lifetime, the repo's per-query contract) and feeds
+    * the count aggregate and the scoring join; target membership is a
+    * conditional sum inside the ONE bucket aggregate, not a join. Per
+    * doc the plan is one shuffle on the doc key; the lr relation is the
+    * reusable artifact at 100 TB (compute once per corpus snapshot,
+    * broadcast everywhere).
+    *
+    * Docs with zero features have no rows in the feature stream and are
+    * absent from the result (unscorable). Returns
+    * (`idCol`, carryCols…, `log_ratio`, `es_key`) — the k smallest keys.
+    */
+  def importanceResample(df: DataFrame, idCol: String, featsCol: Column,
+                         isTarget: Column, buckets: Int, k: Int,
+                         carryCols: Seq[String] = Nil,
+                         salt: String = "dsir"): DataFrame = {
+    require(buckets >= 2, s"buckets: $buckets")
+    require(k >= 1, s"k: $k")
+    val carried = carryCols.map(col)
+    val f = df
+      .select(col(idCol) +: isTarget.as("is_t") +:
+        explode(featsCol).as("fh") +: carried: _*)
+      .withColumn("b", pmod(col("fh"), lit(buckets.toLong)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qc = f.groupBy(col("b")).agg(
+      count(lit(1)).as("qb"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("tb"))
+    val tot = qc.agg(sum(col("qb")).as("qt"), sum(col("tb")).as("tt"))
+    val lr = qc.crossJoin(broadcast(tot)) // 1-row global totals
+      .select(col("b"), round(
+        log((col("tb") + 1).cast("double") / (col("tt") + buckets).cast("double"))
+          - log((col("qb") + 1).cast("double") / (col("qt") + buckets).cast("double")),
+        6).as("lr"))
+    val perDoc = f.join(broadcast(lr), Seq("b"))
+      .groupBy(col(idCol) +: carried: _*)
+      .agg(round(sum(col("lr").cast("decimal(28,6)")).cast("double"), 6)
+        .as("log_ratio"))
+    val u = (pmod(Hashes.h60(concat(lit(salt), lit(":"),
+        col(idCol).cast("string"))), lit(1000000L)) + 0.5) / 1000000.0
+    perDoc
+      .withColumn("es_key", round(log(-log(u)), 6) - col("log_ratio"))
+      .orderBy(col("es_key"), col(idCol))
+      .limit(k)
+  }
+
   /** Keep each row with probability `rateBp`/10000 — deterministically:
     * the same (salt, id) always draws the same value, new rows never
     * reshuffle old decisions, and re-partitioning cannot change the

@@ -482,6 +482,26 @@ object TextPipelineQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // ── DSIR importance resampling (domain-matched selection) ───────────
+    // Hashed unigram+bigram features (the contamination pipeline's token
+    // hashes + the native positional 2-gram hashes), bucketed mod 1024;
+    // target LM = src0's docs, raw LM = the whole corpus; per-doc log
+    // importance ratio summed decimal-exact; the ∝exp(score) A-ES draw
+    // runs in log-log form so exp never leaves the portable ln algebra
+    // (CorpusOps.importanceResample — Xie et al., NeurIPS 2023).
+    "q_dsir_sample" -> ((s, dir) => {
+      val hsarr = transform(TextAnalysis.tokens(col("text")),
+        t => Hashes.h60(t))
+      val feats = concat(hsarr,
+        call_function("ngram_hashes", hsarr, lit(2)))
+      CorpusOps.importanceResample(
+        docs(s, dir).withColumn("feats", feats), "doc_id", col("feats"),
+        col("source") === "src0", buckets = 1024, k = 50,
+        carryCols = Seq("lang", "source"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("log_ratio"), round(col("es_key"), 6).as("es_key"))
+    }),
+
     // ── Greedy sequence packing (context-window assembly) ───────────────
     // pack_id = floor(prev running tokens / budget) within each language,
     // doc order by id — the overflow-allowed packing policy, expressed as
@@ -960,6 +980,45 @@ object TextPipelineQueries {
           SELECT r.doc_id, r.lang, q.quota, ROUND(r.es_key, 6) AS es_key
           FROM r JOIN q USING (lang) WHERE r.rk <= q.quota
           ORDER BY lang, doc_id""",
+    // DSIR: hashed unigram+bigram features → 1024 buckets → add-one
+    // smoothed log importance ratio per bucket → decimal-exact per-doc
+    // sum → A-ES draw in log-log form (ln(-ln u) - score ranks like
+    // (-ln u)/exp(score), so exp never happens in either engine).
+    "q_dsir_sample" ->
+      s"""WITH hs AS (
+            SELECT doc_id, lang, source,
+              list_transform($ToksSql, t -> ${h60("t")}) AS hsarr
+            FROM documents),
+          feat AS (
+            SELECT doc_id, lang, source, source = 'src0' AS is_t,
+              unnest(list_concat(hsarr, ${ngramHashesPosSql("hsarr", 2)})) AS fh
+            FROM hs),
+          fb AS (
+            SELECT doc_id, lang, source, is_t, fh % 1024 AS b FROM feat),
+          qc AS (
+            SELECT b, count(*) AS qb, count(*) FILTER (WHERE is_t) AS tb
+            FROM fb GROUP BY b),
+          tot AS (SELECT SUM(qb) AS qt, SUM(tb) AS tt FROM qc),
+          lr AS (
+            SELECT b,
+              ROUND(ln(CAST(tb + 1 AS DOUBLE) / CAST(tt + 1024 AS DOUBLE))
+                  - ln(CAST(qb + 1 AS DOUBLE) / CAST(qt + 1024 AS DOUBLE)),
+                6) AS lr
+            FROM qc CROSS JOIN tot),
+          dl AS (
+            SELECT doc_id, lang, source,
+              ROUND(CAST(SUM(CAST(lr AS DECIMAL(28,6))) AS DOUBLE), 6)
+                AS log_ratio
+            FROM fb JOIN lr ON fb.b = lr.b
+            GROUP BY doc_id, lang, source),
+          d AS (
+            SELECT *,
+              ROUND(ln(-ln((CAST(${h60("'dsir:' || doc_id")} % 1000000
+                                 AS DOUBLE) + 0.5) / 1000000)), 6)
+                - log_ratio AS es_key
+            FROM dl)
+          SELECT doc_id, lang, source, log_ratio, ROUND(es_key, 6) AS es_key
+          FROM d ORDER BY d.es_key, doc_id LIMIT 50""",
     "q_assemble" -> {
       val norm = s"trim(regexp_replace(lower(text), '$Re', ' ', 'g'))"
       s"""WITH d0 AS (

@@ -139,6 +139,46 @@ class CorpusOpsSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("exactly one row per group")))
   }
 
+  test("importanceResample: target-vocab docs outscore off-domain, draw is stable") {
+    import spark.implicits._
+    import graft.functions.Hashes
+    // two disjoint vocabularies: docs 0-9 speak vocab A, 10-19 vocab B;
+    // the TARGET sample is ids 0-4 (all vocab A) — every A doc must get a
+    // strictly higher log importance ratio than every B doc, target
+    // membership included or not (DSIR scores raw docs by feature
+    // likelihood ratio, not by membership)
+    val rows = (0 until 20).map { i =>
+      val toks =
+        if (i < 10) Seq("alpha", "beta", "gamma", "alpha")
+        else Seq("delta", "epsilon", "zeta", "delta")
+      (i.toLong, toks, i < 5)
+    } :+ ((20L, Seq.empty[String], false)) // zero-feature doc: unscorable
+    val df = rows.toDF("id", "toks", "is_t")
+      .withColumn("f", transform(col("toks"), t => Hashes.h60(t)))
+    val out = CorpusOps.importanceResample(df, "id", col("f"), col("is_t"),
+      buckets = 64, k = 21)
+    val scored = out.select("id", "log_ratio").as[(Long, Double)]
+      .collect().toMap
+    assert(scored.keySet === (0L until 20L).toSet,
+      "all featured docs scored; the empty doc is absent")
+    val aMin = (0L until 10L).map(scored).min
+    val bMax = (10L until 20L).map(scored).max
+    assert(aMin > bMax,
+      s"target-vocab floor $aMin must exceed off-domain ceiling $bMax")
+    // within a vocab every doc has identical features → identical ratio
+    assert((0L until 10L).map(scored).distinct.size === 1)
+    // deterministic under repartitioning, and the k cut is the prefix of
+    // the full ascending-key order
+    val again = CorpusOps.importanceResample(df.repartition(7), "id",
+      col("f"), col("is_t"), buckets = 64, k = 21)
+    assert(out.select("id", "log_ratio", "es_key").collect().toSeq ===
+      again.select("id", "log_ratio", "es_key").collect().toSeq)
+    val top5 = CorpusOps.importanceResample(df, "id", col("f"), col("is_t"),
+      buckets = 64, k = 5).select("id").as[Long].collect().toSeq
+    assert(top5 === out.select("id").as[Long].collect().toSeq.take(5))
+    spark.catalog.clearCache()
+  }
+
   test("weightedSample: non-positive weights raise instead of corrupting the sample") {
     import spark.implicits._
     // a zero weight would draw es_key = +Inf (silent exclusion), a
