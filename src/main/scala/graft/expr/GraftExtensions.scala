@@ -53,6 +53,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("winnow_mins"),
+      new ExpressionInfo(classOf[WinnowMins].getName, "winnow_mins"),
+      (children: Seq[Expression]) => {
+        children match {
+          case Seq(h, Literal(w: Int, IntegerType)) => WinnowMins(h, w)
+          case _ => throw new IllegalArgumentException(
+            "winnow_mins expects (array<bigint>, literal int w)")
+        }
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => {

@@ -172,6 +172,101 @@ case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ASC-sorted distinct sliding-window minima of an `array<long>` — the
+  * winnowing fingerprint selection of Schleimer/Wilkerson/Aiken (SIGMOD
+  * 2003) over a positional hash stream, as ONE generated loop (the
+  * composed `transform(sequence…, i → array_min(slice…))` form pays the
+  * no-codegen-inside-HOF tax this expression family exists to remove).
+  * Output order is defined as ascending because a fingerprint SET has no
+  * inherent order and sortedness makes the result canonical across
+  * engines. Empty output when fewer than `w` elements. DuckDB mirror:
+  * `list_sort(list_distinct(list_transform(generate_series(1,
+  * greatest(len(h)-w+1, 0)), i -> list_min(h[i:i+w-1]))))`.
+  */
+case class WinnowMins(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1 && w <= 64, s"winnow_mins w out of range: $w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_mins"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements() - w + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val mins = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var mn = arr.getLong(i)
+      var j = 1
+      while (j < w) {
+        val v = arr.getLong(i + j)
+        if (v < mn) mn = v
+        j += 1
+      }
+      mins(i) = mn
+      i += 1
+    }
+    java.util.Arrays.sort(mins)
+    var k = 0
+    var p = 0
+    while (p < m) { if (p == 0 || mins(p) != mins(p - 1)) k += 1; p += 1 }
+    val out = new Array[Long](k)
+    var q = 0
+    p = 0
+    while (p < m) {
+      if (p == 0 || mins(p) != mins(p - 1)) { out(q) = mins(p); q += 1 }
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val mn = ctx.freshName("mn")
+      val v = ctx.freshName("v")
+      val mins = ctx.freshName("mins")
+      val k = ctx.freshName("k")
+      val p = ctx.freshName("p")
+      val q = ctx.freshName("q")
+      val out = ctx.freshName("out")
+      s"""
+         |int $m = $a.numElements() - $w + 1;
+         |if ($m < 0) $m = 0;
+         |long[] $mins = new long[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  long $mn = $a.getLong($i);
+         |  for (int $j = 1; $j < $w; $j++) {
+         |    long $v = $a.getLong($i + $j);
+         |    if ($v < $mn) $mn = $v;
+         |  }
+         |  $mins[$i] = $mn;
+         |}
+         |java.util.Arrays.sort($mins);
+         |int $k = 0;
+         |for (int $p = 0; $p < $m; $p++) {
+         |  if ($p == 0 || $mins[$p] != $mins[$p - 1]) $k++;
+         |}
+         |long[] $out = new long[$k];
+         |int $q = 0;
+         |for (int $p = 0; $p < $m; $p++) {
+         |  if ($p == 0 || $mins[$p] != $mins[$p - 1]) $out[$q++] = $mins[$p];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMins =
+    copy(child = newChild)
+}
+
 /** MinHash signature of an `array<long>` of element hashes under the
   * affine family [[Sketches.affineA]]/[[Sketches.affineB]]: k minima in one
   * pass (n·k fused multiply-add-mask ops, no intermediate arrays). NULL for

@@ -77,6 +77,66 @@ object Dedup {
     docs.select(col(idCol).as("id"), ngramHashSet(col(toksCol), n).as("hs"))
       .where(size(col("hs")) > 0)
 
+  /** Winnowed fingerprint set (Schleimer/Wilkerson/Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+    * MOSS algorithm; value-distinct variant): over the positional n-gram
+    * hash stream, slide a window of `w` consecutive hashes and keep each
+    * window's MINIMUM; the fingerprint set is the distinct minima.
+    *
+    * Guarantee (the paper's correctness property): any verbatim token
+    * run of length ≥ n + w − 1 shared by two documents fully contains
+    * some hash window in both, so they share at least one fingerprint —
+    * while the expected fingerprint density drops to ~2/(w+1) of the
+    * full n-gram index (the winnowing density bound). This is the
+    * sublinear-index counterpart of [[substrDupRuns]]' exhaustive
+    * positional index: same detection floor, a w/2-fold smaller index to
+    * shuffle at corpus scale.
+    *
+    * Narrow per-row computation (hash + the native
+    * [[graft.expr.WinnowMins]] windowed-min-distinct, one generated loop
+    * — no shuffle, no HOF interpretation tax); docs with fewer than
+    * n + w − 1 tokens fingerprint to the empty set. Output is the
+    * ASC-sorted distinct minima (canonical set order across engines).
+    */
+  def winnowedFingerprints(toks: Column, n: Int, w: Int): Column = {
+    require(n >= 1, s"n: $n")
+    require(w >= 1, s"w: $w")
+    call_function("winnow_mins",
+      call_function("ngram_hashes", transform(toks, t => Hashes.h60(t)), lit(n)),
+      lit(w))
+  }
+
+  /** Near-verbatim candidate pairs on shared winnowed fingerprints: docs
+    * sharing ≥ `minShared` distinct fingerprints, with the same df cap —
+    * for the same boilerplate/skew reasons — as [[contaminationPairs]].
+    * Because [[winnowedFingerprints]] is distinct per doc, the join's
+    * group count IS the distinct shared-fingerprint count. The exploded
+    * index feeds three plan branches (df aggregate + both join sides);
+    * `persistIndex` materializes it once (caller-managed lifetime, the
+    * repo's per-query contract).
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, toksCol: Column,
+                  n: Int, w: Int, minShared: Int, maxDf: Int,
+                  persistIndex: Boolean = true): DataFrame = {
+    require(minShared >= 1, s"minShared: $minShared")
+    require(maxDf >= 1, s"maxDf: $maxDf")
+    val f0 = docs.select(col(idCol).as("id"),
+      explode(winnowedFingerprints(toksCol, n, w)).as("fp"))
+    val f =
+      if (persistIndex)
+        f0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else f0
+    val keep = f.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("fp"))
+    val idx = f.join(keep, Seq("fp"))
+    idx.select(col("fp"), col("id").as("id_a"))
+      .join(idx.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Band hashes for LSH: b hashes, each over r consecutive signature slots.
     * Equal band hash ⇒ the r minhashes agree ⇒ candidate pair.
     */

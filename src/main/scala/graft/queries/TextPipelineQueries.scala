@@ -325,6 +325,19 @@ object TextPipelineQueries {
           maxDf = 50)
         .orderBy("id_a", "id_b")),
 
+    // ── Winnowed-fingerprint near-verbatim pairs (MOSS) ─────────────────
+    // Schleimer et al. 2003: window-of-4 minima over the positional
+    // 8-gram hash stream — guaranteed to catch any shared verbatim run
+    // of ≥ 8+4−1 = 11 tokens while indexing only ~2/(w+1) of the
+    // n-grams q_substr_dup indexes exhaustively: the sublinear-index
+    // member of the substring-dedup family. df-cap 100 mutes
+    // boilerplate fingerprints before the join (Dedup.winnowPairs).
+    "q_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(docs(s, dir), "doc_id",
+          TextAnalysis.tokens(col("text")), n = 8, w = 4, minShared = 1,
+          maxDf = 100)
+        .orderBy("id_a", "id_b")),
+
     // ── Wide (120-bit) SimHash pair search — the large-corpus form ──────
     // Same pigeonhole machinery as q_simhash but over Dedup.simhashWide's
     // two independent 60-bit words: every block doubles in width, squaring
@@ -818,6 +831,30 @@ object TextPipelineQueries {
             CAST(sum(run_ng) AS BIGINT) AS n_matches
           FROM runs GROUP BY id_a, id_b
           HAVING max(run_ng) + 7 >= 12
+          ORDER BY id_a, id_b""",
+    // winnowing: window-of-4 minima over the positional 8-gram hash
+    // stream, distinct per doc; shared-fingerprint pairs df-capped at 100
+    "q_winnow_pairs" ->
+      s"""WITH hs AS (
+            SELECT doc_id,
+              list_transform($ToksSql, t -> ${h60("t")}) AS hsarr
+            FROM documents),
+          p AS (
+            SELECT doc_id, ${ngramHashesPosSql("hsarr", 8)} AS pos FROM hs),
+          f AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(pos) - 3, 0)),
+                i -> list_min(pos[i:i+3])))) AS fp
+            FROM p),
+          dfc AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 100)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            count(*) AS n_shared
+          FROM f a
+          JOIN dfc ON a.fp = dfc.fp
+          JOIN f b ON a.fp = b.fp
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING count(*) >= 1
           ORDER BY id_a, id_b""",
     "q_simhash_wide" ->
       s"""WITH tok AS (

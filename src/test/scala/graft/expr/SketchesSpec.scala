@@ -50,6 +50,36 @@ class SketchesSpec extends SparkSpec {
     sigs.foreach(v => assert(v >= 0 && v <= Sketches.Mask60))
   }
 
+  private def winnowRef(hs: Seq[Long], w: Int): Seq[Long] =
+    if (hs.length < w) Seq.empty
+    else hs.sliding(w).map(_.min).toSeq.distinct.sorted
+
+  test("winnow_mins codegen output matches the JVM reference; short input → empty") {
+    for (w <- Seq(1, 2, 4, 7)) {
+      val got = arrays.toDF("hs")
+        .select(call_function("winnow_mins", col("hs"), lit(w)))
+        .as[Seq[Long]].collect().toSeq
+      assert(got === arrays.map(winnowRef(_, w)), s"w=$w")
+    }
+    // fewer elements than the window → empty set, not null
+    val short = Seq(Seq(1L, 2L)).toDF("hs")
+      .select(call_function("winnow_mins", col("hs"), lit(4)))
+      .as[Seq[Long]].collect().head
+    assert(short === Seq.empty)
+  }
+
+  test("winnow_mins density: ~2/(w+1) of positions on random input") {
+    // the winnowing density bound (Schleimer et al. §4): expected
+    // fingerprint fraction 2/(w+1); allow a generous band on 10k hashes
+    val hs = Seq.fill(10000)(rnd.nextLong() & Sketches.Mask60)
+    val w = 4
+    val n = Seq(hs).toDF("hs")
+      .select(size(call_function("winnow_mins", col("hs"), lit(w))))
+      .as[Int].collect().head
+    val frac = n.toDouble / hs.size
+    assert(frac > 0.25 && frac < 0.55, s"density $frac vs expected ~0.4")
+  }
+
   test("sketch expressions reject non-long-array input at analysis time") {
     val e = intercept[Exception] {
       Seq(Seq("a")).toDF("hs")

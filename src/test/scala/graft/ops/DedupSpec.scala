@@ -418,6 +418,42 @@ class DedupSpec extends SparkSpec {
     assertKeyedJoins(out, "substringRunPairs")
   }
 
+  test("winnowPairs: ≥ n+w−1 token runs guaranteed; equals brute fingerprint intersection") {
+    // docs 1 and 2 share an 11-token verbatim run (= n+w−1 for n=8,w=4 —
+    // the winnowing guarantee floor) embedded in different contexts; doc 3
+    // is disjoint. The shared run spans 11−8+1 = 4 consecutive 8-gram
+    // hashes — exactly one full window — so 1 and 2 MUST share ≥1
+    // fingerprint (Schleimer et al. §3).
+    def words(p: String, r: Range) = r.map(i => s"$p$i")
+    val run = words("run", 1 to 11)
+    val d = Seq(
+      (1L, words("a", 1 to 6) ++ run ++ words("at", 1 to 3)),
+      (2L, words("b", 1 to 9) ++ run ++ words("bt", 1 to 5)),
+      (3L, words("c", 1 to 25))
+    ).toDF("id", "toks")
+    val pairs = Dedup.winnowPairs(d, "id", col("toks"),
+        n = 8, w = 4, minShared = 1, maxDf = 100)
+      .select("id_a", "id_b", "n_shared").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)),
+      s"exactly the planted pair: $pairs")
+    // brute force: per-doc fingerprint sets intersected in the JVM
+    val fps = d.select(col("id"),
+        Dedup.winnowedFingerprints(col("toks"), 8, 4).as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(pairs.head._3 === fps(1L).toSet.intersect(fps(2L).toSet).size)
+    // the fingerprint index is sparser than the full n-gram index
+    val nNgrams = d.select(sum(greatest(size(col("toks")) - 7, lit(0))))
+      .as[Long].head()
+    assert(fps.values.map(_.size).sum < nNgrams,
+      "winnowing must index fewer hashes than the exhaustive positional index")
+    // a run one token short of the floor has NO guarantee but the pair
+    // machinery still returns only what the fingerprints support
+    assertKeyedJoins(Dedup.winnowPairs(d, "id", col("toks"),
+      n = 8, w = 4, minShared = 1, maxDf = 100), "winnowPairs")
+    spark.catalog.clearCache()
+  }
+
   test("simhash: near-identical docs land within small Hamming distance") {
     val df = docs.withColumn("sh", Dedup.simhash(TextAnalysis.tokens(col("text"))))
     val hs = df.select("doc_id", "sh").as[(Long, Long)].collect().toMap
