@@ -419,6 +419,45 @@ object CorpusStats {
           .as("jaccard"))
   }
 
+  /** Per-document duplicated-n-gram fraction — the boilerplate/novelty
+    * signal CCNet-class curation pipelines threshold on ("what share of
+    * this doc's n-grams exists elsewhere in the corpus?"): for each doc,
+    * the fraction of its DISTINCT n-gram hashes whose corpus document
+    * frequency is ≥ 2. A verbatim copy scores 1.0; fully original text
+    * scores 0.0; template-heavy pages land in between — the number a
+    * quality gate reads next to length/punctuation stats.
+    *
+    * Scale posture: the df relation is distinct n-grams (vocabulary-
+    * scale) aggregated with one keyed shuffle on the hash; the per-doc
+    * fraction is one more keyed shuffle on the doc id. The exploded
+    * (id, h) relation feeds both branches — persisted once, caller-
+    * managed lifetime (the repo's per-query contract). No broadcast of
+    * anything corpus-sized; boilerplate hashes need no cap here because
+    * the join key is the doc id side, never a df-skewed fan-out.
+    */
+  def duplicatedNgramFraction(docs: DataFrame, idCol: String,
+                              toksCol: Column, n: Int,
+                              carryCols: Seq[String] = Nil,
+                              persistIndex: Boolean = true): DataFrame = {
+    val carried = carryCols.map(col)
+    val ex0 = docs
+      .select(col(idCol) +: Dedup.ngramHashSet(toksCol, n).as("hs") +: carried: _*)
+      .where(size(col("hs")) > 0)
+      .select(col(idCol) +: explode(col("hs")).as("h") +: carried: _*)
+    val ex =
+      if (persistIndex)
+        ex0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else ex0
+    // hs is distinct per doc, so count(*) per hash IS document frequency
+    val dfRel = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    ex.join(dfRel, Seq("h"))
+      .groupBy(col(idCol) +: carried: _*)
+      .agg(count(lit(1)).cast("long").as("n_ngrams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("long").as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_ngrams"), 6))
+  }
+
   /** Iterated BPE training over the word-frequency table: `k` successive
     * merges, re-deriving pair counts from the merged vocabulary between
     * iterations — the actual tokenizer-training loop, extending the

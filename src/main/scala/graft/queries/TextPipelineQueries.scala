@@ -325,6 +325,16 @@ object TextPipelineQueries {
           maxDf = 50)
         .orderBy("id_a", "id_b")),
 
+    // ── Per-doc duplicated-n-gram fraction (boilerplate signal) ─────────
+    // The CCNet-class curation number: what share of each doc's distinct
+    // 5-gram hashes has corpus df ≥ 2. Verbatim copies score 1.0,
+    // original text 0.0 — the threshold input a quality gate reads next
+    // to length/punct stats (CorpusStats.duplicatedNgramFraction).
+    "q_boilerplate" -> ((s, dir) =>
+      CorpusStats.duplicatedNgramFraction(docs(s, dir), "doc_id",
+          TextAnalysis.tokens(col("text")), n = 5, carryCols = Seq("lang"))
+        .orderBy("doc_id")),
+
     // ── Winnowed-fingerprint near-verbatim pairs (MOSS) ─────────────────
     // Schleimer et al. 2003: window-of-4 minima over the positional
     // 8-gram hash stream — guaranteed to catch any shared verbatim run
@@ -832,6 +842,27 @@ object TextPipelineQueries {
           FROM runs GROUP BY id_a, id_b
           HAVING max(run_ng) + 7 >= 12
           ORDER BY id_a, id_b""",
+    // distinct 5-gram hashes per doc; df over the exploded relation;
+    // dup_frac = share of the doc's hashes with corpus df >= 2
+    "q_boilerplate" ->
+      s"""WITH hs AS (
+            SELECT doc_id, lang,
+              list_transform($ToksSql, t -> ${h60("t")}) AS hsarr
+            FROM documents),
+          ng AS (
+            SELECT doc_id, lang, ${ngramHashesSql("hsarr", 5)} AS ngh FROM hs),
+          e AS (
+            SELECT doc_id, lang, unnest(ngh) AS h FROM ng
+            WHERE len(ngh) > 0),
+          d AS (SELECT h, count(*) AS df FROM e GROUP BY h)
+          SELECT doc_id, lang,
+            CAST(count(*) AS BIGINT) AS n_ngrams,
+            CAST(count(*) FILTER (WHERE df >= 2) AS BIGINT) AS n_dup,
+            ROUND(CAST(count(*) FILTER (WHERE df >= 2) AS DOUBLE)
+                  / count(*), 6) AS dup_frac
+          FROM e JOIN d USING (h)
+          GROUP BY doc_id, lang
+          ORDER BY doc_id""",
     // winnowing: window-of-4 minima over the positional 8-gram hash
     // stream, distinct per doc; shared-fingerprint pairs df-capped at 100
     "q_winnow_pairs" ->

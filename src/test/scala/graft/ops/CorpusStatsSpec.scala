@@ -210,6 +210,33 @@ class CorpusStatsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("duplicatedNgramFraction: copies score 1, originals 0, partial overlap exact") {
+    // 3-grams: docs 1 and 2 are verbatim copies (every 3-gram df=2 →
+    // frac 1.0); doc 3 shares its first 3 tokens with them — of its
+    // three 3-grams exactly one ("a b c") exists elsewhere → 1/3; doc 4
+    // is fully original → 0.0
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"),
+      (3L, "a b c x y"), (4L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.duplicatedNgramFraction(docs, "doc_id",
+        TextAnalysis.tokens(col("text")), n = 3)
+      .select("doc_id", "n_ngrams", "n_dup", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 3L, 3L, 1.0)))
+    assert(out(2L) === ((2L, 3L, 3L, 1.0)))
+    assert(out(3L) === ((3L, 3L, 1L, 0.333333)))
+    assert(out(4L) === ((4L, 3L, 0L, 0.0)))
+    // partition-invariant (the df aggregate is keyed, not sampled)
+    val again = CorpusStats.duplicatedNgramFraction(docs.repartition(5),
+        "doc_id", TextAnalysis.tokens(col("text")), n = 3)
+      .select("doc_id", "dup_frac").as[(Long, Double)].collect().toMap
+    assert(again === out.view.mapValues(_._4).toMap)
+    assertKeyedJoins(CorpusStats.duplicatedNgramFraction(docs, "doc_id",
+      TextAnalysis.tokens(col("text")), n = 3), "duplicatedNgramFraction")
+    spark.catalog.clearCache()
+  }
+
   test("bigramLogProb: frequent transitions outscore rare ones; short docs absent") {
     // corpus: "a b" ×10, "a z" ×1, "solo" ×1 — c(a b)=10, c(a z)=1,
     // c(a)=11, V={a,b,z,solo}=4: lp(a b)=ln(11/15), lp(a z)=ln(2/15)
