@@ -631,6 +631,30 @@ object Dedup {
     labels
   }
 
+  /** Per-cluster representative ("which duplicate survives"): within each
+    * component keep the member with the highest `scoreCol` (ties → smaller
+    * `idCol` — deterministic for engine-portable rounded scores). One
+    * row_number window per component plus a count aggregate; components are
+    * the OUTPUT of dedup, so both are shuffles over cluster members only —
+    * orders of magnitude below corpus scale.
+    *
+    * @param members one row per cluster member: (componentCol, idCol, scoreCol)
+    * @return (componentCol, rep_id, rep_score, n_members)
+    */
+  def clusterRepresentatives(members: DataFrame, componentCol: String,
+                             idCol: String, scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(componentCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val rep = members.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(componentCol), col(idCol).as("rep_id"),
+        col(scoreCol).as("rep_score"))
+    val sz = members.groupBy(col(componentCol))
+      .agg(count(lit(1)).cast("long").as("n_members"))
+    rep.join(sz, Seq(componentCol))
+  }
+
   /** SimHash (60-bit) of a token array: per bit position, sum ±1 votes from
     * each token occurrence's hash bit, then pack the sign bits. Votes are
     * term-frequency weighted (duplicates kept on purpose — distinct-token

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Hashes
-import graft.ops.{CorpusOps, CorpusStats, Dedup, TextAnalysis}
+import graft.ops.{Classify, CorpusOps, CorpusStats, Dedup, TextAnalysis}
 import graft.tok.Tokenizer
 
 /** LLM-training-data pipeline operators over `documents` (north-star
@@ -523,6 +523,41 @@ object TextPipelineQueries {
         carryCols = Seq("lang", "source"))
         .select(col("doc_id"), col("lang"), col("source"),
           col("log_ratio"), round(col("es_key"), 6).as("es_key"))
+    }),
+
+    // ── Naive-Bayes domain classifier (CCNet/fastText-tagger role) ──────
+    // Same hashed-unigram basis as DSIR; multinomial NB with add-one
+    // smoothing, trained and scored in two relational passes — the
+    // closed-form domain tagger (Classify.nbDomain). Output: per doc the
+    // winning class, its score, and its margin over the runner-up.
+    "q_nb_domain" -> ((s, dir) =>
+      Classify.nbDomain(
+        docs(s, dir).withColumn("feats",
+          transform(TextAnalysis.tokens(col("text")), t => Hashes.h60(t))),
+        "doc_id", col("feats"), "source", buckets = 1024)),
+
+    // ── Near-dup cluster representative selection ───────────────────────
+    // The "which doc survives dedup" stage: connected components over the
+    // verified MinHash near-dup pairs (same basis as q_dedup_clusters,
+    // without the synthetic chain), then per cluster keep the
+    // highest-quality member (quality desc, doc_id asc — deterministic).
+    "q_dedup_rep" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text")))
+      val pairs = Dedup.verifiedNearDupsFromHashes(
+          Dedup.hashedNgrams(d, "doc_id", "toks", 3), threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val q = d.select(col("doc_id"),
+        TextAnalysis.qualityScore(TextAnalysis.qualityFeatures(col("text")))
+          .as("quality"))
+      // members ≪ corpus: only docs that appear in a near-dup pair
+      val m = cc.join(q, cc("id") === q("doc_id"))
+        .select(col("component"), col("id"), col("quality"))
+      Dedup.clusterRepresentatives(m, "component", "id", "quality")
+        .withColumnRenamed("rep_score", "rep_quality")
+        .select(col("component"), col("rep_id"), col("rep_quality"),
+          col("n_members"))
+        .orderBy("component")
     }),
 
     // ── Greedy sequence packing (context-window assembly) ───────────────
@@ -1087,6 +1122,102 @@ object TextPipelineQueries {
             FROM dl)
           SELECT doc_id, lang, source, log_ratio, ROUND(es_key, 6) AS es_key
           FROM d ORDER BY d.es_key, doc_id LIMIT 50""",
+    // Long-form replay of Classify.nbDomain: (bucket, class) grid + per-doc
+    // per-class decimal sums + window argmax. The engine side is the wide
+    // broadcast-model plan; the algebra (ln rounded 6, DECIMAL(28,6) sums,
+    // ties to the smaller class label) is identical.
+    "q_nb_domain" ->
+      s"""WITH hs AS (
+            SELECT doc_id, source,
+              list_transform($ToksSql, t -> ${h60("t")}) AS hsarr
+            FROM documents),
+          fb AS (
+            SELECT doc_id, source, unnest(hsarr) % 1024 AS b FROM hs),
+          cls AS (SELECT DISTINCT source AS c FROM documents),
+          cc AS (SELECT source AS c, b, count(*) AS cnt FROM fb GROUP BY 1, 2),
+          ct AS (SELECT source AS c, count(*) AS tot FROM fb GROUP BY 1),
+          pri AS (
+            SELECT source AS c,
+              ROUND(ln(CAST(count(*) AS DOUBLE)
+                  / (SELECT count(*) FROM documents)), 6) AS pri
+            FROM documents GROUP BY 1),
+          grid AS (
+            SELECT b, c FROM (SELECT DISTINCT b FROM fb) CROSS JOIN cls),
+          lp AS (
+            SELECT g.b, g.c,
+              ROUND(ln(CAST(coalesce(cc.cnt, 0) + 1 AS DOUBLE)
+                  / CAST(ct.tot + 1024 AS DOUBLE)), 6) AS lp
+            FROM grid g
+            JOIN ct ON ct.c = g.c
+            LEFT JOIN cc ON cc.b = g.b AND cc.c = g.c),
+          sc AS (
+            SELECT fb.doc_id, fb.source, lp.c,
+              CAST(pri.pri AS DECIMAL(28,6))
+                + SUM(CAST(lp.lp AS DECIMAL(28,6))) AS score
+            FROM fb
+            JOIN lp ON lp.b = fb.b
+            JOIN pri ON pri.c = lp.c
+            GROUP BY fb.doc_id, fb.source, lp.c, pri.pri),
+          r AS (
+            SELECT doc_id, source, c, score,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, c) AS rn,
+              lead(score) OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, c) AS s2
+            FROM sc)
+          SELECT doc_id, source, c AS pred_label,
+            ROUND(CAST(score AS DOUBLE), 6) AS nb_score,
+            ROUND(CAST(score - s2 AS DOUBLE), 6) AS margin
+          FROM r WHERE rn = 1 ORDER BY doc_id""",
+    // Same reach-CTE component labels as q_dedup_clusters (minus the
+    // synthetic chain) + the q_quality feature/score CTE; keeper = quality
+    // DESC, doc_id ASC within each component.
+    "q_dedup_rep" -> {
+      val stop = TextAnalysis.LanguageProfiles.head._2
+      s"""WITH RECURSIVE s AS (
+            SELECT doc_id, ${shinglesSql(ToksSql)} AS sh FROM documents
+            WHERE len($ToksSql) >= 3),
+          nd AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / len(list_distinct(a.sh || b.sh)), 6) >= 0.8),
+          edges AS (
+            SELECT id_a AS src, id_b AS dst FROM nd
+            UNION SELECT id_b, id_a FROM nd),
+          reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+          comp AS (
+            SELECT src AS id, least(src, min(dst)) AS component
+            FROM reach GROUP BY src),
+          f AS (
+            SELECT doc_id,
+              CAST(length(text) AS INT) AS n_chars,
+              CAST(len($ToksSql) AS INT) AS n_tokens,
+              CAST(length(text) - length(regexp_replace(text, '[!-/:-@[-`{-~]', '', 'g')) AS INT) AS punct,
+              CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS digits,
+              ${langScoreSql(ToksSql, stop)} AS stop_hits,
+              CAST(len(list_distinct($ToksSql)) AS INT) AS n_distinct
+            FROM documents),
+          q AS (SELECT doc_id, $QualityScoreSql AS quality FROM f),
+          m AS (
+            SELECT comp.component, comp.id, q.quality
+            FROM comp JOIN q ON q.doc_id = comp.id),
+          r AS (
+            SELECT component, id, quality,
+              row_number() OVER (PARTITION BY component
+                                 ORDER BY quality DESC, id) AS rn
+            FROM m),
+          sz AS (
+            SELECT component, CAST(count(*) AS BIGINT) AS n_members
+            FROM m GROUP BY component)
+          SELECT r.component, r.id AS rep_id, r.quality AS rep_quality,
+            sz.n_members
+          FROM r JOIN sz ON sz.component = r.component
+          WHERE rn = 1 ORDER BY r.component"""
+    },
     "q_assemble" -> {
       val norm = s"trim(regexp_replace(lower(text), '$Re', ' ', 'g'))"
       s"""WITH d0 AS (

@@ -47,6 +47,7 @@ class PlanShapeSpec extends SparkSpec {
     "q_mixture" -> "crossJoin of the single-row (tok_tot, s_tot) totals aggregate (broadcast, one row — replaced the empty-partition windows, VERDICT r07 #7)",
     "q_mixture_sample" -> "composes q_mixture's recipe weights, inheriting its single-row totals crossJoin; the quota join and A-ES draw are keyed on the group column",
     "q_dsir_sample" -> "crossJoin of the single-row (qt, tt) feature-total aggregate onto the ≤1024-row bucket relation (broadcast, one row); the per-doc scoring join is keyed on the bucket",
+    "q_nb_domain" -> "crossJoins of the single-row per-class feature-total and prior relations (broadcast, one row each — Classify.nbDomain); the model and scoring joins are keyed on the bucket",
     "q_pagerank_full" -> "per-iteration crossJoin of the single-row decimal-exact dangling-mass aggregate (broadcast, one row)")
 
   // the AQE-aware walker lives on SparkSpec (collectPlanNodes) so DedupSpec's
