@@ -97,6 +97,86 @@ class ClassifySpec extends SparkSpec {
     assert(e.getMessage.contains("2 classes"))
   }
 
+  test("nbScore: collected-model zero-shuffle path equals the relational path bit-for-bit") {
+    val rows = (0 until 24).map { i =>
+      val dom = Seq("a", "b", "c")(i % 3)
+      val toks = dom match {
+        case "a" => Seq("alpha", "beta", "shared")
+        case "b" => Seq("delta", "shared", "shared")
+        case _   => Seq("eta", "theta", "iota", "shared")
+      }
+      (i.toLong, toks ++ toks.take(i % 3), dom)
+    }
+    val df = featDf(rows)
+    val relational = Classify.nbDomain(df, "id", col("f"), "dom", buckets = 64)
+      .collect().toSeq
+    val model = Classify.nbTrain(df, col("f"), "dom", buckets = 64)
+    val viaMap = df
+      .select(col("id"), col("dom"), Classify.nbScore(model, col("f")).as("r"))
+      .select(col("id"), col("dom"), col("r.pred_label").as("pred_label"),
+        col("r.nb_score").as("nb_score"), col("r.margin").as("margin"))
+      .orderBy("id").collect().toSeq
+    assert(relational === viaMap,
+      "the scale path changes the plan, not the result")
+    spark.catalog.clearCache()
+  }
+
+  test("nbScore: stateless streaming scoring equals batch (stream of docs, static model)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val rows = (0 until 18).map { i =>
+      val dom = if (i % 2 == 0) "even" else "odd"
+      val toks = if (i % 2 == 0) Seq("pair", "deux") else Seq("impair", "un")
+      (i.toLong, toks, dom)
+    }
+    val df = featDf(rows).select("id", "dom", "f")
+    val dir = tempDir("nbStream").toString
+    df.repartition(3).write.mode("overwrite").parquet(dir)
+    val model = Classify.nbTrain(spark.read.parquet(dir), col("f"), "dom", 64)
+    def scoreCols(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("id"), col("dom"), Classify.nbScore(model, col("f")).as("r"))
+      .select(col("id"), col("dom"), col("r.pred_label").as("pred_label"),
+        col("r.nb_score").as("nb_score"), col("r.margin").as("margin"))
+    val stream = scoreCols(spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir))
+    val q = stream.writeStream.format("memory").queryName("nb_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not terminate")
+    val streamed = spark.table("nb_stream").orderBy("id").collect().toSeq
+    val batch = scoreCols(spark.read.parquet(dir)).orderBy("id").collect().toSeq
+    assert(streamed === batch,
+      "nbScore is a pure column expression — stateless, watermark-free")
+    assert(streamed.forall(r => r.getAs[String]("pred_label") ==
+      r.getAs[String]("dom")), "disjoint vocab classifies perfectly")
+    spark.catalog.clearCache()
+  }
+
+  test("domainDivergence: identical distributions give 0, disjoint give positive, repartition-stable") {
+    // classes "same1"/"same2" share an identical token multiset → every
+    // smoothed bucket mass matches → KL exactly 0 both ways; "other" is
+    // disjoint vocab → strictly positive divergence against both
+    val rows =
+      (0 until 5).map(i => (i.toLong, Seq("aa", "bb", "aa"), "same1")) ++
+      (5 until 10).map(i => (i.toLong, Seq("aa", "bb", "aa"), "same2")) ++
+      (10 until 15).map(i => (i.toLong, Seq("cc", "dd"), "other"))
+    val df = featDf(rows)
+    val out = Classify.domainDivergence(df, col("f"), "dom", buckets = 64)
+      .select("label_a", "label_b", "kl_ab", "kl_ba")
+      .as[(String, String, Double, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) ===
+      Seq(("other", "same1"), ("other", "same2"), ("same1", "same2")))
+    val m = out.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(m(("same1", "same2")) === ((0.0, 0.0)),
+      "identical distributions diverge by exactly zero")
+    assert(m(("other", "same1"))._1 > 0 && m(("other", "same1"))._2 > 0)
+    // Gibbs: KL is non-negative everywhere (up to the 1e-6 rounding grain)
+    assert(out.forall(r => r._3 >= -1e-6 && r._4 >= -1e-6))
+    val again = Classify.domainDivergence(df.repartition(7), col("f"), "dom",
+      buckets = 64).collect().toSeq
+    assert(Classify.domainDivergence(df, col("f"), "dom", buckets = 64)
+      .collect().toSeq === again, "bit-identical under repartitioning")
+  }
+
   test("clusterRepresentatives: argmax by score, ties to smaller id, sizes exact") {
     val members = Seq(
       (10L, 10L, 0.5), (10L, 11L, 0.9), (10L, 12L, 0.9), // tie at 0.9 → id 11
