@@ -50,6 +50,21 @@ object Dedup {
   def minhashSignatureFromHashes(shingleHashes: Column, k: Int): Column =
     call_function("minhash_sig", shingleHashes, lit(k))
 
+  /** MinHash Jaccard ESTIMATE implied by two k-component signatures: the
+    * fraction of agreeing components (Broder, "On the resemblance and
+    * containment of documents", 1997: each min-wise component agrees with
+    * probability exactly J, so the mean of k indicators is an unbiased
+    * estimator with SE √(J(1−J)/k)). Pairing this with the exact Jaccard
+    * is the sketch-quality audit behind the banded-LSH recall claims
+    * (q_minhash_acc). Narrow zip_with + size over two k-element arrays —
+    * no shuffle; rounded to 6 (k divides 10⁶ concerns don't arise: the
+    * raw ratio has ≤ log10(k)+1 significant digits, rounding is identity
+    * up to float rendering, kept for oracle portability).
+    */
+  def minhashEstimate(sigA: Column, sigB: Column, k: Int): Column =
+    round(size(filter(zip_with(sigA, sigB, (x, y) => x === y),
+      b => b)).cast("double") / k, 6)
+
   /** Per-doc 60-bit shingle-hash set: the compact relation the near-dup
     * pipeline shuffles instead of the raw shingle strings (8 bytes/shingle
     * vs tens; Jaccard on the hash sets equals Jaccard on the string sets

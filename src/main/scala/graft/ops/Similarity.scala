@@ -470,6 +470,57 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** Embedding-space anisotropy diagnostic, per group: the mean vector μ_g
+    * of each group's embeddings and the group's average cosine(v, μ_g) —
+    * the "how collapsed is this embedding space" number (Ethayarajh,
+    * EMNLP 2019 measured contextual embeddings this way; Mu & Viswanath,
+    * ICLR 2018's all-but-the-top correction starts from the same μ).
+    * An anisotropy near 1 means the vectors share one dominant direction
+    * (cosine dedup thresholds and ANN recall both degrade); near 0 means
+    * the space is spread. Emits (group, n, anisotropy, mean_l2) — mean_l2
+    * is the average of the 6-rounded per-row L2 norms, the norm-drift
+    * companion signal.
+    *
+    * Determinism/oracle contract: per-dim means are DECIMAL(30,16) sums
+    * over the float values divided by n, rounded 6; μ assembles via
+    * sort-by-position (collect_list order never observed); cosine uses
+    * the decimal HOF dot on (float vec × double μ) with unrounded norms,
+    * rounded 6 per row; both closing averages are decimal sums of the
+    * rounded per-row values, divided and rounded 6 — every accumulation
+    * order-independent, so DuckDB reproduces each stage bit-for-bit.
+    *
+    * Scale posture: one corpus-scale shuffle for the per-dim sums
+    * (posexplode inflates d× but partial aggregation contracts each task
+    * to ≤ groups·d partial rows before the exchange), one ≤ groups·d-row
+    * relation assembled and BROADCAST back, one narrow scoring pass, one
+    * final groups-row aggregate. No self-joins, nothing corpus-sized on
+    * the driver.
+    */
+  def embeddingAnisotropy(vecs: DataFrame, groupCol: String,
+                          vecCol: String): DataFrame = {
+    val dims = vecs
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(round(sum(col("x").cast("double").cast(Dec)).cast("double")
+        / count(lit(1)), 6).as("m"))
+    val mu = dims.groupBy(col(groupCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("mu"))
+      .withColumn("mu_norm2", dotExactHof(col("mu"), col("mu")))
+    vecs.join(broadcast(mu), Seq(groupCol))
+      .select(col(groupCol),
+        round(sqrt(norm2Exact(col(vecCol))), 6).as("l2"),
+        round(dotExactHof(col(vecCol), col("mu"))
+          / (sqrt(norm2Exact(col(vecCol))) * sqrt(col("mu_norm2"))), 6)
+          .as("cos_mu"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("cos_mu").cast(Dec)).cast("double") / count(lit(1)), 6)
+          .as("anisotropy"),
+        round(sum(col("l2").cast(Dec)).cast("double") / count(lit(1)), 6)
+          .as("mean_l2"))
+  }
+
   /** LSH-bucketed cosine top-k. Probes and corpus are bucketed by
     * [[signBits]]; candidates come from a hash join on the bucket id
     * (multiprobe: probe also visits all Hamming-1 buckets, trading nBits×

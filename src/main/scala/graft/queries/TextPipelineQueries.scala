@@ -218,6 +218,30 @@ object TextPipelineQueries {
           threshold = 0.8)
         .orderBy("id_a", "id_b")),
 
+    // ── MinHash estimator accuracy audit ────────────────────────────────
+    // For every verified near-dup pair: the Jaccard ESTIMATE the k=30
+    // signature implies (matching components / k) next to the exact
+    // value — the sketch-quality gate behind the LSH recall claims. The
+    // signature is the SAME one the banded-LSH candidate generator uses;
+    // the oracle rebuilds it per-component via the affine low-bits
+    // identity (Sketches.affineSql).
+    "q_minhash_acc" -> ((s, dir) => {
+      val hashed = Dedup.hashedNgrams(
+        docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text"))),
+        "doc_id", "toks", 3)
+      val pairs = Dedup.verifiedNearDupsFromHashes(hashed, threshold = 0.8)
+      val sigs = hashed.select(col("id"),
+        Dedup.minhashSignatureFromHashes(col("hs"), 30).as("sig"))
+      pairs
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          col("jaccard").as("exact_j"),
+          Dedup.minhashEstimate(col("sig_a"), col("sig_b"), 30).as("mh_est"))
+        .withColumn("abs_err", round(abs(col("mh_est") - col("exact_j")), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ── TF-IDF keyword extraction ───────────────────────────────────────
     // Top-5 keywords per doc, smooth idf (TextAnalysis.tfidfTopK). Rank is
     // over the ROUNDED score so the window order is engine-portable; ties
@@ -824,6 +848,37 @@ object TextPipelineQueries {
           WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                       / len(list_distinct(a.sh || b.sh)), 6) >= 0.8
           ORDER BY id_a, id_b""",
+    // Signature mirror: sig_j = min over the doc's distinct 3-gram hashes
+    // of (A_j·h + B_j) mod 2^60 (HUGEINT low-bits identity); the pair set
+    // and exact Jaccard reuse the string-shingle form (h60 is injective
+    // at fixture scale — the q_neardup_minhash precedent).
+    "q_minhash_acc" -> {
+      val sigList = (0 until 30).map(j =>
+        s"list_min(list_transform(hs, h -> ${graft.expr.Sketches.affineSql("h", j)}))")
+        .mkString("list_value(", ", ", ")")
+      s"""WITH t AS (
+            SELECT doc_id, list_transform($ToksSql, tk -> ${h60("tk")}) AS hsarr,
+              ${shinglesSql(ToksSql)} AS sh
+            FROM documents
+            WHERE len($ToksSql) >= 3),
+          hsx AS (
+            SELECT doc_id, sh, ${ngramHashesSql("hsarr", 3)} AS hs FROM t),
+          sig AS (
+            SELECT doc_id, sh, $sigList AS sig FROM hsx WHERE len(hs) > 0),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(a.sh || b.sh)), 6) AS exact_j,
+              CAST(len(list_filter(
+                generate_series(1, 30),
+                j -> a.sig[j] = b.sig[j])) AS DOUBLE) / 30.0 AS est
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / len(list_distinct(a.sh || b.sh)), 6) >= 0.8)
+          SELECT id_a, id_b, exact_j, ROUND(est, 6) AS mh_est,
+            ROUND(abs(ROUND(est, 6) - exact_j), 6) AS abs_err
+          FROM pairs ORDER BY id_a, id_b"""
+    },
     "q_tfidf" ->
       s"""WITH tok AS (
             SELECT doc_id, unnest($ToksSql) AS term FROM documents),

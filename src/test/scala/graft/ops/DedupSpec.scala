@@ -50,6 +50,27 @@ class DedupSpec extends SparkSpec {
     assert(sigs(0) === sigs(1))
   }
 
+  test("minhashEstimate: exact dups → 1.0; equals JVM recompute; ranks near-dup above unrelated") {
+    val sh = docs.withColumn("sh", TextAnalysis.shingleSet(col("text"), 3))
+    val sigs = sh.select(col("doc_id"), Dedup.minhashSignature(col("sh"), 30).as("sig"))
+    val pairs = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        Dedup.minhashEstimate(col("a.sig"), col("b.sig"), 30).as("est"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .collect()
+    pairs.foreach { r =>
+      val manual = r.getSeq[Long](3).zip(r.getSeq[Long](4))
+        .count { case (x, y) => x == y } / 30.0
+      assert(r.getDouble(2) === math.round(manual * 1e6) / 1e6,
+        s"estimate must equal the agreement fraction for (${r.getLong(0)},${r.getLong(1)})")
+    }
+    def est(a: Long, b: Long) =
+      pairs.find(r => r.getLong(0) == a && r.getLong(1) == b).get.getDouble(2)
+    assert(est(1L, 4L) === 1.0, "identical shingle sets ⇒ every component agrees")
+    assert(est(1L, 2L) > est(1L, 3L),
+      "the 1-word-edit near-dup must estimate higher than the unrelated doc")
+  }
+
   test("LSH candidatePairs finds the planted near-dup, not the unrelated doc") {
     val sh = docs.withColumn("sh", TextAnalysis.shingleSet(col("text"), 3))
     val pairs = Dedup.candidatePairs(sh, "doc_id", "sh")
