@@ -37,6 +37,16 @@ object SimilarityQueries {
         round(sqrt(Similarity.norm2Exact(col("embedding"))), 6).as("l2_norm"))
         .orderBy("vec_id")),
 
+    // ── Embedding-space anisotropy (collapse diagnostic) ────────────────
+    // Per label: mean vector μ + average cosine(v, μ) + mean L2 — the
+    // "how collapsed is this space" gate run before trusting cosine
+    // dedup thresholds or ANN recall (Similarity.embeddingAnisotropy;
+    // Ethayarajh 2019 / Mu & Viswanath 2018). One corpus aggregate to a
+    // ≤ labels·64-row relation, broadcast back, one narrow pass.
+    "q_embed_anisotropy" -> ((s, dir) =>
+      Similarity.embeddingAnisotropy(emb(s, dir), "label", "embedding")
+        .orderBy("label")),
+
     // Brute-force cosine top-k for a small probe set (the baseline).
     "q_knn_brute" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -185,6 +195,35 @@ object SimilarityQueries {
             ROUND(sqrt(CAST(${dotSql("embedding", "embedding")} AS DOUBLE)), 6)
               AS l2_norm
           FROM embeddings ORDER BY vec_id""",
+    // Mirror of Similarity.embeddingAnisotropy stage by stage: per-dim
+    // decimal sums / n rounded 6, μ assembled in position order, decimal
+    // dot with UNROUNDED norms rounded 6 per row, decimal averages of the
+    // rounded per-row values rounded 6.
+    "q_embed_anisotropy" ->
+      s"""WITH dims AS (
+            SELECT label, i,
+              ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                    AS DECIMAL(30,16))) AS DOUBLE) / COUNT(*), 6) AS m
+            FROM embeddings,
+              UNNEST(generate_series(1, len(embedding))) AS t(i)
+            GROUP BY label, i),
+          mu AS (
+            SELECT label, list(m ORDER BY i) AS mu FROM dims GROUP BY label),
+          per AS (
+            SELECT e.label,
+              ROUND(sqrt(CAST(${dotSql("e.embedding", "e.embedding")}
+                AS DOUBLE)), 6) AS l2,
+              ROUND(CAST(${dotSql("e.embedding", "mu.mu")} AS DOUBLE)
+                / (sqrt(CAST(${dotSql("e.embedding", "e.embedding")} AS DOUBLE))
+                   * sqrt(CAST(${dotSql("mu.mu", "mu.mu")} AS DOUBLE))), 6)
+                AS cos_mu
+            FROM embeddings e JOIN mu USING (label))
+          SELECT label, COUNT(*) AS n,
+            ROUND(CAST(SUM(CAST(cos_mu AS DECIMAL(30,16))) AS DOUBLE)
+                  / COUNT(*), 6) AS anisotropy,
+            ROUND(CAST(SUM(CAST(l2 AS DECIMAL(30,16))) AS DOUBLE)
+                  / COUNT(*), 6) AS mean_l2
+          FROM per GROUP BY label ORDER BY label""",
     "q_knn_brute" ->
       s"""WITH pairs AS (
             SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,

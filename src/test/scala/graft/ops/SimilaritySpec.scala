@@ -21,6 +21,26 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach { case (got, exp) => assert(math.abs(got - exp) < 1e-6) }
   }
 
+  test("embeddingAnisotropy: identical vectors → 1.0; known 2-vector group; repartition-stable") {
+    val df = Seq(
+      (0L, "a", Array(3f, 4f)), (1L, "a", Array(3f, 4f)), (2L, "a", Array(3f, 4f)),
+      (3L, "b", Array(1f, 0f)), (4L, "b", Array(0f, 1f))
+    ).toDF("vec_id", "label", "embedding")
+    val rows = Similarity.embeddingAnisotropy(df, "label", "embedding")
+      .orderBy("label")
+      .select("label", "n", "anisotropy", "mean_l2")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    // group a: every vector IS the mean direction → anisotropy exactly 1
+    assert(rows.head === (("a", 3L, 1.0, 5.0)))
+    // group b: μ=(0.5,0.5); cos(v,μ) = 0.5/√0.5 = 0.707107 (rounded 6)
+    assert(rows(1) === (("b", 2L, 0.707107, 1.0)))
+    val re = Similarity.embeddingAnisotropy(df.repartition(7), "label", "embedding")
+      .orderBy("label")
+      .select("label", "n", "anisotropy", "mean_l2")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(re === rows, "anisotropy must be partitioning-invariant")
+  }
+
   test("dotExact is partitioning-order independent; dotFast (native) agrees") {
     val rnd = new scala.util.Random(7)
     val vecs = Seq.tabulate(64)(i =>
