@@ -207,6 +207,44 @@ object CorpusOps {
       .drop("rk")
   }
 
+  /** Near-dup-leakage-free train/val/test split: every document in the
+    * same near-dup component receives the SAME split, decided by the hash
+    * of the component's min-id ANCHOR rather than of the document — the
+    * guard against the classic contamination hazard where a doc lands in
+    * train while its near-duplicate lands in test (the dedup-aware split
+    * discipline of LLM corpus prep). Docs in no pair anchor to themselves,
+    * so singletons keep EXACTLY the assignment of the plain hash split
+    * (same salt, same buckets — q_split): adopting the leak-free split
+    * never reshuffles non-duplicated documents.
+    *
+    * `pairs` is the verified near-dup pair relation (pairs-scale — the
+    * OUTPUT of dedup, orders of magnitude below corpus scale). Components
+    * come from [[Dedup.connectedComponents]] (pointer-jumping min-label);
+    * the anchor join back to the corpus is one shuffle on the doc key
+    * (the component relation is pairs-scale — AQE broadcasts it when dup
+    * density is low); the split itself is a narrow hash. Buckets:
+    * h60("salt:" ‖ anchor) mod 100 → [0,trainPct) train,
+    * [trainPct,trainPct+valPct) val, rest test.
+    */
+  def leakFreeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                    aCol: String, bCol: String,
+                    trainPct: Int = 90, valPct: Int = 5,
+                    salt: String = "split"): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"trainPct=$trainPct valPct=$valPct must be ≥0 and sum ≤100")
+    val comp = Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("component"))
+    df.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("anchor", coalesce(col("component"), col(idCol)))
+      .withColumn("bucket",
+        pmod(Hashes.h60(concat(lit(salt + ":"), col("anchor"))), lit(100L)))
+      .select(col(idCol), col("anchor"),
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Per-stratum sampling rates (basis points), e.g. downsample boilerplate
     * languages while keeping all of a rare one — the corpus-mixing knob of
     * an LLM data pipeline. Unlisted strata fall back to `defaultBp`.

@@ -527,6 +527,25 @@ object TextPipelineQueries {
             .otherwise("test").as("split"))
         .orderBy("doc_id")),
 
+    // ── Leakage-free split: near-dups land in the SAME split ────────────
+    // q_split's hazard: a doc in train with its near-duplicate in test is
+    // soft contamination. Here the split hashes the near-dup COMPONENT's
+    // min-id anchor (CorpusOps.leakFreeSplit over the verified MinHash
+    // pairs — the q_dedup_clusters basis), so duplicate sets move as one;
+    // docs in no pair anchor to themselves and keep exactly q_split's
+    // assignment (same salt, same buckets — migration-free adoption).
+    "q_split_leakfree" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.verifiedNearDupsFromHashes(
+          Dedup.hashedNgrams(
+            d.withColumn("toks", TextAnalysis.tokens(col("text"))),
+            "doc_id", "toks", 3),
+          threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      CorpusOps.leakFreeSplit(d, "doc_id", pairs, "id_a", "id_b")
+        .orderBy("doc_id")
+    }),
+
     // ── Stratified deterministic sampling (corpus mixing) ───────────────
     // Per-language keep rates in integer basis points over the same
     // h60-mod-10000 draw as q_split: reproducible across engines, runs,
@@ -1196,6 +1215,36 @@ object TextPipelineQueries {
                  WHEN ${h60("'split:' || doc_id")} % 100 < 95 THEN 'val'
                  ELSE 'test' END AS split
           FROM documents ORDER BY doc_id""",
+    // Same reach-CTE component labels as q_dedup_clusters (minus the
+    // synthetic chain), anchored to the component min id; singletons
+    // anchor to themselves — the same h60 bucket expression as q_split.
+    "q_split_leakfree" ->
+      s"""WITH RECURSIVE s AS (
+            SELECT doc_id, ${shinglesSql(ToksSql)} AS sh FROM documents
+            WHERE len($ToksSql) >= 3),
+          nd AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / len(list_distinct(a.sh || b.sh)), 6) >= 0.8),
+          edges AS (
+            SELECT id_a AS src, id_b AS dst FROM nd
+            UNION SELECT id_b, id_a FROM nd),
+          reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+          comp AS (
+            SELECT src AS id, least(src, min(dst)) AS component
+            FROM reach GROUP BY src),
+          anch AS (
+            SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS anchor
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+          SELECT doc_id, anchor,
+            CASE WHEN ${h60("'split:' || anchor")} % 100 < 90 THEN 'train'
+                 WHEN ${h60("'split:' || anchor")} % 100 < 95 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM anch ORDER BY doc_id""",
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
           WHERE ${h60("'samp:' || doc_id")} % 10000 <

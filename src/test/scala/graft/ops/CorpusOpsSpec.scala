@@ -27,6 +27,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(s20.size > 120 && s20.size < 280, s"got ${s20.size}")
   }
 
+  test("leakFreeSplit: components move as one; singletons keep the plain split") {
+    val d = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 5L)).toDF("id_a", "id_b")
+    val got = CorpusOps.leakFreeSplit(d, "doc_id", pairs, "id_a", "id_b")
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(got.map(_._2) === Seq(1L, 1L, 3L, 4L, 1L, 6L),
+      "pair members anchor to the component min id, singletons to themselves")
+    val split = got.map(g => g._1 -> g._3).toMap
+    assert(split(1L) === split(2L) && split(2L) === split(5L),
+      "every member of a near-dup component must land in the same split")
+    // singletons: bit-identical to the no-pairs (plain q_split) assignment
+    val plain = CorpusOps.leakFreeSplit(d, "doc_id",
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(plain.map(_._2) === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val plainSplit = plain.map(g => g._1 -> g._3).toMap
+    Seq(3L, 4L, 6L).foreach(id => assert(split(id) === plainSplit(id),
+      s"singleton $id must keep its plain hash-split assignment"))
+    // repartition stability (the determinism contract of every split/sampler)
+    val re = CorpusOps.leakFreeSplit(d.repartition(7), "doc_id", pairs,
+        "id_a", "id_b")
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(re === got)
+  }
+
   test("stratifiedHashSample: per-stratum rates, unlisted strata default") {
     val sampled = CorpusOps.stratifiedHashSample(docs, "doc_id", "lang",
         Map("en" -> 8000), defaultBp = 500)
