@@ -202,6 +202,37 @@ object CorpusStats {
       .select(col("rank"), col("bg"), col("c_ab"), col("pmi"))
   }
 
+  /** Per-group out-of-vocabulary rate under a GLOBAL top-`k` vocabulary
+    * cut — the tokenizer-fairness companion of [[vocabCoverage]]: a
+    * frequency-built vocab covers the dominant language far better than
+    * the tail ones (Petrov et al., "Language Model Tokenizers Introduce
+    * Unfairness Between Languages", NeurIPS 2023 measured exactly this
+    * skew), and this is the per-language number that exposes it before a
+    * vocab size is frozen. Emits (group, n_tokens, covered, oov_rate).
+    *
+    * Scale posture: the vocab cut is a `TakeOrderedAndProject` over the
+    * frequency aggregate, then a k-row BROADCAST into the scoring pass —
+    * two corpus-scale aggregates total (frequency build, per-group
+    * count), both map-side-combined; no corpus-sized join key. The token
+    * stream is re-derived for scoring rather than cached: a narrow
+    * tokenize recompute beats materializing a corpus-scale intermediate.
+    */
+  def oovRate(docs: DataFrame, groupCol: String, toksCol: Column,
+              k: Int): DataFrame = {
+    val tok = docs.select(col(groupCol), explode(toksCol).as("tok"))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("tok")).limit(k)
+      .select(col("tok"))
+    tok.join(broadcast(vocab.withColumn("in_vocab", lit(1))),
+        Seq("tok"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNotNull, 1L).otherwise(0L)).as("covered"))
+      .select(col(groupCol), col("n_tokens"), col("covered"),
+        round(lit(1.0) - col("covered").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"))
+  }
+
   /** Vocabulary-coverage curve: the `k` most frequent tokens (ties by
     * token text) with the cumulative fraction of the corpus token stream
     * they cover — the input to tokenizer/vocab-size decisions.

@@ -521,6 +521,29 @@ object Similarity {
           .as("mean_l2"))
   }
 
+  /** Per-cell label purity: member count, majority label (ties → smaller
+    * label) and purity = majority share — the "are these cells
+    * meaningful" gate over any (cell, label) membership relation
+    * (Voronoi assignment, k-means, LSH buckets) before trusting
+    * cell-scoped dedup or cluster-balanced sampling. Input is the
+    * membership relation (one row per member); everything here runs on
+    * the ≤ cells·labels count relation after one keyed aggregate.
+    */
+  def cellPurity(members: DataFrame, cellCol: String,
+                 labelCol: String): DataFrame = {
+    val counts = members.groupBy(col(cellCol), col(labelCol))
+      .agg(count(lit(1)).as("c"))
+    val byCell = Window.partitionBy(col(cellCol))
+    counts
+      .withColumn("rn", row_number().over(
+        byCell.orderBy(desc("c"), asc(labelCol))))
+      .withColumn("n_members", sum(col("c")).over(byCell))
+      .where(col("rn") === 1)
+      .select(col(cellCol), col(labelCol).as("majority_label"),
+        col("n_members"),
+        round(col("c").cast("double") / col("n_members"), 6).as("purity"))
+  }
+
   /** LSH-bucketed cosine top-k. Probes and corpus are bucketed by
     * [[signBits]]; candidates come from a hash join on the bucket id
     * (multiprobe: probe also visits all Hamming-1 buckets, trading nBits×

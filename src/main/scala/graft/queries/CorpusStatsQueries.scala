@@ -45,6 +45,14 @@ object CorpusStatsQueries {
     "q_vocab" -> ((s, dir) =>
       CorpusStats.vocabCoverage(tokStream(s, dir), k = 100).orderBy("rank")),
 
+    // ── Per-language OOV rate under a global top-500 vocab cut ──────────
+    // The tokenizer-fairness number: how much worse a frequency-built
+    // global vocabulary serves each language (CorpusStats.oovRate;
+    // k-row vocab broadcast, two map-side-combined corpus aggregates).
+    "q_oov_rate" -> ((s, dir) =>
+      CorpusStats.oovRate(docs(s, dir), "lang", toks, k = 500)
+        .orderBy("lang")),
+
     // ── Per-doc token entropy + type–token ratio ────────────────────────
     "q_doc_entropy" -> ((s, dir) =>
       CorpusStats.docEntropy(tokStream(s, dir)).orderBy("doc_id")),
@@ -388,6 +396,20 @@ object CorpusStatsQueries {
               FROM scored)
           SELECT rank, bg, c_ab, pmi FROM ranked
           WHERE rank <= 50 ORDER BY rank""",
+    "q_oov_rate" ->
+      s"""WITH tokl AS (
+            SELECT lang, unnest($ToksSql) AS tok FROM documents),
+          vocab AS (
+            SELECT tok FROM (
+              SELECT tok, count(*) AS c FROM tokl GROUP BY tok
+              ORDER BY c DESC, tok ASC LIMIT 500))
+          SELECT t.lang, COUNT(*) AS n_tokens,
+            CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS covered,
+            ROUND(1.0 - CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0
+                                  END) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+          FROM tokl t LEFT JOIN vocab v ON t.tok = v.tok
+          GROUP BY t.lang ORDER BY t.lang""",
     "q_vocab" ->
       s"""WITH $TokCte,
             freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),

@@ -149,6 +149,22 @@ object SimilarityQueries {
         .orderBy("cell")
     }),
 
+    // ── Voronoi-cell label purity (cluster-curation quality) ────────────
+    // For each deterministic seed cell (the SemDeDup/kmeans assignment):
+    // member count, majority label, and purity = majority share — the
+    // "are these cells meaningful" gate run before trusting cell-scoped
+    // dedup or cluster-balanced sampling. Assignment reuses
+    // Similarity.assignToSeeds (seeds broadcast); the label ride-along is
+    // one doc-key join; everything after is ≤ cells·labels rows.
+    "q_cluster_purity" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val members = Similarity
+        .assignToSeeds(e, Similarity.seedsRelation(e, NSeeds))
+        .select(col("vec_id"), col("cell"))
+        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      Similarity.cellPurity(members, "cell", "label").orderBy("cell")
+    }),
+
     // FastSS edit-distance-1 similarity join over part names: deletion-
     // neighborhood blocking (exact recall for d ≤ 1) + Levenshtein
     // verify — the entity-resolution member of the candidates→verify
@@ -299,6 +315,36 @@ object SimilarityQueries {
           FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
           WHERE rn = 1
           GROUP BY cell, seed_id ORDER BY cell""",
+    // Same seeds/scored/assigned CTEs as q_kmeans_assign, then per-cell
+    // label counts → majority share.
+    "q_cluster_purity" ->
+      s"""WITH seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+              vec_id AS seed_id, embedding AS sv
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $NSeeds)),
+          scored AS (
+            SELECT e.vec_id, s.cell,
+              ${cosineSql("e.embedding", "s.sv")} AS cos
+            FROM embeddings e CROSS JOIN seeds s),
+          assigned AS (
+            SELECT vec_id, cell, row_number() OVER (
+              PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+            FROM scored),
+          counts AS (
+            SELECT a.cell, e.label, count(*) AS c
+            FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+            WHERE a.rn = 1 GROUP BY a.cell, e.label),
+          tot AS (
+            SELECT cell, CAST(SUM(c) AS BIGINT) AS n_members
+            FROM counts GROUP BY cell),
+          best AS (
+            SELECT cell, label, c, row_number() OVER (
+              PARTITION BY cell ORDER BY c DESC, label ASC) AS rn
+            FROM counts)
+          SELECT b.cell, b.label AS majority_label, t.n_members,
+            ROUND(CAST(b.c AS DOUBLE) / t.n_members, 6) AS purity
+          FROM best b JOIN tot t ON b.cell = t.cell
+          WHERE b.rn = 1 ORDER BY b.cell""",
     "q_embed_quant" ->
       s"""WITH s AS (
             SELECT vec_id, embedding,

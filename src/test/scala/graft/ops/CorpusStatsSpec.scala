@@ -31,6 +31,22 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.map(_.getDouble(4)).toSeq == Seq(0.25, 1.0, 0.5))
   }
 
+  test("oovRate: dominant-language vocab skew, zero when covered, repartition-stable") {
+    // "a b" dominates the frequency table; the k=2 vocab is exactly {a,b},
+    // so en is fully covered and xx is fully out-of-vocabulary
+    val d = Seq(
+      (1L, "en", "a b a b"), (2L, "en", "a b"), (3L, "xx", "z q")
+    ).toDF("doc_id", "lang", "text")
+    val got = CorpusStats.oovRate(d, "lang",
+        TextAnalysis.tokens(col("text")), k = 2)
+      .orderBy("lang").as[(String, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(("en", 6L, 6L, 0.0), ("xx", 2L, 0L, 1.0)))
+    val re = CorpusStats.oovRate(d.repartition(5), "lang",
+        TextAnalysis.tokens(col("text")), k = 2)
+      .orderBy("lang").as[(String, Long, Long, Double)].collect().toSeq
+    assert(re === got)
+  }
+
   test("vocabCoverage: monotone, ends at 1.0 when k covers the vocab") {
     val tok = tokStream(Seq((1L, "a a a b b c"), (2L, "a b d")))
     val out = CorpusStats.vocabCoverage(tok, k = 10)

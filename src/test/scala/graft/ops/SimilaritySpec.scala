@@ -41,6 +41,21 @@ class SimilaritySpec extends SparkSpec {
     assert(re === rows, "anisotropy must be partitioning-invariant")
   }
 
+  test("cellPurity: majority share, tie → smaller label, repartition-stable") {
+    val members = Seq(
+      (0, 1), (0, 1), (0, 2),         // cell 0: majority label 1, purity 2/3
+      (1, 3),                         // cell 1: singleton, purity 1
+      (2, 4), (2, 5)                  // cell 2: tie → smaller label 4
+    ).toDF("cell", "label")
+    val got = Similarity.cellPurity(members, "cell", "label")
+      .orderBy("cell").as[(Int, Int, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (0, 1, 3L, 0.666667), (1, 3, 1L, 1.0), (2, 4, 2L, 0.5)))
+    val re = Similarity.cellPurity(members.repartition(5), "cell", "label")
+      .orderBy("cell").as[(Int, Int, Long, Double)].collect().toSeq
+    assert(re === got)
+  }
+
   test("dotExact is partitioning-order independent; dotFast (native) agrees") {
     val rnd = new scala.util.Random(7)
     val vecs = Seq.tabulate(64)(i =>
