@@ -185,6 +185,26 @@ object TextPipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ── Language-ID confusion matrix (classifier eval) ──────────────────
+    // The fixture's lang column is ground truth; rows are (true lang,
+    // predicted lang, n, recall share) — the eval harness for q_lang_id's
+    // n-gram heuristic run as a corpus aggregate: one narrow scoring
+    // pass, one langs²-bounded aggregate, one window over the count
+    // relation. The per-true-lang recall diagonal is the number that
+    // decides whether the heuristic is trustworthy enough to drive
+    // stratified sampling on a crawl.
+    "q_lang_confusion" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      docs(s, dir)
+        .select(col("lang"), TextAnalysis.langId(toks).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("recall",
+          round(col("n").cast("double") / sum(col("n")).over(w), 6))
+        .orderBy("lang", "pred_lang")
+    }),
+
     // ── Exact dedup ──────────────────────────────────────────────────────
     // The fixture has no exact duplicates, so the query manufactures the
     // collision it checks: each doc unioned with a case/punctuation-mangled
@@ -325,6 +345,36 @@ object TextPipelineQueries {
         .select(col("id_a"), col("id_b"))
       Dedup.connectedComponents(nearDupPairs.union(chain), "id_a", "id_b")
         .orderBy("id")
+    }),
+
+    // ── Dedup token accounting: per-source redundancy ───────────────────
+    // The corpus-accounting report behind "dedup saves X%": per source,
+    // total tokens vs tokens sitting in non-keeper members of near-dup
+    // components (keeper = component min id — the label itself, so no
+    // extra keeper join). Same verified-pair + connected-components basis
+    // as q_dedup_clusters/q_split_leakfree; the accounting is one
+    // doc-key left join plus one sources-row aggregate.
+    "q_dedup_inflation" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+      val pairs = Dedup.verifiedNearDupsFromHashes(
+          Dedup.hashedNgrams(d, "doc_id", "toks", 3), threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      d.select(col("doc_id"), col("source"), col("n_toks"))
+        .join(comp.select(col("id").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .withColumn("redundant",
+          when(col("component").isNotNull && col("component") =!= col("doc_id"),
+            col("n_toks")).otherwise(0L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          sum(col("redundant")).as("redundant_tokens"))
+        .withColumn("inflation",
+          round(col("redundant_tokens").cast("double") / col("total_tokens"), 6))
+        .orderBy("source")
     }),
 
     // ── SimHash fingerprints + Hamming-ball pairs ───────────────────────
@@ -800,6 +850,22 @@ object TextPipelineQueries {
   private def langScoreSql(toks: String, words: Seq[String]): String =
     s"CAST(len(list_intersect(list_distinct($toks), [${words.map("'" + _ + "'").mkString(",")}])) AS INT)"
 
+  /** Per-profile score select list + the argmax fold (first profile wins
+    * ties) — shared by the q_lang_id and q_lang_confusion oracles so the
+    * two can never drift apart on the predictor's semantics. */
+  private def langScoreSelects: String =
+    TextAnalysis.LanguageProfiles.map { case (lang, words) =>
+      s"${langScoreSql("toks", words)} AS score_$lang"
+    }.mkString(",\n              ")
+  private def langFoldSql: String = {
+    val profs = TextAnalysis.LanguageProfiles
+    profs.tail.foldLeft(s"'${profs.head._1}'" -> s"score_${profs.head._1}") {
+      case ((langExpr, scoreExpr), (lang, _)) =>
+        (s"CASE WHEN score_$lang > ($scoreExpr) THEN '$lang' ELSE $langExpr END",
+          s"CASE WHEN score_$lang > ($scoreExpr) THEN score_$lang ELSE $scoreExpr END")
+    }._1
+  }
+
   val oracles: Map[String, String] = Map(
     "q_text_stats" ->
       s"""SELECT doc_id,
@@ -827,25 +893,29 @@ object TextPipelineQueries {
             $QualityScoreSql AS quality
           FROM f ORDER BY doc_id"""
     },
-    "q_lang_id" -> {
-      val profs = TextAnalysis.LanguageProfiles
-      val scoreSelects = profs.map { case (lang, words) =>
-        s"${langScoreSql("toks", words)} AS score_$lang"
-      }.mkString(",\n              ")
-      // Mirror TextAnalysis.langId's fold: first profile wins ties.
-      val fold = profs.tail.foldLeft(s"'${profs.head._1}'" -> s"score_${profs.head._1}") {
-        case ((langExpr, scoreExpr), (lang, _)) =>
-          (s"CASE WHEN score_$lang > ($scoreExpr) THEN '$lang' ELSE $langExpr END",
-            s"CASE WHEN score_$lang > ($scoreExpr) THEN score_$lang ELSE $scoreExpr END")
-      }._1
+    "q_lang_id" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
             sc AS (SELECT doc_id,
-              $scoreSelects
+              $langScoreSelects
             FROM t)
-          SELECT doc_id, $fold AS pred_lang,
-            ${profs.map { case (l, _) => s"score_$l" }.mkString(", ")}
-          FROM sc ORDER BY doc_id"""
-    },
+          SELECT doc_id, $langFoldSql AS pred_lang,
+            ${TextAnalysis.LanguageProfiles
+              .map { case (l, _) => s"score_$l" }.mkString(", ")}
+          FROM sc ORDER BY doc_id""",
+    // Same score/fold mirror as q_lang_id, aggregated against the
+    // fixture's ground-truth lang column.
+    "q_lang_confusion" ->
+      s"""WITH t AS (SELECT lang, $ToksSql AS toks FROM documents),
+            sc AS (SELECT lang,
+              $langScoreSelects
+            FROM t),
+            pred AS (SELECT lang, $langFoldSql AS pred_lang FROM sc),
+            cm AS (SELECT lang, pred_lang, count(*) AS n
+                   FROM pred GROUP BY lang, pred_lang)
+          SELECT lang, pred_lang, n,
+            ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang), 6)
+              AS recall
+          FROM cm ORDER BY lang, pred_lang""",
     "q_dedup_exact" -> {
       val norm = s"trim(regexp_replace(lower(text), '$Re', ' ', 'g'))"
       s"""WITH u AS (
@@ -998,6 +1068,43 @@ object TextPipelineQueries {
             SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
           SELECT src AS id, least(src, min(dst)) AS component
           FROM reach GROUP BY src ORDER BY id""",
+    // Same reach-CTE components as q_dedup_clusters (no chain); keeper =
+    // component min id, so "redundant" is any member whose label differs
+    // from its own id.
+    "q_dedup_inflation" ->
+      s"""WITH RECURSIVE t AS (
+            SELECT doc_id, source, CAST(len($ToksSql) AS BIGINT) AS n_toks
+            FROM documents),
+          s AS (
+            SELECT doc_id, ${shinglesSql(ToksSql)} AS sh FROM documents
+            WHERE len($ToksSql) >= 3),
+          nd AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / len(list_distinct(a.sh || b.sh)), 6) >= 0.8),
+          edges AS (
+            SELECT id_a AS src, id_b AS dst FROM nd
+            UNION SELECT id_b, id_a FROM nd),
+          reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+          comp AS (
+            SELECT src AS id, least(src, min(dst)) AS component
+            FROM reach GROUP BY src)
+          SELECT t.source, COUNT(*) AS n_docs,
+            CAST(SUM(t.n_toks) AS BIGINT) AS total_tokens,
+            CAST(SUM(CASE WHEN c.component IS NOT NULL
+                           AND c.component <> t.doc_id
+                          THEN t.n_toks ELSE 0 END) AS BIGINT)
+              AS redundant_tokens,
+            ROUND(CAST(SUM(CASE WHEN c.component IS NOT NULL
+                                 AND c.component <> t.doc_id
+                                THEN t.n_toks ELSE 0 END) AS DOUBLE)
+                  / SUM(t.n_toks), 6) AS inflation
+          FROM t LEFT JOIN comp c ON c.id = t.doc_id
+          GROUP BY t.source ORDER BY t.source""",
     "q_simhash" ->
       s"""WITH tok AS (
             SELECT doc_id, unnest($ToksSql) AS t FROM documents),
