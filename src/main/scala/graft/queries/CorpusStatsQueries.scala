@@ -45,6 +45,34 @@ object CorpusStatsQueries {
     "q_vocab" -> ((s, dir) =>
       CorpusStats.vocabCoverage(tokStream(s, dir), k = 100).orderBy("rank")),
 
+    // ── Zipf-law fit over the top-100 frequency ranks ───────────────────
+    // OLS slope of ln(freq) on ln(rank) — natural corpora sit near −1;
+    // a flat slope flags template/spam floods, a cliff flags synthetic
+    // vocabulary collapse (the corpus-health companion of q_vocab).
+    // Portability: both lns rounded 6 per rank row (the repo-wide ln
+    // discipline), then the q_regression decimal moment-sum OLS over the
+    // 100-row cut — the corpus-scale work is only the frequency
+    // aggregate; the fit itself is constant-size.
+    "q_zipf_fit" -> ((s, dir) => {
+      val dec = "decimal(30,16)"
+      CorpusStats.vocabCoverage(tokStream(s, dir), k = 100)
+        .select(col("rank"), col("c"))
+        .withColumn("lx", round(log(col("rank").cast("double")), 6))
+        .withColumn("ly", round(log(col("c").cast("double")), 6))
+        .agg(count(lit(1)).as("n"),
+          sum(col("lx").cast(dec)).cast("double").as("sx"),
+          sum(col("ly").cast(dec)).cast("double").as("sy"),
+          sum((col("lx") * col("ly")).cast(dec)).cast("double").as("sxy"),
+          sum((col("lx") * col("lx")).cast(dec)).cast("double").as("sxx"))
+        .withColumn("slope",
+          (col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+            / (col("n").cast("double") * col("sxx") - col("sx") * col("sx")))
+        .select(col("n"),
+          round(col("slope"), 6).as("zipf_slope"),
+          round((col("sy") - col("slope") * col("sx"))
+            / col("n").cast("double"), 6).as("intercept"))
+    }),
+
     // ── Per-language OOV rate under a global top-500 vocab cut ──────────
     // The tokenizer-fairness number: how much worse a frequency-built
     // global vocabulary serves each language (CorpusStats.oovRate;
@@ -396,6 +424,29 @@ object CorpusStatsQueries {
               FROM scored)
           SELECT rank, bg, c_ab, pmi FROM ranked
           WHERE rank <= 50 ORDER BY rank""",
+    "q_zipf_fit" ->
+      s"""WITH $TokCte,
+            freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            ranked AS (
+              SELECT c, CAST(row_number() OVER (ORDER BY c DESC, tok ASC)
+                             AS INT) AS rank
+              FROM freq),
+            lg AS (
+              SELECT ROUND(ln(CAST(rank AS DOUBLE)), 6) AS lx,
+                ROUND(ln(CAST(c AS DOUBLE)), 6) AS ly
+              FROM ranked WHERE rank <= 100),
+            m AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(lx AS DECIMAL(30,16))) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(ly AS DECIMAL(30,16))) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(lx * ly AS DECIMAL(30,16))) AS DOUBLE) AS sxy,
+                CAST(SUM(CAST(lx * lx AS DECIMAL(30,16))) AS DOUBLE) AS sxx
+              FROM lg)
+          SELECT n,
+            ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+            ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                  6) AS intercept
+          FROM m""",
     "q_oov_rate" ->
       s"""WITH tokl AS (
             SELECT lang, unnest($ToksSql) AS tok FROM documents),
