@@ -48,7 +48,9 @@ class PlanShapeSpec extends SparkSpec {
     "q_mixture_sample" -> "composes q_mixture's recipe weights, inheriting its single-row totals crossJoin; the quota join and A-ES draw are keyed on the group column",
     "q_dsir_sample" -> "crossJoin of the single-row (qt, tt) feature-total aggregate onto the ≤1024-row bucket relation (broadcast, one row); the per-doc scoring join is keyed on the bucket",
     "q_nb_domain" -> "crossJoins of the single-row per-class feature-total and prior relations (broadcast, one row each — Classify.nbDomain); the model and scoring joins are keyed on the bucket",
-    "q_pagerank_full" -> "per-iteration crossJoin of the single-row decimal-exact dangling-mass aggregate (broadcast, one row)")
+    "q_pagerank_full" -> "per-iteration crossJoin of the single-row decimal-exact dangling-mass aggregate (broadcast, one row)",
+    "q_cluster_purity" -> "composes Similarity.assignToSeeds, inheriting q_kmeans_assign's broadcast seed-array crossJoin (orderBy.limit(8) seeds); the label ride-along and purity aggregates are keyed",
+    "q_zipf_fit" -> "composes CorpusStats.vocabCoverage, inheriting q_vocab's single-row token-total crossJoin onto the top-k survivors; the OLS fit is one global aggregate over the 100-row cut")
 
   // the AQE-aware walker lives on SparkSpec (collectPlanNodes) so DedupSpec's
   // ccRound audit and this guard can never drift apart
