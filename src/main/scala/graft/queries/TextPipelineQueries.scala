@@ -44,6 +44,26 @@ object TextPipelineQueries {
           i -> array_to_string(($toks)[i:i+2], ' ')))"""
   private def h60(inner: String): String = Hashes.h60Sql(inner)
 
+  /** Shared `t/hsx/sig` CTE chain: per doc, string shingles + 3-gram hash
+    * set + the FULL k=30 minhash signature via the affine low-bits
+    * identity (`Sketches.affineSql`) — the mirror of the native
+    * `minhash_sig` loop, shared by the q_minhash_acc and q_lsh_precision
+    * oracles so the signature reconstruction cannot drift. Ends with
+    * `sig(doc_id, sh, sig)`. */
+  private def sigListSql: String = (0 until 30).map(j =>
+      s"list_min(list_transform(hs, h -> ${graft.expr.Sketches.affineSql("h", j)}))")
+    .mkString("list_value(", ", ", ")")
+  private def SigCte: String =
+    s"""t AS (
+            SELECT doc_id, list_transform($ToksSql, tk -> ${h60("tk")}) AS hsarr,
+              ${shinglesSql(ToksSql)} AS sh
+            FROM documents
+            WHERE len($ToksSql) >= 3),
+          hsx AS (
+            SELECT doc_id, sh, ${ngramHashesSql("hsarr", 3)} AS hs FROM t),
+          sig AS (
+            SELECT doc_id, sh, $sigListSql AS sig FROM hsx WHERE len(hs) > 0)"""
+
   /** DuckDB mirror of [[graft.expr.NgramHashes]] ∘ distinct over a
     * token-hash-list expression: per window, (Σ A(j)·h[i+j] + B(0)) mod
     * 2^60 in HUGEINT (low-bits identity — see Sketches.affineSql).
@@ -260,6 +280,28 @@ object TextPipelineQueries {
           Dedup.minhashEstimate(col("sig_a"), col("sig_b"), 30).as("mh_est"))
         .withColumn("abs_err", round(abs(col("mh_est") - col("exact_j")), 6))
         .orderBy("id_a", "id_b")
+    }),
+
+    // ── LSH candidate precision audit ───────────────────────────────────
+    // The verify-cost companion of q_minhash_acc: of the pairs the
+    // b=10/r=3 banding surfaces, how many survive exact-Jaccard
+    // verification at 0.8 — the number that prices the candidates→verify
+    // architecture (precision too low = the verify join does wasted exact
+    // work; the S-curve knobs b/r trade it against recall). The hashed
+    // relation is shared by both branches through the persist inside
+    // verifiedNearDupsFromHashes (same plan ⇒ same cache entry).
+    "q_lsh_precision" -> ((s, dir) => {
+      val hashed = Dedup.hashedNgrams(
+        docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text"))),
+        "doc_id", "toks", 3)
+      val nC = Dedup.candidatePairsFromHashes(hashed)
+        .agg(count(lit(1)).as("n_candidates"))
+      val nV = Dedup.verifiedNearDupsFromHashes(hashed, threshold = 0.8)
+        .agg(count(lit(1)).as("n_verified"))
+      nC.crossJoin(nV)
+        .select(col("n_candidates"), col("n_verified"),
+          round(col("n_verified").cast("double") / col("n_candidates"), 6)
+            .as("precision"))
     }),
 
     // ── TF-IDF keyword extraction ───────────────────────────────────────
@@ -942,18 +984,7 @@ object TextPipelineQueries {
     // and exact Jaccard reuse the string-shingle form (h60 is injective
     // at fixture scale — the q_neardup_minhash precedent).
     "q_minhash_acc" -> {
-      val sigList = (0 until 30).map(j =>
-        s"list_min(list_transform(hs, h -> ${graft.expr.Sketches.affineSql("h", j)}))")
-        .mkString("list_value(", ", ", ")")
-      s"""WITH t AS (
-            SELECT doc_id, list_transform($ToksSql, tk -> ${h60("tk")}) AS hsarr,
-              ${shinglesSql(ToksSql)} AS sh
-            FROM documents
-            WHERE len($ToksSql) >= 3),
-          hsx AS (
-            SELECT doc_id, sh, ${ngramHashesSql("hsarr", 3)} AS hs FROM t),
-          sig AS (
-            SELECT doc_id, sh, $sigList AS sig FROM hsx WHERE len(hs) > 0),
+      s"""WITH $SigCte,
           pairs AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -967,6 +998,35 @@ object TextPipelineQueries {
           SELECT id_a, id_b, exact_j, ROUND(est, 6) AS mh_est,
             ROUND(abs(ROUND(est, 6) - exact_j), 6) AS abs_err
           FROM pairs ORDER BY id_a, id_b"""
+    },
+    // Band-bucket mirror: band j's bucket key is h60 over the
+    // comma-joined decimal renderings of signature slots 3j+1..3j+3 —
+    // byte-identical to Dedup.bandHashes' concat_ws, so even a band-hash
+    // COLLISION (a spurious candidate) would reproduce on both engines.
+    "q_lsh_precision" -> {
+      val bandExpr = h60("array_to_string(" +
+        "[CAST(sig[j*3+1] AS VARCHAR), CAST(sig[j*3+2] AS VARCHAR), " +
+        "CAST(sig[j*3+3] AS VARCHAR)], ',')")
+      s"""WITH $SigCte,
+          bands AS (
+            SELECT doc_id, sh,
+              list_transform(generate_series(0, 9), j -> $bandExpr) AS bh
+            FROM sig),
+          cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(a.sh || b.sh)), 6) AS j
+            FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+            WHERE len(list_filter(generate_series(1, 10),
+                      i -> a.bh[i] = b.bh[i])) > 0),
+          m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+              CAST(SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_verified
+            FROM cand)
+          SELECT n_candidates, n_verified,
+            ROUND(CAST(n_verified AS DOUBLE) / n_candidates, 6) AS precision
+          FROM m"""
     },
     "q_tfidf" ->
       s"""WITH tok AS (
