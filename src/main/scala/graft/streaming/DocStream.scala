@@ -257,6 +257,69 @@ object DocStream {
       .select(col("w.start").as("w_start"), col("n_docs"),
         col("approx_distinct"))
 
+  // ── Composition-drift monitor: per-window group mix vs a reference ───
+
+  /** Per-window corpus-composition partials: (w_start, grp, n) document
+    * counts — the mergeable half of the drift monitor. Counts are plain
+    * additive partials, so any micro-batch slicing folds to the same
+    * totals (the [[ingestPartialStats]] contract, without sketches:
+    * composition needs only counts). Run inside the same
+    * batch-id-keyed-partials `foreachBatch` pattern at ingest, or as a
+    * complete-mode streaming aggregate.
+    */
+  def compositionPartials(docs: DataFrame, tsCol: String, grpCol: String,
+                          window_ : String = "1 hour"): DataFrame =
+    docs.groupBy(window(col(tsCol), window_).as("w"), col(grpCol).as("grp"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("grp"), col("n"))
+
+  /** Fold [[compositionPartials]] from any slicing and score each
+    * window's drift from a REFERENCE composition: KL(window ‖ reference)
+    * with add-one smoothing of the window counts over the reference's
+    * group universe — the "did the crawl mix shift this hour" alarm
+    * (language drift, source drift) a production ingest pipeline pages
+    * on. `reference` is (grp, ref_p): one row per group, probabilities
+    * > 0; it DEFINES the group universe — feed an explicit OTHER bucket
+    * if unexpected groups must count (groups outside the reference are
+    * ignored, documented contract). Smoothing means a group absent from
+    * a window contributes ln-mass instead of a 0·ln(0) hole, so the
+    * score is finite for every window.
+    *
+    * Determinism: p is integer-derived, each KL term is one IEEE
+    * double, and the per-window sum is DECIMAL — slicing-, order- and
+    * partitioning-independent (the repo's portable-sum discipline, here
+    * for stream-vs-batch bit-equality rather than a DuckDB oracle).
+    * Scale: the folded relation is windows·groups rows; the reference
+    * is groups rows broadcast — nothing corpus-sized.
+    */
+  def compositionDrift(partials: DataFrame, reference: DataFrame): DataFrame = {
+    val byWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w_start"))
+    val folded = partials.groupBy(col("w_start"), col("grp"))
+      .agg(sum(col("n")).cast("long").as("n"))
+    // the grid's key columns are ALIASED (fresh exprIds): both grid and
+    // folded derive from `partials`, and over a streaming memory-sink
+    // view Catalyst does not re-id the shared View node, so a
+    // usingColumns self-join fails CheckAnalysis with conflicting
+    // w_start references — renamed keys + an explicit condition sidestep
+    // the shared-output conflict
+    val grid = partials.select(col("w_start").as("gw")).distinct()
+      .crossJoin(broadcast(
+        reference.select(col("grp").as("ggrp"), col("ref_p"))))
+    grid.join(folded,
+        col("gw") === col("w_start") && col("ggrp") === col("grp"), "left")
+      .select(col("gw").as("w_start"), col("ggrp").as("grp"),
+        col("ref_p"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("p", (col("n") + 1).cast("double")
+        / (sum(col("n")).over(byWin) + count(lit(1)).over(byWin))
+          .cast("double"))
+      .withColumn("term", (col("p") * log(col("p") / col("ref_p")))
+        .cast("decimal(30,16)"))
+      .groupBy(col("w_start"))
+      .agg(sum(col("n")).cast("long").as("n_docs"),
+        round(sum(col("term")).cast("double"), 6).as("kl_drift"))
+  }
+
   // ── Composed ingest pipeline: first-seen → decontaminate → stats ─────
   //
   // The three stages above are each spec-gated alone; the functions below

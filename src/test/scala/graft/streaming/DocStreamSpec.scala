@@ -79,6 +79,51 @@ class DocStreamSpec extends SparkSpec {
     assert(streamed.agg(sum("n_docs")).as[Long].head() === 30L)
   }
 
+  test("compositionDrift: slicing-insensitive fold, stream == batch, planted drift ranks") {
+    // two 1-hour windows: balanced (2 a, 2 b) then skewed (4 a, 0 b)
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val rows = Seq(
+      (1L, ts(0), "a"), (2L, ts(10), "a"), (3L, ts(20), "b"), (4L, ts(30), "b"),
+      (5L, ts(70), "a"), (6L, ts(80), "a"), (7L, ts(90), "a"), (8L, ts(100), "a"))
+    val dir = tempDir("driftDocs").toString
+    rows.toDF("doc_id", "ingest_ts", "grp").repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    val batch = spark.read.parquet(dir)
+    val ref = Seq(("a", 0.5), ("b", 0.5)).toDF("grp", "ref_p")
+    def canon(df: DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSeq.sorted(
+        Ordering.Implicits.seqOrdering[Seq, String])
+
+    val whole = DocStream.compositionDrift(
+      DocStream.compositionPartials(batch, "ingest_ts", "grp"), ref)
+    // fold associativity: per-file partials unioned == one-batch partials
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    val sliced = files.map(f => DocStream.compositionPartials(
+        spark.read.parquet(f), "ingest_ts", "grp"))
+      .reduce(_.union(_))
+    assert(canon(DocStream.compositionDrift(sliced, ref)) === canon(whole),
+      "drift over sliced partials must equal the one-batch score")
+    // streaming complete-mode aggregate == batch
+    val schema = batch.schema
+    val streamed = runStream(
+      DocStream.compositionPartials(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(dir),
+        "ingest_ts", "grp"),
+      "complete", "driftPartials")
+    assert(canon(DocStream.compositionDrift(streamed, ref)) === canon(whole))
+    // planted drift: the skewed window must score strictly higher, and
+    // both scores are finite despite b's zero count in window 2
+    val scores = whole.orderBy("w_start")
+      .select("n_docs", "kl_drift").as[(Long, Double)].collect().toSeq
+    assert(scores.map(_._1) === Seq(4L, 4L))
+    assert(scores(1)._2 > scores(0)._2,
+      s"skewed window must out-drift the balanced one: $scores")
+    assert(scores.forall(s => !s._2.isNaN && !s._2.isInfinite))
+  }
+
   test("decontaminator: foreachBatch stream == batch, sketch keeps every clean doc") {
     def toks = graft.ops.TextAnalysis.tokens(col("text"))
     // bench doc = verbatim copy of doc 3 ⇒ doc 3 AND its mangled twin
