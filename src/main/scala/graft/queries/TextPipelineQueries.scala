@@ -389,6 +389,41 @@ object TextPipelineQueries {
         .orderBy("id")
     }),
 
+    // ── Dedup quality-bias audit ────────────────────────────────────────
+    // Point-biserial correlation between the quality score and near-dup
+    // membership (doc appears in ANY verified pair — no CC needed): the
+    // "is dedup about to remove disproportionately good/bad documents"
+    // check run before committing a dedup pass. r_pb < 0 says duplicates
+    // skew low-quality (dedup also curates), r_pb ≈ 0 says it is
+    // quality-neutral. One membership distinct + one doc-key left join +
+    // one decimal-moment aggregate (the q_corr discipline).
+    "q_dup_quality_bias" -> ((s, dir) => {
+      val dec = "decimal(30,16)"
+      val d = docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text")))
+      val pairs = Dedup.verifiedNearDupsFromHashes(
+        Dedup.hashedNgrams(d, "doc_id", "toks", 3), threshold = 0.8)
+      val dup = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+        .withColumn("is_dup", lit(1))
+      d.select(col("doc_id"),
+          TextAnalysis.qualityScore(
+            TextAnalysis.qualityFeatures(col("text"))).as("q"))
+        .join(dup, Seq("doc_id"), "left")
+        .withColumn("x", when(col("is_dup").isNotNull, 1.0).otherwise(0.0))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).cast("double").as("sx"),
+          sum(col("q").cast(dec)).cast("double").as("sy"),
+          sum((col("x") * col("q")).cast(dec)).cast("double").as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+          sum((col("q") * col("q")).cast(dec)).cast("double").as("syy"))
+        .select(col("n"), col("sx").cast("long").as("n_dup"),
+          round((col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n").cast("double") * col("sxx")
+                 - col("sx") * col("sx"))
+               * sqrt(col("n").cast("double") * col("syy")
+                 - col("sy") * col("sy"))), 6).as("r_pb"))
+    }),
+
     // ── Dedup token accounting: per-source redundancy ───────────────────
     // The corpus-accounting report behind "dedup saves X%": per source,
     // total tokens vs tokens sitting in non-keeper members of near-dup
@@ -1128,6 +1163,44 @@ object TextPipelineQueries {
             SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
           SELECT src AS id, least(src, min(dst)) AS component
           FROM reach GROUP BY src ORDER BY id""",
+    // Quality from the q_quality feature CTE; membership from the
+    // q_neardup_minhash exact pair set; point-biserial r via the
+    // q_regression decimal moments.
+    "q_dup_quality_bias" ->
+      s"""WITH f AS (
+            SELECT doc_id,
+              CAST(length(text) AS INT) AS n_chars,
+              CAST(len($ToksSql) AS INT) AS n_tokens,
+              CAST(length(text) - length(regexp_replace(text, '[!-/:-@[-`{-~]', '', 'g')) AS INT) AS punct,
+              CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS digits
+            FROM documents),
+          s AS (
+            SELECT doc_id, ${shinglesSql(ToksSql)} AS sh FROM documents
+            WHERE len($ToksSql) >= 3),
+          nd AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / len(list_distinct(a.sh || b.sh)), 6) >= 0.8),
+          dup AS (
+            SELECT id_a AS doc_id FROM nd UNION SELECT id_b FROM nd),
+          sc AS (
+            SELECT f.doc_id, $QualityScoreSql AS q,
+              CASE WHEN d.doc_id IS NULL THEN 0.0 ELSE 1.0 END AS x
+            FROM f LEFT JOIN dup d ON f.doc_id = d.doc_id),
+          m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(x AS DECIMAL(30,16))) AS DOUBLE) AS sx,
+              CAST(SUM(CAST(q AS DECIMAL(30,16))) AS DOUBLE) AS sy,
+              CAST(SUM(CAST(x * q AS DECIMAL(30,16))) AS DOUBLE) AS sxy,
+              CAST(SUM(CAST(x * x AS DECIMAL(30,16))) AS DOUBLE) AS sxx,
+              CAST(SUM(CAST(q * q AS DECIMAL(30,16))) AS DOUBLE) AS syy
+            FROM sc)
+          SELECT n, CAST(sx AS BIGINT) AS n_dup,
+            ROUND((n * sxy - sx * sy)
+              / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+              AS r_pb
+          FROM m""",
     // Same reach-CTE components as q_dedup_clusters (no chain); keeper =
     // component min id, so "redundant" is any member whose label differs
     // from its own id.
