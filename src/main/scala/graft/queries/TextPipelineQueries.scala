@@ -416,12 +416,23 @@ object TextPipelineQueries {
           sum((col("x") * col("q")).cast(dec)).cast("double").as("sxy"),
           sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
           sum((col("q") * col("q")).cast(dec)).cast("double").as("syy"))
-        .select(col("n"), col("sx").cast("long").as("n_dup"),
-          round((col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
-            / (sqrt(col("n").cast("double") * col("sxx")
-                 - col("sx") * col("sx"))
-               * sqrt(col("n").cast("double") * col("syy")
-                 - col("sy") * col("sy"))), 6).as("r_pb"))
+        .select(col("n"), col("sx").cast("long").as("n_dup"), {
+          // degenerate-variance guard: a fully-duplicated (or fully
+          // clean) corpus makes x constant and the denominator exactly
+          // 0 — correlation is undefined there, and ANSI mode would
+          // throw DIVIDE_BY_ZERO (surfaced by the 10× replica probe,
+          // where every doc has 9 twins). NULL is the honest answer.
+          // parenthesized across lines: a leading `-` on a continuation
+          // line would otherwise parse as a discarded unary statement
+          // and silently drop the subtraction
+          val varX = (col("n").cast("double") * col("sxx")
+            - col("sx") * col("sx"))
+          val varY = (col("n").cast("double") * col("syy")
+            - col("sy") * col("sy"))
+          round(when(varX > 0 && varY > 0,
+            (col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+              / (sqrt(varX) * sqrt(varY))), 6).as("r_pb")
+        })
     }),
 
     // ── Dedup token accounting: per-source redundancy ───────────────────
@@ -1197,9 +1208,10 @@ object TextPipelineQueries {
               CAST(SUM(CAST(q * q AS DECIMAL(30,16))) AS DOUBLE) AS syy
             FROM sc)
           SELECT n, CAST(sx AS BIGINT) AS n_dup,
-            ROUND((n * sxy - sx * sy)
-              / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
-              AS r_pb
+            CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                 THEN ROUND((n * sxy - sx * sy)
+                   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+                 ELSE NULL END AS r_pb
           FROM m""",
     // Same reach-CTE components as q_dedup_clusters (no chain); keeper =
     // component min id, so "redundant" is any member whose label differs
