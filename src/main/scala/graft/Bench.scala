@@ -151,6 +151,73 @@ object Bench {
     Seq(once(200000000), once(200000000), once(200000000)).sorted.apply(1)
   }
 
+  /** Probe thread width: the sweep's own parallelism (local[32] ⇒ 32),
+    * capped by the hardware — a wider probe than cores would inflate on a
+    * QUIET box and tell nothing.
+    */
+  def probeWidth: Int =
+    math.min(32, Runtime.getRuntime.availableProcessors)
+
+  /** N-thread CPU probe (VERDICT r11 #1): the r11 sweep's 1-thread probe
+    * read 0.94 ("box fine") while 0.55 s queries drew 43–64 s samples —
+    * a box can be saturated at 32-wide parallelism yet give one probe
+    * thread a full core. This probe runs the SAME fixed sequential loop
+    * on [[probeWidth]] threads simultaneously and reports the wall-clock
+    * until ALL finish: on a quiet ≥N-core box that equals the 1-thread
+    * time; external load that steals cores from a 32-wide sweep inflates
+    * it proportionally. Median of 3 (threads re-created per trial; the
+    * loop is already JIT-warm from [[cpuProbe]], which callers run
+    * first).
+    */
+  def cpuProbeWide(threads: Int = probeWidth): Double = {
+    def trial(): Double = {
+      val sinks = new java.util.concurrent.atomic.AtomicLong(0L)
+      val ts = (0 until threads).map { t =>
+        new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L + t
+          var i = 0
+          while (i < 200000000) {
+            x = x * 6364136223846793005L + 1442695040888963407L
+            x ^= (x >>> 33)
+            i += 1
+          }
+          sinks.addAndGet(x)
+          ()
+        })
+      }
+      val t0 = System.nanoTime()
+      ts.foreach(_.start())
+      ts.foreach(_.join())
+      probeSink += sinks.get()
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq(trial(), trial(), trial()).sorted.apply(1)
+  }
+
+  /** 1-minute load average from /proc/loadavg — sampled at sweep start,
+    * sweep end, and at every REGRESSED flag, so a contended sweep's
+    * record carries the host's own story (r11: the flags' samples said
+    * "box", the probe said "fine", and nothing in-band settled it).
+    * Returns -1 when unreadable (non-Linux).
+    */
+  def loadAvg1m(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** (steal, total) CPU jiffies from /proc/stat's aggregate line; the
+    * sweep records 100*Δsteal/Δtotal — hypervisor-stolen time a guest's
+    * own loadavg cannot see. (-1,-1) when unreadable.
+    */
+  def cpuJiffies(): (Long, Long) =
+    try {
+      val f = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+        .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
+      (if (f.length > 7) f(7) else 0L, f.sum)
+    } catch { case _: Throwable => (-1L, -1L) }
+
   /** Parse same-box priors from a bench_full.json text: the `"priors"`
     * object when present (carry-forward aware, written since r10), else
     * any query-keyed numbers in the text (r9-era files, where the only
@@ -250,7 +317,12 @@ object Bench {
       if (ran % GcEvery == 0) System.gc() // between timed regions
     }
     val probeBefore = cpuProbe()
-    System.err.println(f"[bench] cpu probe before sweep: $probeBefore%.3f s")
+    val probeWideBefore = cpuProbeWide()
+    val loadBefore = loadAvg1m()
+    val jiffiesBefore = cpuJiffies()
+    var loadAtFlag = ListMap.empty[String, Double]
+    System.err.println(f"[bench] cpu probe before sweep: $probeBefore%.3f s " +
+      f"(${probeWidth}-wide: $probeWideBefore%.3f s, load $loadBefore%.2f)")
     names.foreach { name =>
       try {
         runOnce(name) // warm-up, untimed
@@ -259,10 +331,11 @@ object Bench {
         if (samples.size > 1) samplesLog += name -> samples
         if (isRegressed) {
           regressed ::= name
+          loadAtFlag += name -> loadAvg1m()
           System.err.println(f"[bench] $name REGRESSED: median $t%.2f s vs " +
             f"prior ${prior(name)}%.2f s; samples " +
             samples.map(s => f"$s%.2f").mkString("[", ", ", "]") +
-            s"; $stateLine")
+            f"; load ${loadAtFlag(name)}%.2f; $stateLine")
         }
         times += name -> t
         if (sys.env.contains("SPARK_GRAFT_BENCH_TRACE"))
@@ -296,10 +369,13 @@ object Bench {
             f"$t2%.2f s (was $midSweep%.2f s mid-sweep) — " +
             "transient stall, not a regression; samples " +
             samples2.map(s => f"$s%.2f").mkString("[", ", ", "]"))
-        } else
+        } else {
+          loadAtFlag += name -> loadAvg1m()
           System.err.println(f"[bench] $name still regressed at end of " +
             f"sweep: $t2%.2f s; samples " +
-            samples2.map(s => f"$s%.2f").mkString("[", ", ", "]"))
+            samples2.map(s => f"$s%.2f").mkString("[", ", ", "]") +
+            f"; load ${loadAtFlag(name)}%.2f")
+        }
       } catch { case _: Throwable => () } // keep the mid-sweep record
       finally cleanup()
     }
@@ -316,14 +392,32 @@ object Bench {
       if (regressed.isEmpty) ""
       else s""","regressed":${regressed.reverse.map(jstr).mkString("[", ",", "]")}"""
     val seedJson = seed.map(s => s""","seed":$s""").getOrElse("")
-    // post-sweep probe: ran after every timed region (including the
-    // end-of-sweep re-measures), so probe_after/probe_before is the
-    // in-band throttle evidence for THIS sweep's numbers
+    // post-sweep probes: ran after every timed region (including the
+    // end-of-sweep re-measures), so probe_after/probe_before (1-thread)
+    // and probe_wide_* (32-wide, VERDICT r11 #1 — the 1-thread probe
+    // exonerated a box whose 32-wide sweep was starved) are the in-band
+    // contention evidence for THIS sweep's numbers, alongside Δsteal
+    // from /proc/stat and the 1-min loadavg pair.
     val probeAfter = cpuProbe()
+    val probeWideAfter = cpuProbeWide()
+    val loadAfter = loadAvg1m()
+    val jiffiesAfter = cpuJiffies()
+    val stealPct =
+      if (jiffiesBefore._2 >= 0 && jiffiesAfter._2 > jiffiesBefore._2)
+        100.0 * (jiffiesAfter._1 - jiffiesBefore._1) /
+          (jiffiesAfter._2 - jiffiesBefore._2)
+      else -1.0
     System.err.println(f"[bench] cpu probe after sweep: $probeAfter%.3f s " +
-      f"(before: $probeBefore%.3f s, ratio ${probeAfter / probeBefore}%.2f)")
+      f"(before: $probeBefore%.3f s, ratio ${probeAfter / probeBefore}%.2f); " +
+      f"${probeWidth}-wide $probeWideAfter%.3f s " +
+      f"(before: $probeWideBefore%.3f s); load $loadBefore%.2f → " +
+      f"$loadAfter%.2f; steal $stealPct%.2f%%")
     val probeJson =
-      s""","probe_before":${fmt(probeBefore)},"probe_after":${fmt(probeAfter)}"""
+      s""","probe_before":${fmt(probeBefore)},"probe_after":${fmt(probeAfter)}""" +
+        s""","probe_wide_before":${fmt(probeWideBefore)}""" +
+        s""","probe_wide_after":${fmt(probeWideAfter)}""" +
+        s""","load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)}""" +
+        s""","steal_pct":${fmt(stealPct)}"""
     def line(ts: Map[String, Double], omitted: Int,
              maxErrors: Int = Int.MaxValue, errLen: Int = 200,
              extra: String = ""): String = {
@@ -356,10 +450,16 @@ object Bench {
         else s""","samples":${samplesLog.map { case (k, v) =>
           s"${jstr(k)}:${v.map(fmt).mkString("[", ",", "]")}"
         }.mkString("{", ",", "}")}"""
+      // per-flag 1-min loadavg, captured the moment each flag fired
+      // (VERDICT r11 #1) — pairs with `samples` to say whether the box
+      // was loaded WHILE the bad samples were drawn
+      val loadFlagJson =
+        if (loadAtFlag.isEmpty) ""
+        else s""","load_at_flag":${jmap(loadAtFlag)}"""
       if (only.isEmpty) java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
         (line(times, 0, extra =
-          s""","priors":${jmap(nextPriors(times, prior, regressed.toSet))}$samplesJson""")
+          s""","priors":${jmap(nextPriors(times, prior, regressed.toSet))}$samplesJson$loadFlagJson""")
           + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // best-effort; the stdout line is the contract
     val MaxLine = 1700
