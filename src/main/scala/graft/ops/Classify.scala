@@ -106,10 +106,14 @@ object Classify {
                          buckets: Int, idCol: Option[String] = None)
       : (Seq[String], DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(buckets >= 2, s"buckets: $buckets")
-    val labels = df.select(col(labelCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+    // null check on the RAW collect, BEFORE .sorted — Arrays.sort on a
+    // null element throws an opaque NPE and would make this diagnostic
+    // unreachable (ADVICE r11)
+    val rawLabels = df.select(col(labelCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    require(!rawLabels.contains(null), "nbDomain: null label")
+    val labels = rawLabels.sorted.toSeq
     require(labels.size >= 2, s"nbDomain needs >= 2 classes, got $labels")
-    require(!labels.contains(null), "nbDomain: null label")
     // persist only when a scoring join will re-read the stream (nbDomain);
     // the train-only path (no idCol) consumes f exactly once, in bcnt
     val f0 = df
@@ -254,10 +258,13 @@ object Classify {
     *           = [Σ_b (cnt_a(b)+1) · (ln p_a − ln p_b)] / (tot_a + B)
     *
     * Every ln is rounded to 6 decimals; the numerator is an exact
-    * DECIMAL sum of integer × decimal products (counts as DECIMAL(9,0),
-    * log-probs as DECIMAL(12,6) — products stay far inside 38 digits in
-    * both engines); the single closing division and round(…,6) are the
-    * only double ops — order-independent, engine-portable.
+    * DECIMAL sum of integer × decimal products (counts as DECIMAL(19,0) —
+    * wide enough for trillions of occurrences per (class, bucket), the
+    * 100 TB posture; a 9-digit cnt overflowed under ANSI mode past 10^9
+    * occurrences, ADVICE r11 — log-probs as DECIMAL(12,6); products stay
+    * inside 38 digits in both engines); the single closing division and
+    * round(…,6) are the only double ops — order-independent,
+    * engine-portable.
     *
     * Unobserved buckets matter: two classes with different totals assign
     * DIFFERENT smoothed mass to an everywhere-empty bucket, so the grid
@@ -285,7 +292,7 @@ object Classify {
       .join(cnt, Seq("lbl", "b"), "left")
       .na.fill(0L, Seq("cnt"))
       .select(col("lbl"), col("b"),
-        col("cnt").cast("decimal(9,0)").as("cnt"),
+        col("cnt").cast("decimal(19,0)").as("cnt"),
         round(log((col("cnt") + 1).cast("double")
             / (col("tot") + buckets).cast("double")), 6)
           .cast("decimal(12,6)").as("lnp"))

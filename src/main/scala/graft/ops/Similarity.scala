@@ -53,6 +53,22 @@ object Similarity {
       lit(0).cast(Dec), (acc, x) => (acc + x).cast(Dec))
       .cast("double")
 
+  /** [[dotExactHof]] with zero-padding for unequal lengths: zip_with pads
+    * the shorter vector with NULLs, and an unguarded (x·y) would
+    * null-poison the whole decimal fold (ADVICE r11 — the signBits guard,
+    * applied to the dot). Semantics: the shorter vector is embedded in the
+    * longer one's space with zeros — the right reading for μ built at a
+    * group's max dimensionality over heterogeneous-length members.
+    * Identical to [[dotExactHof]] on equal-length inputs.
+    */
+  def dotExactHofZeroPad(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        when(x.isNull || y.isNull, lit(0).cast(Dec))
+          .otherwise((x.cast("double") * y.cast("double")).cast(Dec))),
+      lit(0).cast(Dec), (acc, x) => (acc + x).cast(Dec))
+      .cast("double")
+
   /** Exact squared L2 norm (as double). */
   def norm2Exact(a: Column): Column = dotExact(a, a)
 
@@ -507,10 +523,14 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("mu"))
       .withColumn("mu_norm2", dotExactHof(col("mu"), col("mu")))
+    // zero-padded dot: μ is built at the group's MAX vector length, so a
+    // group with heterogeneous dims would null-poison the unguarded fold
+    // and emit a NULL anisotropy (ADVICE r11); shorter members read as
+    // zero-extended into μ's space
     vecs.join(broadcast(mu), Seq(groupCol))
       .select(col(groupCol),
         round(sqrt(norm2Exact(col(vecCol))), 6).as("l2"),
-        round(dotExactHof(col(vecCol), col("mu"))
+        round(dotExactHofZeroPad(col(vecCol), col("mu"))
           / (sqrt(norm2Exact(col(vecCol))) * sqrt(col("mu_norm2"))), 6)
           .as("cos_mu"))
       .groupBy(col(groupCol))

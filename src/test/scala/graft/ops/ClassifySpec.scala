@@ -121,6 +121,47 @@ class ClassifySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("nbScore parity: priors count featureless docs exactly as the relational path") {
+    // ADVICE r11 (the one contract both paths share): TRAINING sees the
+    // UNFILTERED frame — a zero-feature doc still shifts every prior
+    // ln(n_c/N), in nbDomain, nbTrain, and the DuckDB oracle alike; only
+    // SCORING drops it (no feature rows ⇒ absent from the result).
+    val rows = Seq(
+      (0L, Seq("alpha", "beta"), "x"),
+      (1L, Seq("alpha"), "x"),
+      (2L, Seq("gamma", "delta"), "y"),
+      (3L, Seq("gamma"), "y"),
+      (4L, Seq.empty[String], "y")) // featureless: in priors, not in output
+    val df = featDf(rows)
+    val relational = Classify.nbDomain(df, "id", col("f"), "dom", buckets = 64)
+      .collect().toSeq
+    val model = Classify.nbTrain(df, col("f"), "dom", buckets = 64)
+    // the prior must count doc 4: ln(2/5)/ln(3/5) micros, not ln(2/4)/ln(2/4)
+    assert(model.labels === Seq("x", "y"))
+    assert(model.priorsMicro === Seq(-916291L, -510826L),
+      "priors over ALL docs (rounded-6 ln micros of 2/5 and 3/5)")
+    val viaMap = df.where(size(col("f")) > 0)
+      .select(col("id"), col("dom"), Classify.nbScore(model, col("f")).as("r"))
+      .select(col("id"), col("dom"), col("r.pred_label").as("pred_label"),
+        col("r.nb_score").as("nb_score"), col("r.margin").as("margin"))
+      .orderBy("id").collect().toSeq
+    assert(relational === viaMap,
+      "featureless docs shift priors for BOTH paths or neither")
+    spark.catalog.clearCache()
+  }
+
+  test("nbDomain: null label raises the intended diagnostic, not an opaque NPE") {
+    // ADVICE r11: the null check must run BEFORE the sort — Arrays.sort
+    // on a null element would throw an NPE and mask this message
+    val rows = Seq(
+      (0L, Seq("a"), "x"), (1L, Seq("b"), null.asInstanceOf[String]),
+      (2L, Seq("c"), "y"))
+    val e = intercept[IllegalArgumentException] {
+      Classify.nbDomain(featDf(rows), "id", col("f"), "dom", buckets = 16)
+    }
+    assert(e.getMessage.contains("null label"))
+  }
+
   test("nbScore: stateless streaming scoring equals batch (stream of docs, static model)") {
     import org.apache.spark.sql.streaming.Trigger
     val rows = (0 until 18).map { i =>

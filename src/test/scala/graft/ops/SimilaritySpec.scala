@@ -41,6 +41,24 @@ class SimilaritySpec extends SparkSpec {
     assert(re === rows, "anisotropy must be partitioning-invariant")
   }
 
+  test("embeddingAnisotropy: heterogeneous vector lengths zero-pad, never NULL") {
+    // ADVICE r11: μ is built at the group's MAX length; the unguarded HOF
+    // dot null-poisoned cos_mu for any shorter member. Contract: shorter
+    // vectors read as zero-extended into μ's space.
+    val df = Seq(
+      (0L, "h", Array(1f, 0f)),
+      (1L, "h", Array(0f, 0f, 1f))
+    ).toDF("vec_id", "label", "embedding")
+    val r = Similarity.embeddingAnisotropy(df, "label", "embedding")
+      .select("n", "anisotropy", "mean_l2").as[(Long, Double, Double)].head()
+    assert(r._1 === 2L)
+    // per-position means over contributors: μ = (0.5, 0, 1), ‖μ‖ = √1.25;
+    // cos(v0,μ) = 0.5/√1.25 (the pad), cos(v1,μ) = 1/√1.25
+    assert(math.abs(r._2 - (0.5 + 1.0) / math.sqrt(1.25) / 2) < 1e-5,
+      s"anisotropy must be the zero-padded average, got ${r._2}")
+    assert(r._3 === 1.0)
+  }
+
   test("cellPurity: majority share, tie → smaller label, repartition-stable") {
     val members = Seq(
       (0, 1), (0, 1), (0, 2),         // cell 0: majority label 1, purity 2/3
