@@ -367,6 +367,114 @@ object DocStream {
         round(expr("hll_sketch_estimate(hll_union_agg(sk))"), 6)
           .as("approx_distinct"))
 
+  // ── Leak-free split assignment at ingest (streaming member) ──────────
+
+  /** Streaming split assigner against a STANDING corpus — the
+    * ingestion-time form of [[graft.ops.CorpusOps.leakFreeSplit]]
+    * (VERDICT r11 #8): a new document that near-duplicates a standing
+    * document must land in the standing document's train/val/test split
+    * (else its near-twin leaks across the split boundary the moment it is
+    * ingested); a document matching nothing falls back to the hash
+    * bucket of its OWN id — the same salt and buckets as the batch
+    * operator, so unmatched docs are bit-identical to `q_split`'s plain
+    * assignment and to leakFreeSplit singletons.
+    *
+    * Construction (once, while the returned function lives — the
+    * [[decontaminator]] shape): the standing corpus's n-gram hash
+    * relation is built and persisted (the standing signature artifact a
+    * production pipeline maintains per snapshot), alongside the standing
+    * (id → split) relation. The returned per-batch function band-joins
+    * the micro-batch against the standing buckets
+    * ([[graft.ops.Dedup.incrementalNearDups]] — asymmetric, never
+    * corpus×corpus), picks each new doc's best match (max jaccard, ties
+    * → smallest standing id — deterministic), and inherits that match's
+    * split.
+    *
+    * Batch-equivalence contract (the spec's gate): the assignment is a
+    * pure function of (document, standing corpus + splits) — no
+    * cross-document, cross-batch state — so the union of per-micro-batch
+    * outputs is bit-equal to one batch run under ANY slicing. Two NEW
+    * docs that near-dup each other but match nothing standing fall back
+    * independently (they may split apart): intra-stream components are
+    * the periodic batch compaction's job — the same lambda split as
+    * [[firstSeenDocs]] and [[decontaminator]], stated so nobody mistakes
+    * the ingest-time member for the global operator.
+    *
+    * @param standingSplits (standingIdCol, split) — e.g. the output of
+    *                       the batch leakFreeSplit over the standing
+    *                       corpus snapshot
+    */
+  def splitAssigner(standing: DataFrame, standingIdCol: String,
+                    standingToks: Column, standingSplits: DataFrame,
+                    docIdCol: String, docToks: Column,
+                    n: Int, threshold: Double,
+                    trainPct: Int = 90, valPct: Int = 5,
+                    salt: String = "split"): DataFrame => DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"trainPct=$trainPct valPct=$valPct must be ≥0 and sum ≤100")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val corpusHashed = graft.ops.Dedup.hashedNgrams(
+        standing.select(col(standingIdCol).as("id"), standingToks.as("toks")),
+        "id", "toks", n)
+      .persist(lvl)
+    corpusHashed.count() // materialize the standing artifact once
+    val splits = standingSplits
+      .select(col(standingIdCol).as("corpus_id"), col("split").as("anchor_split"))
+      .persist(lvl)
+    (docs: DataFrame) => {
+      val newHashed = graft.ops.Dedup.hashedNgrams(
+        docs.select(col(docIdCol).as("id"), docToks.as("toks")), "id", "toks", n)
+      // persistHashed=false: the corpus side is already persisted above
+      // (the branches hit that cache); the new side is micro-batch-sized
+      // and its 2-branch recompute is cheaper than managing a per-batch
+      // cache entry's lifetime from inside a lazy frame
+      val hits = graft.ops.Dedup.incrementalNearDups(
+        corpusHashed, newHashed, threshold, persistHashed = false)
+      val byNew = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("new_id"))
+        .orderBy(desc("jaccard"), asc("corpus_id"))
+      val inherited = hits
+        .withColumn("rk", row_number().over(byNew)).where(col("rk") === 1)
+        .select(col("new_id").as(docIdCol), col("corpus_id"))
+        .join(splits, Seq("corpus_id"))
+        .select(col(docIdCol), col("anchor_split"))
+      docs.join(inherited, Seq(docIdCol), "left")
+        .withColumn("bucket", pmod(graft.functions.Hashes.h60(
+          concat(lit(salt + ":"), col(docIdCol))), lit(100L)))
+        .withColumn("split", coalesce(col("anchor_split"),
+          when(col("bucket") < trainPct, "train")
+            .when(col("bucket") < trainPct + valPct, "val")
+            .otherwise("test")))
+        .drop("anchor_split", "bucket")
+    }
+  }
+
+  /** First-seen dedup + leak-free split assignment as ONE streaming query
+    * (VERDICT r11 #8 — the last uncomposed stage pair): [[firstSeenDocs]]
+    * feeds a single `foreachBatch` that runs the [[splitAssigner]]
+    * function and writes the split-labeled docs under batch-id-keyed
+    * directories (idempotent under replay; output/param coupling guarded
+    * by the same checkpoint markers as [[ingestPipelineSink]]). Read the
+    * labeled store with `spark.read.parquet(outPath)`.
+    */
+  def leakFreeIngestSink(docs: DataFrame, assign: DataFrame => DataFrame,
+                         tsCol: String, outPath: String, checkpoint: String,
+                         textCol: String = "text",
+                         horizon: String = "1 hour")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireFreshOutputs(docs.sparkSession, checkpoint, Seq(outPath),
+      params = Seq("tsCol" -> tsCol, "textCol" -> textCol,
+        "horizon" -> horizon))
+    firstSeenDocs(docs, tsCol, textCol, horizon).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        assign(batch).write.mode("overwrite")
+          .parquet(s"$outPath/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** The composed ingest pipeline as one streaming query:
     * [[firstSeenDocs]] (stateful in-horizon dedup) feeds a single
     * `foreachBatch` that decontaminates the surviving docs and writes BOTH

@@ -16,22 +16,58 @@ import org.apache.spark.sql.functions._
   * Replica k shifts ids by k·10⁹, so every replicated row is a distinct
   * document/vector; replica 0 is the original corpus, which keeps
   * q_rrf_hybrid's probe vector (vec_id = 0) a single row at any factor.
+  *
+  * Modes (4th arg, VERDICT r11 #5):
+  *  - `exact` (default): verbatim replicas — every doc gains N−1 exact
+  *    twins. Fine for scan/agg/top-k probes, DEGENERATE for the near-dup
+  *    family: pair counts grow ~N² and wall-clock ratios need a caveat.
+  *  - `perturb`: replica k>0 rewrites a deterministic ~15 % of each doc's
+  *    whitespace tokens to replica-unique junk words (hash(token, pos,
+  *    rep) — tokenizer-safe alphanumerics). With 3-gram shingles a 15 %
+  *    token kill leaves ≈ 0.85³ ≈ 61 % of shingles shared, Jaccard ≈
+  *    0.44 against the original — far under the 0.8/0.9 thresholds, so
+  *    CROSS-replica near-dup pairs vanish while each replica keeps the
+  *    fixture's own internal dup structure (identical twin docs perturb
+  *    identically and stay twins). Pairs then grow ~N, not ~N², and a
+  *    10× wall-clock ratio reads directly. Embeddings are replicated
+  *    verbatim in both modes (the perturbed probes are the text family).
   */
 object ScaleProbe {
+  /** Perturbed text: fraction `pctOfTokens`/100 of whitespace tokens
+    * replaced by replica-keyed junk; replica 0 passes through verbatim. */
+  private def perturbText(text: org.apache.spark.sql.Column,
+                          rep: org.apache.spark.sql.Column,
+                          pctOfTokens: Int) = {
+    val toks = split(text, " ")
+    val mutated = zip_with(toks, sequence(lit(0), size(toks) - 1), (t, i) =>
+      when(rep > 0 &&
+          pmod(hash(t, i, rep), lit(100)) < pctOfTokens,
+        concat(lit("zz"), rep.cast("string"), lit("q"),
+          (abs(hash(t, i, rep)) % 9973).cast("string")))
+        .otherwise(t))
+    concat_ws(" ", mutated)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val queries = args.lift(2).map(_.split(",").toSeq)
       .getOrElse(Seq("q_rrf_hybrid", "q_mixture_sample"))
+    val mode = args.lift(3).getOrElse("exact")
     require(factor >= 2, s"factor: $factor")
+    require(mode == "exact" || mode == "perturb", s"mode: $mode")
     val spark = graft.Sessions.local("scale-probe")
-    val outDir = s"target/scaleprobe/x$factor"
+    val outDir = s"target/scaleprobe/$mode-x$factor"
 
     val reps = spark.range(factor).select(col("id").as("rep"))
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .crossJoin(broadcast(reps))
       .withColumn("doc_id", col("doc_id") + col("rep") * 1000000000L)
-      .drop("rep")
+    val docsOut =
+      if (mode == "perturb")
+        docs.withColumn("text", perturbText(col("text"), col("rep"), 15))
+      else docs
+    docsOut.drop("rep")
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     spark.read.parquet(s"$sfDir/embeddings.parquet")
       .crossJoin(broadcast(reps))
@@ -39,7 +75,7 @@ object ScaleProbe {
       .drop("rep")
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     val nDocs = spark.read.parquet(s"$outDir/documents.parquet").count()
-    println(s"[scaleprobe] replicated corpus: $nDocs docs at $outDir")
+    println(s"[scaleprobe] replicated corpus ($mode): $nDocs docs at $outDir")
 
     def timed(name: String, dir: String): Double = {
       def once(): Double = {

@@ -242,4 +242,80 @@ class DocStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 11L)
     spark.catalog.clearCache()
   }
+
+  test("leakFreeIngestSink: near-dups inherit the standing split, stream == batch") {
+    def toks = graft.ops.TextAnalysis.tokens(col("text"))
+    // standing corpus snapshot with hand-assigned splits (in production:
+    // the batch leakFreeSplit's output over the accumulated store)
+    val standing = Seq(
+      (100L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (101L, "india juliet kilo lima mike november oscar papa"),
+      (102L, "quebec romeo sierra tango uniform victor whiskey xray"))
+      .toDF("doc_id", "text")
+    val standingSplits = Seq((100L, "test"), (101L, "train"), (102L, "val"))
+      .toDF("doc_id", "split")
+    val assign = DocStream.splitAssigner(standing, "doc_id", toks,
+      standingSplits, "doc_id", toks, n = 3, threshold = 0.8)
+
+    // 12 new docs over 3 hours + a byte-identical duplicate row of doc 2
+    // (exercises the first-seen stage); doc 5 is a VERBATIM copy of
+    // standing 100 (split "test"), doc 7 a case/punct-mangled copy of
+    // standing 102 (identical token stream ⇒ jaccard 1, split "val");
+    // every other doc has a disjoint token stream and must fall back to
+    // the hash bucket of its own id
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val originals = (0 until 12).map { i =>
+      val text = i match {
+        case 5 => "alpha bravo charlie delta echo foxtrot golf hotel"
+        case 7 => "Quebec, Romeo; SIERRA tango uniform victor whiskey XRAY!!"
+        case _ => s"solo item x$i y${i}a y${i}b y${i}c z$i"
+      }
+      (i.toLong, new java.sql.Timestamp(base.getTime + i * 15 * 60 * 1000L), text)
+    }
+    val rows = originals ++ Seq(originals(2))
+    val dir = tempDir("splitDocs").toString
+    rows.toDF("doc_id", "ingest_ts", "text")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+
+    // batch reference: the SAME two stages over the whole corpus at once
+    val labeledBatch = assign(DocStream.firstSeenDocs(
+      spark.read.parquet(dir), "ingest_ts", horizon = "6 hours"))
+    val byId = labeledBatch.select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(byId(5L) === "test", "verbatim twin of standing 100 inherits test")
+    assert(byId(7L) === "val", "mangled twin of standing 102 inherits val")
+    // unmatched docs: bit-identical to the plain hash split (same salt,
+    // same buckets as CorpusOps.leakFreeSplit singletons / q_split)
+    val expected = spark.range(12).select(col("id").as("doc_id"),
+        pmod(graft.functions.Hashes.h60(
+          concat(lit("split:"), col("doc_id"))), lit(100L)).as("b"))
+      .select(col("doc_id"), when(col("b") < 90, "train")
+        .when(col("b") < 95, "val").otherwise("test").as("split"))
+      .as[(Long, String)].collect().toMap
+    (0L until 12L).filterNot(i => i == 5L || i == 7L).foreach { i =>
+      assert(byId(i) === expected(i), s"doc $i must use its own hash bucket")
+    }
+
+    // streaming: same composition, one file per micro-batch, accumulated
+    // store must equal the batch run bit-for-bit
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = tempDir("splitOut").toString + "/labeled"
+    val ck = tempDir("splitCk").toString
+    val q = DocStream.leakFreeIngestSink(stream, assign, "ingest_ts",
+      out, ck, horizon = "6 hours")
+    assert(q.awaitTermination(120000), "leak-free ingest did not finish")
+    def canon(df: DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).toSeq).toSeq.sorted(
+        Ordering.Implicits.seqOrdering[Seq, String])
+    val cols = Seq("doc_id", "ingest_ts", "text", "fp", "split").map(col)
+    assert(canon(spark.read.parquet(out).select(cols: _*))
+      === canon(labeledBatch.select(cols: _*)),
+      "accumulated labeled store must equal the one-batch run bit-for-bit")
+    assert(spark.read.parquet(out).count() === 12L, "first-seen drops the dup row")
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
 }
