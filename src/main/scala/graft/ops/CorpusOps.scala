@@ -245,6 +245,55 @@ object CorpusOps {
           .otherwise("test").as("split"))
   }
 
+  /** Split-representativeness audit — the companion gate to [[leakFreeSplit]]
+    * / the plain hash split: per split, document count, token budget, and
+    * the maximum absolute deviation of the split's group composition from
+    * the GLOBAL composition (max over groups of |share_in_split −
+    * share_global|). A val/test split whose language (or source) mix
+    * drifts from the corpus measures the wrong thing; hash splits are
+    * composition-unbiased in expectation, and this is the number that
+    * verifies it held for THIS corpus.
+    *
+    * Determinism: shares are round-6 doubles of integer-count ratios
+    * (both engines divide the same integers), the deviation is re-rounded
+    * at the edge, and the max is order-independent.
+    *
+    * Scale posture: ONE corpus-scale aggregate (groupBy split × group);
+    * everything after runs on the ≤ splits·groups count grid — including
+    * absent (split, group) cells, which deviate by the full global share
+    * and therefore must exist in the grid (a grid built from observed
+    * cells only would silently under-report the drift of a group that
+    * vanished from a split).
+    */
+  def splitBalance(df: DataFrame, splitCol: String, grpCol: String,
+                   tokCountCol: Column): DataFrame = {
+    val cnt = df.groupBy(col(splitCol).as("split"), col(grpCol).as("grp"))
+      .agg(count(lit(1)).as("c"), sum(tokCountCol.cast("long")).as("tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bySplit = cnt.groupBy(col("split"))
+      .agg(sum(col("c")).as("n_docs"), sum(col("tk")).as("n_tokens"))
+    val byGrp = cnt.groupBy(col("grp")).agg(sum(col("c")).as("gc"))
+    val total = byGrp.agg(sum(col("gc")).as("n_all"))
+    // full splits × groups grid (splits·groups rows — tiny): absent cells
+    // count 0, see the scaladoc
+    val grid = bySplit.select(col("split"), col("n_docs"))
+      .crossJoin(byGrp.crossJoin(broadcast(total)))
+      .join(cnt.select(col("split"), col("grp"), col("c")),
+        Seq("split", "grp"), "left")
+      .na.fill(0L, Seq("c"))
+    val dev = round(abs(
+      round(col("c").cast("double") / col("n_docs"), 6)
+        - round(col("gc").cast("double") / col("n_all"), 6)), 6)
+    val out = grid
+      .select(col("split"), dev.as("dev"))
+      .groupBy(col("split"))
+      .agg(max(col("dev")).as("max_grp_dev"))
+      .join(bySplit, Seq("split"))
+      .select(col("split"), col("n_docs"), col("n_tokens"),
+        col("max_grp_dev"))
+    out
+  }
+
   /** Per-stratum sampling rates (basis points), e.g. downsample boilerplate
     * languages while keeping all of a rare one — the corpus-mixing knob of
     * an LLM data pipeline. Unlisted strata fall back to `defaultBp`.

@@ -341,6 +341,44 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Pairwise-similarity calibration histogram — the "where should the
+    * dedup threshold sit" diagnostic: bucket the EXACT Jaccard of every
+    * [[jaccardNearDups]] pair with similarity ≥ `minSim` into
+    * `buckets` equal-width bands and count pairs per band (plus the
+    * band's exact average similarity). A corpus whose mass piles at
+    * 0.95–1.0 wants an aggressive threshold; a long 0.5–0.8 shoulder
+    * means boilerplate families a hard 0.9 cut would miss — this is the
+    * curve that decision reads from.
+    *
+    * Exactness/scale contract: inherited from [[jaccardNearDups]]
+    * verbatim (df-capped inverted index, length filter, never all-pairs);
+    * the histogram itself is a ≤ `buckets`-row aggregate over the
+    * pairs-scale relation. At 100 TB calibrate on a deterministic
+    * [[CorpusOps.hashSample]] sub-corpus — the curve is a distribution
+    * estimate, it does not need every pair.
+    *
+    * Bucketing: floor(jaccard·buckets) clamped to buckets−1 — both
+    * factors are the same IEEE doubles in every engine (jaccard is
+    * rounded to 6 at the edge), so band boundaries are reproducible.
+    * Only non-empty bands are emitted.
+    */
+  def similarityHistogram(hashed: DataFrame, minSim: Double,
+                          buckets: Int = 10,
+                          maxDf: Int = Int.MaxValue,
+                          persistIndex: Boolean = true): DataFrame = {
+    require(buckets >= 1, s"buckets: $buckets")
+    jaccardNearDups(hashed, minSim, maxDf, persistIndex)
+      .select(least(floor(col("jaccard") * buckets).cast("int"),
+        lit(buckets - 1)).as("band"), col("jaccard"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("jaccard").cast("decimal(28,6)")).cast("double")
+          / count(lit(1)), 6).as("avg_jaccard"))
+      .select(col("band"),
+        round(col("band").cast("double") / buckets, 6).as("sim_lo"),
+        col("n_pairs"), col("avg_jaccard"))
+  }
+
   /** Benchmark decontamination: training docs that share ≥ `minShared`
     * distinct n-gram hashes with a benchmark/eval doc — the overlap check
     * every training corpus runs against its eval sets before training.

@@ -158,6 +158,72 @@ object TextAnalysis {
         lit(1.0) - size(array_distinct(ngramHashes)).cast("double")
           / size(ngramHashes), 6))
 
+  // ── Gopher rule-flag filter ───────────────────────────────────────────
+
+  /** Gopher-style per-rule quality flags (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training Gopher",
+    * Appendix A — the rule-based filter that precedes model-based quality
+    * scoring in most LLM corpus pipelines). Unlike [[qualityScore]]'s
+    * composite number, every rule is emitted as its own boolean so
+    * downstream can audit WHICH rule kills a document:
+    *
+    *  - `r_word_count`: token count in [minWords, maxWords]
+    *  - `r_word_len`: mean token length in [minMeanLen, maxMeanLen]
+    *  - `r_symbol`: symbol-to-word ratio ('#' chars + '...' occurrences)
+    *    ≤ 1/10
+    *  - `r_stopword`: ≥ 2 distinct hits in the English function-word
+    *    profile ([[LanguageProfiles]] head — Gopher's "contains ≥2 stop
+    *    words" rule)
+    *  - `r_repetition`: most frequent token ≤ 1/5 of the doc (the
+    *    unigram member of Gopher's repetition family; the n-gram members
+    *    are [[repeatedNgramFrac]])
+    *  - `keep`: conjunction of all five
+    *
+    * Every threshold compare is INTEGER arithmetic (sum·1 ≥ min·count
+    * forms) — no float boundary for engines to round differently; the
+    * oracle mirrors the same integer compares.
+    *
+    * Scale posture: one narrow per-row pass for four rules plus ONE
+    * exploded (doc, token) aggregate for the repetition rule (partial
+    * aggregation contracts map-side; the join back to the doc key is the
+    * only shuffle). At 100 TB the rule pass is embarrassingly parallel —
+    * the shape of every production quality filter.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 30, maxWords: Int = 100000,
+                  minMeanLen: Int = 3, maxMeanLen: Int = 10): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"word bounds: [$minWords, $maxWords]")
+    require(minMeanLen >= 1 && maxMeanLen >= minMeanLen,
+      s"mean-length bounds: [$minMeanLen, $maxMeanLen]")
+    val t = docs.select(col(idCol), col(textCol).as("text"),
+      tokens(col(textCol)).as("toks"))
+    val maxTok = t
+      .select(col(idCol), explode(col("toks")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("max_tok"))
+    val wc = size(col("toks")).cast("long")
+    val sumLen = aggregate(transform(col("toks"), tk => length(tk)),
+      lit(0L), (acc, x) => acc + x)
+    val hashSyms = length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))
+    val ellipses = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+    t.join(maxTok, Seq(idCol), "left")
+      .select(col(idCol),
+        wc.as("n_words"),
+        (wc >= minWords && wc <= maxWords).as("r_word_count"),
+        (sumLen >= wc * minMeanLen && sumLen <= wc * maxMeanLen)
+          .as("r_word_len"),
+        ((hashSyms + ellipses).cast("long") * 10 <= wc).as("r_symbol"),
+        (langScore(col("toks"), LanguageProfiles.head._2) >= 2)
+          .as("r_stopword"),
+        (coalesce(col("max_tok"), lit(0L)) * 5 <= wc).as("r_repetition"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_word_len") && col("r_symbol") &&
+          col("r_stopword") && col("r_repetition"))
+  }
+
   // ── Token counting ────────────────────────────────────────────────────
 
   /** Whitespace token count (the cheap pre-filter number). */

@@ -220,6 +220,16 @@ object TextPipelineQueries {
           TextAnalysis.qualityScore(col("f")).as("quality"))
         .orderBy("doc_id")),
 
+    // ── Gopher rule-flag filter ─────────────────────────────────────────
+    // The rule-based sibling of q_quality's composite score (Rae et al.
+    // 2021 Appendix A): every rule its own boolean so downstream audits
+    // WHICH rule kills a doc. All thresholds compared in integer
+    // arithmetic (TextAnalysis.gopherRules) — no float boundary to
+    // diverge across engines.
+    "q_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ── Language identification ──────────────────────────────────────────
     "q_lang_id" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -359,6 +369,20 @@ object TextPipelineQueries {
           threshold = 0.8)
         .orderBy("new_id", "corpus_id")
     }),
+
+    // ── Similarity calibration histogram ────────────────────────────────
+    // Where should the dedup threshold sit: the EXACT pairwise-Jaccard
+    // distribution (inverted-index pairs ≥ 0.1, df-capped at 50) bucketed
+    // into 10 bands (Dedup.similarityHistogram). Mass at 0.9–1.0 wants an
+    // aggressive cut; a 0.5–0.8 shoulder means template families a hard
+    // 0.9 threshold would miss. ≤10-row output at any corpus size.
+    "q_sim_histogram" -> ((s, dir) =>
+      Dedup.similarityHistogram(
+          Dedup.hashedNgrams(
+            docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text"))),
+            "doc_id", "toks", 3),
+          minSim = 0.1, buckets = 10, maxDf = 50)
+        .orderBy("band")),
 
     // ── Near-dup: EXACT n-gram Jaccard via inverted index ───────────────
     // The third dedup family (Dedup.jaccardNearDups): no signatures — the
@@ -710,6 +734,23 @@ object TextPipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ── Split-representativeness audit ──────────────────────────────────
+    // The gate AFTER q_split/q_split_leakfree: per split, doc count, token
+    // budget, and the max deviation of the split's language mix from the
+    // global mix (CorpusOps.splitBalance) — "does the test split measure
+    // the same corpus it was cut from". One corpus-scale aggregate;
+    // everything after runs on the splits×langs grid.
+    "q_split_balance" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+          size(TextAnalysis.tokens(col("text"))).as("n_toks"),
+          pmod(Hashes.h60(concat(lit("split:"), col("doc_id"))), lit(100L))
+            .as("bucket"))
+        .withColumn("split", when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      CorpusOps.splitBalance(d, "split", "lang", col("n_toks"))
+        .orderBy("split")
+    }),
+
     // ── Stratified deterministic sampling (corpus mixing) ───────────────
     // Per-language keep rates in integer basis points over the same
     // h60-mod-10000 draw as q_split: reproducible across engines, runs,
@@ -1012,6 +1053,43 @@ object TextPipelineQueries {
             $QualityScoreSql AS quality
           FROM f ORDER BY doc_id"""
     },
+    // Mirror of TextAnalysis.gopherRules: every threshold an integer
+    // compare (sum·1 vs bound·count forms — no float boundary), stopword
+    // rule on the shared en profile, repetition on the per-doc max
+    // unigram count.
+    "q_gopher_rules" -> {
+      val stop = TextAnalysis.LanguageProfiles.head._2
+      s"""WITH t AS (
+            SELECT doc_id, text, $ToksSql AS toks FROM documents),
+          rep AS (
+            SELECT doc_id, max(c) AS max_tok FROM (
+              SELECT doc_id, tok, count(*) AS c FROM (
+                SELECT doc_id, unnest(toks) AS tok FROM t)
+              GROUP BY 1, 2)
+            GROUP BY 1),
+          f AS (
+            SELECT t.doc_id,
+              CAST(len(toks) AS BIGINT) AS wc,
+              CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                AS BIGINT) AS sum_len,
+              CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+                + CAST((length(text) - length(replace(text, '...', ''))) / 3
+                    AS BIGINT) AS syms,
+              ${langScoreSql("toks", stop)} AS stop_hits,
+              CAST(coalesce(rep.max_tok, 0) AS BIGINT) AS max_tok
+            FROM t LEFT JOIN rep ON rep.doc_id = t.doc_id)
+          SELECT doc_id, wc AS n_words,
+            (wc >= 30 AND wc <= 100000) AS r_word_count,
+            (sum_len >= wc * 3 AND sum_len <= wc * 10) AS r_word_len,
+            (syms * 10 <= wc) AS r_symbol,
+            (stop_hits >= 2) AS r_stopword,
+            (max_tok * 5 <= wc) AS r_repetition,
+            ((wc >= 30 AND wc <= 100000)
+              AND (sum_len >= wc * 3 AND sum_len <= wc * 10)
+              AND (syms * 10 <= wc) AND (stop_hits >= 2)
+              AND (max_tok * 5 <= wc)) AS keep
+          FROM f ORDER BY doc_id"""
+    },
     "q_lang_id" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
             sc AS (SELECT doc_id,
@@ -1158,6 +1236,43 @@ object TextPipelineQueries {
           FROM pairs
           WHERE ROUND(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 6) >= 0.5
           ORDER BY id_a, id_b""",
+    // Same inverted-index CTE chain as q_neardup_jaccard at threshold 0.1,
+    // bucketed: floor(jaccard·10) clamped to 9 (identical IEEE products —
+    // jaccard is the same round-6 double in both engines), decimal sum /
+    // count for the band average. The length filter the engine applies
+    // pre-aggregation needs no mirror: it can only drop pairs whose
+    // jaccard is below the final threshold anyway.
+    "q_sim_histogram" ->
+      s"""WITH hs AS (
+            SELECT doc_id,
+              list_transform($ToksSql, t -> ${h60("t")}) AS hsarr
+            FROM documents),
+          ng AS (
+            SELECT doc_id, ${ngramHashesSql("hsarr", 3)} AS ngh FROM hs),
+          idx AS (
+            SELECT doc_id, len(ngh) AS n, unnest(ngh) AS h FROM ng
+            WHERE len(ngh) > 0),
+          dfok AS (SELECT h FROM idx GROUP BY h HAVING count(*) <= 50),
+          kept AS (SELECT idx.doc_id, idx.n, idx.h FROM idx
+                   JOIN dfok ON idx.h = dfok.h),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              a.n AS n_a, b.n AS n_b, count(*) AS shared
+            FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+          jp AS (
+            SELECT ROUND(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 6)
+              AS jaccard
+            FROM pairs
+            WHERE ROUND(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 6)
+              >= 0.1)
+          SELECT least(CAST(floor(jaccard * 10) AS INT), 9) AS band,
+            ROUND(CAST(least(CAST(floor(jaccard * 10) AS INT), 9) AS DOUBLE)
+              / 10, 6) AS sim_lo,
+            count(*) AS n_pairs,
+            ROUND(CAST(sum(CAST(jaccard AS DECIMAL(28,6))) AS DOUBLE)
+              / count(*), 6) AS avg_jaccard
+          FROM jp GROUP BY 1, 2 ORDER BY band""",
     "q_chunk" ->
       s"""WITH t AS (
             SELECT doc_id, $ToksSql AS toks FROM documents
@@ -1528,6 +1643,40 @@ object TextPipelineQueries {
                  WHEN ${h60("'split:' || anchor")} % 100 < 95 THEN 'val'
                  ELSE 'test' END AS split
           FROM anch ORDER BY doc_id""",
+    // Mirror of CorpusOps.splitBalance over q_split's bucket expression:
+    // one corpus aggregate, then the FULL splits×langs grid (absent cells
+    // count 0 — they deviate by the whole global share), round-6 shares,
+    // re-round at the edge.
+    "q_split_balance" ->
+      s"""WITH d AS (
+            SELECT doc_id, lang, CAST(len($ToksSql) AS BIGINT) AS n_toks,
+              CASE WHEN ${h60("'split:' || doc_id")} % 100 < 90 THEN 'train'
+                   WHEN ${h60("'split:' || doc_id")} % 100 < 95 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM documents),
+          cnt AS (
+            SELECT split, lang AS grp, CAST(count(*) AS BIGINT) AS c,
+              CAST(sum(n_toks) AS BIGINT) AS tk
+            FROM d GROUP BY 1, 2),
+          bys AS (
+            SELECT split, CAST(sum(c) AS BIGINT) AS n_docs,
+              CAST(sum(tk) AS BIGINT) AS n_tokens
+            FROM cnt GROUP BY 1),
+          byg AS (SELECT grp, CAST(sum(c) AS BIGINT) AS gc FROM cnt GROUP BY 1),
+          tot AS (SELECT CAST(sum(gc) AS BIGINT) AS n_all FROM byg),
+          grid AS (
+            SELECT s.split, s.n_docs, g.grp, g.gc, t.n_all,
+              CAST(coalesce(c.c, 0) AS BIGINT) AS c
+            FROM bys s CROSS JOIN byg g CROSS JOIN tot t
+            LEFT JOIN cnt c ON c.split = s.split AND c.grp = g.grp),
+          dev AS (
+            SELECT split,
+              max(ROUND(abs(ROUND(CAST(c AS DOUBLE) / n_docs, 6)
+                - ROUND(CAST(gc AS DOUBLE) / n_all, 6)), 6)) AS max_grp_dev
+            FROM grid GROUP BY 1)
+          SELECT bys.split, bys.n_docs, bys.n_tokens, dev.max_grp_dev
+          FROM bys JOIN dev ON dev.split = bys.split
+          ORDER BY bys.split""",
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
           WHERE ${h60("'samp:' || doc_id")} % 10000 <

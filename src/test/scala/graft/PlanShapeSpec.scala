@@ -51,7 +51,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_pagerank_full" -> "per-iteration crossJoin of the single-row decimal-exact dangling-mass aggregate (broadcast, one row)",
     "q_cluster_purity" -> "composes Similarity.assignToSeeds, inheriting q_kmeans_assign's broadcast seed-array crossJoin (orderBy.limit(8) seeds); the label ride-along and purity aggregates are keyed",
     "q_zipf_fit" -> "composes CorpusStats.vocabCoverage, inheriting q_vocab's single-row token-total crossJoin onto the top-k survivors; the OLS fit is one global aggregate over the 100-row cut",
-    "q_lsh_precision" -> "crossJoin of two single-row count aggregates (candidates x verified — the q_hll_merge pattern)")
+    "q_lsh_precision" -> "crossJoin of two single-row count aggregates (candidates x verified — the q_hll_merge pattern)",
+    "q_split_balance" -> "splits × groups grid crossJoin — both sides are post-aggregation count relations, ≤ splits·groups rows at any corpus size; absent cells must exist in the grid to report a vanished group's full-share drift")
 
   // the AQE-aware walker lives on SparkSpec (collectPlanNodes) so DedupSpec's
   // ccRound audit and this guard can never drift apart

@@ -220,4 +220,30 @@ class CorpusOpsSpec extends SparkSpec {
     val ok = Seq((1L, 1.0), (2L, 5.0), (3L, 2.0)).toDF("id", "w")
     assert(CorpusOps.weightedSample(ok, "id", col("w"), 2).count() === 2)
   }
+
+  test("splitBalance: counts, token budgets, max deviation counts ABSENT groups, repartition-stable") {
+    import spark.implicits._
+    // global mix: a 4/6, b 2/6. Split s1 holds only a (b is ABSENT — its
+    // cell must still deviate by b's full global share); s2 holds 1 a, 2 b.
+    // Hand math on round-6 shares: s1 max dev = |1 − 0.666667| = 0.333333,
+    // s2 max dev = |0.666667 − 0.333333| = 0.333334 — the asymmetric pair
+    // proves the shares are rounded BEFORE the difference, as the oracle's.
+    val df = Seq(
+      ("s1", "a", 10L), ("s1", "a", 10L), ("s1", "a", 10L),
+      ("s2", "a", 10L), ("s2", "b", 10L), ("s2", "b", 10L)
+    ).toDF("split", "grp", "tk")
+    val out = CorpusOps.splitBalance(df, "split", "grp", col("tk"))
+      .orderBy("split")
+      .select("split", "n_docs", "n_tokens", "max_grp_dev")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(("s1", 3L, 30L, 0.333333), ("s2", 3L, 30L, 0.333334)))
+    val re = CorpusOps.splitBalance(df.repartition(7), "split", "grp", col("tk"))
+      .orderBy("split")
+      .select("split", "n_docs", "n_tokens", "max_grp_dev")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(re === out, "splitBalance must be partitioning-invariant")
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
 }

@@ -488,4 +488,26 @@ class DedupSpec extends SparkSpec {
       .select(Dedup.hammingDistance(col("a"), col("b"))).as[Int].head()
     assert(d === ham(hs(1L), hs(3L)))
   }
+
+  test("similarityHistogram: bands mirror the pair relation, jaccard 1.0 clamps to the top band") {
+    val rows = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"), // identical: j=1.0
+      (3L, "x1 x2 x3 x4 x5 x6 x7"), (4L, "x1 x2 x3 x4 y5 y6 y7"), // partial
+      (5L, "z1 z2 z3 z4")) // disjoint: in no pair
+    val hashed = Dedup.hashedNgrams(
+      rows.toDF("doc_id", "text")
+        .withColumn("toks", TextAnalysis.tokens(col("text"))),
+      "doc_id", "toks", 3)
+    val pairJ = Dedup.jaccardNearDups(hashed, 0.1, persistIndex = false)
+      .select("jaccard").as[Double].collect().toSeq
+    assert(pairJ.sorted === Seq(0.25, 1.0), "the planted pair relation")
+    val got = Dedup.similarityHistogram(hashed, 0.1, persistIndex = false)
+      .orderBy("band")
+      .select("band", "sim_lo", "n_pairs", "avg_jaccard")
+      .as[(Int, Double, Long, Double)].collect().toSeq
+    // j=0.25 → band 2; j=1.0 → floor(10) = 10 must CLAMP to 9, not spill
+    // into an out-of-range band
+    assert(got === Seq((2, 0.2, 1L, 0.25), (9, 0.9, 1L, 1.0)))
+    spark.catalog.clearCache()
+  }
 }

@@ -106,6 +106,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a !== fp("entirely different words in this other document here"))
   }
 
+  test("gopherRules: each rule trips on its own planted violation, integer boundaries exact") {
+    val good = (("the quick brown fox jumps over lazy dogs near rivers and " * 3)
+      + "the end of it").trim // 37 words, mean len in [3,10], stopwords, varied
+    val rows = Seq(
+      (1L, good),                                     // all rules pass
+      (2L, "the of short doc with few words"),        // 7 words < 30
+      (3L, ("a b c d e f g h i j " * 4) + "the of"),  // mean len < 3
+      (4L, good + " " + ("# " * 10)),                 // 10 symbols, 37 words
+      (5L, good.replace("the end of it",
+        "the end of it ... ... ... ...")),            // 4 ellipses → trips on 37 words? 4*10=40>37
+      (6L, "the of " + ("spam " * 33)))               // 33/35 same token
+    val out = TextAnalysis.gopherRules(rows.toDF("doc_id", "text"),
+        "doc_id", "text", minWords = 30)
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "r_word_count", "r_word_len", "r_symbol",
+        "r_stopword", "r_repetition", "keep")
+      .as[(Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._8, s"good doc must keep: ${byId(1L)}")
+    assert(!byId(2L)._3 && !byId(2L)._8, "short doc trips word count")
+    assert(!byId(3L)._4 && !byId(3L)._8, "1-char tokens trip mean word length")
+    assert(!byId(4L)._5 && !byId(4L)._8, "10 '#' in 37 words trips symbol ratio")
+    assert(!byId(5L)._5 && !byId(5L)._8, "4 '...' in 37 words trips symbol ratio")
+    assert(!byId(6L)._7 && !byId(6L)._8, "33/35 same token trips repetition")
+    // integer boundary: EXACTLY minWords words passes, one fewer fails —
+    // and symbol boundary 10·syms == wc passes (≤, not <)
+    val b = TextAnalysis.gopherRules(Seq(
+        (10L, "the of " + (1 to 28).map(i => s"tok$i").mkString(" ")), // 30 words
+        (11L, "the of " + (1 to 27).map(i => s"tok$i").mkString(" ")), // 29 words
+        (12L, "the of " + (1 to 28).map(i => s"tok$i").mkString(" ") + " # # #")
+      ).toDF("doc_id", "text"), "doc_id", "text", minWords = 30)
+      .select("doc_id", "r_word_count", "r_symbol")
+      .as[(Long, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(b(10L)._2, "exactly minWords passes")
+    assert(!b(11L)._2, "minWords−1 fails")
+    assert(b(12L)._3, "10·3 symbols == 30 words sits ON the ≤ boundary and passes")
+  }
+
   test("tfidfTopK: rare terms outrank corpus-wide terms; tf/df exact") {
     // 'common' appears in every doc (idf = ln(4/4)+1 = 1); each doc also
     // has a unique term (idf = ln(4/2)+1) and doc 1 repeats its unique
