@@ -59,6 +59,42 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Ranker-agreement diagnostic over two top-k cuts — the number read
+    * before trusting a fusion: how much do the lexical and dense legs
+    * even agree? Near-zero overlap means the retrievers see different
+    * corpora (vocabulary mismatch, embedding drift) and RRF is averaging
+    * noise; near-total overlap means the second ranker adds nothing.
+    *
+    * Inputs are (`id`, `rank`) relations, 1-based, already top-k-cut
+    * (any two [[rrfFuse]]-shaped legs). Output is ONE row:
+    * `n_a`, `n_b`, `n_overlap`, `jaccard` (overlap / union of the two id
+    * sets), and `mean_rank_gap` — the average |rank_a − rank_b| over the
+    * shared ids (NULL when the overlap is empty; integer-derived doubles
+    * rounded 6, the portable discipline).
+    *
+    * Scale: one full-outer join of two k-row relations + one 1-row
+    * aggregate — corpus-size-independent, per the object doc.
+    */
+  def rankOverlap(a: DataFrame, b: DataFrame): DataFrame = {
+    val ja = a.select(col("id"), col("rank").cast("int").as("rank_a"))
+    val jb = b.select(col("id"), col("rank").cast("int").as("rank_b"))
+    val both = col("rank_a").isNotNull && col("rank_b").isNotNull
+    ja.join(jb, Seq("id"), "full_outer")
+      .agg(
+        sum(when(col("rank_a").isNotNull, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("rank_b").isNotNull, 1L).otherwise(0L)).as("n_b"),
+        sum(when(both, 1L).otherwise(0L)).as("n_overlap"),
+        count(lit(1)).as("n_union"),
+        sum(when(both, abs(col("rank_a") - col("rank_b")).cast("long"))
+          .otherwise(0L)).as("gap_sum"))
+      .select(col("n_a"), col("n_b"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_union"), 6)
+          .as("jaccard"),
+        when(col("n_overlap") > 0,
+          round(col("gap_sum").cast("double") / col("n_overlap"), 6))
+          .as("mean_rank_gap"))
+  }
+
   /** Result-list diversification: drop any result whose similarity to a
     * higher-ranked result is ≥ `threshold` — the one-pass (non-greedy)
     * relaxation of MMR that stays a pure join/anti-join, so it is

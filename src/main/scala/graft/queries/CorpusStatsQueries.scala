@@ -147,6 +147,26 @@ object CorpusStatsQueries {
         .orderBy(desc("rrf"), col("id"))
     }),
 
+    // ── Ranker-agreement diagnostic (lexical vs dense top-50) ───────────
+    // The number read BEFORE trusting q_rrf_hybrid's fusion: overlap and
+    // rank displacement between the same two legs (Retrieval.rankOverlap)
+    // — near-zero overlap means the retrievers see different corpora and
+    // RRF averages noise; near-total means the dense leg adds nothing.
+    // Both legs are the existing scale paths; the diagnostic itself is a
+    // full-outer join of two 50-row cuts + one 1-row aggregate.
+    "q_rank_overlap" -> ((s, dir) => {
+      val lexW = Window.partitionBy(pmod(col("doc_id"), lit(1L)))
+        .orderBy(desc("bm25"), col("doc_id"))
+      val lex = CorpusStats
+        .bm25TopK(tokStream(s, dir), Seq("spark", "merge", "vector"), k = 50)
+        .select(col("doc_id").as("id"),
+          row_number().over(lexW).as("rank"))
+      val e = Tables.table(s, dir, "embeddings")
+      val dense = Similarity.topKNeighbors(e.where(col("vec_id") === 0), e, 50)
+        .select(col("cand_id").as("id"), col("rank"))
+      Retrieval.rankOverlap(lex, dense)
+    }),
+
     // ── First BPE merge iteration: top adjacent char-pair candidates ────
     // The tokenizer-training input the reference's own word count feeds:
     // word-frequency table (the wc core) → per-word adjacent character
@@ -601,6 +621,72 @@ object CorpusStatsQueries {
             l.lex_rank, d.dense_rank
           FROM lex l FULL JOIN dense d ON l.id = d.id
           ORDER BY rrf DESC, id LIMIT 20""",
+    // Same two legs as q_rrf_hybrid, agreement aggregate instead of a
+    // fusion: union count from the full join, overlap, rank-gap mean over
+    // the shared ids (NULL when disjoint).
+    "q_rank_overlap" ->
+      s"""WITH $TokCte,
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs,
+                        CAST(SUM(dl) AS BIGINT) AS tok_total FROM dl),
+            qtf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+                    WHERE tok IN ('spark', 'merge', 'vector')
+                    GROUP BY doc_id, tok),
+            dfc AS (SELECT tok, count(*) AS df FROM qtf GROUP BY tok),
+            s AS (
+              SELECT q.doc_id,
+                ROUND(ROUND(ln((CAST(n_docs - df AS DOUBLE) + 0.5)
+                               / (CAST(df AS DOUBLE) + 0.5) + 1), 6)
+                        * (tf * CAST(2.2 AS DOUBLE))
+                      / (tf + 1.2 * (0.25 + 0.75 * d.dl
+                           / (CAST(tok_total AS DOUBLE) / n_docs))), 6) AS s
+              FROM qtf q
+              JOIN dfc USING (tok)
+              JOIN dl d USING (doc_id)
+              CROSS JOIN stats),
+            lexs AS (
+              SELECT doc_id,
+                ROUND(CAST(SUM(CAST(s AS DECIMAL(28,10))) AS DOUBLE), 6) AS bm25
+              FROM s GROUP BY doc_id
+              ORDER BY bm25 DESC, doc_id LIMIT 50),
+            lex AS (
+              SELECT doc_id AS id,
+                CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+                  AS rank_a
+              FROM lexs),
+            dpairs AS (
+              SELECT c.vec_id AS id,
+                ${SimilarityQueries.cosineSql("p.embedding", "c.embedding")}
+                  AS cosine
+              FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+              WHERE p.vec_id = 0),
+            dranked AS (
+              SELECT id, row_number() OVER (ORDER BY cosine DESC, id) AS rk
+              FROM dpairs),
+            dense AS (
+              SELECT id, CAST(rk AS INT) AS rank_b
+              FROM dranked WHERE rk <= 50),
+            j AS (
+              SELECT l.rank_a, d.rank_b
+              FROM lex l FULL JOIN dense d ON l.id = d.id),
+            m AS (
+              SELECT
+                CAST(SUM(CASE WHEN rank_a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN rank_b IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b,
+                CAST(SUM(CASE WHEN rank_a IS NOT NULL AND rank_b IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+                CAST(count(*) AS BIGINT) AS n_union,
+                CAST(SUM(CASE WHEN rank_a IS NOT NULL AND rank_b IS NOT NULL
+                  THEN abs(rank_a - rank_b) ELSE 0 END) AS BIGINT) AS gap_sum
+              FROM j)
+            SELECT n_a, n_b, n_overlap,
+              ROUND(CAST(n_overlap AS DOUBLE) / n_union, 6) AS jaccard,
+              CASE WHEN n_overlap > 0
+                THEN ROUND(CAST(gap_sum AS DOUBLE) / n_overlap, 6)
+                ELSE NULL END AS mean_rank_gap
+            FROM m""",
     "q_bpe_merge" ->
       s"""WITH $TokCte,
             wf AS (SELECT tok, count(*) AS wc FROM tok GROUP BY tok),

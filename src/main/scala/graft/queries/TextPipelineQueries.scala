@@ -340,6 +340,31 @@ object TextPipelineQueries {
             .as("precision"))
     }),
 
+    // ── LSH candidate recall audit ──────────────────────────────────────
+    // The other half of the q_lsh_precision pair: of the EXACT ≥0.8 pairs
+    // (the df-capped inverted index — the engine's exact family), how
+    // many does the b=10/r=3 banding surface as candidates — the number
+    // that prices MISSED duplicates (the S-curve's other side; at j=0.8
+    // the theoretical catch rate is 1−(1−0.8³)¹⁰ ≈ 0.9994). The exact
+    // relation is persisted: it feeds both the count and the semi-join
+    // branch (caller-managed lifetime, Verify/Bench clear per query).
+    "q_lsh_recall" -> ((s, dir) => {
+      val hashed = Dedup.hashedNgrams(
+        docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text"))),
+        "doc_id", "toks", 3)
+      val exact = Dedup.jaccardNearDups(hashed, threshold = 0.8, maxDf = 50)
+        .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = Dedup.candidatePairsFromHashes(hashed)
+      val nE = exact.agg(count(lit(1)).as("n_exact"))
+      val nC = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_caught"))
+      nE.crossJoin(nC)
+        .select(col("n_exact"), col("n_caught"),
+          round(col("n_caught").cast("double") / col("n_exact"), 6)
+            .as("recall"))
+    }),
+
     // ── TF-IDF keyword extraction ───────────────────────────────────────
     // Top-5 keywords per doc, smooth idf (TextAnalysis.tfidfTopK). Rank is
     // over the ROUNDED score so the window order is engine-portable; ties
@@ -1181,6 +1206,54 @@ object TextPipelineQueries {
             FROM cand)
           SELECT n_candidates, n_verified,
             ROUND(CAST(n_verified AS DOUBLE) / n_candidates, 6) AS precision
+          FROM m"""
+    },
+    // The recall twin: banded candidate set (SigCte bucket reconstruction,
+    // shared with q_lsh_precision) LEFT-joined under the df-capped exact
+    // ≥0.8 pair set (the q_neardup_jaccard chain).
+    "q_lsh_recall" -> {
+      val bandExpr = h60("array_to_string(" +
+        "[CAST(sig[j*3+1] AS VARCHAR), CAST(sig[j*3+2] AS VARCHAR), " +
+        "CAST(sig[j*3+3] AS VARCHAR)], ',')")
+      s"""WITH $SigCte,
+          bands AS (
+            SELECT doc_id,
+              list_transform(generate_series(0, 9), j -> $bandExpr) AS bh
+            FROM sig),
+          bc AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+            WHERE len(list_filter(generate_series(1, 10),
+                      i -> a.bh[i] = b.bh[i])) > 0),
+          hs AS (
+            SELECT doc_id,
+              list_transform($ToksSql, t -> ${h60("t")}) AS hsarr
+            FROM documents),
+          ng AS (
+            SELECT doc_id, ${ngramHashesSql("hsarr", 3)} AS ngh FROM hs),
+          idx AS (
+            SELECT doc_id, len(ngh) AS n, unnest(ngh) AS h FROM ng
+            WHERE len(ngh) > 0),
+          dfok AS (SELECT h FROM idx GROUP BY h HAVING count(*) <= 50),
+          kept AS (SELECT idx.doc_id, idx.n, idx.h FROM idx
+                   JOIN dfok ON idx.h = dfok.h),
+          prs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              a.n AS n_a, b.n AS n_b, count(*) AS shared
+            FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+          ex AS (
+            SELECT id_a, id_b FROM prs
+            WHERE ROUND(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 6)
+              >= 0.8),
+          m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_exact,
+              CAST(SUM(CASE WHEN bc.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_caught
+            FROM ex LEFT JOIN bc
+              ON bc.id_a = ex.id_a AND bc.id_b = ex.id_b)
+          SELECT n_exact, n_caught,
+            ROUND(CAST(n_caught AS DOUBLE) / n_exact, 6) AS recall
           FROM m"""
     },
     "q_tfidf" ->

@@ -52,7 +52,9 @@ class PlanShapeSpec extends SparkSpec {
     "q_cluster_purity" -> "composes Similarity.assignToSeeds, inheriting q_kmeans_assign's broadcast seed-array crossJoin (orderBy.limit(8) seeds); the label ride-along and purity aggregates are keyed",
     "q_zipf_fit" -> "composes CorpusStats.vocabCoverage, inheriting q_vocab's single-row token-total crossJoin onto the top-k survivors; the OLS fit is one global aggregate over the 100-row cut",
     "q_lsh_precision" -> "crossJoin of two single-row count aggregates (candidates x verified — the q_hll_merge pattern)",
-    "q_split_balance" -> "splits × groups grid crossJoin — both sides are post-aggregation count relations, ≤ splits·groups rows at any corpus size; absent cells must exist in the grid to report a vanished group's full-share drift")
+    "q_split_balance" -> "splits × groups grid crossJoin — both sides are post-aggregation count relations, ≤ splits·groups rows at any corpus size; absent cells must exist in the grid to report a vanished group's full-share drift",
+    "q_lsh_recall" -> "crossJoin of two single-row count aggregates (exact x caught — the q_lsh_precision pattern)",
+    "q_rank_overlap" -> "composes q_knn_brute's documented broadcast-NLJ dense baseline and q_bm25's single-row stats crossJoin (the q_rrf_hybrid legs); the agreement aggregate itself is a full-outer join of two top-50 cuts")
 
   // the AQE-aware walker lives on SparkSpec (collectPlanNodes) so DedupSpec's
   // ccRound audit and this guard can never drift apart

@@ -67,6 +67,20 @@ class RetrievalSpec extends SparkSpec {
     assert(kept == Seq(1, 3))
   }
 
+  test("rankOverlap: hand-computed agreement stats, NULL gap on disjoint lists") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (30L, 5), (40L, 2)).toDF("id", "rank")
+    val r = Retrieval.rankOverlap(a, b)
+      .as[(Long, Long, Long, Double, Option[Double])].head()
+    // overlap {20, 30}: union 4 ids, gaps |2−1| + |3−5| = 3 → mean 1.5
+    assert(r === ((3L, 3L, 2L, 0.5, Some(1.5))))
+    val disjoint = Retrieval.rankOverlap(a,
+        Seq((77L, 1)).toDF("id", "rank"))
+      .as[(Long, Long, Long, Double, Option[Double])].head()
+    assert(disjoint === ((3L, 1L, 0L, 0.0, None)),
+      "empty overlap: jaccard 0, gap NULL — never a division by zero")
+  }
+
   test("diversify at threshold 1.0+ keeps everything") {
     val ranked = Seq((1L, 1, Array(1f, 0f)), (2L, 2, Array(1f, 0f)))
       .toDF("id", "rank", "vec")
