@@ -541,6 +541,52 @@ object Similarity {
           .as("mean_l2"))
   }
 
+  /** Per-dimension variance spectrum of an embedding column — the
+    * diagonal ("PCA-lite") effective-dimensionality diagnostic that
+    * complements [[embeddingAnisotropy]]: per position, mean and
+    * variance, each dimension's share of the total variance, and the
+    * cumulative share in descending-variance order. A spectrum where a
+    * handful of dims carry most of the energy says the embedding space
+    * is nearly low-rank — quantization can spend its bits there, and
+    * cosine thresholds calibrated on the full dim count are off.
+    *
+    * Determinism/oracle contract: the per-dim moment sums (Σx, Σx²) are
+    * DECIMAL (order-independent); variance is ONE fixed IEEE combine of
+    * their double casts, rounded 6 (the q_corr moment-sum discipline);
+    * the total and the cumulative sums re-sum the ROUNDED variances as
+    * DECIMAL(28,6); the cum order is (variance desc, pos) — a round-6
+    * double plus a unique integer tie-break, engine-stable. The window
+    * partitions by a carried constant (pmod(pos, 1) — the q_vocab trick)
+    * so the single-partition WindowExec warning channel stays clean.
+    *
+    * Scale posture: one corpus-scale aggregate (posexplode contracts
+    * map-side to ≤ d partial rows per task); everything after runs on
+    * the d-row spectrum.
+    */
+  def dimensionVariance(vecs: DataFrame, vecCol: String): DataFrame = {
+    val x = col("x").cast("double")
+    val mom = vecs
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast(Dec)).as("sx"),
+        sum((x * x).cast(Dec)).as("sxx"))
+    val stats = mom.select(col("pos"),
+      round(col("sx").cast("double") / col("n"), 6).as("mean"),
+      round((col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+        / col("n"), 6).as("variance"))
+    val tot = stats.agg(
+      sum(col("variance").cast("decimal(28,6)")).cast("double").as("var_total"))
+    val w = Window.partitionBy(pmod(col("pos"), lit(1)))
+      .orderBy(desc("variance"), col("pos"))
+    stats.crossJoin(broadcast(tot))
+      .select(col("pos"), col("mean"), col("variance"),
+        round(col("variance") / col("var_total"), 6).as("energy_share"),
+        round(sum(col("variance").cast("decimal(28,6)")).over(w)
+          .cast("double") / col("var_total"), 6).as("cum_share"))
+  }
+
   /** Per-cell label purity: member count, majority label (ties → smaller
     * label) and purity = majority share — the "are these cells
     * meaningful" gate over any (cell, label) membership relation

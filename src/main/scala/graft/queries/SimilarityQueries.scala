@@ -47,6 +47,16 @@ object SimilarityQueries {
       Similarity.embeddingAnisotropy(emb(s, dir), "label", "embedding")
         .orderBy("label")),
 
+    // ── Per-dimension variance spectrum (effective dimensionality) ──────
+    // The diagonal PCA-lite companion of q_embed_anisotropy
+    // (Similarity.dimensionVariance): per dim, mean/variance, the dim's
+    // share of total variance, and the cumulative share in descending-
+    // variance order — where the space's energy lives, read before
+    // spending quantization bits or trusting full-dim cosine thresholds.
+    "q_embed_variance" -> ((s, dir) =>
+      Similarity.dimensionVariance(emb(s, dir), "embedding")
+        .orderBy("pos")),
+
     // Brute-force cosine top-k for a small probe set (the baseline).
     "q_knn_brute" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -240,6 +250,37 @@ object SimilarityQueries {
             ROUND(CAST(SUM(CAST(l2 AS DECIMAL(30,16))) AS DOUBLE)
                   / COUNT(*), 6) AS mean_l2
           FROM per GROUP BY label ORDER BY label""",
+    // Mirror of Similarity.dimensionVariance: decimal moment sums per dim
+    // (1-based DuckDB index emitted as the 0-based pos), ONE fixed IEEE
+    // variance combine rounded 6, rounded variances re-summed as
+    // DECIMAL(28,6) for the total and the (variance DESC, pos) cumsum.
+    "q_embed_variance" ->
+      s"""WITH mom AS (
+            SELECT i, COUNT(*) AS n,
+              SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,16))) AS sx,
+              SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,16))) AS sxx
+            FROM embeddings,
+              UNNEST(generate_series(1, len(embedding))) AS t(i)
+            GROUP BY i),
+          stats AS (
+            SELECT CAST(i - 1 AS INT) AS pos,
+              ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean,
+              ROUND((CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n, 6)
+                AS variance
+            FROM mom),
+          tot AS (
+            SELECT CAST(SUM(CAST(variance AS DECIMAL(28,6))) AS DOUBLE)
+              AS var_total
+            FROM stats)
+          SELECT pos, mean, variance,
+            ROUND(variance / var_total, 6) AS energy_share,
+            ROUND(CAST(SUM(CAST(variance AS DECIMAL(28,6)))
+                OVER (ORDER BY variance DESC, pos) AS DOUBLE)
+              / var_total, 6) AS cum_share
+          FROM stats CROSS JOIN tot
+          ORDER BY pos""",
     "q_knn_brute" ->
       s"""WITH pairs AS (
             SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,

@@ -970,6 +970,35 @@ object TextPipelineQueries {
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("pack_id"))
         .orderBy("doc_id")),
 
+    // ── Packing-efficiency audit ────────────────────────────────────────
+    // The gate AFTER q_pack: per language, pack count, token totals,
+    // fill rate against the 2048 budget, packs ≥90% full (integer
+    // compare: tokens·10 ≥ budget·9), and total overflow tokens (the
+    // policy lets a doc overshoot its pack) — wasted pad vs overshoot is
+    // the number that tunes the budget. Pack totals are one more keyed
+    // aggregate over q_pack's window cumsum; the audit itself runs on the
+    // langs·packs relation.
+    "q_pack_efficiency" -> ((s, dir) => {
+      val packed = CorpusOps.packByBudget(
+        docs(s, dir)
+          .withColumn("n_tokens", size(TextAnalysis.tokens(col("text")))),
+        "lang", "doc_id", "n_tokens", budget = 2048)
+      packed.groupBy(col("lang"), col("pack_id"))
+        .agg(sum(col("n_tokens")).cast("long").as("pack_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_packs"),
+          sum(col("pack_tokens")).cast("long").as("total_tokens"),
+          sum(when(col("pack_tokens") * 10L >= 2048L * 9L, 1L)
+            .otherwise(0L)).cast("long").as("n_full_packs"),
+          sum(greatest(col("pack_tokens") - 2048L, lit(0L))).cast("long")
+            .as("overflow_tokens"))
+        .withColumn("fill_rate",
+          round(col("total_tokens").cast("double") / (col("n_packs") * 2048L), 6))
+        .select(col("lang"), col("n_packs"), col("total_tokens"),
+          col("fill_rate"), col("n_full_packs"), col("overflow_tokens"))
+        .orderBy("lang")
+    }),
+
     // ── Curation → training sequences, end to end ───────────────────────
     // The OTHER composed pipeline (q_curate stops at the curated doc set):
     // quality gate → exact-dedup keeper → overlapping chunking → greedy
@@ -2017,6 +2046,33 @@ object TextPipelineQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  - n_tokens) / 2048.0) AS BIGINT) AS pack_id
           FROM d ORDER BY doc_id""",
+    // q_pack's cumsum re-aggregated to pack totals, then the per-lang
+    // audit: fill rate vs the 2048 budget, ≥90%-full pack count via the
+    // integer compare, overflow-token total.
+    "q_pack_efficiency" ->
+      s"""WITH d AS (
+            SELECT doc_id, lang, CAST(len($ToksSql) AS INT) AS n_tokens
+            FROM documents),
+          p AS (
+            SELECT doc_id, lang, n_tokens,
+              CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+            FROM d),
+          packs AS (
+            SELECT lang, pack_id, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+            FROM p GROUP BY 1, 2)
+          SELECT lang,
+            CAST(count(*) AS BIGINT) AS n_packs,
+            CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+            ROUND(CAST(SUM(pack_tokens) AS DOUBLE) / (count(*) * 2048), 6)
+              AS fill_rate,
+            CAST(SUM(CASE WHEN pack_tokens * 10 >= 2048 * 9 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_full_packs,
+            CAST(SUM(greatest(pack_tokens - 2048, 0)) AS BIGINT)
+              AS overflow_tokens
+          FROM packs GROUP BY lang ORDER BY lang""",
     "q_dataset_card" -> {
       s"""WITH d AS (
             SELECT lang, CAST(len($ToksSql) AS INT) AS n_tokens,

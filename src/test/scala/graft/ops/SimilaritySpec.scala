@@ -59,6 +59,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r._3 === 1.0)
   }
 
+  test("dimensionVariance: hand-computed spectrum, shares sum to 1, repartition-stable") {
+    // dim 0 values {1,3}: mean 2, var ((1+9)−4·2/… ) = E[x²]−μ² = 5−4 = 1
+    // dim 1 values {5,5}: mean 5, var 0
+    // dim 2 values {0,4}: mean 2, var 8−4 = 4 → total var 5
+    val df = Seq(
+      (0L, Array(1f, 5f, 0f)), (1L, Array(3f, 5f, 4f))
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.dimensionVariance(df, "embedding").orderBy("pos")
+      .select("pos", "mean", "variance", "energy_share", "cum_share")
+      .as[(Int, Double, Double, Double, Double)].collect().toSeq
+    assert(rows === Seq(
+      (0, 2.0, 1.0, 0.2, 1.0),      // cum order: var desc → dim2, dim0, dim1
+      (1, 5.0, 0.0, 0.0, 1.0),
+      (2, 2.0, 4.0, 0.8, 0.8)))
+    val re = Similarity.dimensionVariance(df.repartition(5), "embedding")
+      .orderBy("pos")
+      .select("pos", "mean", "variance", "energy_share", "cum_share")
+      .as[(Int, Double, Double, Double, Double)].collect().toSeq
+    assert(re === rows, "spectrum must be partitioning-invariant")
+  }
+
   test("cellPurity: majority share, tie → smaller label, repartition-stable") {
     val members = Seq(
       (0, 1), (0, 1), (0, 2),         // cell 0: majority label 1, purity 2/3
