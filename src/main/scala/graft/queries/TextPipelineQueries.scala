@@ -726,6 +726,80 @@ object TextPipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ── Curation funnel accounting ──────────────────────────────────────
+    // Stage-by-stage survivor counts for q_curate's pipeline — the report
+    // every corpus release publishes (how many docs each gate removed):
+    // raw → exact-dedup keeper → quality gate → near-dup removal, with
+    // per-stage drop counts and kept fraction vs the previous stage. The
+    // enriched frame is persisted once and feeds all four counting
+    // branches; the funnel itself is a 4-row relation (constant-partition
+    // lag window — the q_vocab trick on a data column).
+    "q_curate_funnel" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("quality", TextAnalysis.qualityScore(
+          TextAnalysis.qualityFeatures(col("text"))))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("fp", TextAnalysis.contentFingerprint(col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keeper = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      val s1 = d.withColumn("fp_keeper", min(col("doc_id")).over(keeper))
+        .where(col("doc_id") === col("fp_keeper"))
+      val s2 = s1.where(col("quality") >= 0.4 &&
+        col("n_tokens").between(10, 10000))
+      val losers = Dedup.verifiedNearDupsFromHashes(
+          Dedup.hashedNgrams(d, "doc_id", "toks", 3), threshold = 0.8)
+        .select(col("id_b").as("doc_id")).distinct()
+      val s3 = s2.join(losers, Seq("doc_id"), "left_anti")
+      def cnt(df: DataFrame, stage: String) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(stage).as("stage"), col("n_docs"))
+      val funnel = cnt(d, "0_raw")
+        .union(cnt(s1, "1_exact_dedup"))
+        .union(cnt(s2, "2_quality_gate"))
+        .union(cnt(s3, "3_neardup_removal"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("n_docs"), lit(1L))).orderBy(col("stage"))
+      funnel
+        .withColumn("prev", lag(col("n_docs"), 1).over(w))
+        .select(col("stage"), col("n_docs"),
+          coalesce(col("prev") - col("n_docs"), lit(0L)).as("n_dropped"),
+          when(coalesce(col("prev"), col("n_docs")) > 0,
+            round(col("n_docs").cast("double")
+              / coalesce(col("prev"), col("n_docs")), 6)).as("pct_kept"))
+        .orderBy("stage")
+    }),
+
+    // ── Cross-source duplication matrix ─────────────────────────────────
+    // WHICH sources duplicate each other: the verified near-dup pairs
+    // joined to each side's source, aggregated per unordered source pair
+    // (least/greatest canonicalization) — the provenance diagnostic
+    // behind per-source dedup policy (a source that mostly mirrors
+    // another gets down-weighted, not re-cleaned). Pairs-scale joins
+    // only; the matrix is ≤ sources² rows.
+    "q_dup_sources" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.verifiedNearDupsFromHashes(
+        Dedup.hashedNgrams(
+          d.withColumn("toks", TextAnalysis.tokens(col("text"))),
+          "doc_id", "toks", 3),
+        threshold = 0.8)
+      val src = d.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")),
+          Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")),
+          Seq("id_b"))
+        .select(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"),
+          col("jaccard"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("jaccard").cast("decimal(28,6)")).cast("double")
+            / count(lit(1)), 6).as("avg_jaccard"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // ── Deterministic train/val/test split ──────────────────────────────
     // Hash-based assignment (NOT random): reproducible across runs and
     // engines, stable under re-partitioning, new docs don't reshuffle old
@@ -1709,6 +1783,73 @@ object TextPipelineQueries {
             AND doc_id NOT IN (SELECT doc_id FROM losers)
           ORDER BY doc_id"""
     },
+    // Same q_curate CTE chain, stage counts + lag-window drop accounting.
+    "q_curate_funnel" -> {
+      val norm = s"trim(regexp_replace(lower(text), '$Re', ' ', 'g'))"
+      s"""WITH q AS (
+            SELECT doc_id, lang,
+              CAST(len($ToksSql) AS INT) AS n_tokens,
+              CAST(length(text) AS INT) AS n_chars,
+              CAST(length(text) - length(regexp_replace(text, '[!-/:-@[-`{-~]', '', 'g')) AS INT) AS punct,
+              CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS digits,
+              ${h60(norm)} AS fp
+            FROM documents),
+          scored AS (
+            SELECT doc_id, n_tokens,
+              $QualityScoreSql AS quality,
+              min(doc_id) OVER (PARTITION BY fp) AS fp_keeper
+            FROM q),
+          sh AS (SELECT doc_id, ${shinglesSql(ToksSql)} AS s FROM documents
+                 WHERE len($ToksSql) >= 3),
+          losers AS (
+            SELECT DISTINCT b.doc_id
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                        / len(list_distinct(a.s || b.s)), 6) >= 0.8),
+          f AS (
+            SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs
+            FROM scored
+            UNION ALL
+            SELECT '1_exact_dedup', CAST(count(*) AS BIGINT) FROM scored
+            WHERE doc_id = fp_keeper
+            UNION ALL
+            SELECT '2_quality_gate', CAST(count(*) AS BIGINT) FROM scored
+            WHERE doc_id = fp_keeper
+              AND quality >= 0.4 AND n_tokens BETWEEN 10 AND 10000
+            UNION ALL
+            SELECT '3_neardup_removal', CAST(count(*) AS BIGINT) FROM scored
+            WHERE doc_id = fp_keeper
+              AND quality >= 0.4 AND n_tokens BETWEEN 10 AND 10000
+              AND doc_id NOT IN (SELECT doc_id FROM losers)),
+          l AS (
+            SELECT stage, n_docs,
+              lag(n_docs) OVER (ORDER BY stage) AS prev
+            FROM f)
+          SELECT stage, n_docs,
+            CAST(coalesce(prev - n_docs, 0) AS BIGINT) AS n_dropped,
+            CASE WHEN coalesce(prev, n_docs) > 0
+              THEN ROUND(CAST(n_docs AS DOUBLE) / coalesce(prev, n_docs), 6)
+              ELSE NULL END AS pct_kept
+          FROM l ORDER BY stage"""
+    },
+    // All-pairs verified near-dups joined to each side's source,
+    // canonical unordered pair via least/greatest, decimal-avg jaccard.
+    "q_dup_sources" ->
+      s"""WITH s AS (
+            SELECT d.doc_id, d.source, ${shinglesSql(ToksSql)} AS sh
+            FROM documents d WHERE len($ToksSql) >= 3),
+          nd AS (
+            SELECT a.source AS sa, b.source AS sb,
+              ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(a.sh || b.sh)), 6) AS j
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / len(list_distinct(a.sh || b.sh)), 6) >= 0.8)
+          SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+            CAST(count(*) AS BIGINT) AS n_pairs,
+            ROUND(CAST(SUM(CAST(j AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+              AS avg_jaccard
+          FROM nd GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_split" ->
       s"""SELECT doc_id,
             CASE WHEN ${h60("'split:' || doc_id")} % 100 < 90 THEN 'train'
