@@ -243,6 +243,44 @@ class DocStreamSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("quality-rule filter at ingest: gopherRules inside foreachBatch == batch") {
+    // the rule flags are a pure function of each document (the repetition
+    // rule's aggregate is per-doc, not cross-doc), so the filter is
+    // micro-batch-slicing-safe and plugs into the generic per-batch sink
+    // unchanged — the ingest-time quality gate deployment shape
+    val ruleKeep = (df: DataFrame) => df.join(
+      graft.ops.TextAnalysis.gopherRules(df, "doc_id", "text",
+          minWords = 5).where(col("keep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    // dedicated fixture: even docs carry stopwords and varied vocabulary
+    // (keep); odd docs are 6/7 the same token (repetition rule drops)
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val rows = (0 until 12).map { i =>
+      val text =
+        if (i % 2 == 0) s"the data of run $i is fine for it case$i extra$i"
+        else s"spam spam spam spam spam spam mix$i"
+      (i.toLong, new java.sql.Timestamp(base.getTime + i * 60000L), text)
+    }
+    val dir = tempDir("ruleDocs").toString
+    rows.toDF("doc_id", "ingest_ts", "text")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val batchKept = ruleKeep(spark.read.parquet(dir)).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(batchKept === Seq(0L, 2L, 4L, 6L, 8L, 10L),
+      s"even docs keep, repetition-heavy odd docs drop: $batchKept")
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = tempDir("ruleOut").toString + "/kept"
+    val ck = tempDir("ruleCk").toString
+    val q = DocStream.decontaminatedSink(stream, ruleKeep, out, ck)
+    assert(q.awaitTermination(120000), "rule-filter stream did not finish")
+    val streamed = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(streamed === batchKept)
+    spark.catalog.clearCache()
+  }
+
   test("leakFreeIngestSink: near-dups inherit the standing split, stream == batch") {
     def toks = graft.ops.TextAnalysis.tokens(col("text"))
     // standing corpus snapshot with hand-assigned splits (in production:
