@@ -673,4 +673,76 @@ object CorpusStats {
       .select(col("id"), col("grp"), col("x"), col("med"), col("mad"),
         col("z"), col("is_outlier"))
   }
+
+  /** Per-document n-gram NOVELTY — the memorization-risk / content-freshness
+    * diagnostic: of a document's distinct word n-grams, what fraction is
+    * FIRST INTRODUCED by this document (its id is the minimum over all
+    * documents containing the gram)? Corpora dominated by re-statement
+    * (wire copy, boilerplate floods, near-dup survivors) show a novelty
+    * cliff; a healthy crawl slice stays high. Complements
+    * [[graft.ops.TextAnalysis]]'s boilerplate fraction (which measures
+    * corpus-duplicated grams per doc regardless of who introduced them) by
+    * ORDERING the attribution — the "who said it first" ledger a
+    * train-on-output contamination audit needs.
+    *
+    * Shape: one distinct-gram stream, then two gram-keyed map-side-combined
+    * aggregates — per-doc totals and per-gram min-owner (novel counts roll
+    * up from the OWNER relation, never a corpus-scale join-back) — merged by
+    * one doc-keyed join of doc-count relations. Linear in the gram stream,
+    * no pairs, no join against the corpus; at 100 TB the gram-keyed shuffle
+    * is the same inverted-index posture as the Jaccard index
+    * ([[graft.ops.Dedup]]) with full map-side combine. Docs with fewer than
+    * n tokens contribute no grams and are absent from the output (mirrored
+    * in the oracle).
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, toksCol: Column,
+                   n: Int): DataFrame = {
+    require(n >= 1, s"n: $n")
+    val grams = docs.select(col(idCol),
+        explode(array_distinct(TextAnalysis.shingles(toksCol, n))).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = grams.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_grams"))
+    val novel = grams.groupBy(col("gram"))
+      .agg(min(col(idCol)).as(idCol))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_novel"))
+    tot.join(novel, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double")
+          / col("n_grams").cast("double"), 6).as("novelty"))
+  }
+
+  /** Per-group subword FERTILITY under the corpus-trained k-merge BPE —
+    * the multilingual tokenizer-fairness table (fertility = subword units
+    * per whitespace word; a language the merges never learned pays more
+    * units — and so more context window and more compute — per word than
+    * the dominant one). The cross-language companion of [[oovRate]]: OOV
+    * measures vocabulary MISSES, fertility measures how EXPENSIVE the hits
+    * are. Composes [[bpeSegmentStats]] (vocabulary-keyed join, trained
+    * artifact reused) with the group key and three map-side-combined sums;
+    * output is group-count rows. `chars_per_unit` reads mean unit length in
+    * characters — the compression the merges actually bought per group.
+    */
+  def subwordFertility(docs: DataFrame, idCol: String, grpCol: String,
+                       toksCol: Column, k: Int,
+                       checkpointEvery: Int = 8): DataFrame = {
+    val tok = tokenStream(docs, idCol, toksCol)
+    val seg = bpeSegmentStats(tok, k, checkpointEvery)
+    val chars = tok.groupBy(col(idCol))
+      .agg(sum(length(col("tok"))).cast("long").as("n_chars"))
+    seg.join(chars, Seq(idCol))
+      .join(docs.select(col(idCol), col(grpCol).as("grp")), Seq(idCol))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        sum(col("n_units")).cast("long").as("n_units"),
+        sum(col("n_chars")).cast("long").as("n_chars"))
+      .select(col("grp"), col("n_docs"), col("n_tokens"), col("n_units"),
+        round(col("n_units").cast("double") / col("n_tokens").cast("double"),
+          6).as("fertility"),
+        round(col("n_chars").cast("double") / col("n_units").cast("double"),
+          6).as("chars_per_unit"))
+  }
 }

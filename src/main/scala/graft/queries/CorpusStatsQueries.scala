@@ -265,6 +265,25 @@ object CorpusStatsQueries {
           col("x").as("n_chars"), col("med"), col("mad"), col("z"),
           col("is_outlier"))
         .orderBy("doc_id")),
+
+    // ── Per-doc n-gram novelty (memorization-risk ledger) ───────────────
+    // Of each doc's distinct 5-grams, the fraction FIRST introduced by
+    // this doc (min doc_id over all docs containing the gram). Two
+    // gram-keyed aggregates + one doc-keyed join — the inverted-index
+    // posture, no corpus-scale join-back (CorpusStats.ngramNovelty).
+    "q_ngram_novelty" -> ((s, dir) =>
+      CorpusStats.ngramNovelty(docs(s, dir), "doc_id", toks, n = 5)
+        .orderBy("doc_id")),
+
+    // ── Per-language BPE fertility (tokenizer-fairness table) ───────────
+    // Subword units per whitespace word + chars per unit, per language,
+    // under the SAME k-merge chain as q_bpe_train/apply/segment — the
+    // cross-language cost table OOV can't see
+    // (CorpusStats.subwordFertility).
+    "q_tok_fertility" -> ((s, dir) =>
+      CorpusStats.subwordFertility(docs(s, dir), "doc_id", "lang", toks,
+          k = BpeK, checkpointEvery = 2)
+        .orderBy("grp")),
   )
 
   private val BpeK = 5
@@ -740,5 +759,45 @@ object CorpusStatsQueries {
           SELECT doc_id, lang, x AS n_chars, med, mad, z,
             COALESCE(ABS(z) > 3, FALSE) AS is_outlier
           FROM z ORDER BY doc_id""",
+    "q_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id, unnest(list_transform(
+                    generate_series(1, greatest(len(toks) - 4, 0)),
+                    i -> array_to_string(toks[i:i+4], ' '))) AS gram
+                FROM t)),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                    FROM g GROUP BY doc_id),
+            own AS (SELECT gram, min(doc_id) AS doc_id FROM g GROUP BY gram),
+            nov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+                    FROM own GROUP BY doc_id)
+          SELECT t.doc_id, t.n_grams,
+            COALESCE(n.n_novel, 0) AS n_novel,
+            ROUND(CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / t.n_grams, 6)
+              AS novelty
+          FROM tot t LEFT JOIN nov n USING (doc_id)
+          ORDER BY doc_id""",
+    "q_tok_fertility" ->
+      s"""${bpeChainSql(BpeK)},
+            w AS (
+              SELECT replace(trim(sym), '  ', '') AS tok,
+                CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS nu
+              FROM v$BpeK),
+            seg AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(SUM(nu) AS BIGINT) AS n_units,
+                CAST(SUM(length(tok)) AS BIGINT) AS n_chars
+              FROM tok JOIN w USING (tok)
+              GROUP BY doc_id)
+          SELECT d.lang AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens,
+            CAST(SUM(s.n_units) AS BIGINT) AS n_units,
+            ROUND(CAST(SUM(s.n_units) AS DOUBLE) / SUM(s.n_tokens), 6)
+              AS fertility,
+            ROUND(CAST(SUM(s.n_chars) AS DOUBLE) / SUM(s.n_units), 6)
+              AS chars_per_unit
+          FROM seg s JOIN documents d USING (doc_id)
+          GROUP BY d.lang ORDER BY grp""",
   )
 }

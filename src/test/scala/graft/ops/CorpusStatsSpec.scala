@@ -440,4 +440,37 @@ class CorpusStatsSpec extends SparkSpec {
       .as[(Int, String, String, Long)].collect().toSeq
     assert(got === Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
   }
+
+  test("ngramNovelty: min-id attribution, short docs absent, exact-dup → 0") {
+    val d = Seq(
+      (1L, "a b c d e f"),  // grams {a b c d e, b c d e f} — both novel
+      (2L, "a b c d e f"),  // exact dup of 1 → nothing novel
+      (3L, "a b c d e z"),  // {a b c d e (owner 1), b c d e z (novel)}
+      (4L, "a b")           // < 5 tokens → no grams → absent
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.ngramNovelty(d, "doc_id",
+        TextAnalysis.tokens(col("text")), n = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0), (3L, 2L, 1L, 0.5)))
+    spark.catalog.clearCache()
+  }
+
+  test("subwordFertility: the unlearned language pays more units per word") {
+    // one merge; (a,a) wins on frequency, so en's only word becomes one
+    // unit while xx's word stays two chars → fertility 1.0 vs 2.0
+    val d = Seq(
+      (1L, "en", "aa aa"),
+      (2L, "xx", "zq")
+    ).toDF("doc_id", "lang", "text")
+    val got = CorpusStats.subwordFertility(d, "doc_id", "lang",
+        TextAnalysis.tokens(col("text")), k = 1)
+      .orderBy("grp")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      ("en", 1L, 2L, 2L, 1.0, 2.0),   // 2 words → 2 units, 4 chars
+      ("xx", 1L, 1L, 2L, 2.0, 1.0)))  // 1 word → 2 units, 2 chars
+    spark.catalog.clearCache()
+  }
 }
