@@ -331,6 +331,32 @@ object CorpusStats {
           .as("w_sampled"))
   }
 
+  /** Token-budget DATA RECIPE: given a target training-token budget and
+    * the temperature-scaled mixture weights of [[mixtureWeights]], the
+    * per-group sampling plan — target tokens (floor of the budget share)
+    * and `epochs`, the oversampling factor target/available (the
+    * "epochs over source" column of a LLaMA-style data table; epochs > 1
+    * means the group repeats, the overfitting-risk flag mixture design
+    * watches). Pure arithmetic over the group-count mixture relation —
+    * the corpus-scale work is [[mixtureWeights]]'s single aggregate; the
+    * plan itself is group-count rows.
+    *
+    * Determinism: `w_sampled` is round-6; budget·w is ONE IEEE double
+    * product floored — identical in both engines; `epochs` divides two
+    * exact longs and rounds 6.
+    */
+  def tokenBudgetPlan(docs: DataFrame, groupCol: String,
+                      nTokensCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget: $budget")
+    mixtureWeights(docs, groupCol, nTokensCol)
+      .select(col("grp"), col("n_docs"), col("grp_tokens"), col("w_sampled"),
+        floor(lit(budget.toDouble) * col("w_sampled")).cast("long")
+          .as("target_tokens"))
+      .withColumn("epochs",
+        round(col("target_tokens").cast("double")
+          / col("grp_tokens").cast("double"), 6))
+  }
+
   /** Exact heavy hitters (tokens with count ≥ ⌈phi·N⌉) via a
     * Count-Min-Sketch pre-pass — the two-pass heavy-hitter pattern. Pass
     * 1 folds the stream into a fixed-size CMS (mergeable counters, built

@@ -587,6 +587,56 @@ object Similarity {
           .cast("double") / col("var_total"), 6).as("cum_share"))
   }
 
+  /** Split-representativeness in DENSE space: per group, the cosine
+    * between the train-split centroid and the val-split centroid (plus
+    * the centroid-norm gap). The embedding-space companion of the lexical
+    * split-balance audit — a hash split is length/lang-balanced by
+    * construction, but a drifted cos(μ_train, μ_val) says the val set
+    * measures a different REGION of content space than training saw, and
+    * val loss stops being an unbiased estimate. Ties into
+    * [[embeddingAnisotropy]]: in a highly anisotropic space even random
+    * splits show cos ≈ 1, so read the two together.
+    *
+    * Determinism/oracle contract: per-(group, split, dim) means are
+    * DECIMAL sums / counts rounded 6 (the [[embeddingAnisotropy]] dims
+    * discipline); the centroid cosine is [[dotExactHof]] over the
+    * round-6 arrays, rounded 6 — every cross-engine hazard is a rounded
+    * decimal fold. Groups missing either split drop (inner join;
+    * documented). Heterogeneous dims follow the anisotropy semantics:
+    * dim p's mean averages the vectors THAT HAVE dim p.
+    *
+    * Scale posture: ONE corpus-scale aggregate (posexplode contracts
+    * map-side to ≤ groups·splits·d partial rows per task); centroid
+    * assembly and the train/val join run on group-count relations.
+    */
+  def splitCentroidDrift(vecs: DataFrame, grpCol: String, vecCol: String,
+                         splitCol: Column): DataFrame = {
+    val dims = vecs
+      .select(col(grpCol), splitCol.as("split"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col(grpCol), col("split"), col("pos"))
+      .agg(round(sum(col("x").cast("double").cast(Dec)).cast("double")
+        / count(lit(1)), 6).as("m"))
+    val cnt = vecs.select(col(grpCol), splitCol.as("split"))
+      .groupBy(col(grpCol), col("split")).agg(count(lit(1)).as("n"))
+    val mu = dims.groupBy(col(grpCol), col("split"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("mu"))
+      .join(cnt, Seq(grpCol, "split"))
+    val t = mu.filter(col("split") === "train")
+      .select(col(grpCol), col("mu").as("mu_t"), col("n").as("n_train"))
+    val v = mu.filter(col("split") === "val")
+      .select(col(grpCol), col("mu").as("mu_v"), col("n").as("n_val"))
+    t.join(v, Seq(grpCol))
+      .select(col(grpCol), col("n_train"), col("n_val"),
+        round(dotExactHofZeroPad(col("mu_t"), col("mu_v"))
+          / (sqrt(dotExactHof(col("mu_t"), col("mu_t")))
+             * sqrt(dotExactHof(col("mu_v"), col("mu_v")))), 6)
+          .as("cos_drift"),
+        round(sqrt(dotExactHof(col("mu_t"), col("mu_t")))
+          - sqrt(dotExactHof(col("mu_v"), col("mu_v"))), 6).as("norm_gap"))
+  }
+
   /** Per-cell label purity: member count, majority label (ties → smaller
     * label) and purity = majority share — the "are these cells
     * meaningful" gate over any (cell, label) membership relation

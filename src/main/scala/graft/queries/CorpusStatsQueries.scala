@@ -90,6 +90,18 @@ object CorpusStatsQueries {
       CorpusStats.mixtureWeights(docs(s, dir), "lang", size(toks))
         .orderBy("grp")),
 
+    // ── Token-budget data recipe (per-source epochs table) ──────────────
+    // q_mixture's weights turned into a sampling PLAN: per source, the
+    // target token count under a fixed training budget and the implied
+    // oversampling factor (epochs > 1 = the source repeats — the
+    // overfitting-risk column of a LLaMA-style data table). Group-count
+    // arithmetic over the single mixture aggregate
+    // (CorpusStats.tokenBudgetPlan).
+    "q_token_budget" -> ((s, dir) =>
+      CorpusStats.tokenBudgetPlan(docs(s, dir), "source", size(toks),
+          budget = BudgetTokens)
+        .orderBy("grp")),
+
     // ── CCNet-style per-language perplexity buckets ─────────────────────
     // Unigram-LM score → per-lang tercile thresholds → head/middle/tail.
     // Composes q_unigram_lm's scoring with the q_percentiles-portable
@@ -287,6 +299,10 @@ object CorpusStatsQueries {
   )
 
   private val BpeK = 5
+  /** q_token_budget's training-token target (≈4 epochs over the sf0.01
+    * corpus — large enough that every source oversamples, so the epochs
+    * column actually exercises the >1 branch). */
+  private val BudgetTokens = 200000L
 
   // ── Oracles ───────────────────────────────────────────────────────────
 
@@ -545,6 +561,28 @@ object CorpusStatsQueries {
             ROUND(CAST(s AS DOUBLE) / CAST(SUM(s) OVER () AS DOUBLE), 6)
               AS w_sampled
           FROM s ORDER BY grp""",
+    "q_token_budget" ->
+      s"""WITH d AS (
+            SELECT source AS grp, len($ToksSql) AS nt FROM documents),
+          g AS (
+            SELECT grp, count(*) AS n_docs,
+              CAST(SUM(nt) AS BIGINT) AS grp_tokens
+            FROM d GROUP BY grp),
+          s AS (
+            SELECT *, CAST(ROUND(sqrt(grp_tokens), 6) AS DECIMAL(28,10)) AS s
+            FROM g),
+          w AS (
+            SELECT grp, n_docs, grp_tokens,
+              ROUND(CAST(s AS DOUBLE) / CAST(SUM(s) OVER () AS DOUBLE), 6)
+                AS w_sampled
+            FROM s),
+          p AS (
+            SELECT *, CAST(floor($BudgetTokens.0 * w_sampled) AS BIGINT)
+              AS target_tokens
+            FROM w)
+          SELECT grp, n_docs, grp_tokens, w_sampled, target_tokens,
+            ROUND(CAST(target_tokens AS DOUBLE) / grp_tokens, 6) AS epochs
+          FROM p ORDER BY grp""",
     // the CMS pre-pass changes the plan, never the answer (no-under-count
     // superset + exact HAVING) — the oracle is the exact query
     "q_heavy_hitters" ->

@@ -57,6 +57,20 @@ object SimilarityQueries {
       Similarity.dimensionVariance(emb(s, dir), "embedding")
         .orderBy("pos")),
 
+    // ── Train/val centroid drift (dense split-representativeness) ───────
+    // Per label: cosine between the train-split and val-split centroids
+    // under the SAME deterministic hash split as q_split (salt "split:",
+    // keyed on vec_id) — does val measure the region training saw?
+    // Labels missing either split drop (Similarity.splitCentroidDrift).
+    "q_embed_drift" -> ((s, dir) =>
+      Similarity.splitCentroidDrift(emb(s, dir), "label", "embedding",
+          when(pmod(Hashes.h60(concat(lit("split:"), col("vec_id"))),
+            lit(100L)) < 90, "train")
+            .when(pmod(Hashes.h60(concat(lit("split:"), col("vec_id"))),
+              lit(100L)) < 95, "val")
+            .otherwise("test"))
+        .orderBy("label")),
+
     // Brute-force cosine top-k for a small probe set (the baseline).
     "q_knn_brute" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -281,6 +295,39 @@ object SimilarityQueries {
               / var_total, 6) AS cum_share
           FROM stats CROSS JOIN tot
           ORDER BY pos""",
+    "q_embed_drift" ->
+      s"""WITH e AS (
+            SELECT label, embedding,
+              CASE WHEN ${Hashes.h60Sql("'split:' || vec_id")} % 100 < 90
+                     THEN 'train'
+                   WHEN ${Hashes.h60Sql("'split:' || vec_id")} % 100 < 95
+                     THEN 'val'
+                   ELSE 'test' END AS split
+            FROM embeddings),
+          dims AS (
+            SELECT label, split, i,
+              ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                  AS DECIMAL(30,16))) AS DOUBLE) / COUNT(*), 6) AS m
+            FROM e, UNNEST(generate_series(1, len(embedding))) AS t(i)
+            GROUP BY label, split, i),
+          cnt AS (SELECT label, split, count(*) AS n
+                  FROM e GROUP BY label, split),
+          mu AS (
+            SELECT label, split, list(m ORDER BY i) AS mu
+            FROM dims GROUP BY label, split),
+          tr AS (SELECT label, mu AS mu_t, n AS n_train
+                 FROM mu JOIN cnt USING (label, split) WHERE split = 'train'),
+          va AS (SELECT label, mu AS mu_v, n AS n_val
+                 FROM mu JOIN cnt USING (label, split) WHERE split = 'val')
+          SELECT label, n_train, n_val,
+            ROUND(CAST(${dotSql("mu_t", "mu_v")} AS DOUBLE)
+              / (sqrt(CAST(${dotSql("mu_t", "mu_t")} AS DOUBLE))
+                 * sqrt(CAST(${dotSql("mu_v", "mu_v")} AS DOUBLE))), 6)
+              AS cos_drift,
+            ROUND(sqrt(CAST(${dotSql("mu_t", "mu_t")} AS DOUBLE))
+              - sqrt(CAST(${dotSql("mu_v", "mu_v")} AS DOUBLE)), 6)
+              AS norm_gap
+          FROM tr JOIN va USING (label) ORDER BY label""",
     "q_knn_brute" ->
       s"""WITH pairs AS (
             SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,

@@ -55,7 +55,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_split_balance" -> "splits × groups grid crossJoin — both sides are post-aggregation count relations, ≤ splits·groups rows at any corpus size; absent cells must exist in the grid to report a vanished group's full-share drift",
     "q_lsh_recall" -> "crossJoin of two single-row count aggregates (exact x caught — the q_lsh_precision pattern)",
     "q_rank_overlap" -> "composes q_knn_brute's documented broadcast-NLJ dense baseline and q_bm25's single-row stats crossJoin (the q_rrf_hybrid legs); the agreement aggregate itself is a full-outer join of two top-50 cuts",
-    "q_embed_variance" -> "crossJoin of the single-row total-variance aggregate onto the d-row spectrum (broadcast, one row)")
+    "q_embed_variance" -> "crossJoin of the single-row total-variance aggregate onto the d-row spectrum (broadcast, one row)",
+    "q_token_budget" -> "composes q_mixture's recipe weights, inheriting its single-row totals crossJoin; the budget arithmetic itself is a narrow projection of the group-count relation")
 
   // the AQE-aware walker lives on SparkSpec (collectPlanNodes) so DedupSpec's
   // ccRound audit and this guard can never drift apart

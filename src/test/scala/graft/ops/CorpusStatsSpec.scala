@@ -441,6 +441,22 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got === Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
   }
 
+  test("tokenBudgetPlan: floor-of-share targets, epochs = target/available") {
+    // en: 16 tokens, xx: 4 → s = 4, 2 → w = 0.666667 / 0.333333; budget 60
+    // → targets floor(40.00002)=40, floor(19.99998)=19; epochs 2.5 / 4.75
+    val d = Seq(
+      (1L, "en", ("a " * 16).trim),
+      (2L, "xx", "b b b b")
+    ).toDF("doc_id", "lang", "text")
+    val got = CorpusStats.tokenBudgetPlan(d, "lang",
+        size(TextAnalysis.tokens(col("text"))), budget = 60L)
+      .orderBy("grp")
+      .select("grp", "grp_tokens", "target_tokens", "epochs")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(("en", 16L, 40L, 2.5), ("xx", 4L, 19L, 4.75)))
+    spark.catalog.clearCache()
+  }
+
   test("ngramNovelty: min-id attribution, short docs absent, exact-dup → 0") {
     val d = Seq(
       (1L, "a b c d e f"),  // grams {a b c d e, b c d e f} — both novel

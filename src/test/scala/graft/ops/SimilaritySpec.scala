@@ -407,4 +407,22 @@ class SimilaritySpec extends SparkSpec {
     assert(sizeBig <= sizeSmall * 3 / 2,
       s"plan size must not scale with nSeeds: 256→$sizeBig vs 8→$sizeSmall")
   }
+
+  test("splitCentroidDrift: centroid cosine per group, missing-split groups drop") {
+    val d = Seq(
+      // group A: μ_train=(0.5,0.5), μ_val=(1,1) → cos 1, gap √.5−√2
+      (1L, "A", "train", Array(1f, 0f)),
+      (2L, "A", "train", Array(0f, 1f)),
+      (3L, "A", "val", Array(1f, 1f)),
+      (4L, "A", "test", Array(9f, 9f)),  // test rows never enter
+      // group B: train only → inner join drops it
+      (5L, "B", "train", Array(1f, 0f))
+    ).toDF("vec_id", "grp", "split", "embedding")
+    val got = Similarity.splitCentroidDrift(d, "grp", "embedding",
+        col("split"))
+      .orderBy("grp")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq(("A", 2L, 1L, 1.0, -0.707107)))
+    spark.catalog.clearCache()
+  }
 }
