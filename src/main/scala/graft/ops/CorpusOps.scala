@@ -377,4 +377,36 @@ object CorpusOps {
     df.withColumn(outCol,
       floor((sum(col(tokenCol)).over(w) - col(tokenCol)) / budget))
   }
+
+  /** Write-path SHARD PLAN: deterministic hash sharding of the corpus into
+    * `nShards` output shards (the same salt+h60 basis as the split ops —
+    * shard = h60("shard:" ++ id) mod N, stable under repartitioning and
+    * incremental re-runs) plus the per-shard load audit: doc count, total
+    * weight (tokens/bytes), and `load_factor` = this shard's weight over
+    * the balanced ideal (1.0 = perfectly even; the max over shards is the
+    * straggler factor a 1000-executor write inherits, since the slowest
+    * shard gates the job). Hash sharding balances COUNTS by construction
+    * but not WEIGHT when the size distribution is heavy-tailed — exactly
+    * what this relation measures before anyone commits to N.
+    *
+    * One map-side-combined corpus aggregate to an N-row relation; the
+    * totals attach via the engine's one-row-aggregate broadcast crossJoin
+    * idiom. Empty shards (possible at tiny corpus/large N) are absent —
+    * the oracle mirrors that.
+    */
+  def shardPlan(docs: DataFrame, idCol: String, weightCol: Column,
+                nShards: Int, salt: String = "shard"): DataFrame = {
+    require(nShards >= 1, s"nShards: $nShards")
+    val sh = docs.select(
+        pmod(Hashes.h60(concat(lit(salt), lit(":"), col(idCol))),
+          lit(nShards.toLong)).as("shard"),
+        weightCol.cast("long").as("w"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).cast("long").as("weight"))
+    val tot = sh.agg(sum(col("weight")).cast("long").as("tot"))
+    sh.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("weight"),
+        round(col("weight").cast("double") * nShards
+          / col("tot").cast("double"), 6).as("load_factor"))
+  }
 }

@@ -708,6 +708,43 @@ object Dedup {
     rep.join(sz, Seq(componentCol))
   }
 
+  /** Duplication SPECTRUM: the cluster-size histogram over near-dup
+    * connected components, with every doc in NO pair counted as its own
+    * size-1 component — the full "how duplicated is this corpus" curve.
+    * Dedup planning at 100 TB reads this before anything else: the size-1
+    * mass bounds what dedup can save, a heavy tail of giant components
+    * predicts CC round counts and skewed keeper joins, and
+    * `doc_share`'s cumulative complement is exactly the fraction a
+    * keep-one-per-cluster pass deletes. Output: one row per distinct
+    * component size — `csize, n_components, n_docs, doc_share` (round-6
+    * share of ALL docs standing in components of this size).
+    *
+    * Shape: [[connectedComponents]] over the pairs (pointer-jumping,
+    * O(log diameter) rounds), one left join to attach labels to the
+    * corpus (absent label → own id), then two count aggregates collapsing
+    * to ≤ distinct-sizes rows; the share attaches from a one-row count
+    * aggregate broadcast. Nothing after the CC pass is corpus-scale wide.
+    */
+  def duplicationSpectrum(docs: DataFrame, idCol: String,
+                          pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val labeled = docs.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(coalesce(col("component"), col(idCol)).as("component"))
+    val sizes = labeled.groupBy(col("component"))
+      .agg(count(lit(1)).cast("long").as("csize"))
+    val hist = sizes.groupBy(col("csize"))
+      .agg(count(lit(1)).cast("long").as("n_components"))
+      .withColumn("n_docs", (col("csize") * col("n_components")).cast("long"))
+    val tot = docs.agg(count(lit(1)).cast("long").as("n_total"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("csize"), col("n_components"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total").cast("double"), 6)
+          .as("doc_share"))
+  }
+
   /** SimHash (60-bit) of a token array: per bit position, sum ±1 votes from
     * each token occurrence's hash bit, then pack the sign bits. Votes are
     * term-frequency weighted (duplicates kept on purpose — distinct-token

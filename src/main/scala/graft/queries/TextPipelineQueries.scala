@@ -961,6 +961,33 @@ object TextPipelineQueries {
         .orderBy("component")
     }),
 
+    // ── Duplication spectrum: cluster-size histogram incl. singletons ───
+    // The "how duplicated is this corpus" curve dedup planning reads
+    // before picking thresholds or sizing CC rounds: per component size,
+    // the component count and the share of ALL docs standing at that size
+    // (docs in no near-dup pair are size-1 components)
+    // (Dedup.duplicationSpectrum over the q_dedup_clusters pair basis).
+    "q_dedup_cc_hist" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.verifiedNearDupsFromHashes(
+          Dedup.hashedNgrams(
+            d.withColumn("toks", TextAnalysis.tokens(col("text"))),
+            "doc_id", "toks", 3),
+          threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      Dedup.duplicationSpectrum(d, "doc_id", pairs).orderBy("csize")
+    }),
+
+    // ── Write-shard load plan (straggler audit before the write) ────────
+    // Deterministic h60 sharding into 16 output shards weighted by token
+    // count: per shard, docs, weight, and load_factor vs the balanced
+    // ideal — max(load_factor) is the straggler multiple the write job
+    // inherits (CorpusOps.shardPlan).
+    "q_shard_skew" -> ((s, dir) =>
+      CorpusOps.shardPlan(docs(s, dir), "doc_id",
+          size(TextAnalysis.tokens(col("text"))), nShards = 16)
+        .orderBy("shard")),
+
     // ── NB scoring, zero-shuffle scale path ─────────────────────────────
     // Same model algebra (shared builder), different physical plan: the
     // B·C model is COLLECTED (bounded by buckets × domains) and scoring is
@@ -1496,6 +1523,52 @@ object TextPipelineQueries {
             SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
           SELECT src AS id, least(src, min(dst)) AS component
           FROM reach GROUP BY src ORDER BY id""",
+    // Same reach-CTE closure (no synthetic chain), singletons coalesced
+    // to their own id, then the size histogram over component counts.
+    "q_dedup_cc_hist" ->
+      s"""WITH RECURSIVE s AS (
+            SELECT doc_id, ${shinglesSql(ToksSql)} AS sh FROM documents
+            WHERE len($ToksSql) >= 3),
+          nd AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / len(list_distinct(a.sh || b.sh)), 6) >= 0.8),
+          edges AS (
+            SELECT id_a AS src, id_b AS dst FROM nd
+            UNION SELECT id_b, id_a FROM nd),
+          reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+          comp AS (
+            SELECT src AS doc_id, least(src, min(dst)) AS component
+            FROM reach GROUP BY src),
+          lab AS (
+            SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c USING (doc_id)),
+          sizes AS (
+            SELECT component, CAST(count(*) AS BIGINT) AS csize
+            FROM lab GROUP BY component),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+          SELECT csize, CAST(count(*) AS BIGINT) AS n_components,
+            CAST(csize * count(*) AS BIGINT) AS n_docs,
+            ROUND(CAST(csize * count(*) AS DOUBLE) / n_total, 6) AS doc_share
+          FROM sizes CROSS JOIN tot
+          GROUP BY csize, n_total ORDER BY csize""",
+    "q_shard_skew" ->
+      s"""WITH sh AS (
+            SELECT ${h60("'shard:' || doc_id")} % 16 AS shard,
+              len($ToksSql) AS w
+            FROM documents),
+          g AS (
+            SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(SUM(w) AS BIGINT) AS weight
+            FROM sh GROUP BY shard),
+          tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS tot FROM g)
+          SELECT shard, n_docs, weight,
+            ROUND(CAST(weight AS DOUBLE) * 16 / tot, 6) AS load_factor
+          FROM g CROSS JOIN tot ORDER BY shard""",
     // Quality from the q_quality feature CTE; membership from the
     // q_neardup_minhash exact pair set; point-biserial r via the
     // q_regression decimal moments.

@@ -246,4 +246,25 @@ class CorpusOpsSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
   }
+
+  test("shardPlan: conservation, range, load-factor algebra, partitioning-invariant") {
+    val df = (0L until 200L).map(i => (i, 1L + i % 7)).toDF("doc_id", "tk")
+    val out = CorpusOps.shardPlan(df, "doc_id", col("tk"), nShards = 16)
+      .orderBy("shard")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1).forall(s => s >= 0 && s < 16), "shard ids in [0,16)")
+    assert(out.map(_._2).sum === 200L, "every doc lands in exactly one shard")
+    val tot = out.map(_._3).sum
+    assert(tot === (0L until 200L).map(i => 1L + i % 7).sum)
+    out.foreach { case (_, _, w, lf) =>
+      assert(lf === BigDecimal(w.toDouble * 16 / tot)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        "load_factor = weight * N / total, round 6")
+    }
+    val re = CorpusOps.shardPlan(df.repartition(7), "doc_id", col("tk"), 16)
+      .orderBy("shard")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(re === out, "shardPlan must be partitioning-invariant")
+    spark.catalog.clearCache()
+  }
 }

@@ -510,4 +510,18 @@ class DedupSpec extends SparkSpec {
     assert(got === Seq((2, 0.2, 1L, 0.25), (9, 0.9, 1L, 1.0)))
     spark.catalog.clearCache()
   }
+
+  test("duplicationSpectrum: singleton mass + histogram over component sizes") {
+    // components: {1,2,3} (chain via pairs), {4,5}, and 6 alone
+    val d = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicationSpectrum(d, "doc_id", pairs)
+      .orderBy("csize")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 1L, 0.166667),   // doc 6
+      (2L, 1L, 2L, 0.333333),   // {4,5}
+      (3L, 1L, 3L, 0.5)))       // {1,2,3}
+    spark.catalog.clearCache()
+  }
 }
