@@ -273,6 +273,45 @@ object DocStream {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("grp"), col("n"))
 
+  /** Per-window per-token additive count partials — the mergeable half of
+    * the trending-token monitor ([[trendingTokens]]). Plain counts, so any
+    * micro-batch slicing folds to the same totals (the
+    * [[compositionPartials]] contract, one level finer-grained: tokens,
+    * not groups). Partial volume per batch is bounded by the BATCH
+    * vocabulary (Heaps-small relative to the token stream), map-side
+    * combined before the shuffle. At 100 TB swap the exact fold for the
+    * CMS-prefiltered heavy-hitter pass ([[graft.ops.CorpusStats
+    * .heavyHitters]]): sketch partials stay mergeable and only candidate
+    * tokens reach the fold — same monitor semantics, bounded state.
+    */
+  def tokenPartials(docs: DataFrame, tsCol: String, toksCol: Column,
+                    window_ : String = "1 hour"): DataFrame =
+    docs.select(window(col(tsCol), window_).getField("start").as("w_start"),
+        explode(toksCol).as("tok"))
+      .groupBy(col("w_start"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Fold [[tokenPartials]] from any slicing into per-window top-k
+    * trending tokens — the "what is the crawl suddenly full of" monitor
+    * (spam-template floods and scraped-site takeovers surface here hours
+    * before they dent the composition mix). Deterministic rank: (count
+    * desc, token asc), so stream==batch holds bit-for-bit under any
+    * slicing. The window function partitions by `w_start` (a carried
+    * data column — many windows, no single-partition funnel); everything
+    * downstream of the fold is windows·vocab rows, top-k cut to
+    * windows·k.
+    */
+  def trendingTokens(partials: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k: $k")
+    val byWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w_start"))
+      .orderBy(col("cnt").desc, col("tok"))
+    partials.groupBy(col("w_start"), col("tok"))
+      .agg(sum(col("n")).cast("long").as("cnt"))
+      .withColumn("rank", row_number().over(byWin))
+      .where(col("rank") <= k)
+  }
+
   /** Fold [[compositionPartials]] from any slicing and score each
     * window's drift from a REFERENCE composition: KL(window ‖ reference)
     * with add-one smoothing of the window counts over the reference's

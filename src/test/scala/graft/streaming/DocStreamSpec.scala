@@ -79,6 +79,52 @@ class DocStreamSpec extends SparkSpec {
     assert(streamed.agg(sum("n_docs")).as[Long].head() === 30L)
   }
 
+  test("trendingTokens: slicing-insensitive fold, stream == batch, planted flood ranks first") {
+    // window 1: "spam" floods (6×) over background tokens; window 2 is
+    // background only — the monitor must surface the flood at rank 1 and
+    // break count ties by token asc
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val rows = Seq(
+      (1L, ts(0), "spam spam spam alpha beta"),
+      (2L, ts(10), "spam spam spam beta gamma"),
+      (3L, ts(70), "alpha beta gamma"),
+      (4L, ts(80), "delta epsilon"))
+    val dir = tempDir("trendDocs").toString
+    rows.toDF("doc_id", "ingest_ts", "text").repartition(2)
+      .write.mode("overwrite").parquet(dir)
+    val batch = spark.read.parquet(dir)
+    def toks = graft.ops.TextAnalysis.tokens(col("text"))
+    def canon(df: DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSeq.sorted(
+        Ordering.Implicits.seqOrdering[Seq, String])
+
+    val whole = DocStream.trendingTokens(
+      DocStream.tokenPartials(batch, "ingest_ts", toks), k = 3)
+    // fold associativity: per-file partials unioned == one-batch partials
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    val sliced = files.map(f => DocStream.tokenPartials(
+        spark.read.parquet(f), "ingest_ts", toks))
+      .reduce(_.union(_))
+    assert(canon(DocStream.trendingTokens(sliced, 3)) === canon(whole),
+      "top-k over sliced partials must equal the one-batch cut")
+    // streaming complete-mode partials == batch
+    val schema = batch.schema
+    val streamed = runStream(
+      DocStream.tokenPartials(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(dir),
+        "ingest_ts", toks),
+      "complete", "trendPartials")
+    assert(canon(DocStream.trendingTokens(streamed, 3)) === canon(whole))
+    // planted flood: window-1 rank 1 is the spam token with count 6;
+    // ties (alpha/gamma at 1) break token-asc so rank 3 is deterministic
+    val w1 = whole.orderBy("w_start", "rank")
+      .select("tok", "cnt", "rank").as[(String, Long, Int)].collect().toSeq
+    assert(w1.take(3) === Seq(("spam", 6L, 1), ("beta", 2L, 2), ("alpha", 1L, 3)))
+  }
+
   test("compositionDrift: slicing-insensitive fold, stream == batch, planted drift ranks") {
     // two 1-hour windows: balanced (2 a, 2 b) then skewed (4 a, 0 b)
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
