@@ -224,6 +224,39 @@ object TextAnalysis {
           col("r_stopword") && col("r_repetition"))
   }
 
+  /** Rule ABLATION over any per-doc boolean rule-flag relation (e.g.
+    * [[gopherRules]] output): per rule, how many docs it flags
+    * (`flag_share` of the corpus) and — the number that actually ranks
+    * rules — `n_unique`, the docs failing ONLY this rule: its unique kill
+    * credit, exactly what the pipeline recovers by dropping the rule.
+    * A rule with big `n_flagged` but zero `n_unique` is fully shadowed by
+    * the others (dead weight to compute); a small rule with big unique
+    * credit is the one a threshold review should touch last.
+    *
+    * ONE corpus aggregate (2·rules+1 map-side-combined sums) to a single
+    * row, then `stack` unpivots to a rules-count relation — no per-rule
+    * rescans, nothing post-aggregate is corpus-scale.
+    */
+  def ruleAblation(flags: DataFrame, ruleCols: Seq[String]): DataFrame = {
+    require(ruleCols.nonEmpty, "ruleCols must be non-empty")
+    val nFailed = ruleCols.map(rc => when(!col(rc), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val base = flags.withColumn("n_failed", nFailed)
+    val aggCols = count(lit(1)).cast("long").as("n_docs") +:
+      ruleCols.flatMap(rc => Seq(
+        sum(when(!col(rc), 1L).otherwise(0L)).cast("long").as(s"f_$rc"),
+        sum(when(!col(rc) && col("n_failed") === 1, 1L).otherwise(0L))
+          .cast("long").as(s"u_$rc")))
+    val one = base.agg(aggCols.head, aggCols.tail: _*)
+    val stackExpr = s"stack(${ruleCols.size}, " +
+      ruleCols.map(rc => s"'$rc', f_$rc, u_$rc").mkString(", ") +
+      ") AS (rule, n_flagged, n_unique)"
+    one.select(expr(stackExpr), col("n_docs"))
+      .select(col("rule"), col("n_flagged"), col("n_unique"),
+        round(col("n_flagged").cast("double") / col("n_docs").cast("double"),
+          6).as("flag_share"))
+  }
+
   // ── Token counting ────────────────────────────────────────────────────
 
   /** Whitespace token count (the cheap pre-filter number). */

@@ -90,6 +90,18 @@ object TextPipelineQueries {
           sig AS (
             SELECT doc_id, sh, $sigListSql AS sig FROM hsx WHERE len(hs) > 0)"""
 
+  /** q_band_sweep's (bands, rows-per-band) design points over the k=30
+    * signature (b·r ≤ 30 everywhere; includes the q_lsh_precision
+    * operating point 10×3). */
+  private val BandConfigs = Seq((30, 1), (15, 2), (10, 3), (6, 5))
+
+  /** 1−(1−0.8^r)^b rounded 6, computed ONCE driver-side and spliced into
+    * both engines as the identical literal (pow is not bit-stable across
+    * engines; a shared literal is). */
+  private def catchProb08(b: Int, r: Int): Double =
+    BigDecimal(1.0 - math.pow(1.0 - math.pow(0.8, r), b))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** DuckDB mirror of [[graft.expr.NgramHashes]] ∘ distinct over a
     * token-hash-list expression: per window, (Σ A(j)·h[i+j] + B(0)) mod
     * 2^60 in HUGEINT (low-bits identity — see Sketches.affineSql).
@@ -230,6 +242,18 @@ object TextPipelineQueries {
       TextAnalysis.gopherRules(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // ── Quality-rule ablation (unique kill credit per rule) ─────────────
+    // Per gopher rule: docs flagged, docs failing ONLY this rule (what
+    // dropping the rule recovers — the number that ranks rules), corpus
+    // share. One corpus aggregate, stack-unpivoted to 5 rows
+    // (TextAnalysis.ruleAblation).
+    "q_rule_ablation" -> ((s, dir) =>
+      TextAnalysis.ruleAblation(
+          TextAnalysis.gopherRules(docs(s, dir), "doc_id", "text"),
+          Seq("r_word_count", "r_word_len", "r_symbol", "r_stopword",
+            "r_repetition"))
+        .orderBy("rule")),
+
     // ── Language identification ──────────────────────────────────────────
     "q_lang_id" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
@@ -338,6 +362,35 @@ object TextPipelineQueries {
         .select(col("n_candidates"), col("n_verified"),
           round(col("n_verified").cast("double") / col("n_candidates"), 6)
             .as("precision"))
+    }),
+
+    // ── LSH banding design sweep (the S-curve table) ─────────────────────
+    // q_lsh_precision across the (bands, rows) design space of the SAME
+    // k=30 signature: per config, candidate volume, verified count,
+    // precision, and the theoretical catch probability at j=0.8
+    // (1−(1−0.8^r)^b, precomputed driver-side so both engines carry the
+    // identical literal). The table a 100 TB dedup run reads to pick its
+    // banding: more rows/band → fewer, higher-precision candidates.
+    // The signature relation is persisted once and feeds all configs
+    // (caller-managed lifetime, Verify/Bench clear per query).
+    "q_band_sweep" -> ((s, dir) => {
+      val hashed = Dedup.hashedNgrams(
+          docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text"))),
+          "doc_id", "toks", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      BandConfigs.map { case (b, r) =>
+        val nC = Dedup.candidatePairsFromHashes(hashed, k = 30, b = b, r = r)
+          .agg(count(lit(1)).as("n_candidates"))
+        val nV = Dedup.verifiedNearDupsFromHashes(hashed, threshold = 0.8,
+            k = 30, b = b, r = r, persistHashed = false)
+          .agg(count(lit(1)).as("n_verified"))
+        nC.crossJoin(nV)
+          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            col("n_candidates"), col("n_verified"),
+            round(col("n_verified").cast("double") / col("n_candidates"), 6)
+              .as("precision"),
+            lit(catchProb08(b, r)).as("p_catch_08"))
+      }.reduce(_ unionByName _).orderBy("bands")
     }),
 
     // ── LSH candidate recall audit ──────────────────────────────────────
@@ -1165,6 +1218,47 @@ object TextPipelineQueries {
   private def langScoreSql(toks: String, words: Seq[String]): String =
     s"CAST(len(list_intersect(list_distinct($toks), [${words.map("'" + _ + "'").mkString(",")}])) AS INT)"
 
+  /** The gopher rule-flag column set, in the engine's output order —
+    * shared by the q_gopher_rules / q_rule_ablation pair. */
+  private val GopherRuleCols = Seq(
+    "r_word_count", "r_word_len", "r_symbol", "r_stopword", "r_repetition")
+
+  /** Shared gopher feature+flag CTE chain (mirror of
+    * TextAnalysis.gopherRules — every threshold an integer compare,
+    * stopword rule on the shared en profile, repetition on the per-doc
+    * max unigram count), ending in `flags(doc_id, wc, r_*)`. Shared by
+    * q_gopher_rules and q_rule_ablation so the mirrors cannot drift. */
+  private lazy val GopherFlagsCte: String = {
+    val stop = TextAnalysis.LanguageProfiles.head._2
+    s"""t AS (
+            SELECT doc_id, text, $ToksSql AS toks FROM documents),
+          rep AS (
+            SELECT doc_id, max(c) AS max_tok FROM (
+              SELECT doc_id, tok, count(*) AS c FROM (
+                SELECT doc_id, unnest(toks) AS tok FROM t)
+              GROUP BY 1, 2)
+            GROUP BY 1),
+          f AS (
+            SELECT t.doc_id,
+              CAST(len(toks) AS BIGINT) AS wc,
+              CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                AS BIGINT) AS sum_len,
+              CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+                + CAST((length(text) - length(replace(text, '...', ''))) / 3
+                    AS BIGINT) AS syms,
+              ${langScoreSql("toks", stop)} AS stop_hits,
+              CAST(coalesce(rep.max_tok, 0) AS BIGINT) AS max_tok
+            FROM t LEFT JOIN rep ON rep.doc_id = t.doc_id),
+          flags AS (
+            SELECT doc_id, wc,
+              (wc >= 30 AND wc <= 100000) AS r_word_count,
+              (sum_len >= wc * 3 AND sum_len <= wc * 10) AS r_word_len,
+              (syms * 10 <= wc) AS r_symbol,
+              (stop_hits >= 2) AS r_stopword,
+              (max_tok * 5 <= wc) AS r_repetition
+            FROM f)"""
+  }
+
   /** Per-profile score select list + the argmax fold (first profile wins
     * ties) — shared by the q_lang_id and q_lang_confusion oracles so the
     * two can never drift apart on the predictor's semantics. */
@@ -1212,38 +1306,36 @@ object TextPipelineQueries {
     // compare (sum·1 vs bound·count forms — no float boundary), stopword
     // rule on the shared en profile, repetition on the per-doc max
     // unigram count.
-    "q_gopher_rules" -> {
-      val stop = TextAnalysis.LanguageProfiles.head._2
-      s"""WITH t AS (
-            SELECT doc_id, text, $ToksSql AS toks FROM documents),
-          rep AS (
-            SELECT doc_id, max(c) AS max_tok FROM (
-              SELECT doc_id, tok, count(*) AS c FROM (
-                SELECT doc_id, unnest(toks) AS tok FROM t)
-              GROUP BY 1, 2)
-            GROUP BY 1),
-          f AS (
-            SELECT t.doc_id,
-              CAST(len(toks) AS BIGINT) AS wc,
-              CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
-                AS BIGINT) AS sum_len,
-              CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-                + CAST((length(text) - length(replace(text, '...', ''))) / 3
-                    AS BIGINT) AS syms,
-              ${langScoreSql("toks", stop)} AS stop_hits,
-              CAST(coalesce(rep.max_tok, 0) AS BIGINT) AS max_tok
-            FROM t LEFT JOIN rep ON rep.doc_id = t.doc_id)
+    "q_gopher_rules" ->
+      s"""WITH $GopherFlagsCte
           SELECT doc_id, wc AS n_words,
-            (wc >= 30 AND wc <= 100000) AS r_word_count,
-            (sum_len >= wc * 3 AND sum_len <= wc * 10) AS r_word_len,
-            (syms * 10 <= wc) AS r_symbol,
-            (stop_hits >= 2) AS r_stopword,
-            (max_tok * 5 <= wc) AS r_repetition,
-            ((wc >= 30 AND wc <= 100000)
-              AND (sum_len >= wc * 3 AND sum_len <= wc * 10)
-              AND (syms * 10 <= wc) AND (stop_hits >= 2)
-              AND (max_tok * 5 <= wc)) AS keep
-          FROM f ORDER BY doc_id"""
+            r_word_count, r_word_len, r_symbol, r_stopword, r_repetition,
+            (r_word_count AND r_word_len AND r_symbol AND r_stopword
+              AND r_repetition) AS keep
+          FROM flags ORDER BY doc_id""",
+    // Shared flags CTE with q_gopher_rules (the mirrors cannot drift);
+    // per rule: flag count, unique-kill count (docs failing ONLY it),
+    // corpus share.
+    "q_rule_ablation" -> {
+      val branches = GopherRuleCols.map { rc =>
+        s"""SELECT '$rc' AS rule,
+              CAST(SUM(CASE WHEN NOT $rc THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_flagged,
+              CAST(SUM(CASE WHEN NOT $rc AND n_failed = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unique,
+              ROUND(CAST(SUM(CASE WHEN NOT $rc THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*), 6) AS flag_share
+            FROM nf"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $GopherFlagsCte,
+          nf AS (
+            SELECT *,
+              ${GopherRuleCols
+                .map(rc => s"(CASE WHEN NOT $rc THEN 1 ELSE 0 END)")
+                .mkString(" + ")} AS n_failed
+            FROM flags)
+          $branches
+          ORDER BY rule"""
     },
     "q_lang_id" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
@@ -1337,6 +1429,46 @@ object TextPipelineQueries {
           SELECT n_candidates, n_verified,
             ROUND(CAST(n_verified AS DOUBLE) / n_candidates, 6) AS precision
           FROM m"""
+    },
+    // The q_lsh_precision mirror swept over BandConfigs: per config, a
+    // bands/cand/m CTE triple generated from the SAME band-bucket
+    // rendering (h60 over comma-joined slot strings), unioned with the
+    // config literals and the driver-side catch-probability constant.
+    "q_band_sweep" -> {
+      val cfgCtes = BandConfigs.zipWithIndex.map { case ((b, r), i) =>
+        val slots = (1 to r)
+          .map(x => s"CAST(sig[j*$r+$x] AS VARCHAR)").mkString(", ")
+        val bandExpr = h60(s"array_to_string([$slots], ',')")
+        s"""bands$i AS (
+            SELECT doc_id, sh,
+              list_transform(generate_series(0, ${b - 1}), j -> $bandExpr)
+                AS bh
+            FROM sig),
+          cand$i AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(a.sh || b.sh)), 6) AS j
+            FROM bands$i a JOIN bands$i b ON a.doc_id < b.doc_id
+            WHERE len(list_filter(generate_series(1, $b),
+                      i -> a.bh[i] = b.bh[i])) > 0),
+          m$i AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+              CAST(SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_verified
+            FROM cand$i)"""
+      }.mkString(",\n")
+      val branches = BandConfigs.zipWithIndex.map { case ((b, r), i) =>
+        s"""SELECT $b AS bands, $r AS rows_per_band, n_candidates,
+              n_verified,
+              ROUND(CAST(n_verified AS DOUBLE) / n_candidates, 6)
+                AS precision,
+              CAST(${catchProb08(b, r)} AS DOUBLE) AS p_catch_08
+            FROM m$i"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $SigCte,
+          $cfgCtes
+          $branches
+          ORDER BY bands"""
     },
     // The recall twin: banded candidate set (SigCte bucket reconstruction,
     // shared with q_lsh_precision) LEFT-joined under the df-capped exact

@@ -57,7 +57,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_rank_overlap" -> "composes q_knn_brute's documented broadcast-NLJ dense baseline and q_bm25's single-row stats crossJoin (the q_rrf_hybrid legs); the agreement aggregate itself is a full-outer join of two top-50 cuts",
     "q_embed_variance" -> "crossJoin of the single-row total-variance aggregate onto the d-row spectrum (broadcast, one row)",
     "q_token_budget" -> "composes q_mixture's recipe weights, inheriting its single-row totals crossJoin; the budget arithmetic itself is a narrow projection of the group-count relation",
-    "q_shard_skew" -> "crossJoin of the single-row total-weight aggregate onto the N-row shard relation (broadcast, one row)")
+    "q_shard_skew" -> "crossJoin of the single-row total-weight aggregate onto the N-row shard relation (broadcast, one row)",
+    "q_band_sweep" -> "per-config crossJoin of two single-row count aggregates (candidates x verified — q_lsh_precision's shape, swept over BandConfigs)")
 
   // the AQE-aware walker lives on SparkSpec (collectPlanNodes) so DedupSpec's
   // ccRound audit and this guard can never drift apart

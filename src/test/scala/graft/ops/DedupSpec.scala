@@ -511,6 +511,30 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("band configs: exact pair caught at every (b,r); candidates shrink as r grows") {
+    // docs 1/2 identical (j=1 — every band of every config matches);
+    // 3/4 partially similar; 5 disjoint
+    val rows = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7"), (4L, "x1 x2 x3 x4 y5 y6 y7"),
+      (5L, "z1 z2 z3 z4"))
+    val hashed = Dedup.hashedNgrams(
+        rows.toDF("doc_id", "text")
+          .withColumn("toks", TextAnalysis.tokens(col("text"))),
+        "doc_id", "toks", 3)
+      .persist()
+    val counts = Seq((30, 1), (15, 2), (10, 3), (6, 5)).map { case (b, r) =>
+      val cand = Dedup.candidatePairsFromHashes(hashed, 30, b, r)
+        .as[(Long, Long)].collect().toSet
+      assert(cand.contains((1L, 2L)),
+        s"identical pair must surface at b=$b r=$r (all bands agree)")
+      cand.size
+    }
+    assert(counts === counts.sorted.reverse,
+      s"candidate volume must not grow as rows-per-band grows: $counts")
+    spark.catalog.clearCache()
+  }
+
   test("duplicationSpectrum: singleton mass + histogram over component sizes") {
     // components: {1,2,3} (chain via pairs), {4,5}, and 6 alone
     val d = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")

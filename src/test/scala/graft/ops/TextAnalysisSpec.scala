@@ -168,4 +168,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(doc1(1)._5 === 2.0)
     assert(out(2L).head._2 === "beta", "unique term ranks first in doc 2")
   }
+
+  test("ruleAblation: unique kill credit counts docs failing ONLY that rule") {
+    // A fails r1 only; B fails r1+r2; C passes both
+    val flags = Seq(
+      ("A", false, true),
+      ("B", false, false),
+      ("C", true, true)
+    ).toDF("doc_id", "r1", "r2")
+    val got = TextAnalysis.ruleAblation(flags, Seq("r1", "r2"))
+      .orderBy("rule")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("r1", 2L, 1L, 0.666667),   // A+B flagged; only A fails r1 alone
+      ("r2", 1L, 0L, 0.333333)))  // B flagged, but B also fails r1
+    spark.catalog.clearCache()
+  }
 }
