@@ -121,6 +121,39 @@ object Dedup {
       lit(w))
   }
 
+  /** Winnowing DENSITY audit: the measured fingerprint-per-position rate
+    * against the paper's expected density 2/(w+1) (Schleimer et al. 2003,
+    * §5 — the bound [[winnowedFingerprints]]' index-size claims rest on).
+    * A corpus whose measured density sits far ABOVE the bound (e.g.
+    * shuffled-unique content where every window min is fresh) pays a
+    * proportionally bigger index; far below flags degenerate token
+    * streams (constant runs collapse to one min). One narrow map pass
+    * (hash + positional n-grams + windowed min, all native) folded to a
+    * single summary row — nothing shuffles but the final aggregate.
+    * Docs shorter than n tokens have no positions and are excluded from
+    * both sums; docs with < w positions contribute positions but no
+    * fingerprints (the [[graft.expr.WinnowMins]] empty-set contract).
+    */
+  def winnowDensity(docs: DataFrame, toksCol: Column, n: Int,
+                    w: Int): DataFrame = {
+    require(n >= 1, s"n: $n")
+    require(w >= 1, s"w: $w")
+    val pos = call_function("ngram_hashes",
+      transform(toksCol, t => Hashes.h60(t)), lit(n))
+    docs.select(pos.as("pos"))
+      .where(size(col("pos")) > 0)
+      .select(size(col("pos")).cast("long").as("n_pos"),
+        size(call_function("winnow_mins", col("pos"), lit(w)))
+          .cast("long").as("n_fp"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_pos")).cast("long").as("n_positions"),
+        sum(col("n_fp")).cast("long").as("n_fingerprints"))
+      .select(col("n_docs"), col("n_positions"), col("n_fingerprints"),
+        round(col("n_fingerprints").cast("double")
+          / col("n_positions").cast("double"), 6).as("density"),
+        round(lit(2.0 / (w + 1)), 6).as("density_bound"))
+  }
+
   /** Near-verbatim candidate pairs on shared winnowed fingerprints: docs
     * sharing ≥ `minShared` distinct fingerprints, with the same df cap —
     * for the same boilerplate/skew reasons — as [[contaminationPairs]].

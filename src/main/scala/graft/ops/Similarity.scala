@@ -486,6 +486,40 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** Semantic-dedup THRESHOLD SWEEP: over one [[semDedupPairs]] relation
+    * (computed once at the lowest threshold), the per-threshold removal
+    * accounting — pair count, docs removed under the deterministic
+    * keep-smallest-id rule (a vector is removed iff it is the `id_b` of
+    * any surviving pair), and the corpus removal rate. The calibration
+    * table a SemDeDup run reads before committing to a threshold: the
+    * rate's slope over the grid says whether the corpus has a clean
+    * duplicate shelf (flat, then cliff) or a smear (linear — thresholding
+    * is guesswork and the threshold choice needs human eyes).
+    *
+    * Thresholds must be ≥ the base threshold (require below — pairs below
+    * the base were never materialized). The pair relation is persisted by
+    * the caller contract of [[semDedupPairs]]; each grid point is one
+    * count aggregate over it plus the one-row corpus-count attach —
+    * nothing here re-touches the corpus.
+    */
+  def semDedupRate(vecs: DataFrame, nSeeds: Int,
+                   thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val base = thresholds.min
+    val pairs = semDedupPairs(vecs, nSeeds, base)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = vecs.agg(count(lit(1)).cast("long").as("n_total"))
+    thresholds.sorted.map { t =>
+      pairs.where(col("cosine") >= t)
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          countDistinct(col("id_b")).cast("long").as("n_removed"))
+        .crossJoin(broadcast(tot))
+        .select(lit(t).as("threshold"), col("n_pairs"), col("n_removed"),
+          round(col("n_removed").cast("double")
+            / col("n_total").cast("double"), 6).as("removal_rate"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Embedding-space anisotropy diagnostic, per group: the mean vector μ_g
     * of each group's embeddings and the group's average cosine(v, μ_g) —
     * the "how collapsed is this embedding space" number (Ethayarajh,

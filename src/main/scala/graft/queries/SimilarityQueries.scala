@@ -29,6 +29,10 @@ object SimilarityQueries {
   // because the oracle SQL embeds the hyperplane count as a literal.
   private val NBits = 8
   private val NSeeds = 8
+  /** q_semdedup_rate's grid — base 0.3 matches q_semdedup's threshold
+    * (the shared pair relation), upper points probe the fixture's
+    * near-random cosine ceiling (~0.51). */
+  private val SemThresholds = Seq(0.3, 0.35, 0.4, 0.45)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-vector L2 norm — the basic embedding-column numeric op.
@@ -149,6 +153,16 @@ object SimilarityQueries {
       Similarity.semDedupPairs(emb(s, dir), nSeeds = NSeeds, threshold = 0.3)
         .orderBy("id_a", "id_b")),
 
+    // ── SemDeDup threshold calibration sweep ─────────────────────────────
+    // One q_semdedup pair relation, read at four thresholds: pairs, docs
+    // removed under keep-smallest-id, removal rate — the table that picks
+    // the threshold before a corpus-scale semantic dedup commits to one
+    // (Similarity.semDedupRate).
+    "q_semdedup_rate" -> ((s, dir) =>
+      Similarity.semDedupRate(emb(s, dir), nSeeds = NSeeds,
+          thresholds = SemThresholds)
+        .orderBy("threshold")),
+
     // One Lloyd ASSIGNMENT round of the IVF k-means, mirrored bit-for-bit
     // in DuckDB (VERDICT r03 #3's other half, complementing q_knn_ivf's
     // recall gate): seeds are the nSeeds lowest-id vectors; every corpus
@@ -205,6 +219,32 @@ object SimilarityQueries {
 
   /** DECIMAL-exact dot of two embedding expressions (order-independent).
     * Shared with [[AdvancedQueries]]' IVF recall-gate oracle. */
+  /** Shared q_semdedup/q_semdedup_rate pair CTE: Voronoi assignment to the
+    * lowest-id seeds, within-cell pairs at the base threshold 0.3, ending
+    * in `pairs(cell, id_a, id_b, cosine)` — one definition so the sweep
+    * reads EXACTLY the relation q_semdedup gates. */
+  private lazy val SemPairsCte: String =
+    s"""seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+              embedding AS sv
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $NSeeds)),
+          scored AS (
+            SELECT e.vec_id, e.embedding, s.cell,
+              ${cosineSql("e.embedding", "s.sv")} AS cos
+            FROM embeddings e CROSS JOIN seeds s),
+          assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+              FROM scored)
+            WHERE rn = 1),
+          pairs AS (
+            SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+              ${cosineSql("a.embedding", "b.embedding")} AS cosine
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.3)"""
+
   private[queries] def dotSql(a: String, b: String): String =
     s"""list_sum(list_transform(generate_series(1, len($a)),
           i -> CAST(CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE)
@@ -475,26 +515,28 @@ object SimilarityQueries {
           WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.3
           ORDER BY id_a, id_b""",
     "q_semdedup" ->
-      s"""WITH seeds AS (
-            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-              embedding AS sv
-            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $NSeeds)),
-          scored AS (
-            SELECT e.vec_id, e.embedding, s.cell,
-              ${cosineSql("e.embedding", "s.sv")} AS cos
-            FROM embeddings e CROSS JOIN seeds s),
-          assigned AS (
-            SELECT vec_id, embedding, cell FROM (
-              SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
-              FROM scored)
-            WHERE rn = 1)
-          SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
-            ${cosineSql("a.embedding", "b.embedding")} AS cosine
-          FROM assigned a JOIN assigned b
-            ON a.cell = b.cell AND a.vec_id < b.vec_id
-          WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.3
+      s"""WITH $SemPairsCte
+          SELECT cell, id_a, id_b, cosine FROM pairs
           ORDER BY id_a, id_b""",
+    // Shared pairs CTE with q_semdedup (the mirrors cannot drift); per
+    // grid threshold, pair count / distinct removed id_b / corpus rate.
+    "q_semdedup_rate" -> {
+      val branches = SemThresholds.sorted.map { t =>
+        s"""SELECT CAST($t AS DOUBLE) AS threshold,
+              CAST(SUM(CASE WHEN cosine >= $t THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_pairs,
+              CAST(count(DISTINCT CASE WHEN cosine >= $t THEN id_b END)
+                AS BIGINT) AS n_removed,
+              ROUND(CAST(count(DISTINCT CASE WHEN cosine >= $t THEN id_b END)
+                  AS DOUBLE) / (SELECT n_total FROM tot), 6) AS removal_rate
+            FROM pairs"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $SemPairsCte,
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total
+                  FROM embeddings)
+          $branches
+          ORDER BY threshold"""
+    },
     "q_fuzzy_join" ->
       """WITH n AS (SELECT DISTINCT p_name AS name FROM part
                     WHERE p_name IS NOT NULL)

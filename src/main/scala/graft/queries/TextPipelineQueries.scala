@@ -692,6 +692,14 @@ object TextPipelineQueries {
           maxDf = 100)
         .orderBy("id_a", "id_b")),
 
+    // ── Winnowing density audit (measured vs the 2/(w+1) bound) ─────────
+    // The index-size claim behind q_winnow_pairs, measured: fingerprints
+    // per n-gram position against the paper's expected density
+    // (Dedup.winnowDensity; same n=8/w=4 operating point).
+    "q_winnow_density" -> ((s, dir) =>
+      Dedup.winnowDensity(docs(s, dir),
+        TextAnalysis.tokens(col("text")), n = 8, w = 4)),
+
     // ── Wide (120-bit) SimHash pair search — the large-corpus form ──────
     // Same pigeonhole machinery as q_simhash but over Dedup.simhashWide's
     // two independent 60-bit words: every block doubles in width, squaring
@@ -1895,6 +1903,27 @@ object TextPipelineQueries {
           GROUP BY 1, 2
           HAVING count(*) >= 1
           ORDER BY id_a, id_b""",
+    // Same positional-hash + window-min reconstruction as q_winnow_pairs,
+    // folded to the corpus density summary.
+    "q_winnow_density" ->
+      s"""WITH hs AS (
+            SELECT doc_id,
+              list_transform($ToksSql, t -> ${h60("t")}) AS hsarr
+            FROM documents),
+          p AS (
+            SELECT doc_id, ${ngramHashesPosSql("hsarr", 8)} AS pos FROM hs),
+          d AS (
+            SELECT CAST(len(pos) AS BIGINT) AS n_pos,
+              CAST(len(list_distinct(list_transform(
+                generate_series(1, greatest(len(pos) - 3, 0)),
+                i -> list_min(pos[i:i+3])))) AS BIGINT) AS n_fp
+            FROM p WHERE len(pos) > 0)
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n_pos) AS BIGINT) AS n_positions,
+            CAST(SUM(n_fp) AS BIGINT) AS n_fingerprints,
+            ROUND(CAST(SUM(n_fp) AS DOUBLE) / SUM(n_pos), 6) AS density,
+            CAST(0.4 AS DOUBLE) AS density_bound
+          FROM d""",
     "q_simhash_wide" ->
       s"""WITH tok AS (
             SELECT doc_id, unnest($ToksSql) AS t FROM documents),

@@ -535,6 +535,21 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("winnowDensity: constant stream collapses to one fingerprint, short docs excluded") {
+    // 10 identical tokens, n=2 → 9 equal positional hashes → every window
+    // min identical → 1 distinct fingerprint; the 1-token doc has no
+    // positions and must not count
+    val d = Seq(
+      (1L, ("a " * 10).trim),
+      (2L, "b")
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowDensity(d, TextAnalysis.tokens(col("text")),
+        n = 2, w = 3)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq((1L, 9L, 1L, 0.111111, 0.5)))
+    spark.catalog.clearCache()
+  }
+
   test("duplicationSpectrum: singleton mass + histogram over component sizes") {
     // components: {1,2,3} (chain via pairs), {4,5}, and 6 alone
     val d = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")

@@ -408,6 +408,26 @@ class SimilaritySpec extends SparkSpec {
       s"plan size must not scale with nSeeds: 256→$sizeBig vs 8→$sizeSmall")
   }
 
+  test("semDedupRate: per-threshold pair/removal accounting under keep-smallest-id") {
+    // seeds = 2 lowest ids: (1,0) and (0,1); cell 0 = {1,3,4} ((1,1) ties
+    // both seeds at 0.707107 → lower cell), cell 1 = {2,5}
+    // pairs: (1,3)=1.0, (1,4)=(3,4)=0.707107, (2,5)=1.0
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(1f, 0f)),
+      (4L, Array(1f, 1f)), (5L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedupRate(vecs, nSeeds = 2,
+        thresholds = Seq(0.8, 0.5))  // unsorted on purpose
+      .orderBy("threshold")
+      .as[(Double, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (0.5, 4L, 3L, 0.6),   // removed {3,4,5}
+      (0.8, 2L, 2L, 0.4)))  // only the exact dups (1,3),(2,5) survive
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   test("splitCentroidDrift: centroid cosine per group, missing-split groups drop") {
     val d = Seq(
       // group A: μ_train=(0.5,0.5), μ_val=(1,1) → cos 1, gap √.5−√2
