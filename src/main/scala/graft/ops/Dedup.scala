@@ -121,6 +121,37 @@ object Dedup {
       lit(w))
   }
 
+  /** LSH banding DESIGN SWEEP: for each (bands, rows-per-band) config of
+    * the same k-component signature, the candidate volume, the exactly
+    * verified count at `threshold`, and precision — the S-curve table
+    * that picks a banding before a corpus-scale dedup commits to one.
+    * Per config ONE pass: the banded candidate relation feeds a single
+    * count/verify aggregate (the candidates are NOT re-derived for the
+    * verify leg — both counts fall out of the same joined scan), so the
+    * sweep costs ~half of running [[candidatePairsFromHashes]] and
+    * [[verifiedNearDupsFromHashes]] separately per config. Callers
+    * persist `hashed` (it feeds 3 branches per config).
+    */
+  def bandSweep(hashed: DataFrame, k: Int, configs: Seq[(Int, Int)],
+                threshold: Double): DataFrame = {
+    require(configs.nonEmpty, "configs must be non-empty")
+    configs.map { case (b, r) =>
+      candidatePairsFromHashes(hashed, k, b, r)
+        .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")),
+          Seq("id_a"))
+        .join(hashed.select(col("id").as("id_b"), col("hs").as("hs_b")),
+          Seq("id_b"))
+        .select(jaccardCol(col("hs_a"), col("hs_b")).as("j"))
+        .agg(count(lit(1)).cast("long").as("n_candidates"),
+          sum(when(col("j") >= threshold, 1L).otherwise(0L)).cast("long")
+            .as("n_verified"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_candidates"), col("n_verified"),
+          round(col("n_verified").cast("double") / col("n_candidates"), 6)
+            .as("precision"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Winnowing DENSITY audit: the measured fingerprint-per-position rate
     * against the paper's expected density 2/(w+1) (Schleimer et al. 2003,
     * §5 — the bound [[winnowedFingerprints]]' index-size claims rest on).

@@ -92,8 +92,12 @@ object TextPipelineQueries {
 
   /** q_band_sweep's (bands, rows-per-band) design points over the k=30
     * signature (b·r ≤ 30 everywhere; includes the q_lsh_precision
-    * operating point 10×3). */
-  private val BandConfigs = Seq((30, 1), (15, 2), (10, 3), (6, 5))
+    * operating point 10×3). r = 1 is deliberately absent: single-hash
+    * bands make every minhash component a bucket key, so candidate volume
+    * approaches the pair closure of the dup structure — a design point no
+    * corpus-scale run picks and a measured candidate bomb (sf0.1: the
+    * 30×1 leg alone cost more than the other three together). */
+  private val BandConfigs = Seq((15, 2), (10, 3), (6, 5), (5, 6))
 
   /** 1−(1−0.8^r)^b rounded 6, computed ONCE driver-side and spliced into
     * both engines as the identical literal (pow is not bit-stable across
@@ -378,19 +382,13 @@ object TextPipelineQueries {
           docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text"))),
           "doc_id", "toks", 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      BandConfigs.map { case (b, r) =>
-        val nC = Dedup.candidatePairsFromHashes(hashed, k = 30, b = b, r = r)
-          .agg(count(lit(1)).as("n_candidates"))
-        val nV = Dedup.verifiedNearDupsFromHashes(hashed, threshold = 0.8,
-            k = 30, b = b, r = r, persistHashed = false)
-          .agg(count(lit(1)).as("n_verified"))
-        nC.crossJoin(nV)
-          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-            col("n_candidates"), col("n_verified"),
-            round(col("n_verified").cast("double") / col("n_candidates"), 6)
-              .as("precision"),
-            lit(catchProb08(b, r)).as("p_catch_08"))
-      }.reduce(_ unionByName _).orderBy("bands")
+      val pCatch = BandConfigs.foldLeft(lit(null).cast("double")) {
+        case (acc, (b, r)) =>
+          when(col("bands") === b, lit(catchProb08(b, r))).otherwise(acc)
+      }
+      Dedup.bandSweep(hashed, k = 30, configs = BandConfigs, threshold = 0.8)
+        .withColumn("p_catch_08", pCatch)
+        .orderBy("bands")
     }),
 
     // ── LSH candidate recall audit ──────────────────────────────────────

@@ -58,7 +58,6 @@ class PlanShapeSpec extends SparkSpec {
     "q_embed_variance" -> "crossJoin of the single-row total-variance aggregate onto the d-row spectrum (broadcast, one row)",
     "q_token_budget" -> "composes q_mixture's recipe weights, inheriting its single-row totals crossJoin; the budget arithmetic itself is a narrow projection of the group-count relation",
     "q_shard_skew" -> "crossJoin of the single-row total-weight aggregate onto the N-row shard relation (broadcast, one row)",
-    "q_band_sweep" -> "per-config crossJoin of two single-row count aggregates (candidates x verified — q_lsh_precision's shape, swept over BandConfigs)",
     "q_semdedup_rate" -> "per-threshold crossJoin of the single-row corpus-count aggregate onto the single-row pair/removal aggregate (broadcast, one row each; the pair relation itself is q_semdedup's keyed cell join)")
 
   // the AQE-aware walker lives on SparkSpec (collectPlanNodes) so DedupSpec's

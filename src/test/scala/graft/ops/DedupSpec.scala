@@ -523,7 +523,8 @@ class DedupSpec extends SparkSpec {
           .withColumn("toks", TextAnalysis.tokens(col("text"))),
         "doc_id", "toks", 3)
       .persist()
-    val counts = Seq((30, 1), (15, 2), (10, 3), (6, 5)).map { case (b, r) =>
+    val configs = Seq((30, 1), (15, 2), (10, 3), (6, 5))
+    val counts = configs.map { case (b, r) =>
       val cand = Dedup.candidatePairsFromHashes(hashed, 30, b, r)
         .as[(Long, Long)].collect().toSet
       assert(cand.contains((1L, 2L)),
@@ -532,6 +533,15 @@ class DedupSpec extends SparkSpec {
     }
     assert(counts === counts.sorted.reverse,
       s"candidate volume must not grow as rows-per-band grows: $counts")
+    // the one-pass sweep must agree with the per-config relations: same
+    // candidate counts, and exactly the j=1.0 planted pair verified at 0.9
+    val sweep = Dedup.bandSweep(hashed, 30, configs, threshold = 0.9)
+      .orderBy(desc("bands"))
+      .as[(Int, Int, Long, Long, Double)].collect().toSeq
+    assert(sweep.map(_._3) === counts.map(_.toLong),
+      "sweep candidate counts must equal candidatePairsFromHashes counts")
+    assert(sweep.forall(_._4 === 1L),
+      s"only the identical pair clears j >= 0.9 at every config: $sweep")
     spark.catalog.clearCache()
   }
 
