@@ -241,6 +241,22 @@ object AdvancedQueries {
         .orderBy(desc("rank"), col("node")).limit(50)
     }),
 
+    // ── Degree distribution of the trade graph ──────────────────────────
+    // Per degree, node count — the skew read before q_pagerank commits to
+    // per-iteration joins (Graph.degreeHistogram over the SAME symmetric
+    // edge relation, so the histogram describes exactly that job's input).
+    "q_graph_degree" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + 1000000000000L).as("dst"))
+        .distinct()
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.Graph.degreeHistogram(edges).orderBy("degree")
+    }),
+
     // ── PageRank with dangling-mass redistribution (ranks sum to 1) ─────
     // Same trade graph but DIRECTED (supplier → customer only): every
     // customer node is a sink, so the dangling term is exercised for
@@ -382,6 +398,19 @@ object AdvancedQueries {
     // three unrolled iterations with the engine's exact literals/rounding;
     // all decimal-literal constants are CAST to DOUBLE (DuckDB parses
     // bare 0.85 as DECIMAL, which would change the arithmetic)
+    // Same fwd/edges CTE as q_pagerank — the histogram describes exactly
+    // that job's input relation.
+    "q_graph_degree" ->
+      s"""WITH fwd AS (
+            SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000000000 AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          edges AS (
+            SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+          deg AS (
+            SELECT src, CAST(count(*) AS BIGINT) AS degree
+            FROM edges GROUP BY src)
+          SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+          FROM deg GROUP BY degree ORDER BY degree""",
     "q_pagerank" -> {
       def c(i: Int, prev: String) =
         s"""c$i AS (

@@ -70,6 +70,24 @@ object AnalyticQueries {
           month(col("o_orderdate")).as("o_month"))
         .agg(count(lit(1)).as("cnt"), Exact.roundSum(col("o_totalprice")).as("total"))
         .orderBy("o_year", "o_month")),
+
+    // ── Hourly event-volume anomalies (ops-monitoring member) ───────────
+    // Per event type, each hour's count robust-z-scored against the
+    // type's median/MAD (q_outliers' portable percentile pair, applied to
+    // a time series) — the "did ingestion hiccup at 3am" table. Hourly
+    // counts are a group-count relation; everything after runs on it.
+    "q_events_anomaly" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      graft.ops.CorpusStats.robustZScores(hourly, "hour", "event_type",
+          col("n"))
+        .select(col("id").as("hour"), col("grp").as("event_type"),
+          col("x").cast("long").as("n_events"), col("med"), col("mad"),
+          col("z"), col("is_outlier"))
+        .orderBy("event_type", "hour")
+    }),
     // Batch session windows (gap 10 min) — DuckDB has no session_window, so
     // the oracle derives sessions relationally (lag → new-session flag →
     // running sum as session id), which also documents the semantics:
@@ -289,6 +307,31 @@ object AnalyticQueries {
             CAST(month(o_orderdate) AS INT) AS o_month,
             count(*) AS cnt, ${oSum("o_totalprice", "total")}
           FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""",
+    // the q_outliers median/MAD mirror over per-type hourly counts
+    "q_events_anomaly" ->
+      """WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+              CAST(count(*) AS DOUBLE) AS x
+            FROM events GROUP BY 1, 2),
+          med AS (
+            SELECT event_type, ROUND(quantile_cont(x, 0.5), 6) AS med
+            FROM hourly GROUP BY 1),
+          dev AS (
+            SELECT h.event_type, h.hour, h.x, m.med,
+              ABS(h.x - m.med) AS adev
+            FROM hourly h JOIN med m USING (event_type)),
+          mad AS (
+            SELECT event_type, ROUND(quantile_cont(adev, 0.5), 6) AS mad
+            FROM dev GROUP BY 1),
+          z AS (
+            SELECT d.hour, d.event_type, d.x, d.med, m.mad,
+              CASE WHEN m.mad = 0 THEN NULL
+                   ELSE ROUND((d.x - d.med) / (1.4826 * m.mad), 6)
+              END AS z
+            FROM dev d JOIN mad m USING (event_type))
+          SELECT hour, event_type, CAST(x AS BIGINT) AS n_events, med, mad,
+            z, COALESCE(ABS(z) > 3, FALSE) AS is_outlier
+          FROM z ORDER BY event_type, hour""",
     "q_sessions" ->
       """WITH x AS (
            SELECT user_id, ts,

@@ -166,4 +166,14 @@ class GraphSpec extends SparkSpec {
     assert(repart === base)
     spark.catalog.clearCache()
   }
+
+  test("degreeHistogram: star graph — hub degree n, n leaves of degree 1") {
+    // star 0–{1,2,3}: symmetric edges; hub 0 has degree 3, leaves degree 1
+    val fwd = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val got = Graph.degreeHistogram(edges).orderBy("degree")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 3L), (3L, 1L)))
+    spark.catalog.clearCache()
+  }
 }
