@@ -104,12 +104,13 @@ object CorpusOps {
     * absent from the result (unscorable). Returns
     * (`idCol`, carryCols…, `log_ratio`, `es_key`) — the k smallest keys.
     */
-  def importanceResample(df: DataFrame, idCol: String, featsCol: Column,
-                         isTarget: Column, buckets: Int, k: Int,
-                         carryCols: Seq[String] = Nil,
-                         salt: String = "dsir"): DataFrame = {
+  /** The per-doc DSIR log importance ratios — [[importanceResample]]'s
+    * scoring half, exposed so audits ([[importanceEss]]) read the SAME
+    * relation the draw uses. Returns `(idCol, carryCols…, log_ratio)`. */
+  def dsirLogRatios(df: DataFrame, idCol: String, featsCol: Column,
+                    isTarget: Column, buckets: Int,
+                    carryCols: Seq[String] = Nil): DataFrame = {
     require(buckets >= 2, s"buckets: $buckets")
-    require(k >= 1, s"k: $k")
     val carried = carryCols.map(col)
     val f = df
       .select(col(idCol) +: isTarget.as("is_t") +:
@@ -125,16 +126,57 @@ object CorpusOps {
         log((col("tb") + 1).cast("double") / (col("tt") + buckets).cast("double"))
           - log((col("qb") + 1).cast("double") / (col("qt") + buckets).cast("double")),
         6).as("lr"))
-    val perDoc = f.join(broadcast(lr), Seq("b"))
+    f.join(broadcast(lr), Seq("b"))
       .groupBy(col(idCol) +: carried: _*)
       .agg(round(sum(col("lr").cast("decimal(28,6)")).cast("double"), 6)
         .as("log_ratio"))
+  }
+
+  def importanceResample(df: DataFrame, idCol: String, featsCol: Column,
+                         isTarget: Column, buckets: Int, k: Int,
+                         carryCols: Seq[String] = Nil,
+                         salt: String = "dsir"): DataFrame = {
+    require(k >= 1, s"k: $k")
+    val perDoc = dsirLogRatios(df, idCol, featsCol, isTarget, buckets,
+      carryCols)
     val u = (pmod(Hashes.h60(concat(lit(salt), lit(":"),
         col(idCol).cast("string"))), lit(1000000L)) + 0.5) / 1000000.0
     perDoc
       .withColumn("es_key", round(log(-log(u)), 6) - col("log_ratio"))
       .orderBy(col("es_key"), col(idCol))
       .limit(k)
+  }
+
+  /** DSIR weight-health audit: the EFFECTIVE SAMPLE SIZE of the implied
+    * importance weights w ∝ exp(log_ratio) — ESS = (Σw)²/Σw² (Kong 1992;
+    * the standard importance-sampling diagnostic). `ess_fraction` = ESS/n:
+    * near 1 means the weights are flat (resampling changes nothing);
+    * near 0 means a handful of documents carry all the mass and the
+    * resampled set's variance blows up — the number to check BEFORE
+    * trusting a DSIR-selected corpus. Weights are max-normalized
+    * (w = exp(lr − lr_max) ∈ (0,1], ESS is scale-invariant) so the exp
+    * can never overflow and the decimal sums never leave range; the
+    * per-row exp is one IEEE double op (engine-portable), the two sums
+    * are DECIMAL, the final combine is fixed.
+    *
+    * Cost: the [[dsirLogRatios]] aggregate plus one max and one sum pass
+    * over the doc-count relation — nothing beyond the scoring pass a DSIR
+    * run already pays.
+    */
+  def importanceEss(df: DataFrame, idCol: String, featsCol: Column,
+                    isTarget: Column, buckets: Int): DataFrame = {
+    val dl = dsirLogRatios(df, idCol, featsCol, isTarget, buckets)
+    val mx = dl.agg(max(col("log_ratio")).as("mx"))
+    val w = dl.crossJoin(broadcast(mx))
+      .select(exp(col("log_ratio") - col("mx")).as("w"))
+    w.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("w").cast("decimal(38,18)")).cast("double").as("sw"),
+        sum((col("w") * col("w")).cast("decimal(38,18)")).cast("double")
+          .as("sww"))
+      .select(col("n_docs"),
+        round(col("sw") * col("sw") / col("sww"), 6).as("ess"),
+        round(col("sw") * col("sw") / col("sww")
+          / col("n_docs").cast("double"), 6).as("ess_fraction"))
   }
 
   /** Keep each row with probability `rateBp`/10000 — deterministically:

@@ -121,6 +121,44 @@ object Dedup {
       lit(w))
   }
 
+  /** Per-benchmark-item contamination COVERAGE — the eval-integrity
+    * severity number [[contaminationPairs]] doesn't give: for each bench
+    * doc, the share of its distinct n-grams that appear in at least
+    * `minDf` (and at most `maxTrainDf`) training documents. Pairs say
+    * WHICH train docs leak; coverage says how much of each benchmark item
+    * is compromised — the number that decides drop-vs-keep per eval item.
+    * With a bench set carved out of the train corpus itself (the fixture
+    * setup), `minDf = 2` reads "leaked beyond its own source"; for a
+    * disjoint bench set use `minDf = 1`.
+    *
+    * Shape: one gram-keyed df aggregate over the exploded train relation
+    * (map-side combined), the leaky-gram cut semi-joins the exploded
+    * bench grams (bench-scale, not corpus-scale), and totals come from
+    * `size(hs)` without re-exploding. Bench docs with zero covered grams
+    * survive via the left join.
+    */
+  def contaminationCoverage(trainHashed: DataFrame, benchHashed: DataFrame,
+                            minDf: Int, maxTrainDf: Int): DataFrame = {
+    require(minDf >= 1, s"minDf: $minDf")
+    require(maxTrainDf >= minDf, s"maxTrainDf($maxTrainDf) < minDf($minDf)")
+    val leaky = trainHashed.select(explode(col("hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf && col("df") <= maxTrainDf)
+      .select(col("h"))
+    val cov = benchHashed
+      .select(col("id").as("bench_id"), explode(col("hs")).as("h"))
+      .join(leaky, Seq("h"), "left_semi")
+      .groupBy(col("bench_id"))
+      .agg(count(lit(1)).cast("long").as("n_covered"))
+    benchHashed
+      .select(col("id").as("bench_id"), size(col("hs")).cast("long").as("n_grams"))
+      .join(cov, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_grams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        round(coalesce(col("n_covered"), lit(0L)).cast("double")
+          / col("n_grams").cast("double"), 6).as("coverage"))
+  }
+
   /** LSH banding DESIGN SWEEP: for each (bands, rows-per-band) config of
     * the same k-component signature, the candidate volume, the exactly
     * verified count at `threshold`, and precision — the S-curve table

@@ -178,6 +178,38 @@ object TextPipelineQueries {
           ROUND(CAST(score - s2 AS DOUBLE), 6) AS margin
         FROM r WHERE rn = 1 ORDER BY doc_id"""
 
+  /** Shared DSIR scoring chain (mirror of [[CorpusOps.dsirLogRatios]]),
+    * ending in `dl(doc_id, lang, source, log_ratio)` — shared by
+    * q_dsir_sample and q_dsir_ess so the audit and the draw score with
+    * the same algebra. */
+  private lazy val DsirLogRatioCte: String =
+    s"""hs AS (
+            SELECT doc_id, lang, source,
+              list_transform($ToksSql, t -> ${h60("t")}) AS hsarr
+            FROM documents),
+          feat AS (
+            SELECT doc_id, lang, source, source = 'src0' AS is_t,
+              unnest(list_concat(hsarr, ${ngramHashesPosSql("hsarr", 2)})) AS fh
+            FROM hs),
+          fb AS (
+            SELECT doc_id, lang, source, is_t, fh % 1024 AS b FROM feat),
+          qc AS (
+            SELECT b, count(*) AS qb, count(*) FILTER (WHERE is_t) AS tb
+            FROM fb GROUP BY b),
+          tot AS (SELECT SUM(qb) AS qt, SUM(tb) AS tt FROM qc),
+          lr AS (
+            SELECT b,
+              ROUND(ln(CAST(tb + 1 AS DOUBLE) / CAST(tt + 1024 AS DOUBLE))
+                  - ln(CAST(qb + 1 AS DOUBLE) / CAST(qt + 1024 AS DOUBLE)),
+                6) AS lr
+            FROM qc CROSS JOIN tot),
+          dl AS (
+            SELECT doc_id, lang, source,
+              ROUND(CAST(SUM(CAST(lr AS DECIMAL(28,6))) AS DOUBLE), 6)
+                AS log_ratio
+            FROM fb JOIN lr ON fb.b = lr.b
+            GROUP BY doc_id, lang, source)"""
+
   private lazy val ContaminationSql =
     s"""WITH hs AS (
           SELECT doc_id,
@@ -621,6 +653,21 @@ object TextPipelineQueries {
         .orderBy("train_id", "bench_id")
     }),
 
+    // ── Per-benchmark-item contamination coverage (severity) ────────────
+    // The other side of q_contamination: per bench doc, the share of its
+    // distinct 5-grams found in ≥2 training docs (≥2 because the fixture
+    // bench set is carved out of train — "leaked beyond its own source"),
+    // under the same df cap. The number that decides drop-vs-keep per
+    // eval item (Dedup.contaminationCoverage).
+    "q_contam_severity" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text")))
+      val train = Dedup.hashedNgrams(d, "doc_id", "toks", 5)
+      val bench = train.where(pmod(col("id"), lit(100)) === 0)
+        .select((col("id") + 900000).as("id"), col("hs"))
+      Dedup.contaminationCoverage(train, bench, minDf = 2, maxTrainDf = 100)
+        .orderBy("bench_id")
+    }),
+
     // ── Bloom-prefiltered decontamination (the 100 TB form) ─────────────
     // Same inputs, same answer as q_contamination — the broadcast Bloom
     // of bench n-grams map-side-filters the train stream before any
@@ -983,6 +1030,21 @@ object TextPipelineQueries {
         carryCols = Seq("lang", "source"))
         .select(col("doc_id"), col("lang"), col("source"),
           col("log_ratio"), round(col("es_key"), 6).as("es_key"))
+    }),
+
+    // ── DSIR effective sample size (importance-weight health) ───────────
+    // ESS = (Σw)²/Σw² over w ∝ exp(log_ratio), max-normalized — is the
+    // DSIR selection spreading mass or betting everything on a few docs?
+    // Same feature basis and scoring relation as q_dsir_sample
+    // (CorpusOps.importanceEss over CorpusOps.dsirLogRatios).
+    "q_dsir_ess" -> ((s, dir) => {
+      val hsarr = transform(TextAnalysis.tokens(col("text")),
+        t => Hashes.h60(t))
+      val feats = concat(hsarr,
+        call_function("ngram_hashes", hsarr, lit(2)))
+      CorpusOps.importanceEss(
+        docs(s, dir).withColumn("feats", feats), "doc_id", col("feats"),
+        col("source") === "src0", buckets = 1024)
     }),
 
     // ── Naive-Bayes domain classifier (CCNet/fastText-tagger role) ──────
@@ -1821,6 +1883,34 @@ object TextPipelineQueries {
           JOIN sizes sb ON sb.grp = grp_b
           ORDER BY grp_a, grp_b""",
     "q_contamination" -> ContaminationSql,
+    // Same hashed-5-gram basis as q_contamination; leaky = df in [2, 100]
+    // (beyond the bench item's own source, under the same boilerplate cap).
+    "q_contam_severity" ->
+      s"""WITH hs AS (
+            SELECT doc_id,
+              list_transform($ToksSql, t -> ${h60("t")}) AS hsarr
+            FROM documents),
+          ng AS (
+            SELECT doc_id, ${ngramHashesSql("hsarr", 5)} AS ngh FROM hs),
+          train AS (
+            SELECT doc_id AS train_id, unnest(ngh) AS h FROM ng
+            WHERE len(ngh) > 0),
+          bench AS (
+            SELECT doc_id + 900000 AS bench_id, ngh FROM ng
+            WHERE doc_id % 100 = 0 AND len(ngh) > 0),
+          leaky AS (
+            SELECT h FROM (SELECT h, count(*) AS df FROM train GROUP BY h)
+            WHERE df >= 2 AND df <= 100),
+          bg AS (SELECT bench_id, unnest(ngh) AS h FROM bench),
+          cov AS (
+            SELECT bench_id, CAST(count(*) AS BIGINT) AS n_covered
+            FROM bg JOIN leaky USING (h) GROUP BY bench_id)
+          SELECT b.bench_id, CAST(len(b.ngh) AS BIGINT) AS n_grams,
+            COALESCE(c.n_covered, 0) AS n_covered,
+            ROUND(CAST(COALESCE(c.n_covered, 0) AS DOUBLE) / len(b.ngh), 6)
+              AS coverage
+          FROM bench b LEFT JOIN cov c USING (bench_id)
+          ORDER BY bench_id""",
     // identical answer by construction (Bloom has no false negatives and
     // the per-hash keep decision preserves train-df counts) — the gate
     // proves the scale path changes the plan, not the result
@@ -2219,32 +2309,7 @@ object TextPipelineQueries {
     // sum → A-ES draw in log-log form (ln(-ln u) - score ranks like
     // (-ln u)/exp(score), so exp never happens in either engine).
     "q_dsir_sample" ->
-      s"""WITH hs AS (
-            SELECT doc_id, lang, source,
-              list_transform($ToksSql, t -> ${h60("t")}) AS hsarr
-            FROM documents),
-          feat AS (
-            SELECT doc_id, lang, source, source = 'src0' AS is_t,
-              unnest(list_concat(hsarr, ${ngramHashesPosSql("hsarr", 2)})) AS fh
-            FROM hs),
-          fb AS (
-            SELECT doc_id, lang, source, is_t, fh % 1024 AS b FROM feat),
-          qc AS (
-            SELECT b, count(*) AS qb, count(*) FILTER (WHERE is_t) AS tb
-            FROM fb GROUP BY b),
-          tot AS (SELECT SUM(qb) AS qt, SUM(tb) AS tt FROM qc),
-          lr AS (
-            SELECT b,
-              ROUND(ln(CAST(tb + 1 AS DOUBLE) / CAST(tt + 1024 AS DOUBLE))
-                  - ln(CAST(qb + 1 AS DOUBLE) / CAST(qt + 1024 AS DOUBLE)),
-                6) AS lr
-            FROM qc CROSS JOIN tot),
-          dl AS (
-            SELECT doc_id, lang, source,
-              ROUND(CAST(SUM(CAST(lr AS DECIMAL(28,6))) AS DOUBLE), 6)
-                AS log_ratio
-            FROM fb JOIN lr ON fb.b = lr.b
-            GROUP BY doc_id, lang, source),
+      s"""WITH $DsirLogRatioCte,
           d AS (
             SELECT *,
               ROUND(ln(-ln((CAST(${h60("'dsir:' || doc_id")} % 1000000
@@ -2253,6 +2318,20 @@ object TextPipelineQueries {
             FROM dl)
           SELECT doc_id, lang, source, log_ratio, ROUND(es_key, 6) AS es_key
           FROM d ORDER BY d.es_key, doc_id LIMIT 50""",
+    // Shared dl CTE with q_dsir_sample (the audit reads EXACTLY the draw's
+    // scoring relation); w = exp(lr − max lr) keeps every decimal in range.
+    "q_dsir_ess" ->
+      s"""WITH $DsirLogRatioCte,
+          mx AS (SELECT max(log_ratio) AS mx FROM dl),
+          w AS (SELECT exp(log_ratio - mx) AS w FROM dl CROSS JOIN mx),
+          sums AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE) AS sw,
+              CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE) AS sww
+            FROM w)
+          SELECT n_docs, ROUND(sw * sw / sww, 6) AS ess,
+            ROUND(sw * sw / sww / n_docs, 6) AS ess_fraction
+          FROM sums""",
     // Long-form replay of Classify.nbDomain: (bucket, class) grid + per-doc
     // per-class decimal sums + window argmax. The engine side is the wide
     // broadcast-model plan; the algebra (ln rounded 6, DECIMAL(28,6) sums,

@@ -58,7 +58,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_embed_variance" -> "crossJoin of the single-row total-variance aggregate onto the d-row spectrum (broadcast, one row)",
     "q_token_budget" -> "composes q_mixture's recipe weights, inheriting its single-row totals crossJoin; the budget arithmetic itself is a narrow projection of the group-count relation",
     "q_shard_skew" -> "crossJoin of the single-row total-weight aggregate onto the N-row shard relation (broadcast, one row)",
-    "q_semdedup_rate" -> "per-threshold crossJoin of the single-row corpus-count aggregate onto the single-row pair/removal aggregate (broadcast, one row each; the pair relation itself is q_semdedup's keyed cell join)")
+    "q_semdedup_rate" -> "per-threshold crossJoin of the single-row corpus-count aggregate onto the single-row pair/removal aggregate (broadcast, one row each; the pair relation itself is q_semdedup's keyed cell join)",
+    "q_dsir_ess" -> "inherits q_dsir_sample's single-row feature-total crossJoin and adds the single-row max-log-ratio normalizer crossJoin (broadcast, one row each)")
 
   // the AQE-aware walker lives on SparkSpec (collectPlanNodes) so DedupSpec's
   // ccRound audit and this guard can never drift apart

@@ -247,6 +247,33 @@ class CorpusOpsSpec extends SparkSpec {
       .foreach(_.unpersist(blocking = true))
   }
 
+  test("importanceEss: flat weights give ESS = n; skew pulls the fraction below 1") {
+    // identical features → identical log_ratio → w ≡ 1 → ESS = n exactly
+    val flat = Seq(
+      (1L, true, Array(5L)), (2L, false, Array(5L)),
+      (3L, false, Array(5L)), (4L, false, Array(5L))
+    ).toDF("doc_id", "t", "feats")
+    val gotFlat = CorpusOps.importanceEss(flat, "doc_id", col("feats"),
+        col("t"), buckets = 16)
+      .as[(Long, Double, Double)].collect().head
+    assert(gotFlat === ((4L, 4.0, 1.0)))
+    // target concentrated on one feature bucket → that doc's weight
+    // dominates → ESS strictly between 1 and n
+    val skew = Seq(
+      (1L, true, Array(1L)), (2L, false, Array(2L)),
+      (3L, false, Array(2L)), (4L, false, Array(2L))
+    ).toDF("doc_id", "t", "feats")
+    val gotSkew = CorpusOps.importanceEss(skew, "doc_id", col("feats"),
+        col("t"), buckets = 16)
+      .as[(Long, Double, Double)].collect().head
+    assert(gotSkew._1 === 4L)
+    assert(gotSkew._2 > 1.0 && gotSkew._2 < 4.0,
+      s"skewed weights must land strictly inside (1, n): $gotSkew")
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   test("shardPlan: conservation, range, load-factor algebra, partitioning-invariant") {
     val df = (0L until 200L).map(i => (i, 1L + i % 7)).toDF("doc_id", "tk")
     val out = CorpusOps.shardPlan(df, "doc_id", col("tk"), nShards = 16)

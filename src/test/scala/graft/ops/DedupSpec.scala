@@ -545,6 +545,23 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("contaminationCoverage: leaky = df in [minDf, maxDf]; zero-covered bench rows survive") {
+    // train dfs: 1→1, 2→2, 3→2, 4→1, 9→1; minDf=2 → leaky {2,3}
+    val train = Seq(
+      (1L, Array(1L, 2L, 3L)), (2L, Array(2L, 3L, 4L)), (3L, Array(9L))
+    ).toDF("id", "hs")
+    val bench = Seq(
+      (10L, Array(1L, 2L, 3L)),  // {2,3} covered → 2/3
+      (11L, Array(7L, 8L))       // nothing covered → 0
+    ).toDF("id", "hs")
+    val got = Dedup.contaminationCoverage(train, bench, minDf = 2,
+        maxTrainDf = 100)
+      .orderBy("bench_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((10L, 3L, 2L, 0.666667), (11L, 2L, 0L, 0.0)))
+    spark.catalog.clearCache()
+  }
+
   test("winnowDensity: constant stream collapses to one fingerprint, short docs excluded") {
     // 10 identical tokens, n=2 → 9 equal positional hashes → every window
     // min identical → 1 distinct fingerprint; the 1-token doc has no
