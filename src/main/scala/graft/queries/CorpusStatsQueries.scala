@@ -239,6 +239,30 @@ object CorpusStatsQueries {
           checkpointEvery = 2)
         .orderBy("doc_id")),
 
+    // ── BPE compression curve (per-merge-step units/char) ───────────────
+    // After each of the k merges, total corpus subword units and the
+    // units-per-char ratio — the diminishing-returns curve that decides
+    // how many merges a tokenizer budget buys. Each step re-derives its
+    // chain from the shared trainer (k chains of ≤ k rounds — fixture-
+    // cheap; at real k the intermediate vocabularies of ONE training run
+    // would be checkpointed instead, same numbers). n_chars rides along
+    // (constant across steps — a conservation sanity the oracle re-proves).
+    "q_bpe_compression" -> ((s, dir) => {
+      val tok = tokStream(s, dir)
+      (1 to BpeK).map { k =>
+        CorpusStats.bpeVocab(tok, k, checkpointEvery = 2)
+          .select(col("wc"),
+            size(split(col("sym"), "  ")).cast("long").as("nu"),
+            length(call_function("replace", trim(col("sym")), lit("  "),
+              lit(""))).cast("long").as("nc"))
+          .agg(sum(col("wc") * col("nu")).cast("long").as("n_units"),
+            sum(col("wc") * col("nc")).cast("long").as("n_chars"))
+          .select(lit(k).as("step"), col("n_units"), col("n_chars"),
+            round(col("n_units").cast("double")
+              / col("n_chars").cast("double"), 6).as("units_per_char"))
+      }.reduce(_ unionByName _).orderBy("step")
+    }),
+
     // ── Pointwise mutual information: lang × source association ─────────
     // The corpus-composition diagnostic: one pass builds the (lang,
     // source) contingency cells; marginals and the total derive from the
@@ -816,6 +840,26 @@ object CorpusStatsQueries {
               AS novelty
           FROM tot t LEFT JOIN nov n USING (doc_id)
           ORDER BY doc_id""",
+    // Per-step readout off the SAME unrolled chain (v1..vK already exist
+    // in bpeChainSql) — conservation of n_chars across steps is re-proven
+    // by the oracle computing it per step from each v_i.
+    "q_bpe_compression" -> {
+      val branches = (1 to BpeK).map { i =>
+        s"""SELECT $i AS step,
+              CAST(SUM(wc * len(string_split(trim(sym), '  '))) AS BIGINT)
+                AS n_units,
+              CAST(SUM(wc * length(replace(trim(sym), '  ', ''))) AS BIGINT)
+                AS n_chars,
+              ROUND(CAST(SUM(wc * len(string_split(trim(sym), '  ')))
+                  AS DOUBLE)
+                / SUM(wc * length(replace(trim(sym), '  ', ''))), 6)
+                AS units_per_char
+            FROM v$i"""
+      }.mkString("\nUNION ALL\n")
+      s"""${bpeChainSql(BpeK)}
+          $branches
+          ORDER BY step"""
+    },
     "q_tok_fertility" ->
       s"""${bpeChainSql(BpeK)},
             w AS (

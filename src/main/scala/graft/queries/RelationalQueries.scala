@@ -52,6 +52,35 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
+    // ── TPC-H Q5 shape: local-supplier revenue (cyclic join graph) ──────
+    // Six tables with the extra s_nationkey = c_nationkey constraint — the
+    // join graph has a CYCLE, the classic join-order/broadcast showcase:
+    // dims broadcast, the fact-side equi-chain shuffles on its keys, the
+    // cycle closes as a cheap post-join filter-free equi condition (it
+    // rides the supplier join), and the date filter pushes to the orders
+    // scan. Revenue per nation for ASIA suppliers serving same-nation
+    // customers in 1996.
+    "q_join_snowflake" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      li.join(o.where(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+            col("o_orderdate") < lit("1997-01-01").cast("date")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(
+          Exact.roundSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
     // Left outer join preserving customers with no matching open order.
     "q_join_outer" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -209,6 +238,20 @@ object RelationalQueries {
           JOIN nation   ON c_nationkey = n_nationkey
           JOIN region   ON n_regionkey = r_regionkey
           WHERE r_name = 'ASIA'
+          GROUP BY n_name ORDER BY n_name""",
+    "q_join_snowflake" ->
+      s"""SELECT n_name, ${oSum("l_extendedprice*(1-l_discount)", "revenue")},
+            count(*) AS n_items
+          FROM lineitem
+          JOIN orders   ON l_orderkey  = o_orderkey
+          JOIN customer ON o_custkey   = c_custkey
+          JOIN supplier ON l_suppkey   = s_suppkey
+                       AND s_nationkey = c_nationkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= DATE '1996-01-01'
+            AND o_orderdate <  DATE '1997-01-01'
           GROUP BY n_name ORDER BY n_name""",
     "q_join_outer" ->
       s"""SELECT c_custkey, count(o_orderkey) AS n_open,

@@ -457,6 +457,23 @@ class CorpusStatsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("bpe compression curve: units shrink by merged-occurrence count, chars conserved") {
+    // corpus "aa aa" + "zq": merge 1 = (a,a) → units 4/6 chars;
+    // merge 2 = (z,q) → units 3; chars constant
+    val tok = tokStream(Seq((1L, "aa aa"), (2L, "zq")))
+    def stats(k: Int) = CorpusStats.bpeVocab(tok, k, checkpointEvery = 2)
+      .select(col("wc"),
+        size(split(col("sym"), "  ")).cast("long").as("nu"),
+        length(call_function("replace", trim(col("sym")), lit("  "), lit("")))
+          .cast("long").as("nc"))
+      .agg(sum(col("wc") * col("nu")).cast("long"),
+        sum(col("wc") * col("nc")).cast("long"))
+      .as[(Long, Long)].collect().head
+    assert(stats(1) === ((4L, 6L)))
+    assert(stats(2) === ((3L, 6L)))
+    spark.catalog.clearCache()
+  }
+
   test("ngramNovelty: min-id attribution, short docs absent, exact-dup → 0") {
     val d = Seq(
       (1L, "a b c d e f"),  // grams {a b c d e, b c d e f} — both novel
