@@ -331,6 +331,38 @@ object CorpusStats {
           .as("w_sampled"))
   }
 
+  /** Per-group MIX ENTROPY: for each outer group (source), the Shannon
+    * entropy of its inner-group (language) composition, plus the
+    * ln(n_inner)-normalized form — the "how diverse is this source"
+    * scalar a mixture dashboard tracks next to [[mixtureWeights]]: a
+    * source whose mix entropy collapses between crawls changed character
+    * even if its volume didn't. One contingency aggregate (the
+    * [[graft.queries]] q_mi posture: marginals derive from the CELLS,
+    * never a second corpus scan); entropy terms are p·ln p rounded 6 and
+    * decimal-summed; single-inner-group rows emit entropy 0 with NULL
+    * normalized entropy (0/0 — mirrored in the oracle).
+    */
+  def groupMixEntropy(docs: DataFrame, outerCol: String,
+                      innerCol: String): DataFrame = {
+    val cells = docs.groupBy(col(outerCol).as("grp"), col(innerCol).as("sub"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cells.groupBy(col("grp"))
+      .agg(sum(col("c")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_subs"))
+    val p = col("c").cast("double") / col("n_docs").cast("double")
+    cells.join(tot, Seq("grp"))
+      .select(col("grp"), col("n_docs"), col("n_subs"),
+        round(p * log(p), 6).cast("decimal(28,6)").as("term"))
+      .groupBy(col("grp"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("n_subs")).as("n_subs"),
+        // 0.0 − Σ (not unary minus): a single-sub group's Σ is exactly 0
+        // and -0.0 would hash-differ from the oracle's 0.0
+        round(lit(0.0) - sum(col("term")).cast("double"), 6).as("entropy"))
+      .withColumn("norm_entropy",
+        when(col("n_subs") > 1,
+          round(col("entropy") / log(col("n_subs").cast("double")), 6)))
+  }
+
   /** Token-budget DATA RECIPE: given a target training-token budget and
     * the temperature-scaled mixture weights of [[mixtureWeights]], the
     * per-group sampling plan — target tokens (floor of the budget share)

@@ -121,6 +121,47 @@ object Dedup {
       lit(w))
   }
 
+  /** MinHash SIGNATURE-BUDGET sweep: the estimator-error curve over
+    * signature length. For each k in `ks`, the k-PREFIX of the standing
+    * k_max signature (the affine family is ordered, so component j is the
+    * same hash at every budget — shorter signatures are literal prefixes)
+    * re-estimates Jaccard on every verified ≥`threshold` pair; emitted
+    * per k: pair count, mean and max |estimate − exact|. The
+    * √(J(1−J)/k) error bound ([[minhashEstimate]]) made measurable — the
+    * table that prices signature bytes against dedup-threshold confusion
+    * before a 100 TB run fixes k. One pair relation (banded + verified,
+    * never all-pairs), each budget one narrow aggregate over it.
+    */
+  def minhashErrorSweep(hashed0: DataFrame, ks: Seq[Int],
+                        threshold: Double): DataFrame = {
+    require(ks.nonEmpty, "ks must be non-empty")
+    val kMax = ks.max
+    val hashed = hashed0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = verifiedNearDupsFromHashes(hashed, threshold,
+      persistHashed = false)
+    val sigs = hashed.select(col("id"),
+      minhashSignatureFromHashes(col("hs"), kMax).as("sig"))
+    val joined = pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ks.sorted.map { k =>
+      joined.select(round(abs(
+          minhashEstimate(slice(col("sig_a"), 1, k),
+            slice(col("sig_b"), 1, k), k) - col("jaccard")), 6)
+          .as("abs_err"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          round(sum(col("abs_err").cast("decimal(28,6)")).cast("double")
+            / count(lit(1)), 6).as("mean_abs_err"),
+          max(col("abs_err")).as("max_abs_err"))
+        .select(lit(k).as("k"), col("n_pairs"), col("mean_abs_err"),
+          col("max_abs_err"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-benchmark-item contamination COVERAGE — the eval-integrity
     * severity number [[contaminationPairs]] doesn't give: for each bench
     * doc, the share of its distinct n-grams that appear in at least

@@ -290,6 +290,15 @@ object CorpusStatsQueries {
         .orderBy("lang", "source")
     }),
 
+    // ── Per-source language-mix entropy (source-diversity scalar) ───────
+    // H(lang | source) per source + the ln(n_langs)-normalized form —
+    // q_mi's association read, reduced to the per-source diversity number
+    // a crawl-composition dashboard alarms on
+    // (CorpusStats.groupMixEntropy).
+    "q_source_entropy" -> ((s, dir) =>
+      CorpusStats.groupMixEntropy(docs(s, dir), "source", "lang")
+        .orderBy("grp")),
+
     // ── Robust z-score outliers (median/MAD) over doc length ────────────
     // The quality-metric outlier gate: per-language median + MAD, z =
     // (x − med)/(1.4826·MAD), flag |z| > 3. Exact percentile at fixture
@@ -821,6 +830,29 @@ object CorpusStatsQueries {
           SELECT doc_id, lang, x AS n_chars, med, mad, z,
             COALESCE(ABS(z) > 3, FALSE) AS is_outlier
           FROM z ORDER BY doc_id""",
+    "q_source_entropy" ->
+      """WITH cells AS (
+            SELECT source AS grp, lang AS sub, count(*) AS c
+            FROM documents GROUP BY 1, 2),
+          tot AS (
+            SELECT grp, CAST(SUM(c) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_subs
+            FROM cells GROUP BY grp),
+          terms AS (
+            SELECT cells.grp, n_docs, n_subs,
+              CAST(ROUND((CAST(c AS DOUBLE) / n_docs)
+                  * ln(CAST(c AS DOUBLE) / n_docs), 6)
+                AS DECIMAL(28,6)) AS term
+            FROM cells JOIN tot USING (grp)),
+          h AS (
+            SELECT grp, max(n_docs) AS n_docs, max(n_subs) AS n_subs,
+              ROUND(0.0 - CAST(SUM(term) AS DOUBLE), 6) AS entropy
+            FROM terms GROUP BY grp)
+          SELECT grp, n_docs, n_subs, entropy,
+            CASE WHEN n_subs > 1
+                 THEN ROUND(entropy / ln(CAST(n_subs AS DOUBLE)), 6)
+            END AS norm_entropy
+          FROM h ORDER BY grp""",
     "q_ngram_novelty" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
             g AS (

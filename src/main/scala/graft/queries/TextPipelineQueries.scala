@@ -90,6 +90,10 @@ object TextPipelineQueries {
           sig AS (
             SELECT doc_id, sh, $sigListSql AS sig FROM hsx WHERE len(hs) > 0)"""
 
+  /** q_minhash_k_sweep's signature budgets — prefixes of the k=30 affine
+    * family, so every budget reuses the same component hashes. */
+  private val MinhashKs = Seq(5, 10, 20, 30)
+
   /** q_band_sweep's (bands, rows-per-band) design points over the k=30
     * signature (b·r ≤ 30 everywhere; includes the q_lsh_precision
     * operating point 10×3). r = 1 is deliberately absent: single-hash
@@ -377,6 +381,19 @@ object TextPipelineQueries {
         .withColumn("abs_err", round(abs(col("mh_est") - col("exact_j")), 6))
         .orderBy("id_a", "id_b")
     }),
+
+    // ── MinHash signature-budget sweep (estimator error vs k) ───────────
+    // q_minhash_acc's error, measured at four signature budgets (prefixes
+    // of the same affine family): mean/max |estimate − exact| per k over
+    // the verified pair set — the bytes-vs-confusion table behind the
+    // choice k=30 (Dedup.minhashErrorSweep).
+    "q_minhash_k_sweep" -> ((s, dir) =>
+      Dedup.minhashErrorSweep(
+        Dedup.hashedNgrams(
+          docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text"))),
+          "doc_id", "toks", 3),
+        ks = MinhashKs, threshold = 0.8)
+        .orderBy("k")),
 
     // ── LSH candidate precision audit ───────────────────────────────────
     // The verify-cost companion of q_minhash_acc: of the pairs the
@@ -1468,6 +1485,30 @@ object TextPipelineQueries {
           SELECT id_a, id_b, exact_j, ROUND(est, 6) AS mh_est,
             ROUND(abs(ROUND(est, 6) - exact_j), 6) AS abs_err
           FROM pairs ORDER BY id_a, id_b"""
+    },
+    // q_minhash_acc's pair CTE read at four signature-prefix budgets;
+    // per k the same round-6 error term, decimal-summed for the mean.
+    "q_minhash_k_sweep" -> {
+      val branches = MinhashKs.sorted.map { k =>
+        val err = s"""ROUND(abs(ROUND(CAST(len(list_filter(
+              generate_series(1, $k), j -> sa[j] = sb[j])) AS DOUBLE)
+              / $k.0, 6) - exact_j), 6)"""
+        s"""SELECT $k AS k, CAST(count(*) AS BIGINT) AS n_pairs,
+              ROUND(CAST(SUM(CAST($err AS DECIMAL(28,6))) AS DOUBLE)
+                / count(*), 6) AS mean_abs_err,
+              max($err) AS max_abs_err
+            FROM pairs"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $SigCte,
+          pairs AS (
+            SELECT a.sig AS sa, b.sig AS sb,
+              ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(a.sh || b.sh)), 6) AS exact_j
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / len(list_distinct(a.sh || b.sh)), 6) >= 0.8)
+          $branches
+          ORDER BY k"""
     },
     // Band-bucket mirror: band j's bucket key is h60 over the
     // comma-joined decimal renderings of signature slots 3j+1..3j+3 —

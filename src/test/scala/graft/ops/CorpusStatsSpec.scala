@@ -441,6 +441,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got === Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
   }
 
+  test("groupMixEntropy: 50/50 mix reads ln 2, single-lang source reads 0 with NULL norm") {
+    val d = Seq(
+      (1L, "srcA", "en"), (2L, "srcA", "fr"),   // 50/50 → H ≈ ln 2
+      (3L, "srcB", "en"), (4L, "srcB", "en")    // pure → H = 0, norm NULL
+    ).toDF("doc_id", "source", "lang")
+    val got = CorpusStats.groupMixEntropy(d, "source", "lang")
+      .orderBy("grp")
+      .select("grp", "n_docs", "n_subs", "entropy", "norm_entropy")
+      .collect().toSeq
+    // terms round at 6 before summing: 2·round(0.5·ln 0.5, 6) = −0.693148
+    assert(got(0).getString(0) === "srcA" && got(0).getLong(1) === 2L &&
+      got(0).getLong(2) === 2L && got(0).getDouble(3) === 0.693148 &&
+      got(0).getDouble(4) === 1.000001)
+    assert(got(1).getString(0) === "srcB" && got(1).getDouble(3) === 0.0 &&
+      got(1).isNullAt(4))
+    spark.catalog.clearCache()
+  }
+
   test("tokenBudgetPlan: floor-of-share targets, epochs = target/available") {
     // en: 16 tokens, xx: 4 → s = 4, 2 → w = 0.666667 / 0.333333; budget 60
     // → targets floor(40.00002)=40, floor(19.99998)=19; epochs 2.5 / 4.75

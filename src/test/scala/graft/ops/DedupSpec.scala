@@ -545,6 +545,27 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("minhashErrorSweep: identical pair estimates j=1 exactly at every budget") {
+    val rows = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"), // j = 1.0
+      (3L, "z1 z2 z3 z4 z5"))                                // in no pair
+    val hashed = Dedup.hashedNgrams(
+      rows.toDF("doc_id", "text")
+        .withColumn("toks", TextAnalysis.tokens(col("text"))),
+      "doc_id", "toks", 3)
+    val got = Dedup.minhashErrorSweep(hashed, ks = Seq(5, 10, 30),
+        threshold = 0.8)
+      .orderBy("k")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    // identical hash sets → identical signature prefixes at any k →
+    // estimate 1.0 → zero error, for the single verified pair
+    assert(got === Seq((5, 1L, 0.0, 0.0), (10, 1L, 0.0, 0.0),
+      (30, 1L, 0.0, 0.0)))
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   test("contaminationCoverage: leaky = df in [minDf, maxDf]; zero-covered bench rows survive") {
     // train dfs: 1→1, 2→2, 3→2, 4→1, 9→1; minDf=2 → leaky {2,3}
     val train = Seq(
