@@ -522,6 +522,111 @@ object Dedup {
         col("n_pairs"), col("avg_jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT near-dup: pairs whose shared distinct n-grams
+    * cover ≥ `threshold` of the SMALLER document's n-gram set —
+    * `containment = shared / min(|A|, |B|)` (Broder's containment, the
+    * quotation/subset-duplication detector). Symmetric Jaccard structurally
+    * misses a short doc embedded verbatim in a much longer one (a 50-token
+    * doc inside a 5000-token doc has jaccard ≈ 0.01 but containment 1.0);
+    * this is the measure that catches boilerplate inclusion, quoted
+    * passages, and wrapper-page duplication.
+    *
+    * Input is a [[hashedNgrams]]-shaped relation (`id`, `hs` distinct).
+    * Same df-capped inverted-index plan as [[jaccardNearDups]] — candidate
+    * volume is the count of genuinely shared (df ≤ maxDf) n-grams, never
+    * |docs|². The Jaccard length filter does NOT apply here (containment
+    * deliberately relates mismatched sizes), so the df cap is the sole
+    * fan-out guard — at 100 TB keep it tight (ubiquitous n-grams carry no
+    * containment signal, exactly as in decontamination) and optionally cap
+    * the long side's length ratio if wrapper pages dominate.
+    *
+    * Output: one row per unordered pair (`id_a` < `id_b`) with `shared`,
+    * `n_small`, `containment` (round 6), and `contained_id` — the id of the
+    * smaller side (ties → `id_a`), i.e. the doc a dedup pass would drop as
+    * subsumed.
+    */
+  def containmentPairs(hashed: DataFrame, threshold: Double,
+                       maxDf: Int = Int.MaxValue,
+                       persistIndex: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold: $threshold")
+    require(maxDf >= 1, s"maxDf: $maxDf")
+    val exploded0 = hashed.select(col("id"), size(col("hs")).as("n"),
+      explode(col("hs")).as("h"))
+    val exploded =
+      if (persistIndex)
+        exploded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else exploded0
+    val idx =
+      if (maxDf == Int.MaxValue) exploded
+      else {
+        val keep = exploded.groupBy(col("h"))
+          .agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxDf)
+          .select(col("h"))
+        exploded.join(keep, Seq("h"))
+      }
+    val a = idx.select(col("h"), col("id").as("id_a"), col("n").as("n_a"))
+    val b = idx.select(col("h"), col("id").as("id_b"), col("n").as("n_b"))
+    // hs is distinct per doc ⇒ count(*) is the distinct shared count.
+    a.join(b, Seq("h"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("id_a"), col("id_b"), col("shared"),
+        least(col("n_a"), col("n_b")).cast("long").as("n_small"),
+        round(col("shared").cast("double") /
+          least(col("n_a"), col("n_b")), 6).as("containment"),
+        when(col("n_a") <= col("n_b"), col("id_a")).otherwise(col("id_b"))
+          .as("contained_id"))
+      .where(col("containment") >= threshold)
+  }
+
+  /** Sub-document SEGMENT dedup (the paragraph-granularity pass of
+    * CCNet-style pipelines, expressed over token streams): cut each doc
+    * into DISJOINT `segLen`-token segments, keep the corpus-wide FIRST
+    * occurrence of every distinct segment (ordered by (id, seg_idx) — the
+    * same deterministic keeper rule as exact dedup), and account per doc
+    * how much text survives. Catches repeated boilerplate blocks that
+    * doc-level exact/near dedup misses because the containing docs differ.
+    *
+    * Input: `idCol` + tokenized `toksCol`; rows with empty token lists are
+    * excluded (no segments to account). Output per doc: `n_segs`,
+    * `dup_segs` (segments already seen earlier in (id, seg_idx) order),
+    * `total_toks`, `kept_toks`, `kept_frac` (round 6).
+    *
+    * Plan: one narrow generate (sequence → slice → posexplode — all
+    * codegen'd builtins), one window partitioned by the segment key to
+    * rank occurrences, one groupBy(id) fold. The window's shuffle is keyed
+    * on the segment — the same key an exact-dedup groupBy would use. At
+    * 100 TB swap the raw segment string for `xxhash64(seg)` (or the 128-bit
+    * pair) as the partition key so the shuffle carries 8–16 bytes per
+    * segment instead of `segLen` tokens; the rank logic is unchanged.
+    */
+  def segmentDedup(docs: DataFrame, idCol: String, toksCol: String,
+                   segLen: Int): DataFrame = {
+    require(segLen >= 1, s"segLen: $segLen")
+    import org.apache.spark.sql.expressions.Window
+    val nToks = size(col(toksCol))
+    val lastSeg = floor((nToks - 1).cast("double") / segLen).cast("int")
+    val segs = docs
+      .where(nToks > 0)
+      .select(col(idCol).as("id"), nToks.as("n_toks"),
+        posexplode(transform(sequence(lit(0), lastSeg),
+          i => concat_ws(" ", slice(col(toksCol), i * segLen + 1, lit(segLen))))))
+      .select(col("id"), col("pos").as("seg_idx"), col("col").as("seg"),
+        least(lit(segLen), col("n_toks") - col("pos") * segLen).as("ntoks"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("id"), col("seg_idx"))
+    segs.withColumn("rn", row_number().over(w))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("dup_segs"),
+        sum(col("ntoks").cast("long")).as("total_toks"),
+        sum(when(col("rn") === 1, col("ntoks").cast("long")).otherwise(0L))
+          .as("kept_toks"))
+      .withColumn("kept_frac",
+        round(col("kept_toks").cast("double") / col("total_toks"), 6))
+  }
+
   /** Benchmark decontamination: training docs that share ≥ `minShared`
     * distinct n-gram hashes with a benchmark/eval doc — the overlap check
     * every training corpus runs against its eval sets before training.

@@ -524,6 +524,32 @@ object TextPipelineQueries {
           threshold = 0.5, maxDf = 50)
         .orderBy("id_a", "id_b")),
 
+    // ── Asymmetric containment near-dup ──────────────────────────────────
+    // Broder containment shared/min(|A|,|B|) over the same df-capped
+    // inverted index (Dedup.containmentPairs): the subset-duplication
+    // detector — a short doc quoted verbatim inside a long one has
+    // jaccard ≈ |short|/|long| (invisible to q_neardup_jaccard) but
+    // containment 1.0. contained_id names the doc a dedup pass would drop.
+    "q_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(
+          Dedup.hashedNgrams(
+            docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text"))),
+            "doc_id", "toks", 3),
+          threshold = 0.6, maxDf = 50)
+        .orderBy("id_a", "id_b")),
+
+    // ── Sub-document segment dedup (paragraph-granularity pass) ─────────
+    // Disjoint 16-token segments, corpus-wide first-occurrence keeper in
+    // (doc_id, seg_idx) order, per-doc retained-token accounting
+    // (Dedup.segmentDedup) — the CCNet-style granularity BETWEEN exact
+    // doc dedup and q_substr_dup's pairwise islands: repeated boilerplate
+    // blocks fall out even when every containing doc is unique.
+    "q_seg_dedup" -> ((s, dir) =>
+      Dedup.segmentDedup(
+          docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text"))),
+          "doc_id", "toks", segLen = 16)
+        .orderBy("doc_id")),
+
     // ── Document chunking: tokens → overlapping context windows ─────────
     // chunkSize=64, overlap=16 (stride 48): the curation→training step
     // that cuts documents into context-length sequences without dropping
@@ -1680,6 +1706,66 @@ object TextPipelineQueries {
           FROM pairs
           WHERE ROUND(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 6) >= 0.5
           ORDER BY id_a, id_b""",
+    // Same inverted-index CTE chain as q_neardup_jaccard; containment =
+    // shared / least(n_a, n_b) — the division's operands are identical
+    // exact integers in both engines, so the round-6 double matches.
+    "q_containment" ->
+      s"""WITH hs AS (
+            SELECT doc_id,
+              list_transform($ToksSql, t -> ${h60("t")}) AS hsarr
+            FROM documents),
+          ng AS (
+            SELECT doc_id, ${ngramHashesSql("hsarr", 3)} AS ngh FROM hs),
+          idx AS (
+            SELECT doc_id, len(ngh) AS n, unnest(ngh) AS h FROM ng
+            WHERE len(ngh) > 0),
+          dfok AS (SELECT h FROM idx GROUP BY h HAVING count(*) <= 50),
+          kept AS (SELECT idx.doc_id, idx.n, idx.h FROM idx
+                   JOIN dfok ON idx.h = dfok.h),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              a.n AS n_a, b.n AS n_b, count(*) AS shared
+            FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+          SELECT id_a, id_b, shared,
+            CAST(least(n_a, n_b) AS BIGINT) AS n_small,
+            ROUND(CAST(shared AS DOUBLE) / least(n_a, n_b), 6) AS containment,
+            CASE WHEN n_a <= n_b THEN id_a ELSE id_b END AS contained_id
+          FROM pairs
+          WHERE ROUND(CAST(shared AS DOUBLE) / least(n_a, n_b), 6) >= 0.6
+          ORDER BY id_a, id_b""",
+    // Disjoint 16-token segments via 1-based inclusive list slices (the
+    // mirror of Spark's slice(toks, i*16+1, 16)); first occurrence ranked
+    // by the unique (doc_id, seg_idx) key so the keeper is deterministic
+    // in both engines.
+    "q_seg_dedup" ->
+      s"""WITH t AS (
+            SELECT doc_id, $ToksSql AS toks FROM documents
+            WHERE len($ToksSql) > 0),
+          s0 AS (
+            SELECT doc_id, toks, len(toks) AS n,
+              unnest(generate_series(0,
+                CAST(floor((len(toks) - 1) / 16.0) AS BIGINT))) AS i
+            FROM t),
+          segs AS (
+            SELECT doc_id, i AS seg_idx,
+              array_to_string((toks)[i*16+1:i*16+16], ' ') AS seg,
+              least(16, n - i*16) AS ntoks
+            FROM s0),
+          fl AS (
+            SELECT doc_id, seg_idx, ntoks,
+              row_number() OVER (PARTITION BY seg
+                                 ORDER BY doc_id, seg_idx) AS rn
+            FROM segs)
+          SELECT doc_id, count(*) AS n_segs,
+            CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS dup_segs,
+            CAST(sum(ntoks) AS BIGINT) AS total_toks,
+            CAST(sum(CASE WHEN rn = 1 THEN ntoks ELSE 0 END) AS BIGINT)
+              AS kept_toks,
+            ROUND(CAST(sum(CASE WHEN rn = 1 THEN ntoks ELSE 0 END) AS DOUBLE)
+              / sum(ntoks), 6) AS kept_frac
+          FROM fl GROUP BY doc_id ORDER BY doc_id""",
     // Same inverted-index CTE chain as q_neardup_jaccard at threshold 0.1,
     // bucketed: floor(jaccard·10) clamped to 9 (identical IEEE products —
     // jaccard is the same round-6 double in both engines), decimal sum /

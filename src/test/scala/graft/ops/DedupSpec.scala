@@ -143,6 +143,91 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.contains((1L, 2L)) && uncapped.contains((10L, 11L)))
   }
 
+  test("containmentPairs catches subset duplication symmetric Jaccard misses") {
+    // doc 20 = a 12-token passage; doc 21 quotes it verbatim inside a much
+    // longer page; doc 22 is unrelated filler of similar length to 21
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val filler = "one two three four five six seven eight nine ten eleven twelve " +
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty " +
+      "twentyone twentytwo twentythree twentyfour twentyfive twentysix"
+    val d = Seq(
+      (20L, passage),
+      (21L, s"page header boilerplate text $passage trailing footer content here also"),
+      (22L, filler)).toDF("doc_id", "text")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+    val hashed = Dedup.hashedNgrams(d, "doc_id", "toks", 3)
+    val cont = Dedup.containmentPairs(hashed, threshold = 0.9)
+      .select("id_a", "id_b", "containment", "contained_id")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(cont.map(c => (c._1, c._2)) === Seq((20L, 21L)),
+      s"exactly the quoted-passage pair, got $cont")
+    assert(cont.head._3 === 1.0, "every passage n-gram appears in the page")
+    assert(cont.head._4 === 20L, "the SHORTER doc is the contained one")
+    // symmetric Jaccard structurally cannot reach 0.9 for this pair
+    val jac = Dedup.jaccardNearDups(hashed, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(jac.isEmpty, s"jaccard must miss the asymmetric pair, got $jac")
+  }
+
+  test("containmentPairs equals brute all-pairs containment; maxDf mutes boilerplate") {
+    val hashed = Dedup.hashedNgrams(
+      docs.withColumn("toks", TextAnalysis.tokens(col("text"))),
+      "doc_id", "toks", 3)
+    val viaIndex = Dedup.containmentPairs(hashed, threshold = 0.3)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    val a = hashed.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val b = hashed.select(col("id").as("id_b"), col("hs").as("hs_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          least(size(col("hs_a")), size(col("hs_b"))), 6).as("containment"))
+      .where(col("containment") >= 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaIndex === brute)
+    assert(brute.exists(p => (p._1, p._2) == (1L, 4L) && p._3 == 1.0))
+    // df cap below every shared n-gram's frequency ⇒ no pairs survive
+    val muted = Dedup.containmentPairs(hashed, threshold = 0.01, maxDf = 1)
+      .collect()
+    assert(muted.isEmpty, "df=1 n-grams are unshared by definition")
+  }
+
+  test("segmentDedup keeps corpus-first segments and accounts retained tokens") {
+    // 16-token segments. doc 1: segA ++ segB (32 toks). doc 2: segA ++ segC
+    // (segA repeated from doc 1 → dup). doc 3: 8-token unique tail segment.
+    val segA = (1 to 16).map(i => s"a$i").mkString(" ")
+    val segB = (1 to 16).map(i => s"b$i").mkString(" ")
+    val segC = (1 to 16).map(i => s"c$i").mkString(" ")
+    val tail = (1 to 8).map(i => s"t$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$segA $segB"), (2L, s"$segA $segC"), (3L, tail))
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+    val got = Dedup.segmentDedup(d, "doc_id", "toks", segLen = 16)
+      .select("doc_id", "n_segs", "dup_segs", "total_toks", "kept_toks", "kept_frac")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(
+      (1L, 2L, 0L, 32L, 32L, 1.0),      // first occurrences of A and B
+      (2L, 2L, 1L, 32L, 16L, 0.5),      // A already seen in doc 1
+      (3L, 1L, 0L, 8L, 8L, 1.0)),       // short tail segment, unique
+      s"got $got")
+  }
+
+  test("segmentDedup keeper order is (id, seg_idx), not arrival order") {
+    // the same segment appears at doc 5 seg 1 and doc 4 seg 0: doc 4's
+    // copy must be the keeper even though doc 5 sorts later in the input
+    val seg = (1 to 16).map(i => s"s$i").mkString(" ")
+    val other = (1 to 16).map(i => s"o$i").mkString(" ")
+    val d = Seq((5L, s"$other $seg"), (4L, seg))
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+    val got = Dedup.segmentDedup(d, "doc_id", "toks", segLen = 16)
+      .select("doc_id", "dup_segs")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(4L -> 0L, 5L -> 1L),
+      "doc 4 (lower id) keeps; doc 5's later copy is the dup")
+  }
+
   test("incrementalNearDups: new batch hits only its corpus near-dups") {
     // corpus: docs 1 (base) and 3 (unrelated); new batch: doc 2 (near-dup
     // of 1) and doc 5 (unrelated to everything)
