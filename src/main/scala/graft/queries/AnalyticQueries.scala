@@ -102,6 +102,37 @@ object AnalyticQueries {
           col("n_events"))
         .orderBy("user_id", "session_start")),
 
+    // ── Interval-overlap join: sessions × error-burst windows ───────────
+    // The third temporal-join family member (IntervalJoin.overlapJoin,
+    // binned equi-join + max-start bucket ownership — never a cartesian):
+    // which user sessions ran during an error burst (hours with ≥ 7 error
+    // events). Sessions from the q_sessions 10-min gap relation; both
+    // interval sides are real derived relations, Catalyst broadcasts the
+    // small one by size. overlap_secs is the exact micros/1e6 division —
+    // identical IEEE op in both engines, no rounding needed.
+    "q_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sess = ev
+        .groupBy(session_window(col("ts"), "10 minutes").as("s"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("s.start").as("session_start"),
+          col("s.end").as("session_end"))
+      val bursts = ev.where(col("event_type") === "error")
+        .groupBy(date_trunc("hour", col("ts")).as("w_start"))
+        .agg(count(lit(1)).as("n_errors"))
+        .where(col("n_errors") >= 7)
+        .select(col("w_start"),
+          (col("w_start") + expr("INTERVAL 1 HOUR")).as("w_end"), col("n_errors"))
+      graft.ops.IntervalJoin.overlapJoin(sess, bursts,
+          "session_start", "session_end", "w_start", "w_end", binSeconds = 3600)
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("w_start").cast("timestamp_ntz").as("w_start"),
+          col("n_errors"), col("overlap_secs"))
+        .orderBy("user_id", "session_start", "w_start")
+    }),
+
     // ── Ordered funnel: signup → first later click → first later purchase
     // Per-user staged conversion — the event-sequencing query a product
     // warehouse runs constantly. Two conditional-min aggregations chained
@@ -350,6 +381,41 @@ object AnalyticQueries {
            count(*) AS n_events
          FROM y GROUP BY user_id, sid
          ORDER BY user_id, session_start""",
+    // Sessions CTE shared verbatim with q_sessions (the gate that proves
+    // the relational derivation equals session_window); the overlap join
+    // itself is the plain range predicate — the engine's binning is an
+    // execution strategy, not a semantic.
+    "q_interval_join" ->
+      """WITH x AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         y AS (
+           SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x),
+         sess AS (
+           SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 10 MINUTE AS session_end
+           FROM y GROUP BY user_id, sid),
+         bursts AS (
+           SELECT date_trunc('hour', ts) AS w_start,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+             count(*) AS n_errors
+           FROM events WHERE event_type = 'error'
+           GROUP BY 1 HAVING count(*) >= 7)
+         SELECT s.user_id, s.session_start, s.session_end, b.w_start,
+           b.n_errors,
+           (epoch_us(least(s.session_end, b.w_end))
+            - epoch_us(greatest(s.session_start, b.w_start))) / 1000000.0
+             AS overlap_secs
+         FROM sess s JOIN bursts b
+           ON s.session_start < b.w_end AND b.w_start < s.session_end
+         ORDER BY s.user_id, s.session_start, b.w_start""",
     "q_funnel" ->
       """WITH su AS (
            SELECT user_id, min(ts) AS signup_ts FROM events

@@ -81,6 +81,21 @@ object RelationalQueries {
         .orderBy("n_name")
     }),
 
+    // ── ANALYZE-style column profiler ───────────────────────────────────
+    // Per-column CBO statistics (n/nulls/ndv/min/max) for eight lineitem
+    // columns in ONE aggregation pass, unpivoted to a row per column
+    // (Profile.columnStats). Exact ndv here (the oracle is exact) — the
+    // plan is Catalyst's Expand multi-distinct; exactNdv=false is the
+    // documented 100 TB swap (HLL ndv, Expand disappears, one mergeable
+    // pass). Timestamps surface as exact micros/1e6 epoch seconds.
+    "q_profile" -> ((s, dir) =>
+      graft.ops.Profile.columnStats(t(s, dir, "lineitem"),
+          numCols = Seq("l_orderkey", "l_partkey", "l_quantity",
+            "l_extendedprice", "l_discount"),
+          strCols = Seq("l_returnflag", "l_linestatus"),
+          tsCols = Seq("l_shipdate"))
+        .orderBy("col_name")),
+
     // Left outer join preserving customers with no matching open order.
     "q_join_outer" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -253,6 +268,35 @@ object RelationalQueries {
             AND o_orderdate >= DATE '1996-01-01'
             AND o_orderdate <  DATE '1997-01-01'
           GROUP BY n_name ORDER BY n_name""",
+    // One UNION ALL branch per profiled column; epoch_us(...)/1000000.0 is
+    // the identical IEEE division Spark's unix_micros(...)/1e6 performs.
+    "q_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+              count(*) - count($c) AS n_null, count(DISTINCT $c) AS ndv,
+              CAST(min($c) AS DOUBLE) AS min_num,
+              CAST(max($c) AS DOUBLE) AS max_num,
+              CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM lineitem"""
+      def str(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+              count(*) - count($c) AS n_null, count(DISTINCT $c) AS ndv,
+              CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+              min($c) AS min_str, max($c) AS max_str
+            FROM lineitem"""
+      def ts(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+              count(*) - count($c) AS n_null, count(DISTINCT $c) AS ndv,
+              epoch_us(min($c)) / 1000000.0 AS min_num,
+              epoch_us(max($c)) / 1000000.0 AS max_num,
+              CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM lineitem"""
+      (Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount").map(num) ++
+        Seq("l_returnflag", "l_linestatus").map(str) ++
+        Seq("l_shipdate").map(ts))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "q_join_outer" ->
       s"""SELECT c_custkey, count(o_orderkey) AS n_open,
             ${oSum("COALESCE(o_totalprice, 0.0)", "open_total")}
