@@ -51,4 +51,36 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("cnt"))
   }
+
+  /** Join-key skew ADVISOR: the profiling pass one runs BEFORE choosing a
+    * salt factor for [[saltedJoin]]/[[saltedCount]] (or trusting AQE) —
+    * the hottest `topN` key values of a prospective shuffle key with, per
+    * key: its row count, corpus share, skew ratio against the mean key
+    * (`cnt·n_keys/total`), and the recommended salt (`ceil(skew_ratio)` —
+    * the split count that brings the key's heaviest sub-task back to the
+    * average key's size; 1 = no salting needed).
+    *
+    * Plan: one groupBy(key) count, a single-row (total, n_keys) aggregate
+    * crossJoined back (broadcast, one row — the q_tfidf scalar pattern),
+    * one top-N sort cut. The per-key count relation is the same
+    * aggregation the skewed join itself would shuffle, so the advisor
+    * costs one pass over the fact table at any scale. Skew math in doubles
+    * (counts ≪ 2^53 — exact), tie-break on the key value so the cut is
+    * deterministic.
+    */
+  def advisor(df: DataFrame, key: String, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN: $topN")
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum(col("cnt")).as("__total"),
+      count(lit(1)).as("__nkeys"))
+    counts.crossJoin(broadcast(stats))
+      .select(col(key), col("cnt"),
+        round(col("cnt").cast("double") / col("__total"), 6).as("share"),
+        round(col("cnt").cast("double") * col("__nkeys") / col("__total"), 6)
+          .as("skew_ratio"),
+        ceil(col("cnt").cast("double") * col("__nkeys") / col("__total"))
+          .cast("int").as("salt"))
+      .orderBy(desc("cnt"), col(key))
+      .limit(topN)
+  }
 }

@@ -96,6 +96,14 @@ object RelationalQueries {
           tsCols = Seq("l_shipdate"))
         .orderBy("col_name")),
 
+    // ── Join-key skew advisor ───────────────────────────────────────────
+    // The pre-join profiling pass (Skew.advisor): hottest 10 l_partkey
+    // values with share, skew ratio vs the mean key, and the recommended
+    // salt factor for Skew.saltedJoin. One count pass + a single-row stats
+    // crossJoin + a deterministic top-N cut.
+    "q_skew_advisor" -> ((s, dir) =>
+      Skew.advisor(t(s, dir, "lineitem"), "l_partkey", topN = 10)),
+
     // Left outer join preserving customers with no matching open order.
     "q_join_outer" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -297,6 +305,20 @@ object RelationalQueries {
         Seq("l_shipdate").map(ts))
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+    // skew math mirrored in doubles: CAST(cnt AS DOUBLE) * n_keys / total
+    // is the identical IEEE op chain Spark runs (counts ≪ 2^53, exact).
+    "q_skew_advisor" ->
+      """WITH counts AS (
+           SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+         stats AS (
+           SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys
+           FROM counts)
+         SELECT l_partkey, cnt,
+           ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share,
+           ROUND(CAST(cnt AS DOUBLE) * n_keys / total, 6) AS skew_ratio,
+           CAST(ceil(CAST(cnt AS DOUBLE) * n_keys / total) AS INT) AS salt
+         FROM counts CROSS JOIN stats
+         ORDER BY cnt DESC, l_partkey LIMIT 10""",
     "q_join_outer" ->
       s"""SELECT c_custkey, count(o_orderkey) AS n_open,
             ${oSum("COALESCE(o_totalprice, 0.0)", "open_total")}

@@ -112,6 +112,32 @@ object SimilarityQueries {
         .orderBy("rank")
     }),
 
+    // ── 1-NN label accuracy (embedding-quality eval) ────────────────────
+    // Leave-one-out: every vector probes the LSH index (same sign-bit
+    // buckets + Hamming-1 multiprobe as q_knn_lsh — the SCALE path, a
+    // keyed bucket join, never all-pairs) for its nearest in-bucket
+    // neighbor; per-label agreement rate between the probe's label and
+    // its neighbor's. The metric that says whether the embedding space
+    // separates the label structure — and whether LSH-bucketed semantic
+    // dedup can be trusted on it. Probes whose multiprobe buckets hold no
+    // other vector drop (n_eval counts evaluated probes, the contract the
+    // oracle mirrors with its inner join).
+    "q_knn_accuracy" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nn = Similarity.topKNeighborsLsh(e, e, k = 1, NBits)
+      nn.join(e.select(col("vec_id").as("probe_id"),
+            col("label").as("probe_label")), Seq("probe_id"))
+        .join(e.select(col("vec_id").as("cand_id"),
+            col("label").as("cand_label")), Seq("cand_id"))
+        .groupBy(col("probe_label").as("label"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("cand_label") === col("probe_label"), 1L)
+            .otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy",
+          round(col("n_correct").cast("double") / col("n_eval"), 6))
+        .orderBy("label")
+    }),
+
     // Embedding-cosine near-dup: bucket-collision pairs over threshold.
     // (Fixture vectors are near-random — max pairwise cosine ≈ 0.51 — so a
     // low threshold keeps the gated result non-trivial.)
@@ -423,6 +449,38 @@ object SimilarityQueries {
             FROM scored)
           SELECT probe_id, cand_id, cosine, CAST(rank AS INT) AS rank
           FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""",
+    // q_knn_lsh's sig/probes/cands/scored/ranked CTE chain with ALL
+    // vectors as probes and rank = 1, then label agreement per label.
+    "q_knn_accuracy" ->
+      s"""WITH sig AS (
+            SELECT vec_id, embedding, ${bucketSql("embedding", NBits)} AS b0
+            FROM embeddings),
+          probes AS (
+            SELECT vec_id AS probe_id, embedding AS pv, unnest(
+              [b0] || list_transform(generate_series(0, ${NBits - 1}),
+                                     i -> xor(b0, 1::BIGINT << i))) AS bucket
+            FROM sig),
+          cands AS (
+            SELECT DISTINCT probe_id, pv, s.vec_id AS cand_id, s.embedding AS cv
+            FROM probes JOIN sig s ON probes.bucket = s.b0
+            WHERE probe_id <> s.vec_id),
+          scored AS (
+            SELECT probe_id, cand_id, ${cosineSql("pv", "cv")} AS cosine
+            FROM cands),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY cosine DESC, cand_id ASC) AS rank
+            FROM scored),
+          nn AS (SELECT probe_id, cand_id FROM ranked WHERE rank = 1)
+          SELECT pl.label AS label, count(*) AS n_eval,
+            CAST(sum(CASE WHEN cl.label = pl.label THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_correct,
+            ROUND(CAST(sum(CASE WHEN cl.label = pl.label THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*), 6) AS accuracy
+          FROM nn
+          JOIN embeddings pl ON nn.probe_id = pl.vec_id
+          JOIN embeddings cl ON nn.cand_id = cl.vec_id
+          GROUP BY 1 ORDER BY label""",
     "q_kmeans_assign" ->
       s"""WITH seeds AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,

@@ -304,6 +304,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("1-NN leave-one-out label accuracy: perfect on planted clusters, dented by a planted mislabel") {
+    // labels = geometric cluster (i % 3): every vector's nearest in-bucket
+    // neighbor shares its cluster, so per-label accuracy is exactly 1.0
+    val labeled = planted.withColumn("label", (col("vec_id") % 3).cast("int"))
+    def accuracy(e: org.apache.spark.sql.DataFrame) = {
+      val nn = Similarity.topKNeighborsLsh(e, e, k = 1, nBits = 8)
+      nn.join(e.select(col("vec_id").as("probe_id"),
+            col("label").as("probe_label")), Seq("probe_id"))
+        .join(e.select(col("vec_id").as("cand_id"),
+            col("label").as("cand_label")), Seq("cand_id"))
+        .groupBy(col("probe_label").as("label"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("cand_label") === col("probe_label"), 1L)
+            .otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy",
+          round(col("n_correct").cast("double") / col("n_eval"), 6))
+        .select("label", "n_eval", "n_correct", "accuracy")
+        .as[(Int, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    }
+    val clean = accuracy(labeled)
+    assert(clean.map(_._2).sum === 30L,
+      "tight clusters: every probe finds an in-bucket neighbor")
+    assert(clean.forall(_._4 === 1.0), s"got $clean")
+    // flip vec 0's label: its own probe row is now wrong, and every probe
+    // whose 1-NN is vec 0 loses a point — accuracy strictly drops
+    val flipped = planted.withColumn("label",
+      when(col("vec_id") === 0, lit(1)).otherwise(col("vec_id") % 3).cast("int"))
+    val dented = accuracy(flipped)
+    assert(dented.map(_._3).sum < 30L, s"mislabel must dent agreement: $dented")
+  }
+
   test("float_vec_dot_dec: bit-identical to the HOF reference form") {
     val rnd = new scala.util.Random(7)
     def vec(n: Int) = Array.fill(n)((rnd.nextDouble() * 2 - 1).toFloat)

@@ -65,4 +65,21 @@ class SkewSpec extends SparkSpec {
     assert(got === exp)
     assert(exp(0L) === 1800L, "fixture really is skewed")
   }
+
+  test("advisor ranks the hot key first with exact share/skew/salt math") {
+    // fact: key 0 → 1800 rows; keys 1–9 share the other 200 (keys 1,2 get
+    // 23, keys 3–9 get 22). 10 keys, mean 200: hot skew = 1800·10/2000 = 9
+    val got = Skew.advisor(fact, "k", topN = 3)
+      .as[(Long, Long, Double, Double, Int)].collect().toSeq
+    assert(got.size === 3)
+    val hot = got.head
+    assert(hot._1 === 0L && hot._2 === 1800L)
+    assert(hot._3 === 0.9, "share = 1800/2000")
+    assert(hot._4 === 9.0, "skew_ratio = 1800·10/2000")
+    assert(hot._5 === 9,
+      "salt = splits that bring the hot key back to the mean key size")
+    // cold keys: skew below 1 ⇒ salt 1 (no salting), and the
+    // cnt-desc/key-asc tiebreak makes the cut deterministic
+    assert(got.tail.map(r => (r._1, r._2, r._5)) === Seq((1L, 23L, 1), (2L, 23L, 1)))
+  }
 }
