@@ -62,4 +62,31 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("__s")).select(col("__s.*"))
   }
+
+  /** Equi-DEPTH histogram — the other half of the CBO histogram pair
+    * (equi-width lives in the gated `q_histogram`): per group, `buckets`
+    * quantile buckets of (approximately) equal row count via `ntile` over
+    * the total order (`valCol`, `idCol`) — the unique id tiebreak makes
+    * bucket membership deterministic, and ntile's remainder rule (first
+    * buckets get the extra row) is identical in Spark and DuckDB. Output
+    * per (group, bucket): row count and the bucket's [lo, hi] value range
+    * — exactly the boundary list an optimizer's selectivity estimate
+    * reads.
+    *
+    * Scale: ntile is a per-group window — one hash exchange on the group
+    * key and a per-group sort, the same cost as any ranking window. At
+    * 100 TB swap the exact ntile for `approx_percentile(valCol, quantiles)`
+    * cut points (one mergeable-sketch pass, no per-group sort); the exact
+    * form is the gate because the oracle is exact.
+    */
+  def equiDepthHistogram(df: DataFrame, grpCol: String, valCol: String,
+                         idCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets: $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(grpCol)).orderBy(col(valCol), col(idCol))
+    df.withColumn("bucket", ntile(buckets).over(w))
+      .groupBy(col(grpCol), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valCol)).as("lo"), max(col(valCol)).as("hi"))
+  }
 }

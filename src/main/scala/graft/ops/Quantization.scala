@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Per-vector symmetric int8 quantization of embedding columns — the
@@ -65,5 +65,60 @@ object Quantization {
     })
     aggregate(sq, lit(0).cast(Dec), (acc, e) => (acc + e).cast(Dec))
       .cast("double") / size(vec)
+  }
+
+  /** Product-quantization (PQ) code assignment — the IVF-PQ backbone:
+    * each vector splits into `m` contiguous sub-vectors; each sub-vector
+    * is encoded as the index of its nearest codebook entry (squared-L2,
+    * ties to the lower code). A vector becomes `m` small integers —
+    * with m=8 / 16 codes that is 8 nibbles ≈ 4 B against 256 B of floats,
+    * the compression regime billion-vector ANN indexes live in.
+    *
+    * Codebook: the `nCodes` lowest-`vec_id` vectors (the deterministic
+    * seeding contract shared with [[Similarity.kmeansCentroids]] — a
+    * trained codebook drops in by replacing the seed relation), folded to
+    * a SINGLE array row and broadcast ([[Similarity.assignToSeeds]]'s
+    * physical shape): the per-vector work is a narrow argmin over the
+    * broadcast array — no shuffle, constant plan size in `nCodes` and `m`.
+    *
+    * Determinism contract: d² = xx − 2·xc + cc with each dot the
+    * order-independent exact-decimal fold ([[Similarity.dotExact]]) cast
+    * to double, combined in one fixed IEEE chain and rounded to 6 — the
+    * same double in every engine, so argmin and the decimal-summed `mse`
+    * reproduce bit-for-bit. The inner lambda recomputes xx per code
+    * (Catalyst does not CSE across lambda bodies) — m·nCodes·3 short
+    * decimal dots per row, constant in corpus size.
+    *
+    * Output: `vec_id`, `codes` (comma-joined, subspace order), `mse`
+    * (mean over all `dim` dimensions of the squared residual, round 6).
+    */
+  def pqCodes(vecs: DataFrame, nCodes: Int, m: Int, dim: Int): DataFrame = {
+    require(nCodes >= 1, s"nCodes: $nCodes")
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val cbRow = vecs.orderBy("vec_id").limit(nCodes)
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
+        .as("cs"))
+      .select(transform(col("cs"), c => c.getField("embedding")).as("cb"))
+    val best = transform(sequence(lit(0), lit(m - 1)), s => {
+      val xv = slice(col("embedding"), s * sub + 1, lit(sub))
+      array_min(transform(col("cb"), (cv0, k) => {
+        val cv = slice(cv0, s * sub + 1, lit(sub))
+        struct(
+          round(Similarity.dotExact(xv, xv)
+            - lit(2) * Similarity.dotExact(xv, cv)
+            + Similarity.dotExact(cv, cv), 6).as("d2"),
+          k.cast("int").as("code"))
+      }))
+    })
+    vecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cbRow))
+      .select(col("vec_id"), best.as("best"))
+      .select(col("vec_id"),
+        array_join(transform(col("best"),
+          b => b.getField("code").cast("string")), ",").as("codes"),
+        round(aggregate(col("best"), lit(0).cast("decimal(28,6)"),
+          (acc, b) => (acc + b.getField("d2").cast("decimal(28,6)"))
+            .cast("decimal(28,6)")).cast("double") / dim, 6).as("mse"))
   }
 }

@@ -287,6 +287,18 @@ object AnalyticQueries {
     // max value clamps into the last bucket, degenerate min==max groups
     // collapse to bucket 0. All width arithmetic in double with the
     // oracle's exact cast shape.
+    // ── Equi-DEPTH histogram (the CBO selectivity boundary list) ────────
+    // 8 quantile buckets of doc length per language via ntile over the
+    // (n_chars, doc_id) total order (Profile.equiDepthHistogram) — the
+    // companion of q_histogram's equi-width form; at 100 TB the exact
+    // ntile swaps for approx_percentile cut points (scaladoc).
+    "q_histogram_eqdepth" -> ((s, dir) =>
+      graft.ops.Profile.equiDepthHistogram(
+          t(s, dir, "documents").select(col("lang"), col("n_chars"),
+            col("doc_id")),
+          "lang", "n_chars", "doc_id", buckets = 8)
+        .orderBy("lang", "bucket")),
+
     "q_histogram" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("lang"), col("n_chars"))
       val stats = d.groupBy(col("lang"))
@@ -520,6 +532,17 @@ object AnalyticQueries {
           SELECT l_returnflag, n, ROUND(slope, 6) AS slope,
             ROUND((sy - slope * sx) / CAST(n AS DOUBLE), 6) AS intercept
           FROM k ORDER BY l_returnflag""",
+    // ntile remainder rule (first buckets take the extra row) is the same
+    // in both engines; the (n_chars, doc_id) total order pins membership.
+    "q_histogram_eqdepth" ->
+      """SELECT lang, ntile_b AS bucket, count(*) AS n,
+           min(n_chars) AS lo, max(n_chars) AS hi
+         FROM (
+           SELECT lang, n_chars,
+             ntile(8) OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS ntile_b
+           FROM documents)
+         GROUP BY lang, ntile_b ORDER BY lang, bucket""",
     // width arithmetic mirrors the engine cast-for-cast (CAST(mx - mn AS
     // DOUBLE)/10 — a bare 10.0 literal would make DuckDB divide in DECIMAL)
     "q_histogram" ->

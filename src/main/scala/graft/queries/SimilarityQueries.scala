@@ -112,6 +112,16 @@ object SimilarityQueries {
         .orderBy("rank")
     }),
 
+    // ── Product-quantization codes (the IVF-PQ compression backbone) ────
+    // 64-dim vectors → 8 sub-vectors, each encoded as its nearest of 16
+    // codebook entries by exact-decimal squared L2 (Quantization.pqCodes):
+    // codebook = the 16 lowest-vec_id vectors (the kmeans seed contract)
+    // folded to one broadcast array row, assignment a narrow per-row
+    // argmin. codes + the mean squared residual per vector.
+    "q_pq_codes" -> ((s, dir) =>
+      graft.ops.Quantization.pqCodes(emb(s, dir), nCodes = 16, m = 8, dim = 64)
+        .orderBy("vec_id")),
+
     // ── 1-NN label accuracy (embedding-quality eval) ────────────────────
     // Leave-one-out: every vector probes the LSH index (same sign-bit
     // buckets + Hamming-1 multiprobe as q_knn_lsh — the SCALE path, a
@@ -449,6 +459,37 @@ object SimilarityQueries {
             FROM scored)
           SELECT probe_id, cand_id, cosine, CAST(rank AS INT) AS rank
           FROM ranked WHERE rank <= $K ORDER BY probe_id, rank""",
+    // d² = xx − 2·xc + cc with each dot the shared decimal fold cast to
+    // double — the identical IEEE chain the engine runs; ties to the
+    // lower code, residual sum in DECIMAL(28,6) over the 6-rounded d².
+    "q_pq_codes" ->
+      s"""WITH seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+              embedding AS sv
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+          subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+          vx AS (
+            SELECT vec_id, sub, (embedding)[sub*8+1:sub*8+8] AS xv
+            FROM embeddings CROSS JOIN subs),
+          cb AS (
+            SELECT code, sub, (sv)[sub*8+1:sub*8+8] AS cv
+            FROM seeds CROSS JOIN subs),
+          scored AS (
+            SELECT vec_id, vx.sub, cb.code,
+              ROUND(CAST(${dotSql("xv", "xv")} AS DOUBLE)
+                - 2 * CAST(${dotSql("xv", "cv")} AS DOUBLE)
+                + CAST(${dotSql("cv", "cv")} AS DOUBLE), 6) AS d2
+            FROM vx JOIN cb ON vx.sub = cb.sub),
+          best AS (
+            SELECT vec_id, sub, code, d2, row_number() OVER (
+              PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn
+            FROM scored)
+          SELECT vec_id,
+            string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS codes,
+            ROUND(CAST(sum(CAST(d2 AS DECIMAL(28,6))) AS DOUBLE) / 64, 6)
+              AS mse
+          FROM best WHERE rn = 1
+          GROUP BY vec_id ORDER BY vec_id""",
     // q_knn_lsh's sig/probes/cands/scored/ranked CTE chain with ALL
     // vectors as probes and rank = 1, then label agreement per label.
     "q_knn_accuracy" ->

@@ -61,7 +61,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_semdedup_rate" -> "per-threshold crossJoin of the single-row corpus-count aggregate onto the single-row pair/removal aggregate (broadcast, one row each; the pair relation itself is q_semdedup's keyed cell join)",
     "q_dsir_ess" -> "inherits q_dsir_sample's single-row feature-total crossJoin and adds the single-row max-log-ratio normalizer crossJoin (broadcast, one row each)",
     "q_bpe_compression" -> "per-step chains inherit bpeVocab's one-row merge attach (LEFT JOIN ON TRUE against the broadcast single-row winning pair — the exhausted-merge pass-through, see CorpusStats.bpeRounds); steps whose final round is past the last lineage cut keep that join in-plan",
-    "q_skew_advisor" -> "crossJoin of the single-row (total, n_keys) aggregate onto the per-key count relation (broadcast, one row — the q_tfidf scalar pattern)")
+    "q_skew_advisor" -> "crossJoin of the single-row (total, n_keys) aggregate onto the per-key count relation (broadcast, one row — the q_tfidf scalar pattern)",
+    "q_pq_codes" -> "crossJoin of the single-row broadcast codebook array (orderBy.limit(16) seeds folded to one row — the assignToSeeds physical shape); assignment is a narrow per-row argmin")
 
   // the AQE-aware walker lives on SparkSpec (collectPlanNodes) so DedupSpec's
   // ccRound audit and this guard can never drift apart

@@ -51,6 +51,24 @@ class ProfileSpec extends SparkSpec {
     assert(approx === exact, "HLL is exact at cardinality ≤ 4")
   }
 
+  test("equiDepthHistogram: near-equal counts, contiguous ranges, ntile remainder rule") {
+    // 23 rows in one group: ntile(4) → buckets of 6,6,6,5 (remainder to
+    // the FIRST buckets), values 1..23 in order
+    val rows = (1 to 23).map(i => ("g", i.toLong, i.toLong))
+      .toDF("grp", "v", "id")
+    val got = Profile.equiDepthHistogram(rows, "grp", "v", "id", buckets = 4)
+      .orderBy("bucket")
+      .select("bucket", "n", "lo", "hi")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1, 6L, 1L, 6L), (2, 6L, 7L, 12L),
+      (3, 6L, 13L, 18L), (4, 5L, 19L, 23L)))
+    // duplicate values split deterministically by the id tiebreak
+    val dup = (1 to 8).map(i => ("g", 5L, i.toLong)).toDF("grp", "v", "id")
+    val d = Profile.equiDepthHistogram(dup, "grp", "v", "id", buckets = 2)
+      .select("bucket", "n").as[(Int, Long)].collect().toSeq.sorted
+    assert(d === Seq((1, 4L), (2, 4L)))
+  }
+
   test("empty or duplicate column lists are rejected") {
     intercept[IllegalArgumentException] {
       Profile.columnStats(df, Seq(), Seq(), Seq())

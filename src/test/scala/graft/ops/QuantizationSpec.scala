@@ -62,4 +62,56 @@ class QuantizationSpec extends SparkSpec {
       }
     }
   }
+
+  test("pqCodes: codebook members encode to themselves at zero residual") {
+    // 16-dim vectors, m=4 subspaces of 4; vectors 0..3 form the codebook
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 12L).map(i =>
+      (i, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toSeq.toDF("vec_id", "embedding")
+    val got = Quantization.pqCodes(vecs, nCodes = 4, m = 4, dim = 16)
+      .as[(Long, String, Double)].collect().toSeq.sortBy(_._1)
+    assert(got.size === 12)
+    // a codebook vector's nearest entry in EVERY subspace is itself → its
+    // code string is its own seed index repeated, and the residual is 0
+    got.take(4).zipWithIndex.foreach { case ((_, codes, mse), k) =>
+      assert(codes === Seq.fill(4)(k.toString).mkString(","),
+        s"seed $k must self-encode, got $codes")
+      assert(mse === 0.0)
+    }
+    // non-seed vectors: m codes each in [0, nCodes), strictly positive mse
+    got.drop(4).foreach { case (_, codes, mse) =>
+      val cs = codes.split(",").map(_.toInt)
+      assert(cs.length === 4 && cs.forall(c => c >= 0 && c < 4))
+      assert(mse > 0.0)
+    }
+  }
+
+  test("pqCodes: argmin matches a JVM brute-force over the same codebook") {
+    val rnd = new scala.util.Random(29)
+    val data = (0L until 10L).map(i =>
+      (i, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val vecs = data.toDF("vec_id", "embedding")
+    val got = Quantization.pqCodes(vecs, nCodes = 3, m = 2, dim = 8)
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r._2).toMap
+    val cb = data.take(3).map(_._2)
+    data.foreach { case (id, v) =>
+      val want = (0 until 2).map { s =>
+        val xv = v.slice(s * 4, s * 4 + 4).map(_.toDouble)
+        (0 until 3).minBy { k =>
+          val cv = cb(k).slice(s * 4, s * 4 + 4).map(_.toDouble)
+          // same rounded d2 the engine compares (ties impossible here)
+          math.round((xv.zip(cv).map { case (x, c) => (x - c) * (x - c) }.sum) * 1e6)
+        }
+      }.mkString(",")
+      assert(got(id) === want, s"vec $id")
+    }
+  }
+
+  test("pqCodes rejects m not dividing dim") {
+    val vecs = Seq((0L, Array.fill(8)(0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Quantization.pqCodes(vecs, nCodes = 1, m = 3, dim = 8)
+    }
+  }
 }
