@@ -135,6 +135,48 @@ object Graph {
     rank.select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
+  /** k-CORE membership by fixed-round peeling — the density filter of
+    * graph curation (spam rings and link farms live in high cores;
+    * low-core tendrils are the first things a graph-cleaning pass drops):
+    * repeatedly delete nodes of degree < k until no such node remains;
+    * what survives is the k-core.
+    *
+    * `rounds` is FIXED (the [[pageRank]] iteration contract — an
+    * unrollable, oracle-mirrorable plan): each round is one degree
+    * aggregate over the remaining edges and two semi-join-shaped keyed
+    * joins filtering both endpoints — all hash exchanges on the node key,
+    * nothing quadratic. Peeling converges in ≤ diameter-ish rounds on
+    * real graphs; a production run loops to an empty-delta fixpoint
+    * (count check per round) instead of a fixed count — same per-round
+    * plan, data-dependent trip count. Eager `localCheckpoint` every
+    * `checkpointEvery` rounds bounds the lazy plan exactly as in
+    * [[pageRank]].
+    *
+    * Input: a SYMMETRIC edge relation (`src`, `dst`) — callers symmetrize
+    * (degree means undirected degree). Output: surviving `node`s with
+    * their within-core `degree` after `rounds` peels.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+            checkpointEvery: Int = 3): DataFrame = {
+    require(k >= 1, s"k: $k")
+    require(rounds >= 1, s"rounds: $rounds")
+    require(checkpointEvery >= 1, s"checkpointEvery: $checkpointEvery")
+    var e = edges.select(col("src"), col("dst"))
+    for (r <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+      val keepS = keep.select(col("src").as("__ns"))
+      val keepD = keep.select(col("src").as("__nd"))
+      e = e.join(keepS, col("src") === col("__ns"))
+        .join(keepD, col("dst") === col("__nd"))
+        .select(col("src"), col("dst"))
+      // keep feeds two join branches; past the cut cadence the lazy chain
+      // re-derives every earlier round's filter twice per branch
+      if (r % checkpointEvery == 0) e = e.localCheckpoint()
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Per-node triangle participation counts over an undirected edge set
     * (any orientation, duplicates fine — canonicalized to distinct
     * `a < b` internally). Compact-forward with DEGREE ordering (Ortmann &

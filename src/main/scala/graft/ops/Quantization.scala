@@ -92,33 +92,106 @@ object Quantization {
     * Output: `vec_id`, `codes` (comma-joined, subspace order), `mse`
     * (mean over all `dim` dimensions of the squared residual, round 6).
     */
-  def pqCodes(vecs: DataFrame, nCodes: Int, m: Int, dim: Int): DataFrame = {
-    require(nCodes >= 1, s"nCodes: $nCodes")
-    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
-    val sub = dim / m
-    val cbRow = vecs.orderBy("vec_id").limit(nCodes)
+  /** The codebook as ONE broadcastable array row (`cb`): the `nCodes`
+    * lowest-`vec_id` vectors in id order — code k = sorted position k. */
+  private def codebookRow(vecs: DataFrame, nCodes: Int): DataFrame =
+    vecs.orderBy("vec_id").limit(nCodes)
       .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
         .as("cs"))
       .select(transform(col("cs"), c => c.getField("embedding")).as("cb"))
-    val best = transform(sequence(lit(0), lit(m - 1)), s => {
-      val xv = slice(col("embedding"), s * sub + 1, lit(sub))
-      array_min(transform(col("cb"), (cv0, k) => {
-        val cv = slice(cv0, s * sub + 1, lit(sub))
-        struct(
-          round(Similarity.dotExact(xv, xv)
-            - lit(2) * Similarity.dotExact(xv, cv)
-            + Similarity.dotExact(cv, cv), 6).as("d2"),
-          k.cast("int").as("code"))
-      }))
-    })
+
+  /** The exact-decimal rounded d² between a sub-vector slice of
+    * `embedding` (subspace `s`) and the same slice of codebook entry
+    * `cv0` — the ONE distance definition [[pqCodes]] and [[pqAdcTopK]]
+    * share, so assignment and ADC lookup tables can never drift. */
+  private def subD2(s: Column, cv0: Column, sub: Int): Column = {
+    val xv = slice(col("embedding"), s * sub + 1, lit(sub))
+    val cv = slice(cv0, s * sub + 1, lit(sub))
+    round(Similarity.dotExact(xv, xv)
+      - lit(2) * Similarity.dotExact(xv, cv)
+      + Similarity.dotExact(cv, cv), 6)
+  }
+
+  /** Per-vector PQ assignment: (`vec_id`, `best` = per-subspace
+    * array<struct<d2, code>>, argmin by (d², code)). */
+  private def pqBest(vecs: DataFrame, nCodes: Int, m: Int,
+                     dim: Int): DataFrame = {
+    require(nCodes >= 1, s"nCodes: $nCodes")
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val best = transform(sequence(lit(0), lit(m - 1)), s =>
+      array_min(transform(col("cb"), (cv0, k) => struct(
+        subD2(s, cv0, sub).as("d2"), k.cast("int").as("code")))))
     vecs.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cbRow))
+      .crossJoin(broadcast(codebookRow(vecs, nCodes)))
       .select(col("vec_id"), best.as("best"))
+  }
+
+  def pqCodes(vecs: DataFrame, nCodes: Int, m: Int, dim: Int): DataFrame =
+    pqBest(vecs, nCodes, m, dim)
       .select(col("vec_id"),
         array_join(transform(col("best"),
           b => b.getField("code").cast("string")), ",").as("codes"),
         round(aggregate(col("best"), lit(0).cast("decimal(28,6)"),
           (acc, b) => (acc + b.getField("d2").cast("decimal(28,6)"))
             .cast("decimal(28,6)")).cast("double") / dim, 6).as("mse"))
+
+  /** PQ top-k search by ASYMMETRIC DISTANCE COMPUTATION (ADC) — how a
+    * PQ-compressed index is actually queried: per probe, one lookup table
+    * of m·nCodes exact sub-distances against the codebook; each corpus
+    * vector's approximate d² is then the SUM OF m TABLE LOOKUPS on its
+    * stored codes — the corpus embeddings are never touched at query
+    * time, only the codes relation (the 64×-smaller artifact).
+    *
+    * Plan: the LUT relation (probes × m × nCodes rows — tiny for bounded
+    * probe sets, broadcast by size) EQUI-joins the exploded codes relation
+    * on (subspace, code); one (probe, cand) sum-aggregate; one per-probe
+    * top-k window. Keyed end to end — the "scan all codes" of the ADC
+    * paper is this hash join, and at 100 TB it composes with IVF cell
+    * routing (filter the codes relation to the probe's cells first).
+    *
+    * Output carries `exact_d2` alongside `approx_d2` for the ranked rows
+    * (two keyed id joins back to the embeddings) — the per-pair
+    * quantization-error audit, and the gate's proof the approximation is
+    * read against ground truth. Determinism: LUT entries are the shared
+    * [[subD2]] doubles; the per-pair sum accumulates their DECIMAL(28,6)
+    * images (exact, order-free); ties break on cand_id.
+    */
+  def pqAdcTopK(probes: DataFrame, corpus: DataFrame, nCodes: Int, m: Int,
+                dim: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k: $k")
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val codes = pqBest(corpus, nCodes, m, dim)
+      .select(col("vec_id").as("cand_id"),
+        posexplode(col("best")).as(Seq("sub", "b")))
+      .select(col("cand_id"), col("sub"), col("b.code").as("code"))
+    val lut = probes.select(col("vec_id").as("probe_id"), col("embedding"))
+      .crossJoin(broadcast(codebookRow(corpus, nCodes)))
+      .select(col("probe_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)), s =>
+          transform(col("cb"), cv0 => subD2(s, cv0, sub))))
+          .as(Seq("sub", "d2s")))
+      .select(col("probe_id"), col("sub"),
+        posexplode(col("d2s")).as(Seq("code", "d2")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("approx_d2").asc, col("cand_id").asc)
+    val ranked = codes.join(lut, Seq("sub", "code"))
+      .where(col("probe_id") =!= col("cand_id"))
+      .groupBy(col("probe_id"), col("cand_id"))
+      .agg(sum(col("d2").cast("decimal(28,6)")).cast("double").as("approx_d2"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    def d2Exact(a: Column, b: Column): Column =
+      round(Similarity.dotExact(a, a) - lit(2) * Similarity.dotExact(a, b)
+        + Similarity.dotExact(b, b), 6)
+    ranked
+      .join(probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("pv")), Seq("probe_id"))
+      .join(corpus.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cv")), Seq("cand_id"))
+      .select(col("probe_id"), col("cand_id"), col("approx_d2"),
+        d2Exact(col("pv"), col("cv")).as("exact_d2"), col("rank"))
   }
 }

@@ -274,6 +274,27 @@ object AdvancedQueries {
         .orderBy(desc("rank"), col("node")).limit(50)
     }),
 
+    // ── 3-core of the part co-purchase graph ────────────────────────────
+    // Fixed 5-round peel (Graph.kCore) over the SAME support-floored
+    // co-purchase edges as q_triangles, symmetrized — the density filter
+    // graph curation applies before trusting clustering signals. The
+    // oracle unrolls the five peels as CTEs; the spec proves five rounds
+    // reach the fixpoint on a planted core+tendril graph.
+    "q_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("sup"))
+        .where(col("sup") >= 2)
+        .select(col("src"), col("dst"))
+      val sym = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.Graph.kCore(sym, k = 3, rounds = 5)
+        .orderBy("node")
+    }),
+
     // ── Per-node triangle counts over the part co-purchase graph ────────
     // Edges: part pairs co-purchased in ≥ 2 orders (keyed self-join on
     // l_orderkey, a<b, support floor — the frequent-itemset practice that
@@ -492,6 +513,27 @@ object AdvancedQueries {
           ${c(3, "r2")}, ${dang(3, "r2")}, ${r(3)}
           SELECT node, ROUND(rank, 6) AS rank FROM r3
           ORDER BY ROUND(rank, 6) DESC, node LIMIT 50"""
+    },
+    // five unrolled peel rounds: dR = degrees over e(R−1), nR = survivors,
+    // eR = both-endpoint filter — generated so round count cannot drift
+    // from the engine's rounds = 5
+    "q_kcore" -> {
+      val rounds = (1 to 5).map { r =>
+        s"""d$r AS (SELECT src, count(*) AS c FROM e${r - 1} GROUP BY 1),
+          n$r AS (SELECT src AS n FROM d$r WHERE c >= 3),
+          e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+                  JOIN n$r a ON e.src = a.n JOIN n$r b ON e.dst = b.n)"""
+      }.mkString(",\n          ")
+      s"""WITH ep AS (
+            SELECT x.l_partkey AS src, y.l_partkey AS dst
+            FROM lineitem x JOIN lineitem y
+              ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+          e0 AS (SELECT src, dst FROM ep
+                 UNION ALL SELECT dst, src FROM ep),
+          $rounds
+          SELECT src AS node, count(*) AS degree FROM e5
+          GROUP BY 1 ORDER BY node"""
     },
     "q_triangles" ->
       """WITH pairs AS (

@@ -122,6 +122,19 @@ object SimilarityQueries {
       graft.ops.Quantization.pqCodes(emb(s, dir), nCodes = 16, m = 8, dim = 64)
         .orderBy("vec_id")),
 
+    // ── PQ-ADC top-k search (how the compressed index is queried) ───────
+    // Per probe (vec_id < 5): one m×nCodes exact lookup table; each corpus
+    // vector's approximate d² is m TABLE LOOKUPS on its stored codes — the
+    // embeddings are never touched at query time (Quantization.pqAdcTopK,
+    // LUT equi-joined to the exploded codes on (sub, code)). exact_d2
+    // rides along per ranked pair: the quantization-error audit.
+    "q_pq_adc" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.ops.Quantization.pqAdcTopK(e.where(col("vec_id") < 5), e,
+          nCodes = 16, m = 8, dim = 64, k = K)
+        .orderBy("probe_id", "rank")
+    }),
+
     // ── 1-NN label accuracy (embedding-quality eval) ────────────────────
     // Leave-one-out: every vector probes the LSH index (same sign-bit
     // buckets + Hamming-1 multiprobe as q_knn_lsh — the SCALE path, a
@@ -280,6 +293,33 @@ object SimilarityQueries {
             FROM assigned a JOIN assigned b
               ON a.cell = b.cell AND a.vec_id < b.vec_id
             WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.3)"""
+
+  /** Shared PQ CTE chain (q_pq_codes + q_pq_adc): 16-seed codebook,
+    * 8 subspaces of 8 dims, per-(vec, sub, code) exact-decimal rounded d²
+    * (`scored` — for probe vectors this IS the ADC lookup table), and the
+    * per-(vec, sub) argmin (`best`, rn = 1 row). */
+  private lazy val PqCte: String =
+    s"""seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+              embedding AS sv
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+          subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+          vx AS (
+            SELECT vec_id, sub, (embedding)[sub*8+1:sub*8+8] AS xv
+            FROM embeddings CROSS JOIN subs),
+          cb AS (
+            SELECT code, sub, (sv)[sub*8+1:sub*8+8] AS cv
+            FROM seeds CROSS JOIN subs),
+          scored AS (
+            SELECT vec_id, vx.sub, cb.code,
+              ROUND(CAST(${dotSql("xv", "xv")} AS DOUBLE)
+                - 2 * CAST(${dotSql("xv", "cv")} AS DOUBLE)
+                + CAST(${dotSql("cv", "cv")} AS DOUBLE), 6) AS d2
+            FROM vx JOIN cb ON vx.sub = cb.sub),
+          best AS (
+            SELECT vec_id, sub, code, d2, row_number() OVER (
+              PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn
+            FROM scored)"""
 
   private[queries] def dotSql(a: String, b: String): String =
     s"""list_sum(list_transform(generate_series(1, len($a)),
@@ -462,34 +502,46 @@ object SimilarityQueries {
     // d² = xx − 2·xc + cc with each dot the shared decimal fold cast to
     // double — the identical IEEE chain the engine runs; ties to the
     // lower code, residual sum in DECIMAL(28,6) over the 6-rounded d².
+    // PqCte is shared verbatim with q_pq_adc so codes and lookup tables
+    // cannot drift from the assignment gate.
     "q_pq_codes" ->
-      s"""WITH seeds AS (
-            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
-              embedding AS sv
-            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
-          subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
-          vx AS (
-            SELECT vec_id, sub, (embedding)[sub*8+1:sub*8+8] AS xv
-            FROM embeddings CROSS JOIN subs),
-          cb AS (
-            SELECT code, sub, (sv)[sub*8+1:sub*8+8] AS cv
-            FROM seeds CROSS JOIN subs),
-          scored AS (
-            SELECT vec_id, vx.sub, cb.code,
-              ROUND(CAST(${dotSql("xv", "xv")} AS DOUBLE)
-                - 2 * CAST(${dotSql("xv", "cv")} AS DOUBLE)
-                + CAST(${dotSql("cv", "cv")} AS DOUBLE), 6) AS d2
-            FROM vx JOIN cb ON vx.sub = cb.sub),
-          best AS (
-            SELECT vec_id, sub, code, d2, row_number() OVER (
-              PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn
-            FROM scored)
+      s"""WITH $PqCte
           SELECT vec_id,
             string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS codes,
             ROUND(CAST(sum(CAST(d2 AS DECIMAL(28,6))) AS DOUBLE) / 64, 6)
               AS mse
           FROM best WHERE rn = 1
           GROUP BY vec_id ORDER BY vec_id""",
+    // codes = best(rn=1); the probe-side rows of the SAME scored relation
+    // are the lookup table; approximate d² = decimal-exact sum of m
+    // lookups; ground-truth exact_d2 joined back per ranked pair.
+    "q_pq_adc" ->
+      s"""WITH $PqCte,
+          codes AS (
+            SELECT vec_id AS cand_id, sub, code FROM best WHERE rn = 1),
+          lut AS (
+            SELECT vec_id AS probe_id, sub, code, d2 FROM scored
+            WHERE vec_id < 5),
+          adc AS (
+            SELECT probe_id, cand_id,
+              CAST(sum(CAST(d2 AS DECIMAL(28,6))) AS DOUBLE) AS approx_d2
+            FROM codes JOIN lut USING (sub, code)
+            WHERE probe_id <> cand_id
+            GROUP BY 1, 2),
+          rankd AS (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY approx_d2 ASC, cand_id ASC) AS rank
+            FROM adc)
+          SELECT r.probe_id, r.cand_id, r.approx_d2,
+            ROUND(CAST(${dotSql("p.embedding", "p.embedding")} AS DOUBLE)
+              - 2 * CAST(${dotSql("p.embedding", "c.embedding")} AS DOUBLE)
+              + CAST(${dotSql("c.embedding", "c.embedding")} AS DOUBLE), 6)
+              AS exact_d2,
+            CAST(rank AS INT) AS rank
+          FROM rankd r
+          JOIN embeddings p ON r.probe_id = p.vec_id
+          JOIN embeddings c ON r.cand_id = c.vec_id
+          WHERE rank <= $K ORDER BY probe_id, rank""",
     // q_knn_lsh's sig/probes/cands/scored/ranked CTE chain with ALL
     // vectors as probes and rank = 1, then label agreement per label.
     "q_knn_accuracy" ->

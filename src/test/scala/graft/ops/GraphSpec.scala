@@ -167,6 +167,29 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("kCore: planted K4 core survives, tendrils and a triangle peel away") {
+    // K4 on {0,1,2,3} (3-core), a tendril 3–10–11, and a triangle
+    // {20,21,22} (2-core — must vanish at k=3). Peeling the tendril takes
+    // TWO rounds (11 first, then 10) — multi-round behavior, not one pass.
+    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
+    val fwd = k4 ++ Seq((3L, 10L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val got = Graph.kCore(edges, k = 3, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+      s"exactly the K4 at within-core degree 3, got $got")
+    // fixpoint: a 6th peel changes nothing (the gate's rounds=5 suffice)
+    val more = Graph.kCore(edges, k = 3, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(more === got)
+    // k=2 keeps the triangle too, still drops the tendril
+    val k2 = Graph.kCore(edges, k = 2, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(k2.keySet === Set(0L, 1L, 2L, 3L, 20L, 21L, 22L))
+    spark.catalog.clearCache()
+  }
+
   test("degreeHistogram: star graph — hub degree n, n leaves of degree 1") {
     // star 0–{1,2,3}: symmetric edges; hub 0 has degree 3, leaves degree 1
     val fwd = Seq((0L, 1L), (0L, 2L), (0L, 3L))

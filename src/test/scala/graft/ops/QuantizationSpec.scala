@@ -108,6 +108,49 @@ class QuantizationSpec extends SparkSpec {
     }
   }
 
+  test("pqAdcTopK: approx equals a JVM table-lookup recompute; seed candidates score exactly") {
+    val rnd = new scala.util.Random(41)
+    val data = (0L until 20L).map(i =>
+      (i, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val vecs = data.toDF("vec_id", "embedding")
+    val got = Quantization.pqAdcTopK(
+        vecs.where(col("vec_id") < 2), vecs, nCodes = 4, m = 2, dim = 8, k = 5)
+      .select("probe_id", "cand_id", "approx_d2", "exact_d2", "rank")
+      .as[(Long, Long, Double, Double, Int)].collect().toSeq
+    assert(got.groupBy(_._1).forall(_._2.size == 5), "k rows per probe")
+    // JVM recompute: codes by brute argmin, ADC = sum of LUT entries
+    val cb = data.take(4).map(_._2)
+    def d2(x: Array[Double], c: Array[Double]) =
+      math.round(x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum * 1e6) / 1e6
+    def subv(v: Array[Float], s: Int) =
+      v.slice(s * 4, s * 4 + 4).map(_.toDouble)
+    val codeOf = data.map { case (id, v) =>
+      id -> (0 until 2).map(s =>
+        (0 until 4).minBy(k => (d2(subv(v, s), subv(cb(k), s)), k)))
+    }.toMap
+    got.foreach { case (p, c, approx, exact, _) =>
+      val pv = data(p.toInt)._2
+      val want = (0 until 2).map(s =>
+        d2(subv(pv, s), subv(cb(codeOf(c)(s)), s))).sum
+      assert(math.abs(approx - want) < 1e-9, s"pair ($p,$c)")
+      // ground-truth column really is the full-vector exact distance
+      val ed = d2(data(p.toInt)._2.map(_.toDouble),
+        data(c.toInt)._2.map(_.toDouble))
+      assert(math.abs(exact - ed) < 1e-9)
+    }
+    // a codebook member reconstructs itself → ADC distance to it is exact
+    got.filter(r => r._2 < 4).foreach { case (_, _, approx, exact, _) =>
+      assert(math.abs(approx - exact) < 1e-9,
+        "seed candidates: approx == exact by construction")
+    }
+    // ranking is by ascending approx distance with cand_id tiebreak
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.map(r => (r._3, r._2)) ===
+        sorted.map(r => (r._3, r._2)).sorted)
+    }
+  }
+
   test("pqCodes rejects m not dividing dim") {
     val vecs = Seq((0L, Array.fill(8)(0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
