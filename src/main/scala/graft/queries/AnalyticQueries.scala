@@ -56,6 +56,25 @@ object AnalyticQueries {
         .orderBy("o_orderkey")
     }),
 
+    // ── Window: distribution functions (percent_rank/cume_dist/nth) ─────
+    // Per market segment: each customer's balance percentile standing,
+    // cumulative share, and the segment's 3rd-highest balance attached to
+    // every row (nth_value over the full frame). The (c_acctbal, c_custkey)
+    // total order pins every tie; doubles are k/(n−1)-style exact ratios of
+    // small ints — identical in both engines.
+    "q_window_dist" -> ((s, dir) => {
+      val ord = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      val full = ord.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          round(percent_rank().over(ord), 6).as("pct_rank"),
+          round(cume_dist().over(ord), 6).as("cume"),
+          nth_value(col("c_acctbal"), 3).over(full).as("third_bal"))
+        .orderBy("c_mktsegment", "pct_rank", "c_custkey")
+    }),
+
     // ── Date/time ───────────────────────────────────────────────────────
     // Hourly event rollup; ts arrives as ns → µs via Tables.events.
     "q_events_hourly" -> ((s, dir) =>
@@ -70,6 +89,33 @@ object AnalyticQueries {
           month(col("o_orderdate")).as("o_month"))
         .agg(count(lit(1)).as("cnt"), Exact.roundSum(col("o_totalprice")).as("total"))
         .orderBy("o_year", "o_month")),
+
+    // ── Incremental view maintenance: merge(agg(old), agg(new)) ─────────
+    // The day-partitioned rollup identity (Ivm.mergeAggregates): aggregate
+    // days < Jan 15 and the rest SEPARATELY, merge the partials — the
+    // oracle computes the DIRECT full aggregate, so the gate is the
+    // cross-engine proof the incremental path answers exactly the batch
+    // question. Sums ride as decimals (additive-exact), min/max combine.
+    "q_ivm_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+        col("value"))
+      def partial(df: DataFrame) = df.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(28,10)")).as("sum_dec"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      val cut = lit("2024-01-15").cast("timestamp_ntz")
+      val merged = graft.ops.Ivm.mergeAggregates(
+        partial(ev.where(col("day") < cut)),
+        partial(ev.where(col("day") >= cut)),
+        keys = Seq("event_type", "day"), cntCol = "cnt",
+        sumCols = Seq("sum_dec"), minCols = Seq("min_v"),
+        maxCols = Seq("max_v"))
+      merged.select(col("event_type"), col("day"), col("cnt"),
+          round(col("sum_dec").cast("double"), 4).as("sum_value"),
+          col("min_v"), col("max_v"))
+        .orderBy("event_type", "day")
+    }),
 
     // ── Hourly event-volume anomalies (ops-monitoring member) ───────────
     // Per event type, each hour's count robust-z-scored against the
@@ -334,6 +380,24 @@ object AnalyticQueries {
             COALESCE(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
               ORDER BY o_orderdate ASC, o_orderkey ASC), -1.0) AS prev_price
          FROM orders ORDER BY o_orderkey""",
+    // the DIRECT full aggregate — merged partials must equal it exactly
+    "q_ivm_merge" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS cnt,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4)
+             AS sum_value,
+           min(value) AS min_v, max(value) AS max_v
+         FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
+    "q_window_dist" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           nth_value(c_acctbal, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS third_bal
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal DESC, c_custkey ASC)
+         ORDER BY c_mktsegment, pct_rank, c_custkey""",
     "q_window_frame" ->
       """SELECT o_orderkey, o_custkey,
             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
