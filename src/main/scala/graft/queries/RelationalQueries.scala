@@ -243,6 +243,71 @@ object RelationalQueries {
       all.except(some).orderBy("nationkey")
     }),
 
+    // ── Set ops, BAG semantics (EXCEPT ALL / INTERSECT ALL) ─────────────
+    // Multiplicity-preserving set algebra — the other half of the set-op
+    // family (the DISTINCT forms are q_set_*): per-nation supplier keys
+    // minus one copy per ≤20-suppkey supplier, and the multiset overlap of
+    // customer vs supplier nation keys (min of the two multiplicities,
+    // 25 nations × counts). Catalyst plans both as keyed hash joins with
+    // count arithmetic — no distinct collapse.
+    "q_set_bag" -> ((s, dir) => {
+      val supN = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      val custN = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val small = t(s, dir, "supplier").where(col("s_suppkey") <= 20)
+        .select(col("s_nationkey").as("nationkey"))
+      val exceptAll = supN.exceptAll(small)
+        .groupBy(col("nationkey")).agg(count(lit(1)).as("n_except_all"))
+      val intersectAll = supN.intersectAll(custN)
+        .groupBy(col("nationkey")).agg(count(lit(1)).as("n_intersect_all"))
+      exceptAll.join(intersectAll, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_except_all"), lit(0L)).as("n_except_all"),
+          coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"))
+        .orderBy("nationkey")
+    }),
+
+    // ── CBO join-cardinality self-audit ─────────────────────────────────
+    // The textbook equi-join estimate |A⋈B| ≈ |A|·|B| / max(ndv_A, ndv_B)
+    // read against the TRUE join count for lineitem⋈orders on orderkey —
+    // the number an optimizer's cost model rides on, surfaced as data
+    // (est, actual, error ratio). Three aggregates + one keyed join count;
+    // at scale the ndv legs swap to approx_count_distinct like q_profile.
+    "q_join_estimate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"))
+      val sa = li.agg(count(lit(1)).as("n_a"),
+        count_distinct(col("l_orderkey")).as("ndv_a"))
+      val sb = ord.agg(count(lit(1)).as("n_b"),
+        count_distinct(col("o_orderkey")).as("ndv_b"))
+      val actual = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("actual"))
+      sa.crossJoin(sb).crossJoin(actual)
+        .select(col("n_a"), col("n_b"), col("ndv_a"), col("ndv_b"),
+          round(col("n_a").cast("double") * col("n_b")
+            / greatest(col("ndv_a"), col("ndv_b")), 6).as("est"),
+          col("actual"),
+          round(col("n_a").cast("double") * col("n_b")
+            / greatest(col("ndv_a"), col("ndv_b")) / col("actual"), 6)
+            .as("err_ratio"))
+    }),
+
+    // ── UNPIVOT / melt (wide → long reshape) ────────────────────────────
+    // Four lineitem measures melted to (measure, val) rows per line — the
+    // reshape every metrics store runs; a narrow Expand (rows × measures),
+    // no shuffle. Bounded to orderkey ≤ 100 for the gate output.
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem").where(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "val")
+        // (orderkey, linenumber) is NOT unique in the synthetic lineitem —
+        // val joins the sort so the output order is total (gate contract)
+        .orderBy("l_orderkey", "l_linenumber", "measure", "val")),
+
     // ── Sort / limit / top-k (TakeOrderedAndProject, no global sort) ─────
     "q_topk_orders" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -400,5 +465,48 @@ object RelationalQueries {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q_set_bag" ->
+      """WITH ea AS (
+           SELECT nationkey, count(*) AS n_except_all FROM (
+             SELECT s_nationkey AS nationkey FROM supplier
+             EXCEPT ALL
+             SELECT s_nationkey FROM supplier WHERE s_suppkey <= 20)
+           GROUP BY 1),
+         ia AS (
+           SELECT nationkey, count(*) AS n_intersect_all FROM (
+             SELECT s_nationkey AS nationkey FROM supplier
+             INTERSECT ALL
+             SELECT c_nationkey FROM customer)
+           GROUP BY 1)
+         SELECT COALESCE(ea.nationkey, ia.nationkey) AS nationkey,
+           COALESCE(n_except_all, 0) AS n_except_all,
+           COALESCE(n_intersect_all, 0) AS n_intersect_all
+         FROM ea FULL OUTER JOIN ia ON ea.nationkey = ia.nationkey
+         ORDER BY nationkey""",
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, val
+         FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+                 l_extendedprice, l_discount, l_tax
+               FROM lineitem WHERE l_orderkey <= 100)
+         UNPIVOT (val FOR measure IN
+           (l_quantity, l_extendedprice, l_discount, l_tax))
+         ORDER BY l_orderkey, l_linenumber, measure, val""",
+    "q_join_estimate" ->
+      """WITH sa AS (
+           SELECT count(*) AS n_a, count(DISTINCT l_orderkey) AS ndv_a
+           FROM lineitem),
+         sb AS (
+           SELECT count(*) AS n_b, count(DISTINCT o_orderkey) AS ndv_b
+           FROM orders),
+         ac AS (
+           SELECT count(*) AS actual FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey)
+         SELECT n_a, n_b, ndv_a, ndv_b,
+           ROUND(CAST(n_a AS DOUBLE) * n_b / greatest(ndv_a, ndv_b), 6)
+             AS est,
+           actual,
+           ROUND(CAST(n_a AS DOUBLE) * n_b / greatest(ndv_a, ndv_b)
+                 / actual, 6) AS err_ratio
+         FROM sa CROSS JOIN sb CROSS JOIN ac""",
   )
 }
