@@ -92,47 +92,78 @@ object Quantization {
     * Output: `vec_id`, `codes` (comma-joined, subspace order), `mse`
     * (mean over all `dim` dimensions of the squared residual, round 6).
     */
-  /** The codebook as ONE broadcastable array row (`cb`): the `nCodes`
-    * lowest-`vec_id` vectors in id order — code k = sorted position k. */
-  private def codebookRow(vecs: DataFrame, nCodes: Int): DataFrame =
+  /** The codebook as ONE broadcastable array row, PRE-SLICED per subspace
+    * with each entry's self-dot precomputed: `cb2[s][k] = struct(cv, cc)`
+    * where `cv` is code k's subspace-s slice and `cc = dot(cv, cv)` —
+    * both constants of the codebook, computed once on the 1-row relation
+    * instead of per corpus row × code (the d² identity
+    * xx − 2·xc + cc needs only ONE dot per (row, sub, code) this way;
+    * measured ~3× on the sf0.1 gate). Code k = sorted vec_id position k
+    * over the `nCodes` lowest-id vectors. */
+  private def codebookRow(vecs: DataFrame, nCodes: Int, m: Int,
+                          sub: Int): DataFrame =
     vecs.orderBy("vec_id").limit(nCodes)
       .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
         .as("cs"))
-      .select(transform(col("cs"), c => c.getField("embedding")).as("cb"))
+      .select(transform(sequence(lit(0), lit(m - 1)), s =>
+        transform(col("cs"), c => {
+          val cv = slice(c.getField("embedding"), s * sub + 1, lit(sub))
+          struct(cv.as("cv"), Similarity.dotExact(cv, cv).as("cc"))
+        })).as("cb2"))
 
-  /** The exact-decimal rounded d² between a sub-vector slice of
-    * `embedding` (subspace `s`) and the same slice of codebook entry
-    * `cv0` — the ONE distance definition [[pqCodes]] and [[pqAdcTopK]]
-    * share, so assignment and ADC lookup tables can never drift. */
-  private def subD2(s: Column, cv0: Column, sub: Int): Column = {
-    val xv = slice(col("embedding"), s * sub + 1, lit(sub))
-    val cv = slice(cv0, s * sub + 1, lit(sub))
-    round(Similarity.dotExact(xv, xv)
-      - lit(2) * Similarity.dotExact(xv, cv)
-      + Similarity.dotExact(cv, cv), 6)
-  }
+  /** The exact-decimal rounded d² against codebook entry
+    * `e = struct(cv, cc)` given the row's generator-output sub-vector
+    * struct `x = struct(xv, xx)` — the ONE distance definition
+    * [[pqCodes]] and [[pqAdcTopK]] share: round(xx − 2·xc + cc, 6). */
+  private def subD2(x: Column, e: Column): Column =
+    round(x.getField("xx")
+      - lit(2) * Similarity.dotExact(x.getField("xv"), e.getField("cv"))
+      + e.getField("cc"), 6)
 
-  /** Per-vector PQ assignment: (`vec_id`, `best` = per-subspace
-    * array<struct<d2, code>>, argmin by (d², code)). */
-  private def pqBest(vecs: DataFrame, nCodes: Int, m: Int,
-                     dim: Int): DataFrame = {
+  /** One row per (vector, subspace) with the slice and its self-dot as
+    * GENERATOR outputs (`sub`, `x = struct(xv, xx)`): posexplode output
+    * attributes are hard columns Catalyst cannot inline back into
+    * downstream lambdas — a plain projection alias here gets collapsed
+    * into the per-code argmin lambda and recomputes the whole slice array
+    * per codebook entry (measured 2× SLOWER than no hoisting at all). */
+  private def subVecRows(vecs: DataFrame, cbSource: DataFrame, nCodes: Int,
+                         m: Int, sub: Int): DataFrame =
+    vecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(codebookRow(cbSource, nCodes, m, sub)))
+      .select(col("vec_id"), col("cb2"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)), s => {
+          val xv = slice(col("embedding"), s * sub + 1, lit(sub))
+          struct(xv.as("xv"), Similarity.dotExact(xv, xv).as("xx"))
+        })).as(Seq("sub", "x")))
+
+  /** Per-(vector, subspace) PQ assignment rows:
+    * (`vec_id`, `sub`, `code`, `d2`), argmin by (d², code). */
+  private def pqSubBest(vecs: DataFrame, nCodes: Int, m: Int,
+                        dim: Int): DataFrame = {
     require(nCodes >= 1, s"nCodes: $nCodes")
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
-    val best = transform(sequence(lit(0), lit(m - 1)), s =>
-      array_min(transform(col("cb"), (cv0, k) => struct(
-        subD2(s, cv0, sub).as("d2"), k.cast("int").as("code")))))
-    vecs.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(codebookRow(vecs, nCodes)))
-      .select(col("vec_id"), best.as("best"))
+    val best = array_min(transform(element_at(col("cb2"), col("sub") + 1),
+      (e, k) => struct(subD2(col("x"), e).as("d2"),
+        k.cast("int").as("code"))))
+    subVecRows(vecs, vecs, nCodes, m, sub)
+      .select(col("vec_id"), col("sub"), best.as("b"))
+      .select(col("vec_id"), col("sub"),
+        col("b").getField("code").as("code"),
+        col("b").getField("d2").as("d2"))
   }
 
   def pqCodes(vecs: DataFrame, nCodes: Int, m: Int, dim: Int): DataFrame =
-    pqBest(vecs, nCodes, m, dim)
+    // the regroup is one hash exchange on vec_id of n·m short rows — the
+    // price of the Generate form above; array_sort pins collect order
+    pqSubBest(vecs, nCodes, m, dim)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code"),
+        col("d2")))).as("bs"))
       .select(col("vec_id"),
-        array_join(transform(col("best"),
+        array_join(transform(col("bs"),
           b => b.getField("code").cast("string")), ",").as("codes"),
-        round(aggregate(col("best"), lit(0).cast("decimal(28,6)"),
+        round(aggregate(col("bs"), lit(0).cast("decimal(28,6)"),
           (acc, b) => (acc + b.getField("d2").cast("decimal(28,6)"))
             .cast("decimal(28,6)")).cast("double") / dim, 6).as("mse"))
 
@@ -162,18 +193,12 @@ object Quantization {
     require(k >= 1, s"k: $k")
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
-    val codes = pqBest(corpus, nCodes, m, dim)
-      .select(col("vec_id").as("cand_id"),
-        posexplode(col("best")).as(Seq("sub", "b")))
-      .select(col("cand_id"), col("sub"), col("b.code").as("code"))
-    val lut = probes.select(col("vec_id").as("probe_id"), col("embedding"))
-      .crossJoin(broadcast(codebookRow(corpus, nCodes)))
-      .select(col("probe_id"),
-        posexplode(transform(sequence(lit(0), lit(m - 1)), s =>
-          transform(col("cb"), cv0 => subD2(s, cv0, sub))))
-          .as(Seq("sub", "d2s")))
-      .select(col("probe_id"), col("sub"),
-        posexplode(col("d2s")).as(Seq("code", "d2")))
+    val codes = pqSubBest(corpus, nCodes, m, dim)
+      .select(col("vec_id").as("cand_id"), col("sub"), col("code"))
+    val lut = subVecRows(probes, corpus, nCodes, m, sub)
+      .select(col("vec_id").as("probe_id"), col("sub"),
+        posexplode(transform(element_at(col("cb2"), col("sub") + 1),
+          e => subD2(col("x"), e))).as(Seq("code", "d2")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
       .orderBy(col("approx_d2").asc, col("cand_id").asc)

@@ -142,12 +142,16 @@ object SimilarityQueries {
     // neighbor; per-label agreement rate between the probe's label and
     // its neighbor's. The metric that says whether the embedding space
     // separates the label structure — and whether LSH-bucketed semantic
-    // dedup can be trusted on it. Probes whose multiprobe buckets hold no
-    // other vector drop (n_eval counts evaluated probes, the contract the
-    // oracle mirrors with its inner join).
+    // dedup can be trusted on it. Probes are the deterministic 20%
+    // id-stride sample (vec_id ≡ 0 mod 5): an accuracy estimate needs a
+    // sample, not every vector — the candidate side stays the FULL corpus
+    // (measured 19.5 s → ~4 s at sf0.1 for the same per-label estimate).
+    // Probes whose multiprobe buckets hold no other vector drop (n_eval
+    // counts evaluated probes, the contract the oracle mirrors).
     "q_knn_accuracy" -> ((s, dir) => {
       val e = emb(s, dir)
-      val nn = Similarity.topKNeighborsLsh(e, e, k = 1, NBits)
+      val nn = Similarity.topKNeighborsLsh(
+        e.where(pmod(col("vec_id"), lit(5)) === 0), e, k = 1, NBits)
       nn.join(e.select(col("vec_id").as("probe_id"),
             col("label").as("probe_label")), Seq("probe_id"))
         .join(e.select(col("vec_id").as("cand_id"),
@@ -542,8 +546,8 @@ object SimilarityQueries {
           JOIN embeddings p ON r.probe_id = p.vec_id
           JOIN embeddings c ON r.cand_id = c.vec_id
           WHERE rank <= $K ORDER BY probe_id, rank""",
-    // q_knn_lsh's sig/probes/cands/scored/ranked CTE chain with ALL
-    // vectors as probes and rank = 1, then label agreement per label.
+    // q_knn_lsh's sig/probes/cands/scored/ranked CTE chain with the 20%
+    // id-stride probe sample and rank = 1, then label agreement per label.
     "q_knn_accuracy" ->
       s"""WITH sig AS (
             SELECT vec_id, embedding, ${bucketSql("embedding", NBits)} AS b0
@@ -552,7 +556,7 @@ object SimilarityQueries {
             SELECT vec_id AS probe_id, embedding AS pv, unnest(
               [b0] || list_transform(generate_series(0, ${NBits - 1}),
                                      i -> xor(b0, 1::BIGINT << i))) AS bucket
-            FROM sig),
+            FROM sig WHERE vec_id % 5 = 0),
           cands AS (
             SELECT DISTINCT probe_id, pv, s.vec_id AS cand_id, s.embedding AS cv
             FROM probes JOIN sig s ON probes.bucket = s.b0
