@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The MERGE INTO kernel — upsert of a change batch into a keyed target,
+  * expressed as the one plan shape it always lowers to: a keyed FULL OUTER
+  * join with per-side null tests deciding the action. `WHEN MATCHED THEN
+  * UPDATE` = both sides present (source values win), `WHEN NOT MATCHED THEN
+  * INSERT` = source-only, target-only rows pass through unchanged.
+  *
+  * One hash exchange per side on the key — the merge costs what any keyed
+  * join of |target| + |delta| costs. At 100 TB the target side is the
+  * stored table: partition-prune it to the delta's key range first (the
+  * same pruning a table format's MERGE does with file-level min/max), and
+  * the delta side broadcasts when small. Deletes compose as a source-side
+  * tombstone column filtered after the merge.
+  *
+  * Output: the merged relation (target schema, source values where
+  * matched) plus `__action` ∈ {update, insert, keep} — the audit column a
+  * MERGE statement's metrics report.
+  *
+  * Contract: `source` carries the same columns as `target`; `key` is
+  * unique per side (enforce upstream — a duplicate source key would
+  * fan out the join exactly as MERGE INTO rejects multiple matches).
+  */
+object Merge {
+
+  def upsert(target: DataFrame, source: DataFrame, key: String): DataFrame = {
+    require(target.columns.sameElements(source.columns),
+      s"upsert: schemas differ (${target.columns.toSeq} vs ${source.columns.toSeq})")
+    val joined = target.as("t")
+      .join(source.as("s"), col(s"t.$key") === col(s"s.$key"), "full_outer")
+    val merged = target.columns.map(c =>
+      coalesce(col(s"s.$c"), col(s"t.$c")).as(c))
+    joined.select(merged :+
+      when(col(s"t.$key").isNull, lit("insert"))
+        .when(col(s"s.$key").isNull, lit("keep"))
+        .otherwise(lit("update")).as("__action"): _*)
+  }
+}

@@ -90,6 +90,29 @@ object AnalyticQueries {
         .agg(count(lit(1)).as("cnt"), Exact.roundSum(col("o_totalprice")).as("total"))
         .orderBy("o_year", "o_month")),
 
+    // ── SCD2 history build (validity intervals from an event stream) ────
+    // The warehouse dimension-history derivation: per user, collapse the
+    // event stream into state-CHANGE rows (event_type ≠ previous) and give
+    // each its validity interval [valid_from, valid_to) via lead over the
+    // change relation; the open row (valid_to NULL) is current. Two
+    // windows over the same (ts, event_id)-pinned per-user order — one
+    // exchange on user_id. Bounded to user_id < 20 for the gate output.
+    "q_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = Tables.events(s, dir).where(col("user_id") < 20)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .where(col("prev").isNull || col("prev") =!= col("event_type"))
+      changes
+        .withColumn("valid_to_raw", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").cast("timestamp_ntz").as("valid_from"),
+          col("valid_to_raw").cast("timestamp_ntz").as("valid_to"),
+          col("valid_to_raw").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from")
+    }),
+
     // ── Incremental view maintenance: merge(agg(old), agg(new)) ─────────
     // The day-partitioned rollup identity (Ivm.mergeAggregates): aggregate
     // days < Jan 15 and the rest SEPARATELY, merge the partials — the
@@ -380,6 +403,21 @@ object AnalyticQueries {
             COALESCE(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
               ORDER BY o_orderdate ASC, o_orderkey ASC), -1.0) AS prev_price
          FROM orders ORDER BY o_orderkey""",
+    "q_scd2" ->
+      """WITH c AS (
+           SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+           FROM events WHERE user_id < 20),
+         ch AS (
+           SELECT user_id, ts, event_id, event_type FROM c
+           WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS NULL AS is_current
+         FROM ch ORDER BY user_id, valid_from""",
     // the DIRECT full aggregate — merged partials must equal it exactly
     "q_ivm_merge" ->
       """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

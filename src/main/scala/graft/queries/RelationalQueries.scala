@@ -291,6 +291,27 @@ object RelationalQueries {
             .as("err_ratio"))
     }),
 
+    // ── MERGE INTO / upsert (Merge.upsert) ──────────────────────────────
+    // A deterministic change batch against orders: every P-status order
+    // repriced ×1.1 (updates) + clones of the %500==0 F-status orders
+    // under key+10^9 (inserts). Gate reads the whole-table audit: per
+    // (status, action) row count + decimal-exact price sum — any wrong
+    // coalesce, lost row, or double-match shifts a cell.
+    "q_upsert" -> ((s, dir) => {
+      val t0 = t(s, dir, "orders").select("o_orderkey", "o_orderstatus",
+        "o_totalprice")
+      val updates = t0.where(col("o_orderstatus") === "P")
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      val inserts = t0.where(col("o_orderstatus") === "F" &&
+          pmod(col("o_orderkey"), lit(500)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+      graft.ops.Merge.upsert(t0, updates.unionByName(inserts), "o_orderkey")
+        .groupBy(col("o_orderstatus"), col("__action").as("action"))
+        .agg(count(lit(1)).as("n"),
+          Exact.roundSum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus", "action")
+    }),
+
     // ── UNPIVOT / melt (wide → long reshape) ────────────────────────────
     // Four lineitem measures melted to (measure, val) rows per line — the
     // reshape every metrics store runs; a narrow Expand (rows × measures),
@@ -483,6 +504,27 @@ object RelationalQueries {
            COALESCE(n_intersect_all, 0) AS n_intersect_all
          FROM ea FULL OUTER JOIN ia ON ea.nationkey = ia.nationkey
          ORDER BY nationkey""",
+    "q_upsert" ->
+      s"""WITH t0 AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+          src AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1
+              AS o_totalprice
+            FROM t0 WHERE o_orderstatus = 'P'
+            UNION ALL
+            SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice
+            FROM t0 WHERE o_orderstatus = 'F' AND o_orderkey % 500 = 0),
+          merged AS (
+            SELECT
+              COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+              COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+              CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                   WHEN s.o_orderkey IS NULL THEN 'keep'
+                   ELSE 'update' END AS action
+            FROM t0 t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey)
+          SELECT o_orderstatus, action, count(*) AS n,
+            ${oSum("o_totalprice", "total")}
+          FROM merged GROUP BY 1, 2 ORDER BY o_orderstatus, action""",
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, measure, val
          FROM (SELECT l_orderkey, l_linenumber, l_quantity,

@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** MERGE INTO kernel: action classification, source-wins coalescing, and
+  * pass-through of unmatched target rows.
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def target = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+    .toDF("k", "name", "v")
+
+  test("upsert: matched rows take source values, new keys insert, rest keep") {
+    val source = Seq(
+      (2L, "b2", 99.0),   // update
+      (9L, "z", 1.0))     // insert
+      .toDF("k", "name", "v")
+    val got = Merge.upsert(target, source, "k")
+      .select("k", "name", "v", "__action")
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(got === Set(
+      (1L, "a", 10.0, "keep"),
+      (2L, "b2", 99.0, "update"),
+      (3L, "c", 30.0, "keep"),
+      (9L, "z", 1.0, "insert")))
+  }
+
+  test("empty source leaves the target untouched (all keep)") {
+    val got = Merge.upsert(target, target.where(lit(false)), "k")
+      .select("k", "__action").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "keep"), (2L, "keep"), (3L, "keep")))
+  }
+
+  test("schema mismatch is rejected") {
+    intercept[IllegalArgumentException] {
+      Merge.upsert(target, target.select("k", "name"), "k")
+    }
+  }
+}
