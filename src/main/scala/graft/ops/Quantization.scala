@@ -219,4 +219,74 @@ object Quantization {
       .select(col("probe_id"), col("cand_id"), col("approx_d2"),
         d2Exact(col("pv"), col("cv")).as("exact_d2"), col("rank"))
   }
+
+  /** IVF-PQ top-k — the full modern billion-vector ANN stack composed
+    * from this module's PQ codes and [[Similarity]]'s Voronoi cells:
+    * corpus vectors live in the cell of their nearest seed
+    * ([[Similarity.assignToSeeds]] — deterministic lowest-id seeding, the
+    * oracle-mirrored contract; a trained coarse quantizer drops in by
+    * replacing the seed relation); a probe visits only its `nProbeCells`
+    * best cells and runs the [[pqAdcTopK]] lookup-table scan over THOSE
+    * cells' codes. Candidate volume contracts by ~nProbeCells/nSeeds, and
+    * every join is keyed: probe→cell routing is a narrow argsort over the
+    * broadcast seed array, candidates come from the (cell) hash join,
+    * distances from the (probe, sub, code) LUT join. This is exactly the
+    * plan a 100 TB vector store runs — cells partition the codes
+    * relation, the LUT is per-query tiny, and the raw embeddings are
+    * touched only for the final audit column.
+    *
+    * Output: `probe_id, cand_id, cell, approx_d2, exact_d2, rank` —
+    * `exact_d2` is the ground-truth audit as in [[pqAdcTopK]].
+    */
+  def ivfPqTopK(probes: DataFrame, corpus: DataFrame, nSeeds: Int,
+                nProbeCells: Int, nCodes: Int, m: Int, dim: Int,
+                k: Int): DataFrame = {
+    require(nProbeCells >= 1 && nProbeCells <= nSeeds,
+      s"nProbeCells: $nProbeCells of $nSeeds")
+    require(k >= 1, s"k: $k")
+    val seeds = Similarity.seedsRelation(corpus, nSeeds)
+    val assigned = Similarity.assignToSeeds(corpus, seeds)
+      .select(col("vec_id").as("cand_id"), col("cell"))
+    val codes = pqSubBest(corpus, nCodes, m, dim)
+      .select(col("vec_id").as("cand_id"), col("sub"), col("code"))
+      .join(assigned, Seq("cand_id"))
+    // probe → nProbeCells best cells by the SAME rounded exact cosine the
+    // assignment ranks with (ties to the lower cell — oracle contract);
+    // nv rides in the projection so it is computed once per probe row
+    val probeCells = probes
+      .select(col("vec_id").as("probe_id"), col("embedding"),
+        sqrt(Similarity.norm2Exact(col("embedding"))).as("nv"))
+      .crossJoin(broadcast(Similarity.seedsArray(seeds)))
+      .select(col("probe_id"), col("nv"),
+        explode(slice(array_sort(transform(col("seeds"), s => struct(
+          (round(Similarity.dotExact(col("embedding"), s.getField("sv"))
+            / (col("nv") * s.getField("sn")), 6) * -1).as("neg_cos"),
+          s.getField("cell").as("cell")))), 1, nProbeCells)).as("c"))
+      .select(col("probe_id"), col("c").getField("cell").as("cell"))
+    val sub = dim / m
+    val lut = subVecRows(probes, corpus, nCodes, m, sub)
+      .select(col("vec_id").as("probe_id"), col("sub"),
+        posexplode(transform(element_at(col("cb2"), col("sub") + 1),
+          e => subD2(col("x"), e))).as(Seq("code", "d2")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("approx_d2").asc, col("cand_id").asc)
+    val ranked = codes.join(probeCells, Seq("cell"))
+      .join(lut, Seq("probe_id", "sub", "code"))
+      .where(col("probe_id") =!= col("cand_id"))
+      .groupBy(col("probe_id"), col("cand_id"), col("cell"))
+      .agg(sum(col("d2").cast("decimal(28,6)")).cast("double").as("approx_d2"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    def d2Exact(a: Column, b: Column): Column =
+      round(Similarity.dotExact(a, a) - lit(2) * Similarity.dotExact(a, b)
+        + Similarity.dotExact(b, b), 6)
+    ranked
+      .join(probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("pv")), Seq("probe_id"))
+      .join(corpus.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cv")), Seq("cand_id"))
+      .select(col("probe_id"), col("cand_id"), col("cell"), col("approx_d2"),
+        d2Exact(col("pv"), col("cv")).as("exact_d2"), col("rank"))
+  }
 }

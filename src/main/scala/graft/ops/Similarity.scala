@@ -401,7 +401,7 @@ object Similarity {
     * sorted position (0-based rank by seed_id — the oracles' contract),
     * injected with an indexed transform instead of a window.
     */
-  private def seedsArray(seeds: DataFrame): DataFrame =
+  private[ops] def seedsArray(seeds: DataFrame): DataFrame =
     seeds.agg(array_sort(collect_list(
         struct(col("seed_id"), col("sv"), col("sn")))).as("ss"))
       .select(transform(col("ss"), (s, i) => struct(

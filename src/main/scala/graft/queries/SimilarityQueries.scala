@@ -135,6 +135,20 @@ object SimilarityQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // ── IVF-PQ top-k (the full modern ANN stack, composed) ──────────────
+    // Voronoi cells (deterministic lowest-id seeds, the q_kmeans_assign
+    // contract) route each probe to its 2 best cells; the PQ-ADC
+    // lookup-table scan runs over those cells' codes only
+    // (Quantization.ivfPqTopK). Every join keyed; exact_d2 audits each
+    // ranked pair. The oracle composes the SemPairs seed chain and PqCte.
+    "q_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.ops.Quantization.ivfPqTopK(e.where(col("vec_id") < 5), e,
+          nSeeds = NSeeds, nProbeCells = 2, nCodes = 16, m = 8, dim = 64,
+          k = K)
+        .orderBy("probe_id", "rank")
+    }),
+
     // ── 1-NN label accuracy (embedding-quality eval) ────────────────────
     // Leave-one-out: every vector probes the LSH index (same sign-bit
     // buckets + Hamming-1 multiprobe as q_knn_lsh — the SCALE path, a
@@ -516,6 +530,61 @@ object SimilarityQueries {
               AS mse
           FROM best WHERE rn = 1
           GROUP BY vec_id ORDER BY vec_id""",
+    // PqCte + the SemPairs-style Voronoi chain (vseeds/vassigned named to
+    // avoid PqCte's seeds): probe visits its 2 best cells by the SAME
+    // rounded cosine the assignment ranks with; ADC over those cells only.
+    "q_ivfpq" ->
+      s"""WITH $PqCte,
+          vseeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+              embedding AS sv
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $NSeeds)),
+          vscored AS (
+            SELECT e.vec_id, s.cell,
+              ${cosineSql("e.embedding", "s.sv")} AS cos
+            FROM embeddings e CROSS JOIN vseeds s),
+          vassigned AS (
+            SELECT vec_id AS cand_id, cell FROM (
+              SELECT vec_id, cell, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+              FROM vscored)
+            WHERE rn = 1),
+          pcells AS (
+            SELECT vec_id AS probe_id, cell FROM (
+              SELECT vec_id, cell, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+              FROM vscored WHERE vec_id < 5)
+            WHERE rn <= 2),
+          codes AS (
+            SELECT b.vec_id AS cand_id, a.cell, b.sub, b.code
+            FROM best b JOIN vassigned a ON b.vec_id = a.cand_id
+            WHERE b.rn = 1),
+          lut AS (
+            SELECT vec_id AS probe_id, sub, code, d2 FROM scored
+            WHERE vec_id < 5),
+          adc AS (
+            SELECT c.probe_id, codes.cand_id, codes.cell,
+              CAST(sum(CAST(l.d2 AS DECIMAL(28,6))) AS DOUBLE) AS approx_d2
+            FROM codes
+            JOIN pcells c ON codes.cell = c.cell
+            JOIN lut l ON l.probe_id = c.probe_id
+                      AND l.sub = codes.sub AND l.code = codes.code
+            WHERE c.probe_id <> codes.cand_id
+            GROUP BY 1, 2, 3),
+          rankd AS (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY approx_d2 ASC, cand_id ASC) AS rank
+            FROM adc)
+          SELECT r.probe_id, r.cand_id, r.cell, r.approx_d2,
+            ROUND(CAST(${dotSql("p.embedding", "p.embedding")} AS DOUBLE)
+              - 2 * CAST(${dotSql("p.embedding", "c.embedding")} AS DOUBLE)
+              + CAST(${dotSql("c.embedding", "c.embedding")} AS DOUBLE), 6)
+              AS exact_d2,
+            CAST(rank AS INT) AS rank
+          FROM rankd r
+          JOIN embeddings p ON r.probe_id = p.vec_id
+          JOIN embeddings c ON r.cand_id = c.vec_id
+          WHERE rank <= $K ORDER BY probe_id, rank""",
     // codes = best(rn=1); the probe-side rows of the SAME scored relation
     // are the lookup table; approximate d² = decimal-exact sum of m
     // lookups; ground-truth exact_d2 joined back per ranked pair.

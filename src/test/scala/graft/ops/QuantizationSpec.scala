@@ -151,6 +151,39 @@ class QuantizationSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: cell-routed results equal the full ADC scan restricted to visited cells") {
+    // 3 tight clusters on orthogonal axes (16-dim), 24 vectors; seeds =
+    // lowest 6 ids (2 per cluster), codebook = lowest 8
+    val rnd = new scala.util.Random(5)
+    val data = (0L until 24L).map { i =>
+      val axis = (i % 3).toInt * 5
+      (i, Array.tabulate(16)(j =>
+        (if (j == axis) 1f else 0f) + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }
+    val vecs = data.toDF("vec_id", "embedding")
+    val probes = vecs.where(col("vec_id") < 3)
+    val ivf = Quantization.ivfPqTopK(probes, vecs, nSeeds = 6,
+        nProbeCells = 2, nCodes = 8, m = 4, dim = 16, k = 4)
+      .select("probe_id", "cand_id", "cell", "approx_d2", "rank")
+      .as[(Long, Long, Int, Double, Int)].collect().toSeq
+    assert(ivf.groupBy(_._1).forall(_._2.size == 4), "k rows per probe")
+    // the full (cell-less) ADC scan, same codebook
+    val full = Quantization.pqAdcTopK(probes, vecs, nCodes = 8, m = 4,
+        dim = 16, k = 24)
+      .select("probe_id", "cand_id", "approx_d2")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // every IVF pair's distance equals the full scan's for that pair
+    ivf.foreach { case (p, c, _, d, _) =>
+      assert(full((p, c)) === d, s"ADC distance drift for ($p,$c)")
+    }
+    // probes search their own cluster: with tight clusters the top-4 are
+    // same-cluster members (cells are cluster-pure by construction)
+    ivf.foreach { case (p, c, _, _, _) =>
+      assert(c % 3 === p % 3, s"cand $c outside probe $p's cluster")
+    }
+  }
+
   test("pqCodes rejects m not dividing dim") {
     val vecs = Seq((0L, Array.fill(8)(0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
