@@ -16,6 +16,56 @@ import graft.functions.Hashes
   */
 object CorpusOps {
 
+  /** T5-style SPAN CORRUPTION — the denoising-pretraining sample prep:
+    * cut each doc's token stream into consecutive `spanLen`-token spans,
+    * deterministically mask `maskPct`% of them (the h60 hash of
+    * `salt:id:span` — same no-randomness contract as the split/sample
+    * family, so the corruption is reproducible across runs, engines, and
+    * retries), and emit the model's two sides: `input_text` with each
+    * masked span replaced by its sentinel `<extra_id_k>` (k = the span's
+    * rank among the doc's masked spans) and `target_text` = the sentinels
+    * with their recovered spans. Pure per-row array algebra — narrow, no
+    * shuffle, codegen-adjacent HOFs; the per-doc O(spans²) sentinel-rank
+    * prefix sum is bounded by doc length, not corpus size.
+    *
+    * Output: id, `n_spans`, `n_masked`, `input_text`, `target_text`.
+    */
+  def spanCorrupt(df: DataFrame, idCol: String, toksCol: String,
+                  spanLen: Int, maskPct: Int,
+                  salt: String = "span:"): DataFrame = {
+    require(spanLen >= 1, s"spanLen: $spanLen")
+    require(maskPct >= 0 && maskPct <= 100, s"maskPct: $maskPct")
+    val nToks = size(col(toksCol))
+    val lastSpan = floor((nToks - 1).cast("double") / spanLen).cast("int")
+    val spanIdx = sequence(lit(0), lastSpan)
+    val flags = transform(spanIdx, i =>
+      (pmod(Hashes.h60(concat(lit(salt), col(idCol), lit(":"), i)),
+        lit(100L)) < maskPct).cast("int"))
+    df.where(nToks > 0)
+      .withColumn("__flags", flags)
+      .select(col(idCol), col(toksCol).as("__toks"), col("__flags"),
+        size(col("__flags")).as("n_spans"),
+        aggregate(col("__flags"), lit(0L), (a, x) => a + x).as("n_masked"))
+      .select(col(idCol), col("n_spans").cast("long").as("n_spans"),
+        col("n_masked"),
+        array_join(transform(sequence(lit(0), size(col("__flags")) - 1), i => {
+          val sentinel = concat(lit("<extra_id_"),
+            aggregate(slice(col("__flags"), lit(1), i), lit(0), (a, x) => a + x)
+              .cast("string"), lit(">"))
+          val span = array_join(
+            slice(col("__toks"), i * spanLen + 1, lit(spanLen)), " ")
+          when(element_at(col("__flags"), i + 1) === 1, sentinel)
+            .otherwise(span)
+        }), " ").as("input_text"),
+        array_join(filter(transform(sequence(lit(0), size(col("__flags")) - 1),
+          i => when(element_at(col("__flags"), i + 1) === 1,
+            concat(lit("<extra_id_"),
+              aggregate(slice(col("__flags"), lit(1), i), lit(0), (a, x) => a + x)
+                .cast("string"), lit("> "),
+              array_join(slice(col("__toks"), i * spanLen + 1, lit(spanLen)),
+                " ")))), x => x.isNotNull), " ").as("target_text"))
+  }
+
   /** Sampling basis: h60 of `salt:id`, reduced mod 10000 — i.e. a
     * deterministic uniform draw in [0, 10000) basis points. Exposed so
     * callers/oracles can reproduce the draw. */

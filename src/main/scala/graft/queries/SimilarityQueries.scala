@@ -356,7 +356,7 @@ object SimilarityQueries {
   }
 
   /** Mirror of [[Similarity.signBits]]: nBits-bit bucket id. */
-  private def bucketSql(vec: String, nBits: Int): String =
+  private[queries] def bucketSql(vec: String, nBits: Int): String =
     s"""list_sum(list_transform(generate_series(0, ${nBits - 1}), p ->
           CASE WHEN list_sum(list_transform(generate_series(1, len($vec)),
                  i -> CAST(CAST(($vec)[i] AS DOUBLE) * ${weightSql("p", "i")}

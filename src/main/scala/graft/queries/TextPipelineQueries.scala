@@ -550,6 +550,49 @@ object TextPipelineQueries {
           "doc_id", "toks", segLen = 16)
         .orderBy("doc_id")),
 
+    // ── T5-style span corruption (denoising sample prep) ────────────────
+    // 3-token spans, 15% deterministically masked by h60("span:"+id+":"+i)
+    // (CorpusOps.spanCorrupt): input_text carries <extra_id_k> sentinels,
+    // target_text the recovered spans — the reproducible-corruption
+    // contract of the sampler family applied to SSL data prep. Bounded to
+    // doc_id < 50 for the gate output; the operator is narrow per-row
+    // array algebra at any scale.
+    "q_span_corrupt" -> ((s, dir) =>
+      CorpusOps.spanCorrupt(
+          docs(s, dir).where(col("doc_id") < 50)
+            .withColumn("toks", TextAnalysis.tokens(col("text"))),
+          "doc_id", "toks", spanLen = 3, maskPct = 15)
+        .orderBy("doc_id")),
+
+    // ── Lexical vs semantic dedup Venn ──────────────────────────────────
+    // Which docs each dedup MECHANISM flags: lexical = n-gram Jaccard
+    // ≥ 0.5 pairs (the q_neardup_jaccard relation), semantic = embedding
+    // cosine ≥ 0.3 bucket-collision pairs (the q_embed_neardup relation,
+    // vec_id ≡ doc_id in the fixtures) — counted into the 4-cell Venn.
+    // The pipeline-design read: mass in (lex=F, sem=T) is what a purely
+    // lexical pass would MISS; (T, F) is what cosine alone would miss.
+    "q_dedup_venn" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lex = Dedup.jaccardNearDups(
+          Dedup.hashedNgrams(
+            d.withColumn("toks", TextAnalysis.tokens(col("text"))),
+            "doc_id", "toks", 3),
+          threshold = 0.5, maxDf = 50)
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct().withColumn("lex", lit(true))
+      val sem = graft.ops.Similarity.embeddingNearDups(
+          Tables.table(s, dir, "embeddings"), threshold = 0.3, nBits = 8)
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct().withColumn("sem", lit(true))
+      d.select(col("doc_id"))
+        .join(lex, Seq("doc_id"), "left")
+        .join(sem, Seq("doc_id"), "left")
+        .groupBy(coalesce(col("lex"), lit(false)).as("lexical_dup"),
+          coalesce(col("sem"), lit(false)).as("semantic_dup"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lexical_dup", "semantic_dup")
+    }),
+
     // ── Document chunking: tokens → overlapping context windows ─────────
     // chunkSize=64, overlap=16 (stride 48): the curation→training step
     // that cuts documents into context-length sequences without dropping
@@ -1683,6 +1726,83 @@ object TextPipelineQueries {
           WHERE ROUND(CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE)
                       / len(list_distinct(n.sh || c.sh)), 6) >= 0.8
           ORDER BY new_id, corpus_id""",
+    // flags replayed with the same h60 draw; COALESCE guards DuckDB's
+    // NULL list_sum on the empty prefix (Spark's aggregate zero is 0).
+    "q_span_corrupt" ->
+      s"""WITH t AS (
+            SELECT doc_id, $ToksSql AS toks FROM documents
+            WHERE doc_id < 50 AND len($ToksSql) > 0),
+          f AS (
+            SELECT doc_id, toks,
+              list_transform(generate_series(0,
+                CAST(floor((len(toks) - 1) / 3.0) AS BIGINT)),
+                i -> CASE WHEN ${h60("'span:' || doc_id || ':' || i")}
+                          % 100 < 15
+                     THEN 1 ELSE 0 END) AS flags
+            FROM t)
+          SELECT doc_id, CAST(len(flags) AS BIGINT) AS n_spans,
+            CAST(COALESCE(list_sum(flags), 0) AS BIGINT) AS n_masked,
+            array_to_string(list_transform(generate_series(0, len(flags) - 1),
+              i -> CASE WHEN flags[i+1] = 1
+                   THEN '<extra_id_' ||
+                     CAST(COALESCE(list_sum((flags)[1:i]), 0) AS VARCHAR)
+                     || '>'
+                   ELSE array_to_string((toks)[i*3+1:i*3+3], ' ') END), ' ')
+              AS input_text,
+            COALESCE(array_to_string(list_filter(
+              list_transform(generate_series(0, len(flags) - 1),
+                i -> CASE WHEN flags[i+1] = 1
+                     THEN '<extra_id_' ||
+                       CAST(COALESCE(list_sum((flags)[1:i]), 0) AS VARCHAR)
+                       || '> ' ||
+                       array_to_string((toks)[i*3+1:i*3+3], ' ') END),
+              x -> x IS NOT NULL), ' '), '') AS target_text
+          FROM f ORDER BY doc_id""",
+    // lexical leg = the q_neardup_jaccard CTE chain at 0.5 (its length
+    // filter needs no mirror — it only drops below-threshold pairs);
+    // semantic leg = the q_embed_neardup sig/bucket join at 0.3.
+    "q_dedup_venn" ->
+      s"""WITH hs AS (
+            SELECT doc_id,
+              list_transform($ToksSql, t -> ${h60("t")}) AS hsarr
+            FROM documents),
+          ng AS (
+            SELECT doc_id, ${ngramHashesSql("hsarr", 3)} AS ngh FROM hs),
+          idx AS (
+            SELECT doc_id, len(ngh) AS n, unnest(ngh) AS h FROM ng
+            WHERE len(ngh) > 0),
+          dfok AS (SELECT h FROM idx GROUP BY h HAVING count(*) <= 50),
+          kept AS (SELECT idx.doc_id, idx.n, idx.h FROM idx
+                   JOIN dfok ON idx.h = dfok.h),
+          jp AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              a.n AS n_a, b.n AS n_b, count(*) AS shared
+            FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+          lexp AS (
+            SELECT id_a, id_b FROM jp
+            WHERE ROUND(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 6)
+              >= 0.5),
+          lex AS (SELECT DISTINCT doc_id FROM (
+            SELECT id_a AS doc_id FROM lexp
+            UNION ALL SELECT id_b FROM lexp)),
+          sig AS (
+            SELECT vec_id, embedding,
+              ${SimilarityQueries.bucketSql("embedding", 8)} AS b0
+            FROM embeddings),
+          sp AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM sig a JOIN sig b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+            WHERE ${SimilarityQueries.cosineSql("a.embedding", "b.embedding")}
+              >= 0.3),
+          sem AS (SELECT DISTINCT doc_id FROM (
+            SELECT id_a AS doc_id FROM sp UNION ALL SELECT id_b FROM sp))
+          SELECT l.doc_id IS NOT NULL AS lexical_dup,
+            s2.doc_id IS NOT NULL AS semantic_dup, count(*) AS n_docs
+          FROM documents d
+          LEFT JOIN lex l ON d.doc_id = l.doc_id
+          LEFT JOIN sem s2 ON d.doc_id = s2.doc_id
+          GROUP BY 1, 2 ORDER BY lexical_dup, semantic_dup""",
     "q_neardup_jaccard" ->
       s"""WITH hs AS (
             SELECT doc_id,

@@ -294,4 +294,45 @@ class CorpusOpsSpec extends SparkSpec {
     assert(re === out, "shardPlan must be partitioning-invariant")
     spark.catalog.clearCache()
   }
+
+  test("spanCorrupt: splicing target spans back into input sentinels reconstructs the text") {
+    val docs = (0L until 40L).map(i =>
+      (i, (1 to 30 + (i % 7).toInt).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("toks", split(col("text"), " "))
+    val out = CorpusOps.spanCorrupt(docs, "doc_id", "toks",
+        spanLen = 3, maskPct = 30)
+      .select("doc_id", "n_spans", "n_masked", "input_text", "target_text")
+      .as[(Long, Long, Long, String, String)].collect().toSeq
+    assert(out.size === 40)
+    assert(out.exists(_._3 > 0), "some spans mask at 30%")
+    assert(out.exists(r => r._3 < r._2), "some spans survive at 30%")
+    val orig = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    out.foreach { case (id, nSpans, nMasked, input, target) =>
+      // sentinels are sequentially numbered 0..nMasked-1 in the input
+      val sentinels = "<extra_id_(\\d+)>".r.findAllMatchIn(input)
+        .map(_.group(1).toInt).toSeq
+      assert(sentinels === (0 until nMasked.toInt), s"doc $id sentinels")
+      // parse target back into sentinel -> span text
+      val spanOf =
+        if (nMasked == 0) Map.empty[Int, String]
+        else "<extra_id_(\\d+)> ([^<]*)".r.findAllMatchIn(target).map(m =>
+          m.group(1).toInt -> m.group(2).trim).toMap
+      assert(spanOf.keySet === (0 until nMasked.toInt).toSet)
+      // splice: every sentinel in the input replaced by its target span
+      val rebuilt = spanOf.foldLeft(input) { case (acc, (k, s)) =>
+        acc.replace(s"<extra_id_$k>", s)
+      }
+      assert(rebuilt === orig(id), s"doc $id round-trip")
+      assert(nSpans === (orig(id).split(" ").length + 2) / 3)
+    }
+    // maskPct = 0: input is the original text, target empty
+    val none = CorpusOps.spanCorrupt(docs, "doc_id", "toks", 3, 0)
+      .select("doc_id", "n_masked", "input_text", "target_text")
+      .as[(Long, Long, String, String)].collect()
+    none.foreach { case (id, m, in, tgt) =>
+      assert(m === 0L && in === orig(id) && tgt === "")
+    }
+    spark.catalog.clearCache()
+  }
 }
