@@ -312,6 +312,35 @@ object RelationalQueries {
         .orderBy("o_orderstatus", "action")
     }),
 
+    // ── Runtime-filter semi-join (Bloom pushdown) ───────────────────────
+    // High-value orders' Bloom prefilters the lineitem scan map-side, the
+    // keyed semi-join verifies exactly (RuntimeFilter.bloomSemiJoin) —
+    // identical rows to the plain semi-join, which IS the oracle. The
+    // semi-join-reduction pattern that shrinks the probe shuffle to the
+    // matching rows at 100 TB.
+    "q_runtime_filter" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_returnflag"), col("l_extendedprice"), col("l_discount"))
+      val hi = t(s, dir, "orders").where(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey").as("l_orderkey"))
+      graft.ops.RuntimeFilter.bloomSemiJoin(li, hi, "l_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          Exact.roundSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ── Z-order layout audit (multi-dimensional data skipping) ──────────
+    // Morton-interleave (l_partkey, l_suppkey) low 16 bits, bucket by the
+    // curve's high bits (Layout.zOrderStats): per bucket, BOTH keys'
+    // min/max spans — narrow spans on both dimensions are what lets
+    // file-level stats prune either predicate. Pure bit arithmetic.
+    "q_zorder" -> ((s, dir) =>
+      graft.ops.Layout.zOrderStats(t(s, dir, "lineitem"),
+          "l_partkey", "l_suppkey", bits = 16, bucketShift = 14)
+        .orderBy("bucket")),
+
     // ── UNPIVOT / melt (wide → long reshape) ────────────────────────────
     // Four lineitem measures melted to (measure, val) rows per line — the
     // reshape every metrics store runs; a narrow Expand (rows × measures),
@@ -504,6 +533,27 @@ object RelationalQueries {
            COALESCE(n_intersect_all, 0) AS n_intersect_all
          FROM ea FULL OUTER JOIN ia ON ea.nationkey = ia.nationkey
          ORDER BY nationkey""",
+    "q_runtime_filter" ->
+      s"""SELECT l_returnflag, count(*) AS n_items,
+            ${oSum("l_extendedprice*(1-l_discount)", "revenue")}
+          FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                               WHERE o_totalprice > 400000)
+          GROUP BY 1 ORDER BY 1""",
+    "q_zorder" -> {
+      val z = (0 until 16).map(i =>
+        s"(((CAST(l_partkey AS BIGINT) >> $i) & 1) << ${2 * i}) + " +
+          s"(((CAST(l_suppkey AS BIGINT) >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH zv AS (
+            SELECT l_partkey, l_suppkey, ($z) AS z FROM lineitem)
+          SELECT (z >> 14) AS bucket, count(*) AS n,
+            min(l_partkey) AS min_a, max(l_partkey) AS max_a,
+            min(l_suppkey) AS min_b, max(l_suppkey) AS max_b,
+            max(l_partkey) - min(l_partkey) AS span_a,
+            max(l_suppkey) - min(l_suppkey) AS span_b
+          FROM zv GROUP BY 1 ORDER BY bucket"""
+    },
     "q_upsert" ->
       s"""WITH t0 AS (
             SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
