@@ -29,14 +29,24 @@ object Ivm {
   def mergeAggregates(base: DataFrame, delta: DataFrame, keys: Seq[String],
                       cntCol: String, sumCols: Seq[String],
                       minCols: Seq[String] = Nil,
-                      maxCols: Seq[String] = Nil): DataFrame = {
-    require(keys.nonEmpty, "mergeAggregates: no keys")
+                      maxCols: Seq[String] = Nil): DataFrame =
+    mergeAll(base.unionByName(delta), keys, cntCol, sumCols, minCols, maxCols)
+
+  /** The n-way form: fold a relation of stacked partials (any number of
+    * disjoint-row-set aggregates unioned — e.g. every micro-batch's
+    * partial a streaming ingest wrote) into the merged aggregate. The
+    * two-way [[mergeAggregates]] is this over base ∪ delta.
+    */
+  def mergeAll(partials: DataFrame, keys: Seq[String], cntCol: String,
+               sumCols: Seq[String], minCols: Seq[String] = Nil,
+               maxCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "mergeAll: no keys")
     val aggs =
       Seq(sum(col(cntCol)).as(cntCol)) ++
         sumCols.map(c => sum(col(c)).as(c)) ++
         minCols.map(c => min(col(c)).as(c)) ++
         maxCols.map(c => max(col(c)).as(c))
-    base.unionByName(delta)
+    partials
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }

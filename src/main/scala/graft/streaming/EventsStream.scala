@@ -144,6 +144,48 @@ object EventsStream {
     * becomes a micro-batch input) — how the specs and demos drive the
     * transforms above with real data.
     */
+  /** The per-(event_type, day) partial aggregate of [[ivmSink]] — one
+    * definition for the per-batch write AND the batch reference, so the
+    * stream==batch spec compares the same algebra. Decimal sums
+    * (additive-exact), min/max (idempotent-combinable), counts. */
+  def ivmPartial(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(28,10)")).as("sum_dec"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+
+  /** Streaming MATERIALIZED AGGREGATE (incremental view maintenance as a
+    * sink): every micro-batch writes ITS OWN partial aggregate under a
+    * `batch_id=` directory — idempotent under foreachBatch's
+    * at-least-once replay (overwrite of the keyed dir converges), the
+    * same contract as [[DocStream.decontaminatedSink]]. Readers fold the
+    * partials with [[graft.ops.Ivm.mergeAll]] ([[readMaterialized]]) —
+    * merge(agg(b₀), agg(b₁), …) == agg(all), the identity the batch
+    * q_ivm_merge gate proves against DuckDB. Per batch the write is a
+    * group-count-sized relation, never raw rows — the rollup a 100 TB/day
+    * ingest maintains without rescanning history.
+    */
+  def ivmSink(events: DataFrame, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ivmPartial(batch).write.mode("overwrite")
+          .parquet(s"$outPath/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Fold the [[ivmSink]] partials into the current materialized view. */
+  def readMaterialized(spark: SparkSession, outPath: String): DataFrame =
+    graft.ops.Ivm.mergeAll(
+      spark.read.parquet(outPath).drop("batch_id"),
+      keys = Seq("event_type", "day"), cntCol = "cnt",
+      sumCols = Seq("sum_dec"), minCols = Seq("min_v"),
+      maxCols = Seq("max_v"))
+
   def replayFromParquet(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // Same fixture-generation adaptivity as Tables.events (LONG ns vs

@@ -231,6 +231,21 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.toMap.apply("fox") === 3L)
   }
 
+  test("ivmSink materialized aggregate: folded micro-batch partials equal the batch aggregate") {
+    val outDir = tempDir("ivmOut").toString
+    val ckpt = tempDir("ivmCkpt").toString
+    val q = EventsStream.ivmSink(streamEvents, outDir, ckpt)
+    assert(q.awaitTermination(120000), "stream did not terminate in time")
+    // 3 input files at maxFilesPerTrigger=1 → ≥2 micro-batch partials
+    val batchDirs = new java.io.File(outDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(batchDirs.length >= 2, "fixture must slice into micro-batches")
+    val folded = EventsStream.readMaterialized(spark, outDir)
+    val direct = EventsStream.ivmPartial(batchEvents)
+    assert(canon(folded) === canon(direct),
+      "merge(agg(b0), agg(b1), ...) == agg(all), bit-for-bit")
+  }
+
   test("foreachBatch sink: per-micro-batch custom writes see every row once") {
     val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
     val q = streamEvents
