@@ -199,6 +199,56 @@ object RelationalQueries {
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("cnt"), col("sum_qty"))
         .orderBy("returnflag", "linestatus")),
+    // grouping()/grouping_id() over the same cube: the super-aggregate
+    // DISAMBIGUATOR — a real NULL key and a rolled-up level are
+    // indistinguishable by the value column alone; grouping_id is how
+    // engines (and the coalesce-to-'ALL' idiom above) tell them apart.
+    "q_grouping_id" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("g_rf"), col("g_ls"), col("gid"), col("cnt"))
+        .orderBy("gid", "returnflag", "linestatus")),
+    // ── CDC snapshot diff (the inverse of q_upsert) ─────────────────────
+    // Given two keyed snapshots, derive the change batch: per-key rows
+    // with change ∈ {insert, delete, update} and both value images — the
+    // differencing op CDC replication and table-format history read. One
+    // keyed full-outer join; unchanged rows drop. Snapshot B is a
+    // deterministic mutation of orders (P-status repriced ×1.1 = updates,
+    // %500==0 F-status dropped = deletes, key+10^9 clones = inserts).
+    "q_cdc_diff" -> ((s, dir) => {
+      val a = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val ins = t(s, dir, "orders")
+        .where(col("o_orderstatus") === "F" &&
+          pmod(col("o_orderkey"), lit(500)) === 0)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_totalprice"))
+      val b = t(s, dir, "orders")
+        .where(!(col("o_orderstatus") === "F" &&
+          pmod(col("o_orderkey"), lit(500)) === 0))
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "P", col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .unionByName(ins)
+      a.as("a").join(b.as("b"),
+          col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+        .select(
+          coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+          col("a.o_totalprice").as("old_price"),
+          col("b.o_totalprice").as("new_price"),
+          when(col("a.o_orderkey").isNull, lit("insert"))
+            .when(col("b.o_orderkey").isNull, lit("delete"))
+            .when(col("a.o_totalprice") =!= col("b.o_totalprice"),
+              lit("update")).as("change"))
+        .where(col("change").isNotNull)
+        .orderBy("o_orderkey")
+    }),
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "orders")
         .rollup(col("o_orderpriority"), col("o_orderstatus"))
@@ -533,6 +583,35 @@ object RelationalQueries {
            COALESCE(n_intersect_all, 0) AS n_intersect_all
          FROM ea FULL OUTER JOIN ia ON ea.nationkey = ia.nationkey
          ORDER BY nationkey""",
+    "q_grouping_id" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+           count(*) AS cnt
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY gid, returnflag, linestatus""",
+    "q_cdc_diff" ->
+      """SELECT * FROM (
+           WITH a AS (SELECT o_orderkey, o_totalprice FROM orders),
+             b AS (
+               SELECT o_orderkey,
+                 CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 1.1
+                      ELSE o_totalprice END AS o_totalprice
+               FROM orders
+               WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 500 = 0)
+               UNION ALL
+               SELECT o_orderkey + 1000000000, o_totalprice FROM orders
+               WHERE o_orderstatus = 'F' AND o_orderkey % 500 = 0)
+           SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             a.o_totalprice AS old_price, b.o_totalprice AS new_price,
+             CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                  WHEN b.o_orderkey IS NULL THEN 'delete'
+                  WHEN a.o_totalprice <> b.o_totalprice THEN 'update'
+             END AS change
+           FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+         WHERE change IS NOT NULL ORDER BY o_orderkey""",
     "q_runtime_filter" ->
       s"""SELECT l_returnflag, count(*) AS n_items,
             ${oSum("l_extendedprice*(1-l_discount)", "revenue")}
