@@ -66,6 +66,41 @@ object CorpusOps {
                 " ")))), x => x.isNotNull), " ").as("target_text"))
   }
 
+  /** FILL-IN-THE-MIDDLE (FIM) transform — the code-model data prep
+    * (Bavarian et al. 2022, "Efficient Training of Language Models to
+    * Fill in the Middle"): pick two deterministic cut points, reorder the
+    * document as PSM — `<PRE> prefix <SUF> suffix <MID> middle` — so a
+    * causal LM learns infilling from plain next-token prediction. Cuts
+    * are h60 draws over (salt, id) mapped into token positions (the
+    * family's no-randomness contract): a = 1 + h₁ mod (n−1) and
+    * b = a + h₂ mod (n−a) keep all three segments non-degenerate-ordered
+    * (prefix ≥ 1 token, middle ≥ 0, suffix ≥ 0). Narrow per-row array
+    * algebra, no shuffle.
+    *
+    * Output: id, `cut_a`, `cut_b`, `fim_text`.
+    */
+  def fimTransform(df: DataFrame, idCol: String, toksCol: String,
+                   salt: String = "fim:"): DataFrame = {
+    val n = size(col(toksCol))
+    val h1 = pmod(Hashes.h60(concat(lit(salt), lit("a:"),
+      col(idCol).cast("string"))), greatest(n - 1, lit(1)).cast("long"))
+    df.where(n >= 2)
+      .withColumn("cut_a", (lit(1) + h1).cast("int"))
+      .withColumn("cut_b",
+        (col("cut_a") + pmod(Hashes.h60(concat(lit(salt), lit("b:"),
+          col(idCol).cast("string"))),
+          greatest(n - col("cut_a"), lit(1)).cast("long"))).cast("int"))
+      .select(col(idCol), col("cut_a"), col("cut_b"),
+        concat(lit("<PRE> "),
+          array_join(slice(col(toksCol), lit(1), col("cut_a")), " "),
+          lit(" <SUF> "),
+          array_join(slice(col(toksCol), col("cut_b") + 1,
+            greatest(n - col("cut_b"), lit(0))), " "),
+          lit(" <MID> "),
+          array_join(slice(col(toksCol), col("cut_a") + 1,
+            col("cut_b") - col("cut_a")), " ")).as("fim_text"))
+  }
+
   /** Sampling basis: h60 of `salt:id`, reduced mod 10000 — i.e. a
     * deterministic uniform draw in [0, 10000) basis points. Exposed so
     * callers/oracles can reproduce the draw. */

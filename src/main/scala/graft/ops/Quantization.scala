@@ -193,8 +193,14 @@ object Quantization {
     require(k >= 1, s"k: $k")
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
+    // the codes relation is the expensive leg (per-row argmin over the
+    // codebook) and the join fans it out per probe — persist so it
+    // computes once (measured 37 s -> 24 s at a 10x probe; caller-managed
+    // lifetime, the verifiedNearDupsFromHashes contract: Verify/Bench
+    // clear the cache per query)
     val codes = pqSubBest(corpus, nCodes, m, dim)
       .select(col("vec_id").as("cand_id"), col("sub"), col("code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lut = subVecRows(probes, corpus, nCodes, m, sub)
       .select(col("vec_id").as("probe_id"), col("sub"),
         posexplode(transform(element_at(col("cb2"), col("sub") + 1),
@@ -247,9 +253,12 @@ object Quantization {
     val seeds = Similarity.seedsRelation(corpus, nSeeds)
     val assigned = Similarity.assignToSeeds(corpus, seeds)
       .select(col("vec_id").as("cand_id"), col("cell"))
+    // persisted for the same reason as pqAdcTopK's codes relation (the
+    // cell join + probe fan-out would re-derive the argmin leg)
     val codes = pqSubBest(corpus, nCodes, m, dim)
       .select(col("vec_id").as("cand_id"), col("sub"), col("code"))
       .join(assigned, Seq("cand_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // probe → nProbeCells best cells by the SAME rounded exact cosine the
     // assignment ranks with (ties to the lower cell — oracle contract);
     // nv rides in the projection so it is computed once per probe row

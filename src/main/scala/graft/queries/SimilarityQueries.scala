@@ -34,6 +34,24 @@ object SimilarityQueries {
     * near-random cosine ceiling (~0.51). */
   private val SemThresholds = Seq(0.3, 0.35, 0.4, 0.45)
 
+  /** The per-label 1-NN agreement relation (label, n_eval, n_correct) —
+    * shared by q_knn_accuracy and q_knn_ci so the eval and its intervals
+    * read the same draw: 20% id-stride probe sample over the LSH index,
+    * full-corpus candidates. */
+  private def knnAccuracyRelation(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val nn = Similarity.topKNeighborsLsh(
+      e.where(pmod(col("vec_id"), lit(5)) === 0), e, k = 1, NBits)
+    nn.join(e.select(col("vec_id").as("probe_id"),
+          col("label").as("probe_label")), Seq("probe_id"))
+      .join(e.select(col("vec_id").as("cand_id"),
+          col("label").as("cand_label")), Seq("cand_id"))
+      .groupBy(col("probe_label").as("label"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("cand_label") === col("probe_label"), 1L)
+          .otherwise(0L)).as("n_correct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-vector L2 norm — the basic embedding-column numeric op.
     "q_embed_norm" -> ((s, dir) =>
@@ -162,20 +180,35 @@ object SimilarityQueries {
     // (measured 19.5 s → ~4 s at sf0.1 for the same per-label estimate).
     // Probes whose multiprobe buckets hold no other vector drop (n_eval
     // counts evaluated probes, the contract the oracle mirrors).
-    "q_knn_accuracy" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val nn = Similarity.topKNeighborsLsh(
-        e.where(pmod(col("vec_id"), lit(5)) === 0), e, k = 1, NBits)
-      nn.join(e.select(col("vec_id").as("probe_id"),
-            col("label").as("probe_label")), Seq("probe_id"))
-        .join(e.select(col("vec_id").as("cand_id"),
-            col("label").as("cand_label")), Seq("cand_id"))
-        .groupBy(col("probe_label").as("label"))
-        .agg(count(lit(1)).as("n_eval"),
-          sum(when(col("cand_label") === col("probe_label"), 1L)
-            .otherwise(0L)).as("n_correct"))
+    "q_knn_accuracy" -> ((s, dir) =>
+      knnAccuracyRelation(s, dir)
         .withColumn("accuracy",
           round(col("n_correct").cast("double") / col("n_eval"), 6))
+        .orderBy("label")),
+
+    // ── 1-NN accuracy with Wilson 95% intervals (eval rigor) ────────────
+    // The same per-label agreement relation, with closed-form Wilson
+    // score bounds — the honest way to read a sampled eval (a 0.9 on 10
+    // probes and a 0.9 on 10k probes are different claims). z = 1.96 as
+    // an explicit DOUBLE literal in both engines (a bare DuckDB decimal
+    // literal would square exactly where doubles don't — the q_bm25
+    // pitfall), every operation one fixed IEEE chain.
+    "q_knn_ci" -> ((s, dir) => {
+      val z = lit(1.96)
+      val z2 = z * z
+      val nn = col("n_eval").cast("double")
+      val p = col("n_correct").cast("double") / nn
+      val denom = lit(1.0) + z2 / nn
+      val center = (p + z2 / (lit(2.0) * nn)) / denom
+      val half = z * sqrt(p * (lit(1.0) - p) / nn +
+        z2 / (lit(4.0) * nn * nn)) / denom
+      knnAccuracyRelation(s, dir)
+        .select(col("label"), col("n_eval"), col("n_correct"),
+          round(p, 6).as("accuracy"),
+          // + 0.0 normalizes IEEE −0.0 (DuckDB's double ROUND keeps the
+          // sign bit on a tiny negative; Spark's drops it)
+          (round(center - half, 6) + lit(0.0)).as("ci_lo"),
+          (round(center + half, 6) + lit(0.0)).as("ci_hi"))
         .orderBy("label")
     }),
 
@@ -311,6 +344,39 @@ object SimilarityQueries {
             FROM assigned a JOIN assigned b
               ON a.cell = b.cell AND a.vec_id < b.vec_id
             WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.3)"""
+
+  /** Shared 1-NN agreement CTE (q_knn_accuracy + q_knn_ci): the
+    * q_knn_lsh bucket chain with the 20% id-stride probe sample and
+    * rank = 1, folded to `acc(label, n_eval, n_correct)`. */
+  private lazy val KnnAccCte: String =
+    s"""sig AS (
+            SELECT vec_id, embedding, ${bucketSql("embedding", NBits)} AS b0
+            FROM embeddings),
+          probes AS (
+            SELECT vec_id AS probe_id, embedding AS pv, unnest(
+              [b0] || list_transform(generate_series(0, ${NBits - 1}),
+                                     i -> xor(b0, 1::BIGINT << i))) AS bucket
+            FROM sig WHERE vec_id % 5 = 0),
+          cands AS (
+            SELECT DISTINCT probe_id, pv, s.vec_id AS cand_id, s.embedding AS cv
+            FROM probes JOIN sig s ON probes.bucket = s.b0
+            WHERE probe_id <> s.vec_id),
+          scored AS (
+            SELECT probe_id, cand_id, ${cosineSql("pv", "cv")} AS cosine
+            FROM cands),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY cosine DESC, cand_id ASC) AS rank
+            FROM scored),
+          nn AS (SELECT probe_id, cand_id FROM ranked WHERE rank = 1),
+          acc AS (
+            SELECT pl.label AS label, count(*) AS n_eval,
+              CAST(sum(CASE WHEN cl.label = pl.label THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_correct
+            FROM nn
+            JOIN embeddings pl ON nn.probe_id = pl.vec_id
+            JOIN embeddings cl ON nn.cand_id = cl.vec_id
+            GROUP BY 1)"""
 
   /** Shared PQ CTE chain (q_pq_codes + q_pq_adc): 16-seed codebook,
     * 8 subspaces of 8 dims, per-(vec, sub, code) exact-decimal rounded d²
@@ -616,37 +682,52 @@ object SimilarityQueries {
           JOIN embeddings c ON r.cand_id = c.vec_id
           WHERE rank <= $K ORDER BY probe_id, rank""",
     // q_knn_lsh's sig/probes/cands/scored/ranked CTE chain with the 20%
-    // id-stride probe sample and rank = 1, then label agreement per label.
+    // id-stride probe sample and rank = 1, then label agreement per label
+    // (KnnAccCte — shared verbatim with q_knn_ci).
     "q_knn_accuracy" ->
-      s"""WITH sig AS (
-            SELECT vec_id, embedding, ${bucketSql("embedding", NBits)} AS b0
-            FROM embeddings),
-          probes AS (
-            SELECT vec_id AS probe_id, embedding AS pv, unnest(
-              [b0] || list_transform(generate_series(0, ${NBits - 1}),
-                                     i -> xor(b0, 1::BIGINT << i))) AS bucket
-            FROM sig WHERE vec_id % 5 = 0),
-          cands AS (
-            SELECT DISTINCT probe_id, pv, s.vec_id AS cand_id, s.embedding AS cv
-            FROM probes JOIN sig s ON probes.bucket = s.b0
-            WHERE probe_id <> s.vec_id),
-          scored AS (
-            SELECT probe_id, cand_id, ${cosineSql("pv", "cv")} AS cosine
-            FROM cands),
-          ranked AS (
-            SELECT *, row_number() OVER (PARTITION BY probe_id
-              ORDER BY cosine DESC, cand_id ASC) AS rank
-            FROM scored),
-          nn AS (SELECT probe_id, cand_id FROM ranked WHERE rank = 1)
-          SELECT pl.label AS label, count(*) AS n_eval,
-            CAST(sum(CASE WHEN cl.label = pl.label THEN 1 ELSE 0 END)
-                 AS BIGINT) AS n_correct,
-            ROUND(CAST(sum(CASE WHEN cl.label = pl.label THEN 1 ELSE 0 END)
-                       AS DOUBLE) / count(*), 6) AS accuracy
-          FROM nn
-          JOIN embeddings pl ON nn.probe_id = pl.vec_id
-          JOIN embeddings cl ON nn.cand_id = cl.vec_id
-          GROUP BY 1 ORDER BY label""",
+      s"""WITH $KnnAccCte
+          SELECT label, n_eval, n_correct,
+            ROUND(CAST(n_correct AS DOUBLE) / n_eval, 6) AS accuracy
+          FROM acc ORDER BY label""",
+    // Wilson 95% over the SAME acc relation; 1.96 as an explicit DOUBLE
+    // (a bare DuckDB decimal literal squares exactly where doubles don't)
+    // and every arithmetic step textually mirrors the engine's chain.
+    "q_knn_ci" ->
+      s"""WITH $KnnAccCte
+          SELECT label, n_eval, n_correct,
+            ROUND(CAST(n_correct AS DOUBLE) / CAST(n_eval AS DOUBLE), 6)
+              AS accuracy,
+            ROUND(((CAST(n_correct AS DOUBLE) / CAST(n_eval AS DOUBLE))
+                + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                  / (2.0 * CAST(n_eval AS DOUBLE)))
+              / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                  / CAST(n_eval AS DOUBLE))
+              - CAST(1.96 AS DOUBLE) * sqrt(
+                  (CAST(n_correct AS DOUBLE) / CAST(n_eval AS DOUBLE))
+                    * (1.0 - CAST(n_correct AS DOUBLE)
+                        / CAST(n_eval AS DOUBLE))
+                    / CAST(n_eval AS DOUBLE)
+                  + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                    / (4.0 * CAST(n_eval AS DOUBLE)
+                        * CAST(n_eval AS DOUBLE)))
+                / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                    / CAST(n_eval AS DOUBLE)), 6) + 0.0 AS ci_lo,
+            ROUND(((CAST(n_correct AS DOUBLE) / CAST(n_eval AS DOUBLE))
+                + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                  / (2.0 * CAST(n_eval AS DOUBLE)))
+              / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                  / CAST(n_eval AS DOUBLE))
+              + CAST(1.96 AS DOUBLE) * sqrt(
+                  (CAST(n_correct AS DOUBLE) / CAST(n_eval AS DOUBLE))
+                    * (1.0 - CAST(n_correct AS DOUBLE)
+                        / CAST(n_eval AS DOUBLE))
+                    / CAST(n_eval AS DOUBLE)
+                  + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                    / (4.0 * CAST(n_eval AS DOUBLE)
+                        * CAST(n_eval AS DOUBLE)))
+                / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                    / CAST(n_eval AS DOUBLE)), 6) + 0.0 AS ci_hi
+          FROM acc ORDER BY label""",
     "q_kmeans_assign" ->
       s"""WITH seeds AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,

@@ -564,6 +564,17 @@ object TextPipelineQueries {
           "doc_id", "toks", spanLen = 3, maskPct = 15)
         .orderBy("doc_id")),
 
+    // ── Fill-in-the-middle transform (code-model data prep) ─────────────
+    // PSM reorder (Bavarian et al. 2022) with h60-drawn cut points
+    // (CorpusOps.fimTransform) — the second member of the SSL sample-prep
+    // family next to q_span_corrupt. Bounded to doc_id < 100.
+    "q_fim" -> ((s, dir) =>
+      CorpusOps.fimTransform(
+          docs(s, dir).where(col("doc_id") < 100)
+            .withColumn("toks", TextAnalysis.tokens(col("text"))),
+          "doc_id", "toks")
+        .orderBy("doc_id")),
+
     // ── Lexical vs semantic dedup Venn ──────────────────────────────────
     // Which docs each dedup MECHANISM flags: lexical = n-gram Jaccard
     // ≥ 0.5 pairs (the q_neardup_jaccard relation), semantic = embedding
@@ -1758,6 +1769,30 @@ object TextPipelineQueries {
                        array_to_string((toks)[i*3+1:i*3+3], ' ') END),
               x -> x IS NOT NULL), ' '), '') AS target_text
           FROM f ORDER BY doc_id""",
+    // cut draws replayed with the same h60 strings; 1-based inclusive
+    // slices mirror Spark's (start, length) slices segment for segment.
+    "q_fim" ->
+      s"""WITH t AS (
+            SELECT doc_id, $ToksSql AS toks FROM documents
+            WHERE doc_id < 100),
+          c AS (
+            SELECT doc_id, toks, len(toks) AS n,
+              CAST(1 + (${h60("'fim:a:' || doc_id")}
+                % greatest(len(toks) - 1, 1)) AS INT) AS cut_a
+            FROM t WHERE len(toks) >= 2),
+          c2 AS (
+            SELECT doc_id, toks, n, cut_a,
+              CAST(cut_a + (${h60("'fim:b:' || doc_id")}
+                % greatest(n - cut_a, 1)) AS INT) AS cut_b
+            FROM c)
+          SELECT doc_id, cut_a, cut_b,
+            '<PRE> ' || COALESCE(array_to_string((toks)[1:cut_a], ' '), '') ||
+            ' <SUF> ' ||
+              COALESCE(array_to_string((toks)[cut_b+1:n], ' '), '') ||
+            ' <MID> ' ||
+              COALESCE(array_to_string((toks)[cut_a+1:cut_b], ' '), '')
+              AS fim_text
+          FROM c2 ORDER BY doc_id""",
     // lexical leg = the q_neardup_jaccard CTE chain at 0.5 (its length
     // filter needs no mirror — it only drops below-threshold pairs);
     // semantic leg = the q_embed_neardup sig/bucket join at 0.3.

@@ -74,6 +74,34 @@ object ScaleProbe {
       .withColumn("vec_id", col("vec_id") + col("rep") * 1000000000L)
       .drop("rep")
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // Fact tables for the relational/events probes (r12): row-identity
+    // keys shift by rep·10¹⁰ (clear of the 10⁹ offsets q_upsert/q_cdc_diff
+    // synthesize internally), so intra-replica joins stay 1:1; user_id
+    // shifts by rep·10⁶ so session/user cardinality grows with the data
+    // (a fixed user set would just deepen per-user sequences). Dimension
+    // tables copy verbatim — they are the star schema's broadcast side and
+    // deliberately do NOT grow (the 100 TB posture).
+    val keyShift = col("rep") * 10000000000L
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .crossJoin(broadcast(reps))
+      .withColumn("l_orderkey", col("l_orderkey") + keyShift)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .crossJoin(broadcast(reps))
+      .withColumn("o_orderkey", col("o_orderkey") + keyShift)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .crossJoin(broadcast(reps))
+      .withColumn("event_id", col("event_id") + keyShift)
+      .withColumn("user_id", col("user_id") + col("rep") * 1000000L)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
     val nDocs = spark.read.parquet(s"$outDir/documents.parquet").count()
     println(s"[scaleprobe] replicated corpus ($mode): $nDocs docs at $outDir")
 
