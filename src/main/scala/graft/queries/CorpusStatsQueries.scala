@@ -132,6 +132,38 @@ object CorpusStatsQueries {
       CorpusStats.bm25TopK(tokStream(s, dir),
         Seq("spark", "merge", "vector"), k = 20)),
 
+    // ── Hard-negative mining (retrieval-training data prep) ─────────────
+    // The contrastive-training staple: query → BM25 top-20; rank 1 is the
+    // positive; ranks 2..20 are negatives, each audited for near-dup
+    // leakage against the positive (shingle-set Jaccard — a false
+    // negative that is really a duplicate of the positive poisons the
+    // contrastive loss). The ranker is the EXACT gated q_bm25 relation;
+    // the audit is 19 pairwise set ops over the cut, corpus-independent.
+    // The 20-row cut persists: the positive and negative branches both
+    // read it (q_rank_diversify pattern).
+    "q_hard_negatives" -> ((s, dir) => {
+      val topW = Window.partitionBy(pmod(col("doc_id"), lit(1L)))
+        .orderBy(desc("bm25"), col("doc_id"))
+      val top = CorpusStats.bm25TopK(tokStream(s, dir),
+          Seq("spark", "merge", "vector"), k = 20)
+        .withColumn("rank", row_number().over(topW).cast("int"))
+        .persist()
+      val sh = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.shingleSet(col("text"), 3).as("sh"))
+      val pos = top.where(col("rank") === 1)
+        .join(sh, Seq("doc_id"))
+        .select(col("doc_id").as("pos_id"), col("sh").as("pos_sh"))
+      val jac = round(
+        size(array_intersect(col("sh"), col("pos_sh"))).cast("double") /
+          size(array_union(col("sh"), col("pos_sh"))), 6)
+      top.where(col("rank") > 1)
+        .join(sh, Seq("doc_id"))
+        .crossJoin(broadcast(pos))
+        .select(col("rank"), col("doc_id"), col("bm25"),
+          jac.as("jac_to_pos"), (jac < 0.5).as("is_hard_negative"))
+        .orderBy("rank")
+    }),
+
     // ── Hybrid retrieval: RRF fusion of BM25 and dense rankings ─────────
     // The standard two-tower retrieval shape: a lexical ranker (BM25 over
     // the token stream) and a dense ranker (exact-cosine top-k against a
@@ -414,6 +446,43 @@ object CorpusStatsQueries {
   private val TokCte =
     s"tok AS (SELECT doc_id, unnest($ToksSql) AS tok FROM documents)"
 
+  /** The q_bm25 scoring chain as a reusable fragment ending in
+    * `bmk(doc_id, bm25, n_hit)` — the top-`limit` cut for the fixed
+    * 3-term query; shared by q_bm25 and q_hard_negatives so the ranker
+    * under the mining query is EXACTLY the gated one. */
+  private def bm25Cte(limit: Int): String =
+    s"""dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs,
+                        CAST(SUM(dl) AS BIGINT) AS tok_total FROM dl),
+            qtf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+                    WHERE tok IN ('spark', 'merge', 'vector')
+                    GROUP BY doc_id, tok),
+            dfc AS (SELECT tok, count(*) AS df FROM qtf GROUP BY tok),
+            s AS (
+              -- tf * CAST(2.2 AS DOUBLE): a bare 2.2 would multiply in
+              -- DuckDB DECIMAL (exact 6.6 -> nearest double) where Spark
+              -- multiplies doubles (3 * 2.2d = 6.6000000000000005) — a
+              -- pre-round ulp divergence waiting for a half boundary
+              -- same for the idf ratio: both operands cast to DOUBLE so
+              -- the division is IEEE, not DuckDB DECIMAL/DECIMAL
+              SELECT q.doc_id,
+                ROUND(ROUND(ln((CAST(n_docs - df AS DOUBLE) + 0.5)
+                               / (CAST(df AS DOUBLE) + 0.5) + 1), 6)
+                        * (tf * CAST(2.2 AS DOUBLE))
+                      / (tf + 1.2 * (0.25 + 0.75 * d.dl
+                           / (CAST(tok_total AS DOUBLE) / n_docs))), 6) AS s
+              FROM qtf q
+              JOIN dfc USING (tok)
+              JOIN dl d USING (doc_id)
+              CROSS JOIN stats),
+            bmk AS (
+              SELECT doc_id,
+                ROUND(CAST(SUM(CAST(s AS DECIMAL(28,10))) AS DOUBLE), 6)
+                  AS bm25,
+                CAST(count(*) AS BIGINT) AS n_hit
+              FROM s GROUP BY doc_id
+              ORDER BY bm25 DESC, doc_id LIMIT $limit)"""
+
   val oracles: Map[String, String] = Map(
     "q_unigram_lm" ->
       s"""WITH $TokCte,
@@ -628,35 +697,36 @@ object CorpusStatsQueries {
           ORDER BY cnt DESC, tok""",
     "q_bm25" ->
       s"""WITH $TokCte,
-            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-            stats AS (SELECT count(*) AS n_docs,
-                        CAST(SUM(dl) AS BIGINT) AS tok_total FROM dl),
-            qtf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
-                    WHERE tok IN ('spark', 'merge', 'vector')
-                    GROUP BY doc_id, tok),
-            dfc AS (SELECT tok, count(*) AS df FROM qtf GROUP BY tok),
-            s AS (
-              -- tf * CAST(2.2 AS DOUBLE): a bare 2.2 would multiply in
-              -- DuckDB DECIMAL (exact 6.6 -> nearest double) where Spark
-              -- multiplies doubles (3 * 2.2d = 6.6000000000000005) — a
-              -- pre-round ulp divergence waiting for a half boundary
-              -- same for the idf ratio: both operands cast to DOUBLE so
-              -- the division is IEEE, not DuckDB DECIMAL/DECIMAL
-              SELECT q.doc_id,
-                ROUND(ROUND(ln((CAST(n_docs - df AS DOUBLE) + 0.5)
-                               / (CAST(df AS DOUBLE) + 0.5) + 1), 6)
-                        * (tf * CAST(2.2 AS DOUBLE))
-                      / (tf + 1.2 * (0.25 + 0.75 * d.dl
-                           / (CAST(tok_total AS DOUBLE) / n_docs))), 6) AS s
-              FROM qtf q
-              JOIN dfc USING (tok)
-              JOIN dl d USING (doc_id)
-              CROSS JOIN stats)
-          SELECT doc_id,
-            ROUND(CAST(SUM(CAST(s AS DECIMAL(28,10))) AS DOUBLE), 6) AS bm25,
-            CAST(count(*) AS BIGINT) AS n_hit
-          FROM s GROUP BY doc_id
-          ORDER BY bm25 DESC, doc_id LIMIT 20""",
+            ${bm25Cte(20)}
+          SELECT doc_id, bm25, n_hit FROM bmk
+          ORDER BY bm25 DESC, doc_id""",
+    // bm25Cte(20) shared verbatim with q_bm25; shingle-set Jaccard to the
+    // positive per list_intersect / list_distinct (the q_neardup_incr
+    // oracle form — only 19 pairs, no index needed).
+    "q_hard_negatives" ->
+      s"""WITH $TokCte,
+            ${bm25Cte(20)},
+          rk AS (
+            SELECT doc_id, bm25, row_number() OVER (
+              ORDER BY bm25 DESC, doc_id) AS rank
+            FROM bmk),
+          shx AS (
+            SELECT doc_id,
+              list_distinct(list_transform(
+                generate_series(1, greatest(len($ToksSql) - 2, 0)),
+                i -> array_to_string(($ToksSql)[i:i+2], ' '))) AS sh
+            FROM documents),
+          pos AS (
+            SELECT r.doc_id AS pos_id, sh AS pos_sh
+            FROM rk r JOIN shx ON r.doc_id = shx.doc_id WHERE rank = 1)
+          SELECT CAST(r.rank AS INT) AS rank, r.doc_id, r.bm25,
+            ROUND(CAST(len(list_intersect(s2.sh, p.pos_sh)) AS DOUBLE)
+              / len(list_distinct(s2.sh || p.pos_sh)), 6) AS jac_to_pos,
+            ROUND(CAST(len(list_intersect(s2.sh, p.pos_sh)) AS DOUBLE)
+              / len(list_distinct(s2.sh || p.pos_sh)), 6) < 0.5
+              AS is_hard_negative
+          FROM rk r JOIN shx s2 ON r.doc_id = s2.doc_id CROSS JOIN pos p
+          WHERE r.rank > 1 ORDER BY rank""",
     // Same BM25 pipeline at k=50 feeding the lexical leg of the fusion;
     // the dense leg is the q_knn_brute cosine with probe vec_id = 0.
     // Ranks are computed over the ROUNDED scores with id tie-breaks on

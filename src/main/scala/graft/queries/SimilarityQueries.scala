@@ -153,6 +153,32 @@ object SimilarityQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // ── ANN recall curve: LSH top-k vs brute truth at k ∈ {1,5,10} ──────
+    // The eval every approximate index publishes: per cut depth, how much
+    // of the exact top-k the LSH path recovers. One keyed join of the two
+    // ranked cuts (≤ 50 rows each), one conditional aggregate, unpivoted
+    // to a row per k — both rankers are the existing gated paths.
+    "q_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val probes = e.where(col("vec_id") < 5)
+      val brute = Similarity.topKNeighbors(probes, e, K)
+        .select(col("probe_id"), col("cand_id"), col("rank").as("rank_b"))
+      val lsh = Similarity.topKNeighborsLsh(probes, e, K, NBits)
+        .select(col("probe_id"), col("cand_id"), col("rank").as("rank_l"))
+      val joined = brute.join(lsh, Seq("probe_id", "cand_id"))
+      def hits(kk: Int) = sum(when(col("rank_b") <= kk &&
+        col("rank_l") <= kk, 1L).otherwise(0L))
+      val agg = joined.agg(hits(1).as("h1"), hits(5).as("h5"),
+        hits(10).as("h10"))
+      agg.select(explode(array(Seq(1, 5, 10).map { kk =>
+          struct(lit(kk).as("k"), col(s"h$kk").as("n_hit"),
+            round(col(s"h$kk").cast("double") / lit(5.0 * kk), 6)
+              .as("recall"))
+        }: _*)).as("r"))
+        .select(col("r.*"))
+        .orderBy("k")
+    }),
+
     // ── IVF-PQ top-k (the full modern ANN stack, composed) ──────────────
     // Voronoi cells (deterministic lowest-id seeds, the q_kmeans_assign
     // contract) route each probe to its 2 best cells; the PQ-ADC
@@ -596,6 +622,56 @@ object SimilarityQueries {
               AS mse
           FROM best WHERE rn = 1
           GROUP BY vec_id ORDER BY vec_id""",
+    // brute pairs (q_knn_brute CTE) + lsh pairs (q_knn_lsh CTE) joined on
+    // (probe, cand); conditional counts per cut depth.
+    "q_ann_recall" ->
+      s"""WITH bpairs AS (
+            SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+              ${cosineSql("p.embedding", "c.embedding")} AS cosine
+            FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+            WHERE p.vec_id < 5),
+          branked AS (
+            SELECT probe_id, cand_id, row_number() OVER (PARTITION BY probe_id
+              ORDER BY cosine DESC, cand_id ASC) AS rank_b
+            FROM bpairs),
+          sig AS (
+            SELECT vec_id, embedding, ${bucketSql("embedding", NBits)} AS b0
+            FROM embeddings),
+          lprobes AS (
+            SELECT vec_id AS probe_id, embedding AS pv, unnest(
+              [b0] || list_transform(generate_series(0, ${NBits - 1}),
+                                     i -> xor(b0, 1::BIGINT << i))) AS bucket
+            FROM sig WHERE vec_id < 5),
+          lcands AS (
+            SELECT DISTINCT probe_id, pv, s.vec_id AS cand_id, s.embedding AS cv
+            FROM lprobes JOIN sig s ON lprobes.bucket = s.b0
+            WHERE probe_id <> s.vec_id),
+          lranked AS (
+            SELECT probe_id, cand_id, row_number() OVER (PARTITION BY probe_id
+              ORDER BY ${cosineSql("pv", "cv")} DESC, cand_id ASC) AS rank_l
+            FROM lcands),
+          j AS (
+            SELECT b.probe_id, b.cand_id, b.rank_b, l.rank_l
+            FROM branked b JOIN lranked l USING (probe_id, cand_id)
+            WHERE b.rank_b <= $K AND l.rank_l <= $K),
+          h AS (
+            SELECT
+              SUM(CASE WHEN rank_b <= 1 AND rank_l <= 1 THEN 1 ELSE 0 END)
+                AS h1,
+              SUM(CASE WHEN rank_b <= 5 AND rank_l <= 5 THEN 1 ELSE 0 END)
+                AS h5,
+              SUM(CASE WHEN rank_b <= 10 AND rank_l <= 10 THEN 1 ELSE 0 END)
+                AS h10
+            FROM j)
+          SELECT 1 AS k, CAST(h1 AS BIGINT) AS n_hit,
+            ROUND(CAST(h1 AS DOUBLE) / 5.0, 6) AS recall FROM h
+          UNION ALL
+          SELECT 5, CAST(h5 AS BIGINT),
+            ROUND(CAST(h5 AS DOUBLE) / 25.0, 6) FROM h
+          UNION ALL
+          SELECT 10, CAST(h10 AS BIGINT),
+            ROUND(CAST(h10 AS DOUBLE) / 50.0, 6) FROM h
+          ORDER BY k""",
     // PqCte + the SemPairs-style Voronoi chain (vseeds/vassigned named to
     // avoid PqCte's seeds): probe visits its 2 best cells by the SAME
     // rounded cosine the assignment ranks with; ADC over those cells only.

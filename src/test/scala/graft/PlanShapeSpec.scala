@@ -65,7 +65,9 @@ class PlanShapeSpec extends SparkSpec {
     "q_pq_codes" -> "crossJoin of the single-row broadcast codebook array (orderBy.limit(16) seeds folded to one row — the assignToSeeds physical shape); assignment is a narrow per-row argmin",
     "q_pq_adc" -> "inherits q_pq_codes' single-row broadcast codebook crossJoin on both the codes and LUT sides; the ADC scan itself is the keyed (sub, code) equi-join and the ground-truth attach is two id equi-joins",
     "q_join_estimate" -> "crossJoins of three single-row aggregates (side stats x side stats x actual join count — the q_hll_merge pattern)",
-    "q_ivfpq" -> "inherits the single-row broadcast codebook crossJoin (q_pq_codes pattern) and the single-row broadcast seed-array crossJoin (q_kmeans_assign pattern); routing, candidate, and LUT joins are all keyed (cell / (probe, sub, code))")
+    "q_ivfpq" -> "inherits the single-row broadcast codebook crossJoin (q_pq_codes pattern) and the single-row broadcast seed-array crossJoin (q_kmeans_assign pattern); routing, candidate, and LUT joins are all keyed (cell / (probe, sub, code))",
+    "q_ann_recall" -> "composes q_knn_brute's documented broadcast-NLJ truth baseline (the recall curve needs exact ground truth); the LSH leg and the cut join are keyed",
+    "q_hard_negatives" -> "inherits q_bm25's single-row stats crossJoin and adds the single-row positive (pos_id, pos_sh) crossJoin onto the 19-row negative cut (broadcast, one row)")
 
   // the AQE-aware walker lives on SparkSpec (collectPlanNodes) so DedupSpec's
   // ccRound audit and this guard can never drift apart
