@@ -581,6 +581,42 @@ object Dedup {
       .where(col("containment") >= threshold)
   }
 
+  /** Bottom-k containment ESTIMATOR audit — the sketch that takes
+    * [[containmentPairs]] to 100 TB: a doc's k smallest n-gram hashes are
+    * a uniform sample of its set (the classic bottom-k/KMV minwise
+    * sketch), so |bottomK(A) ∩ B| / min(k, |A|) estimates C(A→B) with
+    * error O(1/√k) — and because the hashes are the shared deterministic
+    * h60 family, the estimator is REPLAYABLE in any engine. This audit
+    * computes, for every exact containment pair, the k-budget estimate
+    * next to the exact value — the q_minhash_acc pattern applied to the
+    * asymmetric measure: the table that picks k before trusting
+    * sketch-only containment at scale (where the full sets never meet —
+    * only sketches ship).
+    *
+    * Output: the [[containmentPairs]] columns + `est` (round 6) and
+    * `abs_err`.
+    */
+  def containmentSketchAudit(hashed: DataFrame, threshold: Double,
+                             maxDf: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k: $k")
+    val pairs = containmentPairs(hashed, threshold, maxDf)
+      .withColumn("container_id",
+        when(col("contained_id") === col("id_a"), col("id_b"))
+          .otherwise(col("id_a")))
+    pairs
+      .join(hashed.select(col("id").as("contained_id"),
+        col("hs").as("hs_s")), Seq("contained_id"))
+      .join(hashed.select(col("id").as("container_id"),
+        col("hs").as("hs_b")), Seq("container_id"))
+      .withColumn("est",
+        round(size(array_intersect(slice(array_sort(col("hs_s")), 1, k),
+          col("hs_b"))).cast("double") /
+          least(lit(k), size(col("hs_s"))), 6))
+      .select(col("id_a"), col("id_b"), col("contained_id"),
+        col("containment"), col("est"),
+        round(abs(col("est") - col("containment")), 6).as("abs_err"))
+  }
+
   /** Sub-document SEGMENT dedup (the paragraph-granularity pass of
     * CCNet-style pipelines, expressed over token streams): cut each doc
     * into DISJOINT `segLen`-token segments, keep the corpus-wide FIRST

@@ -538,6 +538,42 @@ object TextPipelineQueries {
           threshold = 0.6, maxDf = 50)
         .orderBy("id_a", "id_b")),
 
+    // ── Bottom-k containment estimator audit ────────────────────────────
+    // k=30 minwise sketch estimate next to the exact containment for
+    // every q_containment pair (Dedup.containmentSketchAudit) — the
+    // sketch-budget table read before trusting sketch-only containment
+    // at scale, where full n-gram sets never meet.
+    "q_containment_sketch" -> ((s, dir) =>
+      Dedup.containmentSketchAudit(
+          Dedup.hashedNgrams(
+            docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text"))),
+            "doc_id", "toks", 3),
+          threshold = 0.6, maxDf = 50, k = 30)
+        .orderBy("id_a", "id_b")),
+
+    // ── Per-source segment-dup rate (the curation decision table) ───────
+    // q_seg_dedup's per-doc accounting rolled up per source: how much of
+    // each source's token mass is sub-document-duplicated boilerplate —
+    // the per-source number a recipe decision reads (a source at 40%
+    // repeated segments wants segment-level dedup before mixing).
+    "q_seg_dedup_rate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.segmentDedup(
+          d.withColumn("toks", TextAnalysis.tokens(col("text"))),
+          "doc_id", "toks", segLen = 16)
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_segs")).as("n_segs"),
+          sum(col("dup_segs")).as("dup_segs"),
+          sum(col("total_toks")).as("total_toks"),
+          sum(col("kept_toks")).as("kept_toks"))
+        .withColumn("dup_tok_frac",
+          round(lit(1.0) - col("kept_toks").cast("double")
+            / col("total_toks"), 6))
+        .orderBy("source")
+    }),
+
     // ── Sub-document segment dedup (paragraph-granularity pass) ─────────
     // Disjoint 16-token segments, corpus-wide first-occurrence keeper in
     // (doc_id, seg_idx) order, per-doc retained-token accounting
@@ -1889,6 +1925,82 @@ object TextPipelineQueries {
           FROM pairs
           WHERE ROUND(CAST(shared AS DOUBLE) / least(n_a, n_b), 6) >= 0.6
           ORDER BY id_a, id_b""",
+    // the q_containment chain + ngh arrays joined back per pair; bottom-k
+    // = the sorted hash list's first 30 (same h60 family both engines).
+    "q_containment_sketch" ->
+      s"""WITH hs AS (
+            SELECT doc_id,
+              list_transform($ToksSql, t -> ${h60("t")}) AS hsarr
+            FROM documents),
+          ng AS (
+            SELECT doc_id, ${ngramHashesSql("hsarr", 3)} AS ngh FROM hs),
+          idx AS (
+            SELECT doc_id, len(ngh) AS n, unnest(ngh) AS h FROM ng
+            WHERE len(ngh) > 0),
+          dfok AS (SELECT h FROM idx GROUP BY h HAVING count(*) <= 50),
+          kept AS (SELECT idx.doc_id, idx.n, idx.h FROM idx
+                   JOIN dfok ON idx.h = dfok.h),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              a.n AS n_a, b.n AS n_b, count(*) AS shared
+            FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4),
+          cp AS (
+            SELECT id_a, id_b,
+              ROUND(CAST(shared AS DOUBLE) / least(n_a, n_b), 6)
+                AS containment,
+              CASE WHEN n_a <= n_b THEN id_a ELSE id_b END AS contained_id,
+              CASE WHEN n_a <= n_b THEN id_b ELSE id_a END AS container_id
+            FROM pairs
+            WHERE ROUND(CAST(shared AS DOUBLE) / least(n_a, n_b), 6) >= 0.6)
+          SELECT c.id_a, c.id_b, c.contained_id, c.containment,
+            ROUND(CAST(len(list_intersect((list_sort(s.ngh))[1:30], b.ngh))
+                AS DOUBLE) / least(30, len(s.ngh)), 6) AS est,
+            ROUND(ABS(
+              ROUND(CAST(len(list_intersect((list_sort(s.ngh))[1:30], b.ngh))
+                  AS DOUBLE) / least(30, len(s.ngh)), 6)
+              - c.containment), 6) AS abs_err
+          FROM cp c
+          JOIN ng s ON c.contained_id = s.doc_id
+          JOIN ng b ON c.container_id = b.doc_id
+          ORDER BY id_a, id_b""",
+    // the q_seg_dedup chain rolled up per source.
+    "q_seg_dedup_rate" ->
+      s"""WITH t AS (
+            SELECT doc_id, $ToksSql AS toks FROM documents
+            WHERE len($ToksSql) > 0),
+          s0 AS (
+            SELECT doc_id, toks, len(toks) AS n,
+              unnest(generate_series(0,
+                CAST(floor((len(toks) - 1) / 16.0) AS BIGINT))) AS i
+            FROM t),
+          segs AS (
+            SELECT doc_id, i AS seg_idx,
+              array_to_string((toks)[i*16+1:i*16+16], ' ') AS seg,
+              least(16, n - i*16) AS ntoks
+            FROM s0),
+          fl AS (
+            SELECT doc_id, seg_idx, ntoks,
+              row_number() OVER (PARTITION BY seg
+                                 ORDER BY doc_id, seg_idx) AS rn
+            FROM segs),
+          per AS (
+            SELECT doc_id, count(*) AS n_segs,
+              CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS dup_segs,
+              CAST(sum(ntoks) AS BIGINT) AS total_toks,
+              CAST(sum(CASE WHEN rn = 1 THEN ntoks ELSE 0 END) AS BIGINT)
+                AS kept_toks
+            FROM fl GROUP BY doc_id)
+          SELECT d.source, count(*) AS n_docs,
+            CAST(sum(n_segs) AS BIGINT) AS n_segs,
+            CAST(sum(dup_segs) AS BIGINT) AS dup_segs,
+            CAST(sum(total_toks) AS BIGINT) AS total_toks,
+            CAST(sum(kept_toks) AS BIGINT) AS kept_toks,
+            ROUND(1.0 - CAST(sum(kept_toks) AS DOUBLE) / sum(total_toks), 6)
+              AS dup_tok_frac
+          FROM per JOIN documents d USING (doc_id)
+          GROUP BY 1 ORDER BY source""",
     // Disjoint 16-token segments via 1-based inclusive list slices (the
     // mirror of Spark's slice(toks, i*16+1, 16)); first occurrence ranked
     // by the unique (doc_id, seg_idx) key so the keeper is deterministic

@@ -192,6 +192,29 @@ class DedupSpec extends SparkSpec {
     assert(muted.isEmpty, "df=1 n-grams are unshared by definition")
   }
 
+  test("containmentSketchAudit: exact at k ≥ |small set|, bounded error at small k") {
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val d = Seq(
+      (20L, passage),
+      (21L, s"page header boilerplate text $passage trailing footer content here also"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+    val hashed = Dedup.hashedNgrams(d, "doc_id", "toks", 3)
+    // k=1000 ≥ every set size: the sketch IS the set → est == containment
+    val full = Dedup.containmentSketchAudit(hashed, threshold = 0.9,
+        maxDf = Int.MaxValue, k = 1000)
+      .select("containment", "est", "abs_err")
+      .as[(Double, Double, Double)].collect().toSeq
+    assert(full.nonEmpty)
+    full.foreach { case (c, e, err) => assert(e === c && err === 0.0) }
+    // k=5: estimator of a TRUE containment-1.0 pair is still exact (every
+    // sampled element of the contained set is in the container)
+    val k5 = Dedup.containmentSketchAudit(hashed, threshold = 0.9,
+        maxDf = Int.MaxValue, k = 5)
+      .select("containment", "est").as[(Double, Double)].collect().toSeq
+    k5.foreach { case (c, e) => if (c == 1.0) assert(e === 1.0) }
+  }
+
   test("segmentDedup keeps corpus-first segments and accounts retained tokens") {
     // 16-token segments. doc 1: segA ++ segB (32 toks). doc 2: segA ++ segC
     // (segA repeated from doc 1 → dup). doc 3: 8-token unique tail segment.
