@@ -148,8 +148,15 @@ object CorpusStatsQueries {
           Seq("spark", "merge", "vector"), k = 20)
         .withColumn("rank", row_number().over(topW).cast("int"))
         .persist()
-      val sh = docs(s, dir).select(col("doc_id"),
-        TextAnalysis.shingleSet(col("text"), 3).as("sh"))
+      // shingle ONLY the 20-doc cut (broadcast semi-join BEFORE the
+      // shingle projection — shingling the whole corpus for a 20-doc
+      // audit measured 2×5 s of the query's 16 s at sf0.1), and persist:
+      // the positive and negative branches both read it
+      val sh = docs(s, dir)
+        .join(broadcast(top.select(col("doc_id"))), Seq("doc_id"))
+        .select(col("doc_id"),
+          TextAnalysis.shingleSet(col("text"), 3).as("sh"))
+        .persist()
       val pos = top.where(col("rank") === 1)
         .join(sh, Seq("doc_id"))
         .select(col("doc_id").as("pos_id"), col("sh").as("pos_sh"))
