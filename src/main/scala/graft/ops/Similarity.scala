@@ -671,6 +671,43 @@ object Similarity {
           - sqrt(dotExactHof(col("mu_v"), col("mu_v"))), 6).as("norm_gap"))
   }
 
+  /** Per-GROUP centroid profile — the modality-crossing dataset-card
+    * stat: each group's mean vector (per-dim rounded decimal means, the
+    * [[splitCentroidDrift]] algebra) profiled against the GLOBAL
+    * centroid: `centroid_l2` (a near-zero norm = the group's vectors
+    * cancel — incoherent mix) and `cos_to_global` (which groups sit off
+    * the corpus's center of mass — the embedding-space outlier sources a
+    * recipe decision wants flagged). Two dim-keyed aggregates (group ×
+    * dim and dim), one group-count relation, the global centroid as a
+    * broadcast one-row array — nothing pairwise.
+    */
+  def groupCentroidProfile(vecs: DataFrame, grpCol: String,
+                           vecCol: String): DataFrame = {
+    val dims = vecs.select(col(grpCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col(grpCol), col("pos"))
+      .agg(round(sum(col("x").cast("double").cast(Dec)).cast("double")
+        / count(lit(1)), 6).as("m"))
+    val gdims = vecs.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(round(sum(col("x").cast("double").cast(Dec)).cast("double")
+        / count(lit(1)), 6).as("gm"))
+    val mu = dims.groupBy(col(grpCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("mu"))
+    val gmu = gdims
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("gm")))),
+        s => s.getField("gm")).as("gmu"))
+    val cnt = vecs.groupBy(col(grpCol)).agg(count(lit(1)).as("n"))
+    mu.join(cnt, Seq(grpCol))
+      .crossJoin(broadcast(gmu))
+      .select(col(grpCol), col("n"),
+        round(sqrt(dotExactHof(col("mu"), col("mu"))), 6).as("centroid_l2"),
+        round(dotExactHof(col("mu"), col("gmu"))
+          / (sqrt(dotExactHof(col("mu"), col("mu")))
+            * sqrt(dotExactHof(col("gmu"), col("gmu")))), 6)
+          .as("cos_to_global"))
+  }
+
   /** Per-cell label purity: member count, majority label (ties → smaller
     * label) and purity = majority share — the "are these cells
     * meaningful" gate over any (cell, label) membership relation

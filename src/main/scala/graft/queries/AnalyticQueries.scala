@@ -202,6 +202,49 @@ object AnalyticQueries {
         .orderBy("user_id", "session_start", "w_start")
     }),
 
+    // ── Per-user burst coverage (interval-algebra rollup) ───────────────
+    // The aggregation half of the interval family: what fraction of each
+    // user's session TIME fell inside error-burst windows — exact micros
+    // arithmetic end to end (longs sum exactly; seconds appear only at
+    // the output edge), overlap segments disjoint because burst windows
+    // are disjoint hours. Sessions relation persisted: the coverage and
+    // total legs both read it.
+    "q_burst_coverage" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sess = ev
+        .groupBy(session_window(col("ts"), "10 minutes").as("s"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("s.start").as("session_start"),
+          col("s.end").as("session_end"))
+        .persist()
+      val bursts = ev.where(col("event_type") === "error")
+        .groupBy(date_trunc("hour", col("ts")).as("w_start"))
+        .agg(count(lit(1)).as("n_errors"))
+        .where(col("n_errors") >= 7)
+        .select(col("w_start"),
+          (col("w_start") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      def us(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+      val ov = graft.ops.IntervalJoin.overlapJoin(sess, bursts,
+          "session_start", "session_end", "w_start", "w_end", binSeconds = 3600)
+        .select(col("user_id"),
+          (us(least(col("session_end"), col("w_end")))
+            - us(greatest(col("session_start"), col("w_start")))).as("ov_us"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_overlaps"), sum(col("ov_us")).as("ov_us"))
+      val tot = sess.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(us(col("session_end")) - us(col("session_start"))).as("sess_us"))
+      tot.join(ov, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_sessions"),
+          coalesce(col("n_overlaps"), lit(0L)).as("n_overlaps"),
+          round(col("sess_us").cast("double") / 1000000.0, 6).as("sess_secs"),
+          round(coalesce(col("ov_us"), lit(0L)).cast("double") / 1000000.0, 6)
+            .as("ov_secs"),
+          round(coalesce(col("ov_us"), lit(0L)).cast("double")
+            / col("sess_us"), 6).as("coverage"))
+        .orderBy("user_id")
+    }),
+
     // ── Ordered funnel: signup → first later click → first later purchase
     // Per-user staged conversion — the event-sequencing query a product
     // warehouse runs constantly. Two conditional-min aggregations chained
@@ -495,6 +538,54 @@ object AnalyticQueries {
            count(*) AS n_events
          FROM y GROUP BY user_id, sid
          ORDER BY user_id, session_start""",
+    // sessions CTE shared with q_sessions/q_interval_join; exact micros
+    // (epoch_us) throughout, seconds only at the output edge.
+    "q_burst_coverage" ->
+      """WITH x AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         y AS (
+           SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x),
+         sess AS (
+           SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 10 MINUTE AS session_end
+           FROM y GROUP BY user_id, sid),
+         bursts AS (
+           SELECT date_trunc('hour', ts) AS w_start,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end
+           FROM events WHERE event_type = 'error'
+           GROUP BY 1 HAVING count(*) >= 7),
+         ov AS (
+           SELECT s.user_id,
+             epoch_us(least(s.session_end, b.w_end))
+               - epoch_us(greatest(s.session_start, b.w_start)) AS ov_us
+           FROM sess s JOIN bursts b
+             ON s.session_start < b.w_end AND b.w_start < s.session_end),
+         ovu AS (
+           SELECT user_id, count(*) AS n_overlaps,
+             CAST(sum(ov_us) AS BIGINT) AS ov_us
+           FROM ov GROUP BY 1),
+         tot AS (
+           SELECT user_id, count(*) AS n_sessions,
+             CAST(sum(epoch_us(session_end) - epoch_us(session_start))
+               AS BIGINT) AS sess_us
+           FROM sess GROUP BY 1)
+         SELECT t.user_id, t.n_sessions,
+           COALESCE(o.n_overlaps, 0) AS n_overlaps,
+           ROUND(CAST(t.sess_us AS DOUBLE) / 1000000.0, 6) AS sess_secs,
+           ROUND(CAST(COALESCE(o.ov_us, 0) AS DOUBLE) / 1000000.0, 6)
+             AS ov_secs,
+           ROUND(CAST(COALESCE(o.ov_us, 0) AS DOUBLE) / t.sess_us, 6)
+             AS coverage
+         FROM tot t LEFT JOIN ovu o USING (user_id)
+         ORDER BY user_id""",
     // Sessions CTE shared verbatim with q_sessions (the gate that proves
     // the relational derivation equals session_window); the overlap join
     // itself is the plain range predicate — the engine's binning is an

@@ -153,6 +153,21 @@ object SimilarityQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // ── Per-source embedding centroid profile (modality-crossing) ───────
+    // Each source's mean vector profiled against the global centroid
+    // (Similarity.groupCentroidProfile; source rides from documents on
+    // vec_id ≡ doc_id): centroid_l2 near zero = incoherent mix,
+    // cos_to_global low = embedding-space outlier source — the dense
+    // dataset-card row next to the lexical q_source_overlap.
+    "q_source_centroid" -> ((s, dir) =>
+      Similarity.groupCentroidProfile(
+          emb(s, dir).join(
+            Tables.table(s, dir, "documents")
+              .select(col("doc_id").as("vec_id"), col("source")),
+            Seq("vec_id")),
+          "source", "embedding")
+        .orderBy("source")),
+
     // ── ANN recall curve: LSH top-k vs brute truth at k ∈ {1,5,10} ──────
     // The eval every approximate index publishes: per cut depth, how much
     // of the exact top-k the LSH path recovers. One keyed join of the two
@@ -622,6 +637,37 @@ object SimilarityQueries {
               AS mse
           FROM best WHERE rn = 1
           GROUP BY vec_id ORDER BY vec_id""",
+    // the q_embed_drift mu algebra per source + one global centroid.
+    "q_source_centroid" ->
+      s"""WITH e AS (
+            SELECT d.source, emb.embedding
+            FROM embeddings emb
+            JOIN documents d ON emb.vec_id = d.doc_id),
+          dims AS (
+            SELECT source, i,
+              ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                  AS DECIMAL(30,16))) AS DOUBLE) / COUNT(*), 6) AS m
+            FROM e, UNNEST(generate_series(1, len(embedding))) AS t(i)
+            GROUP BY source, i),
+          gdims AS (
+            SELECT i,
+              ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                  AS DECIMAL(30,16))) AS DOUBLE) / COUNT(*), 6) AS gm
+            FROM e, UNNEST(generate_series(1, len(embedding))) AS t(i)
+            GROUP BY i),
+          mu AS (SELECT source, list(m ORDER BY i) AS mu
+                 FROM dims GROUP BY source),
+          gmu AS (SELECT list(gm ORDER BY i) AS gmu FROM gdims),
+          cnt AS (SELECT source, count(*) AS n FROM e GROUP BY source)
+          SELECT m2.source, cnt.n,
+            ROUND(sqrt(CAST(${dotSql("mu", "mu")} AS DOUBLE)), 6)
+              AS centroid_l2,
+            ROUND(CAST(${dotSql("mu", "gmu")} AS DOUBLE)
+              / (sqrt(CAST(${dotSql("mu", "mu")} AS DOUBLE))
+                * sqrt(CAST(${dotSql("gmu", "gmu")} AS DOUBLE))), 6)
+              AS cos_to_global
+          FROM mu m2 JOIN cnt USING (source) CROSS JOIN gmu
+          ORDER BY source""",
     // brute pairs (q_knn_brute CTE) + lsh pairs (q_knn_lsh CTE) joined on
     // (probe, cand); conditional counts per cut depth.
     "q_ann_recall" ->

@@ -335,6 +335,29 @@ class SimilaritySpec extends SparkSpec {
     assert(dented.map(_._3).sum < 30L, s"mislabel must dent agreement: $dented")
   }
 
+  test("groupCentroidProfile: known two-group geometry against the global centroid") {
+    // group a: all (1,0) — centroid (1,0); group b: all (0,1) — centroid
+    // (0,1); equal sizes ⇒ global centroid (0.5,0.5): cos to global =
+    // 0.5/(1·√0.5) = 0.707107 for BOTH groups
+    val df = Seq(
+      (0L, "a", Array(1f, 0f)), (1L, "a", Array(1f, 0f)),
+      (2L, "b", Array(0f, 1f)), (3L, "b", Array(0f, 1f)))
+      .toDF("vec_id", "source", "embedding")
+    val got = Similarity.groupCentroidProfile(df, "source", "embedding")
+      .orderBy("source")
+      .select("source", "n", "centroid_l2", "cos_to_global")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got === Seq(("a", 2L, 1.0, 0.707107), ("b", 2L, 1.0, 0.707107)))
+    // a cancelling group: centroid_l2 collapses to 0 (incoherent mix)
+    val mix = df.unionByName(Seq(
+      (4L, "c", Array(1f, 1f)), (5L, "c", Array(-1f, -1f)))
+      .toDF("vec_id", "source", "embedding"))
+    val c = Similarity.groupCentroidProfile(mix, "source", "embedding")
+      .where(col("source") === "c")
+      .select("centroid_l2").as[Double].head()
+    assert(c === 0.0)
+  }
+
   test("float_vec_dot_dec: bit-identical to the HOF reference form") {
     val rnd = new scala.util.Random(7)
     def vec(n: Int) = Array.fill(n)((rnd.nextDouble() * 2 - 1).toFloat)
