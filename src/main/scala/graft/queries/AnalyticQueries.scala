@@ -271,6 +271,64 @@ object AnalyticQueries {
         .orderBy("user_id")
     }),
 
+    // ── DAU/WAU stickiness (product-analytics staple) ───────────────────
+    // Per calendar week: weekly actives, average daily actives, and the
+    // DAU/WAU stickiness ratio. Daily/weekly distincts are two keyed
+    // aggregates; the weekly average runs over the ≤7-row day counts.
+    "q_dau_wau" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        date_trunc("week", col("ts")).cast("timestamp_ntz").as("week"),
+        date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+        col("user_id"))
+      val dau = ev.groupBy(col("week"), col("day"))
+        .agg(count_distinct(col("user_id")).as("dau"))
+      val wau = ev.groupBy(col("week"))
+        .agg(count_distinct(col("user_id")).as("wau"))
+      dau.groupBy(col("week"))
+        .agg(count(lit(1)).as("n_days"),
+          round(sum(col("dau").cast("decimal(28,10)")).cast("double")
+            / count(lit(1)), 6).as("avg_dau"))
+        .join(wau, Seq("week"))
+        .withColumn("stickiness",
+          round(col("avg_dau") / col("wau"), 6))
+        .select(col("week"), col("n_days"), col("avg_dau"), col("wau"),
+          col("stickiness"))
+        .orderBy("week")
+    }),
+
+    // ── RFM quintile segmentation (the classic customer cube) ───────────
+    // Per customer: recency (days from last order to the corpus max
+    // date), frequency (order count), monetary (decimal-exact spend);
+    // each ntile(5)-scored over a tie-pinned total order; segment counts
+    // per (r, f, m) cell. Three windows over the customer-count relation
+    // + one rollup — nothing fact-scale after the first aggregate.
+    "q_rfm" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val maxD = o.agg(max(col("o_orderdate")).as("max_d"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_d"),
+          count(lit(1)).as("freq"),
+          Exact.roundSum(col("o_totalprice")).as("monetary"))
+        .crossJoin(broadcast(maxD))
+        .select(col("o_custkey"),
+          datediff(col("max_d").cast("date"), col("last_d").cast("date"))
+            .as("recency"),
+          col("freq"), col("monetary"))
+      def q(c: String, asc0: Boolean) = ntile(5).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("o_custkey"), lit(1L)))
+          .orderBy(if (asc0) col(c).asc else col(c).desc,
+            col("o_custkey").asc))
+      per
+        .select(col("o_custkey"),
+          q("recency", asc0 = true).as("r_q"),
+          q("freq", asc0 = false).as("f_q"),
+          q("monetary", asc0 = false).as("m_q"))
+        .groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("r_q", "f_q", "m_q")
+    }),
+
     // ── Weekly cohort retention matrix ──────────────────────────────────
     // cohort week (user's first event) × activity week → distinct users:
     // the classic retention triangle. Two aggregations + one keyed join.
@@ -538,6 +596,48 @@ object AnalyticQueries {
            count(*) AS n_events
          FROM y GROUP BY user_id, sid
          ORDER BY user_id, session_start""",
+    "q_dau_wau" ->
+      """WITH e AS (
+           SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+           FROM events),
+         dau AS (
+           SELECT week, day, count(DISTINCT user_id) AS dau
+           FROM e GROUP BY 1, 2),
+         wau AS (
+           SELECT week, count(DISTINCT user_id) AS wau
+           FROM e GROUP BY 1),
+         wk AS (
+           SELECT week, count(*) AS n_days,
+             ROUND(CAST(SUM(CAST(dau AS DECIMAL(28,10))) AS DOUBLE)
+               / count(*), 6) AS avg_dau
+           FROM dau GROUP BY 1)
+         SELECT wk.week, wk.n_days, wk.avg_dau, wau.wau,
+           ROUND(wk.avg_dau / wau.wau, 6) AS stickiness
+         FROM wk JOIN wau USING (week)
+         ORDER BY week""",
+    "q_rfm" ->
+      """WITH per AS (
+           SELECT o_custkey, max(o_orderdate) AS last_d,
+             count(*) AS freq,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10)))
+               AS DOUBLE), 4) AS monetary
+           FROM orders GROUP BY 1),
+         mx AS (SELECT max(o_orderdate) AS max_d FROM orders),
+         rfm AS (
+           SELECT o_custkey,
+             date_diff('day', CAST(last_d AS DATE), CAST(max_d AS DATE))
+               AS recency,
+             freq, monetary
+           FROM per CROSS JOIN mx),
+         scored AS (
+           SELECT o_custkey,
+             ntile(5) OVER (ORDER BY recency ASC, o_custkey ASC) AS r_q,
+             ntile(5) OVER (ORDER BY freq DESC, o_custkey ASC) AS f_q,
+             ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_q
+           FROM rfm)
+         SELECT r_q, f_q, m_q, count(*) AS n_customers
+         FROM scored GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""",
     // sessions CTE shared with q_sessions/q_interval_join; exact micros
     // (epoch_us) throughout, seconds only at the output edge.
     "q_burst_coverage" ->
