@@ -315,6 +315,63 @@ object AdvancedQueries {
       graft.ops.Graph.triangleCounts(pairs)
         .orderBy(desc("n_triangles"), col("node")).limit(100)
     }),
+
+    // ── Local clustering coefficient over the co-purchase graph ─────────
+    // Same support-floored pairs relation as q_triangles; coef(v) =
+    // 2·T(v)/(deg(v)·(deg(v)−1)) via Graph.clusteringCoef (degree-ordered
+    // wedge closing + one |V|-scale left join — nothing revisits the fact
+    // table after the pair aggregate). The community-vs-aggregator read
+    // graph curation runs before trusting co-occurrence signals: high
+    // coef = parts bought in coherent kits, low-coef hubs = staples that
+    // co-occur with everything. Top-100 by (coef, node); deg ≥ 2 only.
+    "q_clustering_coef" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("sup"))
+        .where(col("sup") >= 2)
+        .select(col("src"), col("dst"))
+      graft.ops.Graph.clusteringCoef(pairs)
+        .orderBy(desc("clustering"), col("node")).limit(100)
+    }),
+
+    // ── Market-basket association rules (support / confidence / lift) ───
+    // Frequent co-purchase pairs from the order→part bipartite relation:
+    // support c_ab from the l_orderkey-keyed self-join (a<b, floor ≥ 2 —
+    // the frequent-itemset prune that keeps the pair relation
+    // scale-stable), per-part order counts c_a from one map-side-combined
+    // aggregate, N from one scalar aggregate joined back as an
+    // allowlisted 1-row broadcast. lift = N·c_ab/(c_a·c_b) and
+    // conf(a→b) = c_ab/c_a in exact int64 numerators with one IEEE
+    // double division each, rounded once at 6. At 100 TB the self-join
+    // cost is Σ basket², bounded by basket size not corpus size, and
+    // every join is keyed — no all-pairs anywhere. Top-100 by lift.
+    "q_basket_lift" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val n = li.agg(count_distinct(col("l_orderkey")).as("n_orders"))
+      val pc = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("part_a"),
+          col("y.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .where(col("c_ab") >= 2)
+      pairs
+        .join(pc.select(col("l_partkey").as("part_a"), col("c").as("c_a")),
+          Seq("part_a"))
+        .join(pc.select(col("l_partkey").as("part_b"), col("c").as("c_b")),
+          Seq("part_b"))
+        .crossJoin(broadcast(n))
+        .select(col("part_a"), col("part_b"), col("c_ab"),
+          round(col("c_ab").cast("double") / col("c_a"), 6).as("conf_ab"),
+          round((col("n_orders") * col("c_ab")).cast("double") /
+            (col("c_a") * col("c_b")), 6).as("lift"))
+        .orderBy(desc("lift"), col("part_a"), col("part_b")).limit(100)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -554,5 +611,57 @@ object AdvancedQueries {
           SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
           FROM corners GROUP BY node
           ORDER BY n_triangles DESC, node LIMIT 100""",
+    "q_clustering_coef" ->
+      """WITH pairs AS (
+            SELECT x.l_partkey AS a, y.l_partkey AS b
+            FROM lineitem x
+            JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+                           AND x.l_partkey < y.l_partkey
+            GROUP BY a, b HAVING count(*) >= 2),
+          deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+              SELECT a AS node FROM pairs
+              UNION ALL SELECT b FROM pairs) GROUP BY node),
+          tri AS (
+            SELECT e1.a, e1.b, e2.b AS c
+            FROM pairs e1
+            JOIN pairs e2 ON e1.b = e2.a
+            JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+          corners AS (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri),
+          tcnt AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM corners GROUP BY node)
+          SELECT d.node, d.degree,
+            CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+            ROUND(CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+                  / (d.degree * (d.degree - 1)), 6) AS clustering
+          FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+          WHERE d.degree >= 2
+          ORDER BY clustering DESC, d.node LIMIT 100""",
+    "q_basket_lift" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                  AS n_orders FROM li),
+          pc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+                 FROM li GROUP BY 1),
+          pairs AS (
+            SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+                   CAST(count(*) AS BIGINT) AS c_ab
+            FROM li x
+            JOIN li y ON x.l_orderkey = y.l_orderkey
+                     AND x.l_partkey < y.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2)
+          SELECT part_a, part_b, c_ab,
+            ROUND(CAST(c_ab AS DOUBLE) / ca.c, 6) AS conf_ab,
+            ROUND(CAST(n.n_orders * c_ab AS DOUBLE) / (ca.c * cb.c), 6)
+              AS lift
+          FROM pairs
+          JOIN pc ca ON part_a = ca.l_partkey
+          JOIN pc cb ON part_b = cb.l_partkey
+          CROSS JOIN n
+          ORDER BY lift DESC, part_a, part_b LIMIT 100""",
   )
 }

@@ -69,7 +69,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_ann_recall" -> "composes q_knn_brute's documented broadcast-NLJ truth baseline (the recall curve needs exact ground truth); the LSH leg and the cut join are keyed",
     "q_hard_negatives" -> "inherits q_bm25's single-row stats crossJoin and adds the single-row positive (pos_id, pos_sh) crossJoin onto the 19-row negative cut (broadcast, one row)",
     "q_source_centroid" -> "crossJoin of the single-row global-centroid array onto the group-count centroid relation (broadcast, one row — the q_embed_variance pattern)",
-    "q_rfm" -> "crossJoin of the single-row max-orderdate aggregate onto the customer-count RFM relation (broadcast, one row)")
+    "q_rfm" -> "crossJoin of the single-row max-orderdate aggregate onto the customer-count RFM relation (broadcast, one row)",
+    "q_basket_lift" -> "crossJoin of the single-row order-count aggregate onto the frequent-pair relation (broadcast, one row — the q_tfidf scalar pattern); the pair and per-part joins are keyed")
 
   // the AQE-aware walker lives on SparkSpec (collectPlanNodes) so DedupSpec's
   // ccRound audit and this guard can never drift apart

@@ -56,6 +56,26 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("clusteringCoef: K4 is fully clustered, a pendant dilutes its hub") {
+    // K4 on {0,1,2,3} (coef 1.0 everywhere) plus a pendant 4 attached to
+    // node 0: node 0 now has deg 4 but still 3 triangles → 2·3/(4·3) =
+    // 0.5; node 4 (deg 1) must be ABSENT, not 0.0; open wedge 20-21-22:
+    // center 21 has deg 2, 0 triangles → coef 0.0 present as a row.
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 0L), // pendant, reversed orientation + duplicate below
+      (0L, 4L),
+      (20L, 21L), (21L, 22L))
+    val out = Graph.clusteringCoef(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (n, d, t, c) => n -> ((d, t, c)) }.toMap
+    assert(out === Map(
+      0L -> ((4L, 3L, 0.5)),
+      1L -> ((3L, 3L, 1.0)), 2L -> ((3L, 3L, 1.0)), 3L -> ((3L, 3L, 1.0)),
+      21L -> ((2L, 0L, 0.0))))
+    spark.catalog.clearCache()
+  }
+
   test("triangleCounts == brute force on a random graph") {
     val rnd = new scala.util.Random(7)
     val n = 30
