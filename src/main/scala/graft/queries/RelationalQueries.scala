@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Exact
@@ -414,6 +414,91 @@ object RelationalQueries {
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
         .limit(10)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    // ── Data-quality constraint audit (the Deequ-style check suite) ─────
+    // One row per declared constraint: violation count, row total, pass
+    // bit. In-scan checks (domain membership, range, null, key
+    // uniqueness) fold into ONE conditional aggregate per table — eight
+    // checks cost two scans, not eight — then unpivot via stack();
+    // referential integrity is a keyed left join to the distinct parent
+    // keys with a null-hit conditional count (no second counting pass,
+    // no anti-join + scalar crossJoin). At 100 TB this is exactly the
+    // shape a pre-training ingest gate runs nightly: linear scans +
+    // map-side-combined aggregates, nothing pair-scale.
+    "q_dq_checks" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      def vio(c: Column) = sum(when(c, 1L).otherwise(0L))
+      val oChecks = o.agg(
+          count(lit(1)).as("n_total"),
+          vio(col("o_orderstatus").isNull ||
+            !col("o_orderstatus").isin("O", "F", "P")).as("v_status"),
+          vio(col("o_totalprice").isNull || col("o_totalprice") <= 0.0)
+            .as("v_price"),
+          vio(col("o_orderdate").isNull).as("v_date"),
+          (count(lit(1)) - count_distinct(col("o_orderkey"))).as("v_dup"))
+        .select(expr("""stack(4,
+            'orders_status_domain', v_status,
+            'orders_price_positive', v_price,
+            'orders_date_nonnull', v_date,
+            'orders_key_unique', v_dup) AS (check_name, n_violations)"""),
+          col("n_total"))
+      val liChecks = li.agg(
+          count(lit(1)).as("n_total"),
+          vio(col("l_quantity").isNull || col("l_quantity") < 1.0 ||
+            col("l_quantity") > 50.0).as("v_qty"),
+          vio(col("l_discount").isNull || col("l_discount") < 0.0 ||
+            col("l_discount") > 1.0).as("v_disc"),
+          vio(col("l_shipdate").isNull).as("v_ship"))
+        .select(expr("""stack(3,
+            'lineitem_qty_range', v_qty,
+            'lineitem_discount_range', v_disc,
+            'lineitem_shipdate_nonnull', v_ship)
+            AS (check_name, n_violations)"""),
+          col("n_total"))
+      val fk = o.join(
+          t(s, dir, "customer").select(col("c_custkey")).distinct()
+            .withColumn("__hit", lit(1L)),
+          col("o_custkey") === col("c_custkey"), "left")
+        .agg(count(lit(1)).as("n_total"),
+          vio(col("__hit").isNull).as("n_violations"))
+        .select(lit("orders_custkey_fk").as("check_name"),
+          col("n_violations"), col("n_total"))
+      oChecks.select("check_name", "n_violations", "n_total")
+        .unionByName(liChecks.select("check_name", "n_violations", "n_total"))
+        .unionByName(fk)
+        .withColumn("pass", col("n_violations") === 0L)
+        .orderBy("check_name")
+    }),
+
+    // ── k-anonymity audit over quasi-identifier groupings ───────────────
+    // The privacy read a curation stack runs before releasing user-keyed
+    // training slices: group rows by the quasi-identifier tuple, bucket
+    // the group sizes k into re-identification risk bands (k=1 unique,
+    // 2-4 weak, 5-9, 10+), and report group/row mass per band — once for
+    // the full QI tuple and once for the generalized (coarsened) tuple,
+    // so the output shows how much suppression generalization buys. Two
+    // keyed aggregates + a tiny rollup each; nothing pair-scale at any
+    // corpus size.
+    "q_k_anonymity" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      def audit(qi: String, keys: Column*) =
+        c.groupBy(keys: _*).agg(count(lit(1)).as("k"))
+          .select(lit(qi).as("qi"),
+            when(col("k") === 1L, "k=1")
+              .when(col("k") < 5L, "k=2-4")
+              .when(col("k") < 10L, "k=5-9")
+              .otherwise("k>=10").as("k_band"),
+            col("k"))
+          .groupBy(col("qi"), col("k_band"))
+          .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      audit("nation_segment_balbucket", col("c_nationkey"),
+          col("c_mktsegment"), floor(col("c_acctbal") / 100.0).as("bb"))
+        .unionByName(audit("nation_segment", col("c_nationkey"),
+          col("c_mktsegment")))
+        .orderBy("qi", "k_band")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -679,5 +764,74 @@ object RelationalQueries {
            ROUND(CAST(n_a AS DOUBLE) * n_b / greatest(ndv_a, ndv_b)
                  / actual, 6) AS err_ratio
          FROM sa CROSS JOIN sb CROSS JOIN ac""",
+    "q_dq_checks" ->
+      """WITH oagg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN o_orderstatus IS NULL
+                        OR o_orderstatus NOT IN ('O','F','P')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+             CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0.0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+             CAST(sum(CASE WHEN o_orderdate IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_date,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_dup
+           FROM orders),
+         liagg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0
+                        OR l_quantity > 50.0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+             CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+                        OR l_discount > 1.0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+             CAST(sum(CASE WHEN l_shipdate IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_ship
+           FROM lineitem),
+         fk AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN c.c_custkey IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+           FROM orders o
+           LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON o.o_custkey = c.c_custkey),
+         checks AS (
+           SELECT 'orders_status_domain' AS check_name,
+                  v_status AS n_violations, n_total FROM oagg
+           UNION ALL SELECT 'orders_price_positive', v_price, n_total
+             FROM oagg
+           UNION ALL SELECT 'orders_date_nonnull', v_date, n_total FROM oagg
+           UNION ALL SELECT 'orders_key_unique', v_dup, n_total FROM oagg
+           UNION ALL SELECT 'lineitem_qty_range', v_qty, n_total FROM liagg
+           UNION ALL SELECT 'lineitem_discount_range', v_disc, n_total
+             FROM liagg
+           UNION ALL SELECT 'lineitem_shipdate_nonnull', v_ship, n_total
+             FROM liagg
+           UNION ALL SELECT 'orders_custkey_fk', n_violations, n_total
+             FROM fk)
+         SELECT check_name, n_violations, n_total,
+           n_violations = 0 AS pass
+         FROM checks ORDER BY check_name""",
+    "q_k_anonymity" ->
+      """WITH g1 AS (
+           SELECT count(*) AS k FROM customer
+           GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal / 100.0)),
+         g2 AS (
+           SELECT count(*) AS k FROM customer
+           GROUP BY c_nationkey, c_mktsegment),
+         u AS (
+           SELECT 'nation_segment_balbucket' AS qi, k FROM g1
+           UNION ALL SELECT 'nation_segment', k FROM g2),
+         banded AS (
+           SELECT qi,
+             CASE WHEN k = 1 THEN 'k=1'
+                  WHEN k < 5 THEN 'k=2-4'
+                  WHEN k < 10 THEN 'k=5-9'
+                  ELSE 'k>=10' END AS k_band, k
+           FROM u)
+         SELECT qi, k_band, CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(k) AS BIGINT) AS n_rows,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+         FROM banded GROUP BY qi, k_band ORDER BY qi, k_band""",
   )
 }
