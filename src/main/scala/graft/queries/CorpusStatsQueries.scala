@@ -368,6 +368,77 @@ object CorpusStatsQueries {
       CorpusStats.subwordFertility(docs(s, dir), "doc_id", "lang", toks,
           k = BpeK, checkpointEvery = 2)
         .orderBy("grp")),
+
+    // ── Two-sample Kolmogorov–Smirnov drift statistic ───────────────────
+    // Distribution drift between the corpus's two largest sources (doc
+    // count, tie-pinned by name): D = sup |F_a(x) − F_b(x)| over the
+    // pooled doc-length support. The sup is attained at a pooled jump
+    // point, so grouping by distinct length + two running-count windows
+    // is EXACT, and the numerator max |c_a·n_b − c_b·n_a| stays in
+    // int64 — one division at the edge, rounded once at 6. Shape: two
+    // keyed aggregates, windows over the distinct-value relation (corpus
+    // scale ÷ duplication), two allowlisted 1-row broadcasts. At 100 TB
+    // the distinct-length relation is the only windowed input; for
+    // continuous metrics you'd pre-bucket to fixed quantile bins, same
+    // plan. int64 envelope: c·n products need n_a·n_b < 2⁶³.
+    "q_ks_drift" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"), col("n_chars"))
+      val top2 = d.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        .select(col("source"), col("cnt"),
+          row_number().over(Window.partitionBy(pmod(col("cnt"), lit(1L)))
+            .orderBy(desc("cnt"), asc("source"))).as("rn"))
+        .where(col("rn") <= 2)
+      val perVal = d
+        .join(broadcast(top2.select(col("source"), col("rn"))), Seq("source"))
+        .groupBy(col("n_chars")).agg(
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("d1"),
+          sum(when(col("rn") === 2, 1L).otherwise(0L)).as("d2"))
+      val w = Window.partitionBy(pmod(col("n_chars"), lit(1L)))
+        .orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cums = perVal.select(col("n_chars"),
+        sum(col("d1")).over(w).as("c1"), sum(col("d2")).over(w).as("c2"))
+      val tot = cums.agg(max(col("c1")).as("n_a"), max(col("c2")).as("n_b"))
+      val names = top2.agg(
+        max(when(col("rn") === 1, col("source"))).as("source_a"),
+        max(when(col("rn") === 2, col("source"))).as("source_b"))
+      cums.crossJoin(broadcast(tot))
+        .agg(max(abs(col("c1") * col("n_b") - col("c2") * col("n_a")))
+            .as("ks_num"),
+          max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+        .crossJoin(broadcast(names))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          col("ks_num"),
+          round(col("ks_num").cast("double") / (col("n_a") * col("n_b")), 6)
+            .as("ks"))
+    }),
+
+    // ── Gini concentration of token mass per source ─────────────────────
+    // The data-balance audit behind every mixture decision: how unequally
+    // is a source's token budget spread over its documents? Population
+    // Gini over ws-token counts, G = 2·Σᵢ i·xᵢ /(n·Σx) − (n+1)/n with
+    // ranks from one source-partitioned window (tie-pinned by doc_id —
+    // Σ i·xᵢ is tie-order invariant since tied blocks share x). All
+    // numerators exact int64; two IEEE divisions + one subtraction at
+    // the edge, rounded once at 6. One tokenizing scan, one window
+    // shuffle on source, one aggregate — nothing pair-scale.
+    "q_token_gini" -> ((s, dir) => {
+      val m = docs(s, dir).select(col("source"), col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("x"))
+      val ranked = m.select(col("source"), col("x"),
+        row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("x"), col("doc_id"))).as("i"))
+      ranked.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("x")).as("tok_total"),
+          sum(col("i") * col("x")).as("iwx"))
+        .select(col("source"), col("n_docs"), col("tok_total"),
+          round((col("iwx") * 2L).cast("double") /
+              (col("n_docs") * col("tok_total"))
+            - (col("n_docs") + 1L).cast("double") / col("n_docs"), 6)
+            .as("gini"))
+        .orderBy("source")
+    }),
   )
 
   private val BpeK = 5
@@ -990,5 +1061,58 @@ object CorpusStatsQueries {
               AS chars_per_unit
           FROM seg s JOIN documents d USING (doc_id)
           GROUP BY d.lang ORDER BY grp""",
+    "q_ks_drift" ->
+      """WITH sc AS (
+           SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+         top2 AS (
+           SELECT source, rn FROM (
+             SELECT source,
+               row_number() OVER (ORDER BY cnt DESC, source) AS rn
+             FROM sc) WHERE rn <= 2),
+         perval AS (
+           SELECT n_chars,
+             sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS d1,
+             sum(CASE WHEN rn = 2 THEN 1 ELSE 0 END) AS d2
+           FROM documents d JOIN top2 t USING (source)
+           GROUP BY n_chars),
+         cums AS (
+           SELECT n_chars,
+             sum(d1) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS c1,
+             sum(d2) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS c2
+           FROM perval),
+         tot AS (SELECT max(c1) AS n_a, max(c2) AS n_b FROM cums),
+         ksn AS (
+           SELECT max(abs(c1 * n_b - c2 * n_a)) AS ks_num,
+             max(n_a) AS n_a, max(n_b) AS n_b
+           FROM cums CROSS JOIN tot),
+         names AS (
+           SELECT max(CASE WHEN rn = 1 THEN source END) AS source_a,
+             max(CASE WHEN rn = 2 THEN source END) AS source_b
+           FROM top2)
+         SELECT source_a, source_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(ks_num AS BIGINT) AS ks_num,
+           ROUND(CAST(ks_num AS DOUBLE) / (n_a * n_b), 6) AS ks
+         FROM ksn CROSS JOIN names""",
+    "q_token_gini" ->
+      """WITH m AS (
+           SELECT source, doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                      x -> x <> '')) AS BIGINT) AS x
+           FROM documents),
+         r AS (
+           SELECT source, x,
+             row_number() OVER (PARTITION BY source ORDER BY x, doc_id)
+               AS i
+           FROM m),
+         g AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(x) AS BIGINT) AS tok_total,
+             CAST(sum(i * x) AS BIGINT) AS iwx
+           FROM r GROUP BY source)
+         SELECT source, n_docs, tok_total,
+           ROUND(CAST(2 * iwx AS DOUBLE) / (n_docs * tok_total)
+                 - CAST(n_docs + 1 AS DOUBLE) / n_docs, 6) AS gini
+         FROM g ORDER BY source""",
   )
 }
