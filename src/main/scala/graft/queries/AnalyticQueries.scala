@@ -486,6 +486,57 @@ object AnalyticQueries {
           round(col("mn") + (col("bucket") + 1) * col("w"), 6).as("hi"))
         .orderBy("lang", "bucket")
     }),
+
+    // ── First/last-touch conversion attribution ─────────────────────────
+    // For every purchase event: the user's FIRST preceding non-purchase
+    // touch and the LAST one strictly before the conversion — the two
+    // marketing-attribution extremes — then conversion counts and
+    // decimal-exact value per (first_touch, last_touch) cell. One
+    // user-partitioned window pass (ignoreNulls first/last over the
+    // unbounded-to-−1 frame, tie-pinned by event_id), one aggregate;
+    // never a self-join per conversion. Cold-start purchases (no prior
+    // touch) surface as 'none' per the no-NULL output rule.
+    "q_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"),
+          first(touch, ignoreNulls = true).over(w).as("ft"),
+          last(touch, ignoreNulls = true).over(w).as("lt"))
+        .where(col("event_type") === "purchase")
+        .groupBy(coalesce(col("ft"), lit("none")).as("first_touch"),
+          coalesce(col("lt"), lit("none")).as("last_touch"))
+        .agg(count(lit(1)).as("n_conversions"),
+          Exact.roundSum(col("value")).as("sum_value"))
+        .orderBy("first_touch", "last_touch")
+    }),
+
+    // ── Event-type transition matrix (first-order Markov estimate) ──────
+    // (state → next state) counts over each user's tie-pinned event
+    // sequence, with sequence ends folded to the absorbing 'end' state,
+    // and row-normalized transition probabilities. One lead() window
+    // pass + one aggregate + one from-state-partitioned share window
+    // over the |states|² relation — the user-behavior kernel session
+    // simulators and next-event models start from.
+    "q_markov_chain" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("from_type"),
+          coalesce(lead(col("event_type"), 1).over(w), lit("end"))
+            .as("to_type"))
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      trans
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(col("from_type"))), 6)
+            .as("p"))
+        .orderBy("from_type", "to_type")
+    }),
   )
 
   private def oSum(expr: String, as: String, scale: Int = 4): String =
@@ -854,5 +905,40 @@ object AnalyticQueries {
             ROUND(mn + (bucket + 1) * w, 6) AS hi
           FROM b GROUP BY lang, bucket, mn, w
           ORDER BY lang, bucket""",
+    "q_attribution" ->
+      """WITH t AS (
+           SELECT event_type, value,
+             first_value(CASE WHEN event_type <> 'purchase'
+                           THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS ft,
+             last_value(CASE WHEN event_type <> 'purchase'
+                          THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lt
+           FROM events)
+         SELECT COALESCE(ft, 'none') AS first_touch,
+           COALESCE(lt, 'none') AS last_touch,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4)
+             AS sum_value
+         FROM t WHERE event_type = 'purchase'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_markov_chain" ->
+      """WITH seq AS (
+           SELECT event_type AS from_type,
+             COALESCE(lead(event_type, 1)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id), 'end')
+               AS to_type
+           FROM events),
+         c AS (
+           SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+           FROM seq GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type),
+                 6) AS p
+         FROM c ORDER BY from_type, to_type""",
   )
 }
