@@ -487,6 +487,32 @@ object AnalyticQueries {
         .orderBy("lang", "bucket")
     }),
 
+    // ── Time-series gap fill (dense bucket grid + zero-filled holes) ────
+    // Event counts on a dense 10-minute grid: bucket indices in exact
+    // epoch-micros integer arithmetic (timestamps only at the output
+    // edge, the q_burst_coverage contract), the grid generated from the
+    // 1-row min/max bounds via sequence()+explode — a generator, not a
+    // stored calendar table — and one keyed left join marks the holes.
+    // The "no row ≠ zero" fix every downstream window/anomaly pass
+    // needs. At 100 TB the grid is span/bucket rows (time-bounded, not
+    // data-bounded) and the join stays keyed on the bucket index.
+    "q_gapfill" -> ((s, dir) => {
+      val bucketUs = 600L * 1000000L
+      val perB = Tables.events(s, dir)
+        .select(expr(s"unix_micros(cast(ts as timestamp)) div $bucketUs")
+          .as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("n"))
+      val grid = perB.agg(min("b").as("b0"), max("b").as("b1"))
+        .select(explode(sequence(col("b0"), col("b1"))).as("b"))
+      grid.join(perB, Seq("b"), "left")
+        .select(
+          timestamp_micros(col("b") * bucketUs).cast("timestamp_ntz")
+            .as("bucket"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          col("n").isNull.as("is_gap"))
+        .orderBy("bucket")
+    }),
+
     // ── First/last-touch conversion attribution ─────────────────────────
     // For every purchase event: the user's FIRST preceding non-purchase
     // touch and the LAST one strictly before the conversion — the two
@@ -905,6 +931,18 @@ object AnalyticQueries {
             ROUND(mn + (bucket + 1) * w, 6) AS hi
           FROM b GROUP BY lang, bucket, mn, w
           ORDER BY lang, bucket""",
+    "q_gapfill" ->
+      """WITH perb AS (
+           SELECT epoch_us(ts) // 600000000 AS b,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+         bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM perb),
+         grid AS (SELECT unnest(generate_series(b0, b1)) AS b FROM bounds)
+         SELECT make_timestamp(g.b * 600000000) AS bucket,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n,
+           p.n IS NULL AS is_gap
+         FROM grid g LEFT JOIN perb p USING (b)
+         ORDER BY bucket""",
     "q_attribution" ->
       """WITH t AS (
            SELECT event_type, value,

@@ -354,6 +354,30 @@ object SimilarityQueries {
       graft.ops.StringSim.editDistance1Pairs(
           Tables.table(s, dir, "part"), "p_name")
         .orderBy("name_a", "name_b")),
+
+    // ── Class-balance training weights ──────────────────────────────────
+    // The re-weighting table a trainer attaches to an imbalanced labeled
+    // set: per label, its sample share, the inverse-frequency weight
+    // N/(K·n_c), and the softer 1/√n_c variant. One keyed aggregate; the
+    // (N, K) scalars ride a constant-key window over the |labels|-row
+    // relation (pmod carried-column partition — no scalar crossJoin, no
+    // empty-partition warning). sqrt is IEEE-exact, divisions round once
+    // at 6 — engine-portable without the decimal route.
+    "q_class_weights" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("label"), lit(1)))
+      emb(s, dir).groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .select(col("label"), col("n"),
+          sum(col("n")).over(w).as("n_total"),
+          count(lit(1)).over(w).as("k_classes"))
+        .select(col("label"), col("n"),
+          round(col("n").cast("double") / col("n_total"), 6).as("share"),
+          round(col("n_total").cast("double") /
+            (col("k_classes") * col("n")), 6).as("inv_freq_w"),
+          round(lit(1.0) / sqrt(col("n").cast("double")), 6)
+            .as("sqrt_inv_w"))
+        .orderBy("label")
+    }),
   )
 
   // ── Oracle SQL ────────────────────────────────────────────────────────
@@ -972,5 +996,19 @@ object SimilarityQueries {
           FROM n a JOIN n b ON a.name < b.name
           WHERE levenshtein(a.name, b.name) <= 1
           ORDER BY name_a, name_b""",
+    "q_class_weights" ->
+      """WITH pl AS (
+           SELECT label, CAST(count(*) AS BIGINT) AS n
+           FROM embeddings GROUP BY label),
+         t AS (
+           SELECT label, n,
+             CAST(sum(n) OVER () AS BIGINT) AS n_total,
+             CAST(count(*) OVER () AS BIGINT) AS k
+           FROM pl)
+         SELECT label, n,
+           ROUND(CAST(n AS DOUBLE) / n_total, 6) AS share,
+           ROUND(CAST(n_total AS DOUBLE) / (k * n), 6) AS inv_freq_w,
+           ROUND(1.0 / sqrt(CAST(n AS DOUBLE)), 6) AS sqrt_inv_w
+         FROM t ORDER BY label""",
   )
 }
