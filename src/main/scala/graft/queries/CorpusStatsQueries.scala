@@ -369,6 +369,55 @@ object CorpusStatsQueries {
           k = BpeK, checkpointEvery = 2)
         .orderBy("grp")),
 
+    // ── Hapax / lexical-diversity profile per source ────────────────────
+    // Vocabulary size, token total, hapax-legomenon count (types seen
+    // exactly once — the noise/novelty end of the frequency spectrum),
+    // hapax share of vocabulary, and type-token ratio, per source. High
+    // hapax share flags OCR junk or id-like token floods; a collapsed
+    // TTR flags template spam — the two cheapest corpus-health reads
+    // after a scan. One tokenizing explode + two keyed aggregates
+    // ((source, tok) then source); nothing pair-scale.
+    "q_hapax" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("source"), explode(toks).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      tf.groupBy(col("source")).agg(
+          count(lit(1)).as("vocab_size"),
+          sum(col("c")).as("n_tokens"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("vocab_size"), col("n_tokens"),
+          col("n_hapax"),
+          round(col("n_hapax").cast("double") / col("vocab_size"), 6)
+            .as("hapax_share"),
+          round(col("vocab_size").cast("double") / col("n_tokens"), 6)
+            .as("ttr"))
+        .orderBy("source")
+    }),
+
+    // ── Concentration index (HHI) of corpus composition ─────────────────
+    // Herfindahl–Hirschman index of doc-mass concentration across
+    // sources and across languages: Σ share² with exact integer
+    // numerators (Σ n², decimal-accumulated) and two IEEE divisions at
+    // the edge; effective_n = 1/HHI is "how many equal-sized groups this
+    // corpus behaves like" — the one-number diversity read next to
+    // q_source_entropy's bits. Two group-count aggregates + two 1-row
+    // folds, unioned.
+    "q_source_hhi" -> ((s, dir) => {
+      def hhi(dim: String) =
+        docs(s, dir).groupBy(col(dim)).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("k_groups"),
+            sum(col("n")).as("n_total"),
+            sum((col("n") * col("n")).cast("decimal(38,0)")).as("sq"))
+          .select(lit(dim).as("dim"), col("k_groups"), col("n_total"),
+            round(col("sq").cast("double") /
+              (col("n_total").cast("double") * col("n_total").cast("double")),
+              6).as("hhi"),
+            round(col("n_total").cast("double") * col("n_total").cast("double")
+              / col("sq").cast("double"), 6).as("effective_n"))
+      hhi("source").unionByName(hhi("lang")).orderBy("dim")
+    }),
+
     // ── Two-sample Kolmogorov–Smirnov drift statistic ───────────────────
     // Distribution drift between the corpus's two largest sources (doc
     // count, tie-pinned by name): D = sup |F_a(x) − F_b(x)| over the
@@ -1061,6 +1110,40 @@ object CorpusStatsQueries {
               AS chars_per_unit
           FROM seg s JOIN documents d USING (doc_id)
           GROUP BY d.lang ORDER BY grp""",
+    "q_hapax" ->
+      s"""WITH tf AS (
+           SELECT source, tok, count(*) AS c FROM (
+             SELECT source, unnest($ToksSql) AS tok FROM documents)
+           GROUP BY source, tok),
+         g AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS vocab_size,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+           FROM tf GROUP BY source)
+         SELECT source, vocab_size, n_tokens, n_hapax,
+           ROUND(CAST(n_hapax AS DOUBLE) / vocab_size, 6) AS hapax_share,
+           ROUND(CAST(vocab_size AS DOUBLE) / n_tokens, 6) AS ttr
+         FROM g ORDER BY source""",
+    "q_source_hhi" ->
+      """WITH s1 AS (SELECT source AS g FROM documents),
+         s2 AS (SELECT lang AS g FROM documents),
+         f AS (
+           SELECT 'source' AS dim, g, count(*) AS n FROM s1 GROUP BY 1, 2
+           UNION ALL
+           SELECT 'lang' AS dim, g, count(*) AS n FROM s2 GROUP BY 1, 2),
+         a AS (
+           SELECT dim, CAST(count(*) AS BIGINT) AS k_groups,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             sum(n * n) AS sq
+           FROM f GROUP BY dim)
+         SELECT dim, k_groups, n_total,
+           ROUND(CAST(sq AS DOUBLE) /
+             (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)), 6)
+             AS hhi,
+           ROUND(CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+             / CAST(sq AS DOUBLE), 6) AS effective_n
+         FROM a ORDER BY dim""",
     "q_ks_drift" ->
       """WITH sc AS (
            SELECT source, count(*) AS cnt FROM documents GROUP BY source),
