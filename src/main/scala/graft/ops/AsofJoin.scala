@@ -78,4 +78,49 @@ object AsofJoin {
       .where(col(m) === 1) // keep only left rows, now carrying asof_* values
       .drop(m)
   }
+
+  /** As-of join with a MAX-STALENESS tolerance (the feature-store /
+    * pandas `merge_asof(tolerance=…)` semantics): like [[asofJoin]], but a
+    * match older than `toleranceUs` microseconds is rejected — its
+    * payload columns are nulled and the row reports `asof_matched =
+    * false`, `asof_lag_us = -1` (no-NULL sentinel). A stale feature is
+    * treated as NO feature, which is what leak-aware training joins
+    * want: crediting a conversion to a week-old click is attribution
+    * noise, and serving a model a stale feature silently shifts its
+    * input distribution.
+    *
+    * Same one-shuffle union-and-scan cost profile as [[asofJoin]] — the
+    * tolerance is a post-window per-row predicate on the carried match
+    * time, never a second join. Time columns must cast to timestamp;
+    * the lag is computed in exact epoch-micros (int64).
+    */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, on: String,
+                        leftTime: String, rightTime: String,
+                        rightVals: Seq[String],
+                        toleranceUs: Long): DataFrame = {
+    require(toleranceUs >= 0, s"toleranceUs: $toleranceUs")
+    // time columns may be timestamps (converted to epoch-micros) or
+    // already-numeric micros (used as-is) — mixed is fine
+    def toUs(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case org.apache.spark.sql.types.TimestampType |
+            org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(c.cast("timestamp"))
+        case _ => c.cast("long")
+      }
+    val rt = "__asof_rt"
+    val joined = asofJoin(left, right.withColumn(rt, col(rightTime)), on,
+      leftTime, rightTime, rightVals :+ rt)
+    val lagUs = toUs(col(leftTime), left.schema(leftTime).dataType) -
+      toUs(col(s"asof_$rt"), right.schema(rightTime).dataType)
+    val ok = col(s"asof_$rt").isNotNull && lagUs <= toleranceUs
+    val vals = rightVals.map(c =>
+      when(ok, col(s"asof_$c"))
+        .otherwise(lit(null).cast(right.schema(c).dataType)).as(s"asof_$c"))
+    val keep = joined.columns
+      .filterNot(c => c == s"asof_$rt" || rightVals.exists(v => c == s"asof_$v"))
+      .map(col).toSeq
+    joined.select(keep ++ vals :+ ok.as("asof_matched") :+
+      when(ok, lagUs).otherwise(lit(-1L)).as("asof_lag_us"): _*)
+  }
 }

@@ -62,6 +62,31 @@ object AdvancedQueries {
         .orderBy("event_id")
     }),
 
+    // ── As-of join with max-staleness tolerance ──────────────────────────
+    // q_join_asof's purchase-side twin under the feature-store contract:
+    // each purchase takes the user's most recent click ONLY if it is at
+    // most 30 minutes old — older matches are rejected (matched=false,
+    // value −1 sentinel), because a stale feature is no feature. Same
+    // one-shuffle union-and-scan plan as q_join_asof; the tolerance is a
+    // post-window per-row predicate in exact epoch-micros, never a second
+    // join (AsofJoin.asofJoinTolerance).
+    "q_join_asof_tol" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us").as("click_us"))
+        .agg(max(col("value")).as("click_value"))
+      AsofJoin.asofJoinTolerance(purchases, clicks, "user_id", "ts_us",
+          "click_us", Seq("click_value"), toleranceUs = 1800L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_matched").as("matched"),
+          col("asof_lag_us").as("lag_us"),
+          coalesce(col("asof_click_value"), lit(-1.0)).as("click_value"))
+        .orderBy("event_id")
+    }),
+
     // ── Approximate aggregates, tolerance-gated ──────────────────────────
     "q_agg_approx" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -393,6 +418,25 @@ object AdvancedQueries {
          FROM v ASOF LEFT JOIN c
            ON v.user_id = c.user_id AND v.ts_us >= c.click_us
          ORDER BY v.event_id""",
+    "q_join_asof_tol" ->
+      """WITH p AS (SELECT event_id, user_id,
+                      CAST(epoch_us(ts) AS BIGINT) AS ts_us
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS click_us,
+                      max(value) AS click_value
+                    FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, p.ts_us,
+           c.click_us IS NOT NULL
+             AND p.ts_us - c.click_us <= 1800000000 AS matched,
+           CASE WHEN c.click_us IS NOT NULL
+                  AND p.ts_us - c.click_us <= 1800000000
+                THEN p.ts_us - c.click_us ELSE -1 END AS lag_us,
+           CASE WHEN c.click_us IS NOT NULL
+                  AND p.ts_us - c.click_us <= 1800000000
+                THEN c.click_value ELSE -1.0 END AS click_value
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts_us >= c.click_us
+         ORDER BY p.event_id""",
     "q_agg_approx" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
             TRUE AS approx_ok

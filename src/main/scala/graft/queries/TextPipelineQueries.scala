@@ -1412,6 +1412,37 @@ object TextPipelineQueries {
         TextAnalysis.contentFingerprint(col("text")).as("content_fp"),
         TextAnalysis.sketchFingerprint(col("text")).as("sketch_fp"))
         .orderBy("doc_id")),
+
+    // ── Deny-list lexicon filter (safety-screening rollup) ──────────────
+    // The lexicon-based content screen every curation stack runs before
+    // anything model-based: per doc, deny-list hits over the house
+    // tokenizer via an array-lambda filter (no explode, no shuffle until
+    // the rollup) and an EXACT integer threshold — hit_rate ≥ 2% ⇔
+    // 50·hits ≥ n_tokens, no double compare at the decision edge. Per
+    // source: doc flag rate and corpus-level hit rate. The lexicon here
+    // is a 2-word fixture stand-in; the op reads any Seq — at 100 TB a
+    // real deny-list (~10⁴ terms) still rides the closure as a literal
+    // IN set or swaps to a broadcast join, same plan shape otherwise.
+    "q_safety_lexicon" -> ((s, dir) => {
+      val lex = Seq("slow", "dup")
+      val toksC = TextAnalysis.tokens(col("text"))
+      val per = docs(s, dir).select(col("source"),
+        size(toksC).cast("long").as("nt"),
+        size(filter(toksC, t => t.isin(lex: _*))).cast("long").as("hits"))
+      per.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("tok_total"),
+          sum(col("hits")).as("hit_tokens"),
+          sum(when(col("nt") > 0 && col("hits") * 50L >= col("nt"), 1L)
+            .otherwise(0L)).as("flagged_docs"))
+        .select(col("source"), col("n_docs"), col("tok_total"),
+          col("hit_tokens"), col("flagged_docs"),
+          round(col("flagged_docs").cast("double") / col("n_docs"), 6)
+            .as("flag_rate"),
+          round(col("hit_tokens").cast("double") / col("tok_total"), 6)
+            .as("hit_rate"))
+        .orderBy("source")
+    }),
   )
 
   // ── Oracles ───────────────────────────────────────────────────────────
@@ -1477,6 +1508,23 @@ object TextPipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_safety_lexicon" ->
+      s"""WITH per AS (
+           SELECT source,
+             CAST(len($ToksSql) AS BIGINT) AS nt,
+             CAST(len(list_filter($ToksSql, t -> t IN ('slow', 'dup')))
+               AS BIGINT) AS hits
+           FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS tok_total,
+           CAST(sum(hits) AS BIGINT) AS hit_tokens,
+           CAST(sum(CASE WHEN nt > 0 AND 50 * hits >= nt
+                    THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+           ROUND(CAST(sum(CASE WHEN nt > 0 AND 50 * hits >= nt
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS flag_rate,
+           ROUND(CAST(sum(hits) AS DOUBLE) / sum(nt), 6) AS hit_rate
+         FROM per GROUP BY source ORDER BY source""",
     "q_text_stats" ->
       s"""SELECT doc_id,
             CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INT)

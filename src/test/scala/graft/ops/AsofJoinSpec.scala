@@ -34,6 +34,33 @@ class AsofJoinSpec extends SparkSpec {
     assert(got("l-nomatch") === None)      // right row is in the future
   }
 
+  test("asof tolerance: stale matches rejected, fresh carried, lag exact") {
+    val l2 = left.withColumn("ts", timestamp_seconds(col("t")))
+    val r2 = right.withColumn("ts", timestamp_seconds(col("t")))
+    val got = AsofJoin
+      .asofJoinTolerance(l2, r2, "k", "ts", "ts", Seq("v"), 5L * 1000000L)
+      .select("label", "asof_v", "asof_matched", "asof_lag_us")
+      .as[(String, Option[Double], Boolean, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("l-a") === ((Some(100.0), true, 2000000L))) // lag 2s ≤ 5s
+    assert(got("l-b") === ((Some(200.0), true, 0L)))       // tie: lag 0
+    assert(got("l-early") === ((None, false, -1L)))        // no match at all
+    assert(got("l-c") === ((None, false, -1L)))            // lag 14s: STALE
+    assert(got("l-nomatch") === ((None, false, -1L)))
+  }
+
+  test("asof tolerance on numeric-micros time columns (no timestamp cast)") {
+    // same rows, times already in micros: t·10⁶
+    val l2 = left.withColumn("tus", col("t") * 1000000L)
+    val r2 = right.withColumn("tus", col("t") * 1000000L)
+    val got = AsofJoin
+      .asofJoinTolerance(l2, r2, "k", "tus", "tus", Seq("v"), 5L * 1000000L)
+      .select("label", "asof_matched")
+      .as[(String, Boolean)].collect().toMap
+    assert(got === Map("l-a" -> true, "l-b" -> true, "l-early" -> false,
+      "l-c" -> false, "l-nomatch" -> false))
+  }
+
   test("asof preserves every left row exactly once and all left columns") {
     val out = AsofJoin.asofJoin(left, right, "k", "t", "t", Seq("v"))
     assert(out.count() === left.count())
