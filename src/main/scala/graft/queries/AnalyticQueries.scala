@@ -487,6 +487,91 @@ object AnalyticQueries {
         .orderBy("lang", "bucket")
     }),
 
+    // ── Cohort LTV triangle (retention-weighted revenue) ────────────────
+    // q_cohort's money twin: per (first-order cohort week × activity
+    // week), distinct buyers, decimal-exact revenue, and the running
+    // cumulative a finance read calls cohort LTV. The cumulative stays
+    // in DECIMAL through the window (order-independent partials, one
+    // cast+round per output row) so both engines agree bit-for-bit.
+    // Two keyed aggregates + one cohort-partitioned window — the
+    // q_cohort plan plus one window pass, nothing fact-scale after the
+    // first aggregate.
+    "q_user_ltv" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val first = o.groupBy(col("o_custkey"))
+        .agg(date_trunc("week", min(col("o_orderdate")))
+          .cast("timestamp_ntz").as("cohort_week"))
+      val cell = o.select(col("o_custkey"),
+          date_trunc("week", col("o_orderdate")).cast("timestamp_ntz")
+            .as("week"),
+          col("o_totalprice"))
+        .join(first, Seq("o_custkey"))
+        .groupBy(col("cohort_week"), col("week"))
+        .agg(sum(col("o_totalprice").cast("decimal(28,10)")).as("rev_dec"),
+          count_distinct(col("o_custkey")).as("n_buyers"))
+      val w = Window.partitionBy(col("cohort_week")).orderBy(col("week"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cell.select(col("cohort_week"), col("week"), col("n_buyers"),
+          round(col("rev_dec").cast("double"), 4).as("revenue"),
+          round(sum(col("rev_dec")).over(w).cast("double"), 4)
+            .as("cum_revenue"))
+        .orderBy("cohort_week", "week")
+    }),
+
+    // ── Two-proportion z-test (A/B experiment read) ─────────────────────
+    // Conversion-rate comparison between the two largest market segments
+    // (tie-pinned), conversion = "customer has placed ≥1 urgent-priority
+    // order": per-arm counts from one keyed left join + aggregate, then
+    // the pooled two-proportion z-statistic. Everything up to the final
+    // z is exact int64; z itself is one deterministic IEEE chain
+    // (sqrt + divisions, rounded once at 6) and the significance bit
+    // compares the ROUNDED z so a ulp can't flip the verdict. The
+    // 1-row pivot rides a constant-key window, no scalar crossJoin.
+    "q_ab_test" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val top2 = c.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
+        .select(col("c_mktsegment"), col("cnt"),
+          row_number().over(Window.partitionBy(pmod(col("cnt"), lit(1L)))
+            .orderBy(desc("cnt"), asc("c_mktsegment"))).as("rn"))
+        .where(col("rn") <= 2)
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey")).distinct()
+        .withColumn("__hit", lit(1L))
+      val arms = c
+        .join(broadcast(top2.select(col("c_mktsegment"), col("rn"))),
+          Seq("c_mktsegment"))
+        .join(urgent, Seq("c_custkey"), "left")
+        .groupBy(col("rn"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("conv"))
+      val one = arms.select(
+        max(when(col("rn") === 1, col("c_mktsegment")))
+          .over(Window.partitionBy(pmod(col("rn"), lit(1L)))).as("segment_a"),
+        max(when(col("rn") === 2, col("c_mktsegment")))
+          .over(Window.partitionBy(pmod(col("rn"), lit(1L)))).as("segment_b"),
+        max(when(col("rn") === 1, col("n")))
+          .over(Window.partitionBy(pmod(col("rn"), lit(1L)))).as("n_a"),
+        max(when(col("rn") === 2, col("n")))
+          .over(Window.partitionBy(pmod(col("rn"), lit(1L)))).as("n_b"),
+        max(when(col("rn") === 1, col("conv")))
+          .over(Window.partitionBy(pmod(col("rn"), lit(1L)))).as("conv_a"),
+        max(when(col("rn") === 2, col("conv")))
+          .over(Window.partitionBy(pmod(col("rn"), lit(1L)))).as("conv_b"))
+        .limit(1)
+      val pA = col("conv_a").cast("double") / col("n_a")
+      val pB = col("conv_b").cast("double") / col("n_b")
+      val pp = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b"))
+      val z = (pA - pB) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      one.select(col("segment_a"), col("segment_b"),
+        col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(pA, 6).as("p_a"), round(pB, 6).as("p_b"),
+        round(z, 6).as("z"),
+        (abs(round(z, 6)) >= 1.96).as("significant"))
+    }),
+
     // ── Time-series gap fill (dense bucket grid + zero-filled holes) ────
     // Event counts on a dense 10-minute grid: bucket indices in exact
     // epoch-micros integer arithmetic (timestamps only at the output
@@ -931,6 +1016,65 @@ object AnalyticQueries {
             ROUND(mn + (bucket + 1) * w, 6) AS hi
           FROM b GROUP BY lang, bucket, mn, w
           ORDER BY lang, bucket""",
+    "q_user_ltv" ->
+      """WITH f AS (
+           SELECT o_custkey, date_trunc('week', min(o_orderdate))
+             AS cohort_week
+           FROM orders GROUP BY 1),
+         cell AS (
+           SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+             CAST(date_trunc('week', o.o_orderdate) AS TIMESTAMP) AS week,
+             sum(CAST(o.o_totalprice AS DECIMAL(28,10))) AS rev_dec,
+             CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_buyers
+           FROM orders o JOIN f USING (o_custkey)
+           GROUP BY 1, 2)
+         SELECT cohort_week, week, n_buyers,
+           ROUND(CAST(rev_dec AS DOUBLE), 4) AS revenue,
+           ROUND(CAST(sum(rev_dec) OVER (
+             PARTITION BY cohort_week ORDER BY week
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS cum_revenue
+         FROM cell ORDER BY cohort_week, week""",
+    "q_ab_test" ->
+      """WITH sc AS (
+           SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY 1),
+         top2 AS (
+           SELECT c_mktsegment, rn FROM (
+             SELECT c_mktsegment,
+               row_number() OVER (ORDER BY cnt DESC, c_mktsegment) AS rn
+             FROM sc) WHERE rn <= 2),
+         u AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderpriority = '1-URGENT'),
+         arms AS (
+           SELECT t.rn, t.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN u.o_custkey IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS conv
+           FROM customer c
+           JOIN top2 t USING (c_mktsegment)
+           LEFT JOIN u ON c.c_custkey = u.o_custkey
+           GROUP BY 1, 2),
+         one AS (
+           SELECT max(CASE WHEN rn = 1 THEN c_mktsegment END) AS segment_a,
+             max(CASE WHEN rn = 2 THEN c_mktsegment END) AS segment_b,
+             max(CASE WHEN rn = 1 THEN n END) AS n_a,
+             max(CASE WHEN rn = 2 THEN n END) AS n_b,
+             max(CASE WHEN rn = 1 THEN conv END) AS conv_a,
+             max(CASE WHEN rn = 2 THEN conv END) AS conv_b
+           FROM arms)
+         SELECT segment_a, segment_b, n_a, conv_a, n_b, conv_b,
+           ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS p_a,
+           ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS p_b,
+           ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 6)
+             AS z,
+           abs(ROUND((CAST(conv_a AS DOUBLE) / n_a
+                      - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 6))
+             >= 1.96 AS significant
+         FROM one""",
     "q_gapfill" ->
       """WITH perb AS (
            SELECT epoch_us(ts) // 600000000 AS b,
