@@ -487,6 +487,74 @@ object AnalyticQueries {
         .orderBy("lang", "bucket")
     }),
 
+    // ── Rolling 24-hour median/mean over a dense per-type hourly grid ───
+    // The trend line an ops dashboard overlays on q_events_anomaly's
+    // spikes: per event type, the 24-bucket rolling median (exact,
+    // interpolated — the q_percentiles parity result applied as a window)
+    // and rolling mean (int sums, one division per row) of hourly counts
+    // on a gap-FILLED grid — rolling stats over a sparse series silently
+    // skip empty hours, so each type's grid is densified first
+    // (per-type sequence() explode off its own 1-row bounds: keyed, no
+    // cartesian). Bucket indices in exact epoch-micros; timestamps at
+    // the output edge.
+    "q_rolling_median" -> ((s, dir) => {
+      val hourUs = 3600L * 1000000L
+      val perB = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr(s"unix_micros(cast(ts as timestamp)) div $hourUs").as("b"))
+        .groupBy(col("event_type"), col("b"))
+        .agg(count(lit(1)).as("n"))
+      val dense = perB.groupBy(col("event_type"))
+        .agg(min("b").as("b0"), max("b").as("b1"))
+        .select(col("event_type"),
+          explode(sequence(col("b0"), col("b1"))).as("b"))
+        .join(perB, Seq("event_type", "b"), "left")
+        .select(col("event_type"), col("b"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
+        .rowsBetween(-23, 0)
+      dense.select(col("event_type"),
+          timestamp_micros(col("b") * hourUs).cast("timestamp_ntz")
+            .as("hour"),
+          col("n"),
+          round(expr("percentile(n, 0.5)").over(w), 6).as("med24"),
+          round(sum(col("n")).over(w).cast("double") /
+            count(lit(1)).over(w), 6).as("mean24"))
+        .orderBy("event_type", "hour")
+    }),
+
+    // ── Rolling 7-day distinct actives (windowed COUNT DISTINCT) ────────
+    // Distinct counting over sliding windows — the aggregate window
+    // functions can't express — via the coverage-explode identity: a
+    // user active on day d is "covered" on days d..d+6, so rolling WAU =
+    // plain count_distinct per covered day. Constant 7× fan-out of the
+    // (user, day) DISTINCT relation (already ≪ the event count), then
+    // two keyed distinct aggregates; the day-grid join keeps only days
+    // the corpus actually spans. The honest-stickiness read next to
+    // q_dau_wau's calendar weeks.
+    "q_rolling_wau" -> ((s, dir) => {
+      val dayUs = 86400L * 1000000L
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr(s"unix_micros(cast(ts as timestamp)) div $dayUs").as("day"))
+        .distinct()
+      val dau = ud.groupBy(col("day").as("d"))
+        .agg(count_distinct(col("user_id")).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6L)).as("d"))
+        .groupBy(col("d"))
+        .agg(count_distinct(col("user_id")).as("wau7"))
+      dau.join(wau, Seq("d"))
+        .select(
+          timestamp_micros(col("d") * dayUs).cast("timestamp_ntz")
+            .as("day"),
+          col("dau"), col("wau7"),
+          round(col("dau").cast("double") / col("wau7"), 6)
+            .as("stickiness"))
+        .orderBy("day")
+    }),
+
     // ── Cohort LTV triangle (retention-weighted revenue) ────────────────
     // q_cohort's money twin: per (first-order cohort week × activity
     // week), distinct buyers, decimal-exact revenue, and the running
@@ -1016,6 +1084,47 @@ object AnalyticQueries {
             ROUND(mn + (bucket + 1) * w, 6) AS hi
           FROM b GROUP BY lang, bucket, mn, w
           ORDER BY lang, bucket""",
+    "q_rolling_median" ->
+      """WITH perb AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS b,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         bounds AS (
+           SELECT event_type, min(b) AS b0, max(b) AS b1
+           FROM perb GROUP BY 1),
+         grid AS (
+           SELECT event_type, unnest(generate_series(b0, b1)) AS b
+           FROM bounds),
+         dense AS (
+           SELECT g.event_type, g.b,
+             CAST(COALESCE(p.n, 0) AS BIGINT) AS n
+           FROM grid g LEFT JOIN perb p
+             ON g.event_type = p.event_type AND g.b = p.b)
+         SELECT event_type, make_timestamp(b * 3600000000) AS hour, n,
+           ROUND(quantile_cont(n, 0.5) OVER w, 6) AS med24,
+           ROUND(CAST(sum(n) OVER w AS DOUBLE) / (count(*) OVER w), 6)
+             AS mean24
+         FROM dense
+         WINDOW w AS (PARTITION BY event_type ORDER BY b
+                      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+         ORDER BY event_type, hour""",
+    "q_rolling_wau" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         dau AS (
+           SELECT day AS d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+           FROM ud GROUP BY 1),
+         cover AS (
+           SELECT user_id, unnest(generate_series(day, day + 6)) AS d
+           FROM ud),
+         wau AS (
+           SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS wau7
+           FROM cover GROUP BY d)
+         SELECT make_timestamp(d * 86400000000) AS day, dau.dau, wau.wau7,
+           ROUND(CAST(dau AS DOUBLE) / wau7, 6) AS stickiness
+         FROM dau JOIN wau USING (d)
+         ORDER BY day""",
     "q_user_ltv" ->
       """WITH f AS (
            SELECT o_custkey, date_trunc('week', min(o_orderdate))
