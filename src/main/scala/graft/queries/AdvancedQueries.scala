@@ -87,6 +87,35 @@ object AdvancedQueries {
         .orderBy("event_id")
     }),
 
+    // ── 2-D skyline (Pareto frontier) ────────────────────────────────────
+    // Orders not STRICTLY dominated on (totalprice, orderdate): no other
+    // order has both a higher price and a later date. The classic
+    // SKYLINE operator via the sort-scan identity — per distinct price
+    // level take the max date, run the shifted running-max over levels
+    // in price-desc order (1-row-lag frame), and an order survives iff
+    // its date beats every strictly-higher level's best date. One
+    // aggregate + one window over the LEVEL relation (≤ distinct prices)
+    // + one keyed join back — never the O(n²) dominance self-join. The
+    // constant-key window partition rides pmod per house rule.
+    "q_skyline" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"))
+      val levels = o.groupBy(col("o_totalprice"))
+        .agg(max(col("o_orderdate")).as("lvl_max_d"))
+      val wPrev = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("o_totalprice").cast("long"), lit(1L)))
+        .orderBy(desc("o_totalprice"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val withPrev = levels.select(col("o_totalprice"),
+        max(col("lvl_max_d")).over(wPrev).as("best_above"))
+      o.join(withPrev, Seq("o_totalprice"))
+        .where(col("best_above").isNull ||
+          col("o_orderdate") > col("best_above"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    }),
+
     // ── Approximate aggregates, tolerance-gated ──────────────────────────
     "q_agg_approx" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -418,6 +447,23 @@ object AdvancedQueries {
          FROM v ASOF LEFT JOIN c
            ON v.user_id = c.user_id AND v.ts_us >= c.click_us
          ORDER BY v.event_id""",
+    "q_skyline" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_totalprice, o_orderdate FROM orders),
+         lv AS (
+           SELECT o_totalprice, max(o_orderdate) AS lvl_max_d
+           FROM o GROUP BY 1),
+         wp AS (
+           SELECT o_totalprice,
+             max(lvl_max_d) OVER (ORDER BY o_totalprice DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_above
+           FROM lv)
+         SELECT o.o_orderkey, o.o_totalprice,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate
+         FROM o JOIN wp USING (o_totalprice)
+         WHERE best_above IS NULL OR o.o_orderdate > best_above
+         ORDER BY o_totalprice DESC, o_orderkey""",
     "q_join_asof_tol" ->
       """WITH p AS (SELECT event_id, user_id,
                       CAST(epoch_us(ts) AS BIGINT) AS ts_us

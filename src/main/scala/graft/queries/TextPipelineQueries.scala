@@ -1413,6 +1413,34 @@ object TextPipelineQueries {
         TextAnalysis.sketchFingerprint(col("text")).as("sketch_fp"))
         .orderBy("doc_id")),
 
+    // ── Source × global-quality-decile contingency ──────────────────────
+    // Each source's share of every GLOBAL quality decile — the drift
+    // table that shows which sources fill the bottom of the corpus
+    // before any per-source threshold is chosen (q_quality_quantile cuts
+    // per-lang; this reads composition against one corpus-wide ladder).
+    // ntile(10) over (quality, doc_id) is a tie-pinned total order;
+    // shares ride a source-partitioned window over the ≤ sources×10
+    // relation. The global ntile is a total sort at fixture scale — at
+    // 100 TB the documented swap is approx_percentile decile boundaries
+    // (the q_quality_quantile posture) with the same downstream rollup.
+    "q_quality_decile" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("doc_id"), lit(1L)))
+        .orderBy(col("quality"), col("doc_id"))
+      val ranked = docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.qualityScore(
+            TextAnalysis.qualityFeatures(col("text"))).as("quality"))
+        .select(col("source"), ntile(10).over(w).as("decile"))
+      ranked.groupBy(col("source"), col("decile"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("source"), col("decile"), col("n"),
+          round(col("n").cast("double") /
+            sum(col("n")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("source"))), 6).as("share"))
+        .orderBy("source", "decile")
+    }),
+
     // ── Deny-list lexicon filter (safety-screening rollup) ──────────────
     // The lexicon-based content screen every curation stack runs before
     // anything model-based: per doc, deny-list hits over the house
@@ -1508,6 +1536,26 @@ object TextPipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_quality_decile" ->
+      s"""WITH f AS (
+           SELECT doc_id, source,
+             CAST(length(text) AS INT) AS n_chars,
+             CAST(len($ToksSql) AS INT) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[!-/:-@[-`{-~]', '', 'g')) AS INT) AS punct,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS digits
+           FROM documents),
+         q AS (SELECT doc_id, source, $QualityScoreSql AS quality FROM f),
+         r AS (
+           SELECT source,
+             ntile(10) OVER (ORDER BY quality, doc_id) AS decile
+           FROM q),
+         c AS (
+           SELECT source, decile, CAST(count(*) AS BIGINT) AS n
+           FROM r GROUP BY 1, 2)
+         SELECT source, decile, n,
+           ROUND(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY source), 6)
+             AS share
+         FROM c ORDER BY source, decile""",
     "q_safety_lexicon" ->
       s"""WITH per AS (
            SELECT source,
