@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
@@ -485,6 +485,50 @@ object AnalyticQueries {
           round(col("mn") + col("bucket") * col("w"), 6).as("lo"),
           round(col("mn") + (col("bucket") + 1) * col("w"), 6).as("hi"))
         .orderBy("lang", "bucket")
+    }),
+
+    // ── Funnel time-to-convert distribution ─────────────────────────────
+    // q_funnel tells WHO converts; this tells HOW FAST: per stage
+    // transition (signup→first-later-click, click→first-later-purchase),
+    // exact median/p90/mean hours. Stage timestamps use q_funnel's exact
+    // min-after-predecessor aggregates; gaps convert to hours in exact
+    // epoch-micros, are rounded ONCE, then feed the proven
+    // percentile↔quantile_cont and decimal-mean parities. Two keyed
+    // left joins + aggregates — per-user state, never event-pair scale.
+    "q_funnel_time" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val signup = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      val clicked = signup
+        .join(ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("cts")),
+          Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("signup_ts"))
+        .agg(min(when(col("cts") > col("signup_ts"), col("cts")))
+          .as("click_ts"))
+      val full = clicked
+        .join(ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts")),
+          Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("signup_ts"), col("click_ts"))
+        .agg(min(when(col("pts") > col("click_ts"), col("pts")))
+          .as("purchase_ts"))
+      def hrs(a: Column, b: Column) = round(
+        (unix_micros(b.cast("timestamp")) - unix_micros(a.cast("timestamp")))
+          .cast("double") / 3600000000.0, 6)
+      full.where(col("click_ts").isNotNull)
+        .select(lit("signup_to_click").as("transition"),
+          hrs(col("signup_ts"), col("click_ts")).as("h"))
+        .unionByName(full.where(col("purchase_ts").isNotNull)
+          .select(lit("click_to_purchase").as("transition"),
+            hrs(col("click_ts"), col("purchase_ts")).as("h")))
+        .groupBy(col("transition"))
+        .agg(count(lit(1)).as("n_users"),
+          round(expr("percentile(h, 0.5)"), 6).as("med_hours"),
+          round(expr("percentile(h, 0.9)"), 6).as("p90_hours"),
+          round(sum(col("h").cast("decimal(28,10)")).cast("double") /
+            count(lit(1)), 6).as("mean_hours"))
+        .orderBy("transition")
     }),
 
     // ── Rolling 24-hour median/mean over a dense per-type hourly grid ───
@@ -1084,6 +1128,38 @@ object AnalyticQueries {
             ROUND(mn + (bucket + 1) * w, 6) AS hi
           FROM b GROUP BY lang, bucket, mn, w
           ORDER BY lang, bucket""",
+    "q_funnel_time" ->
+      """WITH s AS (
+           SELECT user_id, min(ts) AS signup_ts FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         c AS (
+           SELECT s.user_id, s.signup_ts,
+             min(CASE WHEN e.ts > s.signup_ts THEN e.ts END) AS click_ts
+           FROM s LEFT JOIN events e
+             ON e.user_id = s.user_id AND e.event_type = 'click'
+           GROUP BY 1, 2),
+         p AS (
+           SELECT c.user_id, c.signup_ts, c.click_ts,
+             min(CASE WHEN e.ts > c.click_ts THEN e.ts END) AS purchase_ts
+           FROM c LEFT JOIN events e
+             ON e.user_id = c.user_id AND e.event_type = 'purchase'
+           GROUP BY 1, 2, 3),
+         t AS (
+           SELECT 'signup_to_click' AS transition,
+             ROUND(CAST(epoch_us(click_ts) - epoch_us(signup_ts) AS DOUBLE)
+               / 3600000000.0, 6) AS h
+           FROM p WHERE click_ts IS NOT NULL
+           UNION ALL
+           SELECT 'click_to_purchase',
+             ROUND(CAST(epoch_us(purchase_ts) - epoch_us(click_ts)
+               AS DOUBLE) / 3600000000.0, 6) AS h
+           FROM p WHERE purchase_ts IS NOT NULL)
+         SELECT transition, CAST(count(*) AS BIGINT) AS n_users,
+           ROUND(quantile_cont(h, 0.5), 6) AS med_hours,
+           ROUND(quantile_cont(h, 0.9), 6) AS p90_hours,
+           ROUND(CAST(sum(CAST(h AS DECIMAL(28,10))) AS DOUBLE)
+             / count(*), 6) AS mean_hours
+         FROM t GROUP BY 1 ORDER BY transition""",
     "q_rolling_median" ->
       """WITH perb AS (
            SELECT event_type, epoch_us(ts) // 3600000000 AS b,

@@ -369,6 +369,53 @@ object CorpusStatsQueries {
           k = BpeK, checkpointEvery = 2)
         .orderBy("grp")),
 
+    // ── Heaps'-law vocabulary-growth fit ────────────────────────────────
+    // How fast does vocabulary grow as the corpus grows? V(D) ≈ K·D^β —
+    // β near 0.5 is natural text, near 1 is id/noise floods, near 0 is
+    // template collapse (the growth-side companion of q_zipf_fit's
+    // frequency slope). Ten cumulative checkpoints from a tie-free
+    // doc_id ntile ladder; each token binds to the decile of its FIRST
+    // document (min doc_id — one inverted-index aggregate + one keyed
+    // join, never a rescan per checkpoint), cumulatives ride 10-row
+    // windows, and the ln-ln OLS reuses the q_zipf_fit decimal
+    // moment-sum discipline. At 100 TB: doc order is ingest order and
+    // the checkpoints come from count boundaries, same plan.
+    "q_heaps_law" -> ((s, dir) => {
+      val dec = "decimal(30,16)"
+      val W = org.apache.spark.sql.expressions.Window
+      val dd = docs(s, dir).select(col("doc_id"))
+        .select(col("doc_id"),
+          ntile(10).over(W.partitionBy(pmod(col("doc_id"), lit(1L)))
+            .orderBy(col("doc_id"))).as("decile"))
+      val docsPer = dd.groupBy(col("decile")).agg(count(lit(1)).as("nd"))
+      val vocabPer = tokStream(s, dir)
+        .groupBy(col("tok")).agg(min(col("doc_id")).as("doc_id"))
+        .join(dd, Seq("doc_id"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("nv"))
+      val wCum = W.partitionBy(pmod(col("decile"), lit(1)))
+        .orderBy(col("decile"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      docsPer.join(vocabPer, Seq("decile"), "left")
+        .select(col("decile"),
+          sum(col("nd")).over(wCum).as("cd"),
+          sum(coalesce(col("nv"), lit(0L))).over(wCum).as("cv"))
+        .select(
+          round(log(col("cd").cast("double")), 6).as("lx"),
+          round(log(col("cv").cast("double")), 6).as("ly"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("lx").cast(dec)).cast("double").as("sx"),
+          sum(col("ly").cast(dec)).cast("double").as("sy"),
+          sum((col("lx") * col("ly")).cast(dec)).cast("double").as("sxy"),
+          sum((col("lx") * col("lx")).cast(dec)).cast("double").as("sxx"))
+        .withColumn("slope",
+          (col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+            / (col("n").cast("double") * col("sxx") - col("sx") * col("sx")))
+        .select(col("n"),
+          round(col("slope"), 6).as("heaps_beta"),
+          round((col("sy") - col("slope") * col("sx"))
+            / col("n").cast("double"), 6).as("ln_k"))
+    }),
+
     // ── Hapax / lexical-diversity profile per source ────────────────────
     // Vocabulary size, token total, hapax-legomenon count (types seen
     // exactly once — the noise/novelty end of the frequency spectrum),
@@ -1110,6 +1157,40 @@ object CorpusStatsQueries {
               AS chars_per_unit
           FROM seg s JOIN documents d USING (doc_id)
           GROUP BY d.lang ORDER BY grp""",
+    "q_heaps_law" ->
+      s"""WITH $TokCte,
+         dd AS (
+           SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS decile
+           FROM documents),
+         dp AS (SELECT decile, count(*) AS nd FROM dd GROUP BY 1),
+         fo AS (SELECT min(doc_id) AS doc_id FROM tok GROUP BY tok),
+         vp AS (
+           SELECT d.decile, count(*) AS nv
+           FROM fo f JOIN dd d ON f.doc_id = d.doc_id GROUP BY 1),
+         cum AS (
+           SELECT dp.decile,
+             sum(nd) OVER (ORDER BY dp.decile ROWS UNBOUNDED PRECEDING)
+               AS cd,
+             sum(COALESCE(nv, 0)) OVER (ORDER BY dp.decile
+               ROWS UNBOUNDED PRECEDING) AS cv
+           FROM dp LEFT JOIN vp ON dp.decile = vp.decile),
+         lg AS (
+           SELECT ROUND(ln(CAST(cd AS DOUBLE)), 6) AS lx,
+             ROUND(ln(CAST(cv AS DOUBLE)), 6) AS ly
+           FROM cum),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(lx AS DECIMAL(30,16))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ly AS DECIMAL(30,16))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(lx * ly AS DECIMAL(30,16))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(lx * lx AS DECIMAL(30,16))) AS DOUBLE) AS sxx
+           FROM lg)
+         SELECT n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS heaps_beta,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             / n, 6) AS ln_k
+         FROM m""",
     "q_hapax" ->
       s"""WITH tf AS (
            SELECT source, tok, count(*) AS c FROM (
