@@ -487,6 +487,78 @@ object AnalyticQueries {
         .orderBy("lang", "bucket")
     }),
 
+    // ── Deterministic Poisson-bootstrap confidence interval ─────────────
+    // The scale-native bootstrap: replica b resamples every row with a
+    // Poisson(1) weight derived from the portable h60 draw (inverse-CDF
+    // thresholds as shared literals), so B replicas cost ONE pass with a
+    // B+1× map-side fan-out and one keyed aggregate — no per-replica
+    // rescan, no RNG state. b=0 is the unweighted point estimate; the
+    // 2.5/97.5 exact percentiles of the 32 replica means bound the mean
+    // order value. Weighted sums decimal-accumulated; every division
+    // rounded once at 6.
+    "q_bootstrap_ci" -> ((s, dir) => {
+      val B = 32
+      val fan = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          explode(sequence(lit(0), lit(B))).as("b"))
+      val u = pmod(graft.functions.Hashes.h60(
+          concat_ws(":", col("o_orderkey"), col("b"))), lit(1048576L))
+        .cast("double") / 1048576.0
+      val w = when(col("b") === 0, lit(1L))
+        .when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L)
+        .when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238462, 3L)
+        .when(u < 0.9963401531726563, 4L)
+        .otherwise(5L)
+      fan.select(col("b"), w.as("w"), col("o_totalprice"))
+        .groupBy(col("b"))
+        .agg(round(
+          sum((col("w").cast("double") * col("o_totalprice"))
+            .cast("decimal(38,10)")).cast("double") / sum(col("w")), 6)
+          .as("m"))
+        .agg(
+          sum(when(col("b") >= 1, 1L).otherwise(0L)).as("n_replicas"),
+          max(when(col("b") === 0, col("m"))).as("est"),
+          round(expr("percentile(CASE WHEN b >= 1 THEN m END, 0.025)"), 6)
+            .as("ci_lo"),
+          round(expr("percentile(CASE WHEN b >= 1 THEN m END, 0.975)"), 6)
+            .as("ci_hi"))
+    }),
+
+    // ── Day-of-week seasonality profile + χ² uniformity parts ───────────
+    // Per day-of-week: event mass, share, and the day's χ² contribution
+    // against the uniform dow×hour expectation — the seasonality read
+    // that decides whether time-based sampling needs stratification.
+    // Day/hour come from exact epoch-micros integer arithmetic (no
+    // engine dow() convention risk; 0=Sunday via the +4 epoch offset).
+    // Cell contributions are per-row IEEE, rounded, then decimal-summed;
+    // the corpus total rides a constant-key window over the ≤168-cell
+    // relation. Absent cells (none in this fixture) would need a
+    // gapfill-style densify for the textbook χ² — documented contract.
+    "q_seasonality" -> ((s, dir) => {
+      val cells = Tables.events(s, dir).select(
+          expr("(unix_micros(cast(ts as timestamp)) div 86400000000 + 4) % 7")
+            .as("dow"),
+          expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 24")
+            .as("hod"))
+        .groupBy(col("dow"), col("hod")).agg(count(lit(1)).as("n"))
+      val wAll = Window.partitionBy(pmod(col("dow"), lit(1L)))
+      cells.select(col("dow"), col("n"),
+          sum(col("n")).over(wAll).as("ntot"),
+          (sum(col("n")).over(wAll).cast("double") / 168.0).as("e"))
+        .select(col("dow"), col("n"), col("ntot"),
+          round((col("n").cast("double") - col("e")) *
+            (col("n").cast("double") - col("e")) / col("e"), 6).as("c"))
+        .groupBy(col("dow"))
+        .agg(sum(col("n")).as("n_events"),
+          round(sum(col("n")).cast("double") / max(col("ntot")), 6)
+            .as("share"),
+          round(sum(col("c").cast("decimal(28,10)")).cast("double"), 4)
+            .as("chi2_part"))
+        .orderBy("dow")
+    }),
+
     // ── Funnel time-to-convert distribution ─────────────────────────────
     // q_funnel tells WHO converts; this tells HOW FAST: per stage
     // transition (signup→first-later-click, click→first-later-purchase),
@@ -1128,6 +1200,58 @@ object AnalyticQueries {
             ROUND(mn + (bucket + 1) * w, 6) AS hi
           FROM b GROUP BY lang, bucket, mn, w
           ORDER BY lang, bucket""",
+    "q_bootstrap_ci" -> {
+      val h = graft.functions.Hashes.h60Sql(
+        "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+      s"""WITH fan AS (
+           SELECT o_orderkey, o_totalprice,
+             unnest(generate_series(0, 32)) AS b
+           FROM orders),
+         wts AS (
+           SELECT b, o_totalprice,
+             CASE WHEN b = 0 THEN 1
+                  WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  ELSE 5 END AS w
+           FROM (SELECT *, CAST(($h) % 1048576 AS DOUBLE) / 1048576.0 AS u
+                 FROM fan)),
+         means AS (
+           SELECT b,
+             ROUND(CAST(sum(CAST(w * o_totalprice AS DECIMAL(38,10)))
+               AS DOUBLE) / sum(w), 6) AS m
+           FROM wts GROUP BY b)
+         SELECT CAST(sum(CASE WHEN b >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_replicas,
+           max(CASE WHEN b = 0 THEN m END) AS est,
+           ROUND(quantile_cont(CASE WHEN b >= 1 THEN m END, 0.025), 6)
+             AS ci_lo,
+           ROUND(quantile_cont(CASE WHEN b >= 1 THEN m END, 0.975), 6)
+             AS ci_hi
+         FROM means"""
+    },
+    "q_seasonality" ->
+      """WITH cells AS (
+           SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             (epoch_us(ts) // 3600000000) % 24 AS hod,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         e AS (
+           SELECT dow, n, sum(n) OVER () AS ntot,
+             CAST(sum(n) OVER () AS DOUBLE) / 168.0 AS e
+           FROM cells),
+         c AS (
+           SELECT dow, n, ntot,
+             ROUND((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e, 6)
+               AS c
+           FROM e)
+         SELECT dow, CAST(sum(n) AS BIGINT) AS n_events,
+           ROUND(CAST(sum(n) AS DOUBLE) / max(ntot), 6) AS share,
+           ROUND(CAST(sum(CAST(c AS DECIMAL(28,10))) AS DOUBLE), 4)
+             AS chi2_part
+         FROM c GROUP BY dow ORDER BY dow""",
     "q_funnel_time" ->
       """WITH s AS (
            SELECT user_id, min(ts) AS signup_ts FROM events
