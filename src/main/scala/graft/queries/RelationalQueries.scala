@@ -415,6 +415,47 @@ object RelationalQueries {
         .limit(10)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
 
+    // ── Zone-map skip audit (what data layout buys a range scan) ────────
+    // The min/max-pruning effectiveness read behind every layout
+    // decision: shard orders 32 ways under (a) date-clustered and (b)
+    // hash-random placement, keep each shard's [min,max] date zone map,
+    // and count how many shards a H1-1997 range predicate can skip
+    // without opening. Clustered placement skips ~29/32; random skips 0
+    // — the number that justifies q_zorder/sort-on-write. ntile here is
+    // a fixture-scale stand-in for the writer's range partitioner; the
+    // audit itself is two keyed aggregates per layout.
+    "q_zonemap_skip" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("d"))
+      val lo = lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+      val hi = lit("1997-07-01 00:00:00").cast("timestamp_ntz")
+      def audit(layout: String, orderCol: Column) =
+        o.select(col("d"),
+            ntile(32).over(W.partitionBy(pmod(col("o_orderkey"), lit(1L)))
+              .orderBy(orderCol, col("o_orderkey"))).as("shard"))
+          .groupBy(col("shard"))
+          .agg(min("d").as("mn"), max("d").as("mx"),
+            count(lit(1)).as("n_rows"))
+          .agg(count(lit(1)).as("n_shards"),
+            sum(col("n_rows")).as("n_total"),
+            sum(when(col("mx") < lo || col("mn") >= hi, 1L).otherwise(0L))
+              .as("n_skipped"),
+            sum(when(col("mx") < lo || col("mn") >= hi, col("n_rows"))
+              .otherwise(0L)).as("rows_skipped"))
+          .select(lit(layout).as("layout"), col("n_shards"),
+            col("n_skipped"), col("rows_skipped"),
+            round(col("n_skipped").cast("double") / col("n_shards"), 6)
+              .as("shard_skip_rate"),
+            round(col("rows_skipped").cast("double") / col("n_total"), 6)
+              .as("row_skip_rate"))
+      audit("date_clustered", col("d"))
+        .unionByName(audit("hash_random",
+          pmod(graft.functions.Hashes.h60(col("o_orderkey").cast("string")),
+            lit(1048576L))))
+        .orderBy("layout")
+    }),
+
     // ── Data-quality constraint audit (the Deequ-style check suite) ─────
     // One row per declared constraint: violation count, row total, pass
     // bit. In-scan checks (domain membership, range, null, key
@@ -764,6 +805,56 @@ object RelationalQueries {
            ROUND(CAST(n_a AS DOUBLE) * n_b / greatest(ndv_a, ndv_b)
                  / actual, 6) AS err_ratio
          FROM sa CROSS JOIN sb CROSS JOIN ac""",
+    "q_zonemap_skip" -> {
+      val h = graft.functions.Hashes.h60Sql("CAST(o_orderkey AS VARCHAR)")
+      s"""WITH o AS (
+           SELECT o_orderkey, o_orderdate AS d,
+             ($h) % 1048576 AS hkey
+           FROM orders),
+         s1 AS (
+           SELECT d, ntile(32) OVER (ORDER BY d, o_orderkey) AS shard
+           FROM o),
+         s2 AS (
+           SELECT d, ntile(32) OVER (ORDER BY hkey, o_orderkey) AS shard
+           FROM o),
+         z1 AS (
+           SELECT shard, min(d) AS mn, max(d) AS mx,
+             CAST(count(*) AS BIGINT) AS n_rows
+           FROM s1 GROUP BY shard),
+         z2 AS (
+           SELECT shard, min(d) AS mn, max(d) AS mx,
+             CAST(count(*) AS BIGINT) AS n_rows
+           FROM s2 GROUP BY shard),
+         a1 AS (
+           SELECT 'date_clustered' AS layout,
+             CAST(count(*) AS BIGINT) AS n_shards,
+             CAST(sum(n_rows) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN mx < TIMESTAMP '1997-01-01'
+                        OR mn >= TIMESTAMP '1997-07-01'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+             CAST(sum(CASE WHEN mx < TIMESTAMP '1997-01-01'
+                        OR mn >= TIMESTAMP '1997-07-01'
+                      THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped
+           FROM z1),
+         a2 AS (
+           SELECT 'hash_random' AS layout,
+             CAST(count(*) AS BIGINT) AS n_shards,
+             CAST(sum(n_rows) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN mx < TIMESTAMP '1997-01-01'
+                        OR mn >= TIMESTAMP '1997-07-01'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+             CAST(sum(CASE WHEN mx < TIMESTAMP '1997-01-01'
+                        OR mn >= TIMESTAMP '1997-07-01'
+                      THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped
+           FROM z2),
+         u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+         SELECT layout, n_shards, n_skipped, rows_skipped,
+           ROUND(CAST(n_skipped AS DOUBLE) / n_shards, 6)
+             AS shard_skip_rate,
+           ROUND(CAST(rows_skipped AS DOUBLE) / n_total, 6)
+             AS row_skip_rate
+         FROM u ORDER BY layout"""
+    },
     "q_dq_checks" ->
       """WITH oagg AS (
            SELECT CAST(count(*) AS BIGINT) AS n_total,

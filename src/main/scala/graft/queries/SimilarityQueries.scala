@@ -355,6 +355,32 @@ object SimilarityQueries {
           Tables.table(s, dir, "part"), "p_name")
         .orderBy("name_a", "name_b")),
 
+    // ── Late-interaction MaxSim scoring (ColBERT-style) ─────────────────
+    // Multi-vector retrieval's core kernel: a QUERY SET of 8 vectors
+    // (label-0's lowest ids, broadcast) scores every candidate group by
+    // Σ_q max_{d∈group} cos(q, d) — each query vector independently
+    // finds its best match inside the group, sums fold in DECIMAL over
+    // the already-rounded per-pair cosines. The 8-row broadcast scan is
+    // the documented q_knn_brute posture (allowlisted); the max/sum
+    // rollups are keyed. At 100 TB the candidate side is IVF/LSH-cut
+    // first (q_ivfpq's routing), MaxSim then runs on the shortlist —
+    // same kernel, shortlist-sized.
+    "q_maxsim" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("label") === 0).orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      e.crossJoin(broadcast(q))
+        .select(col("label"), col("q_id"),
+          Similarity.cosineExact(col("q_vec"), col("embedding")).as("cos"))
+        .groupBy(col("label"), col("q_id"))
+        .agg(max(col("cos")).as("best"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_qvecs"),
+          round(sum(col("best").cast("decimal(28,10)")).cast("double"), 6)
+            .as("maxsim"))
+        .orderBy(desc("maxsim"), col("label"))
+    }),
+
     // ── Class-balance training weights ──────────────────────────────────
     // The re-weighting table a trainer attaches to an imbalanced labeled
     // set: per label, its sample share, the inverse-frequency weight
@@ -996,6 +1022,20 @@ object SimilarityQueries {
           FROM n a JOIN n b ON a.name < b.name
           WHERE levenshtein(a.name, b.name) <= 1
           ORDER BY name_a, name_b""",
+    "q_maxsim" ->
+      s"""WITH q AS (
+           SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+           WHERE label = 0 ORDER BY vec_id LIMIT 8),
+         p AS (
+           SELECT e.label, q.q_id,
+             ${cosineSql("q.q_vec", "e.embedding")} AS cos
+           FROM embeddings e CROSS JOIN q),
+         b AS (
+           SELECT label, q_id, max(cos) AS best FROM p GROUP BY 1, 2)
+         SELECT label, CAST(count(*) AS BIGINT) AS n_qvecs,
+           ROUND(CAST(sum(CAST(best AS DECIMAL(28,10))) AS DOUBLE), 6)
+             AS maxsim
+         FROM b GROUP BY label ORDER BY maxsim DESC, label""",
     "q_class_weights" ->
       """WITH pl AS (
            SELECT label, CAST(count(*) AS BIGINT) AS n
