@@ -487,6 +487,45 @@ object AnalyticQueries {
         .orderBy("lang", "bucket")
     }),
 
+    // ── Autocorrelation of the hourly event series (lags 1/24/168) ──────
+    // Periodicity detection in exact integer arithmetic: Pearson r
+    // between the gap-filled hourly count series and its k-shift, from
+    // six int64 moment sums per lag (counts are ints — every sum exact;
+    // doubles only in the final sqrt/divide, rounded once). The shift is
+    // a keyed self-join on bucket index (one union of three shifted
+    // projections, no window over the full span), so the plan is
+    // lag-count × series-length linear. r(24) ≫ r(1) reads "daily
+    // cycle"; r(168) the weekly one.
+    "q_autocorr" -> ((s, dir) => {
+      val perB = Tables.events(s, dir)
+        .select(expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+          .as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("n"))
+      val dense = perB.agg(min("b").as("b0"), max("b").as("b1"))
+        .select(explode(sequence(col("b0"), col("b1"))).as("b"))
+        .join(perB, Seq("b"), "left")
+        .select(col("b"), coalesce(col("n"), lit(0L)).as("x"))
+      val shifted = Seq(1L, 24L, 168L)
+        .map(l => dense.select(lit(l).as("lag"), (col("b") + l).as("b"),
+          col("x").as("y")))
+        .reduce(_ unionByName _)
+      dense.join(shifted, Seq("b"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("m"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("lag"), col("m"),
+          round((col("m") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+             sqrt((col("m") * col("syy") - col("sy") * col("sy"))
+              .cast("double"))), 6).as("acf"))
+        .orderBy("lag")
+    }),
+
     // ── Deterministic Poisson-bootstrap confidence interval ─────────────
     // The scale-native bootstrap: replica b resamples every row with a
     // Poisson(1) weight derived from the portable h60 draw (inverse-CDF
@@ -1200,6 +1239,34 @@ object AnalyticQueries {
             ROUND(mn + (bucket + 1) * w, 6) AS hi
           FROM b GROUP BY lang, bucket, mn, w
           ORDER BY lang, bucket""",
+    "q_autocorr" ->
+      """WITH perb AS (
+           SELECT epoch_us(ts) // 3600000000 AS b,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+         bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM perb),
+         grid AS (SELECT unnest(generate_series(b0, b1)) AS b FROM bounds),
+         dense AS (
+           SELECT g.b, CAST(COALESCE(p.n, 0) AS BIGINT) AS x
+           FROM grid g LEFT JOIN perb p USING (b)),
+         shifted AS (
+           SELECT CAST(1 AS BIGINT) AS lag, b + 1 AS b, x AS y FROM dense
+           UNION ALL SELECT 24, b + 24, x FROM dense
+           UNION ALL SELECT 168, b + 168, x FROM dense),
+         j AS (
+           SELECT s.lag, d.x, s.y FROM dense d JOIN shifted s USING (b)),
+         m AS (
+           SELECT lag, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+           FROM j GROUP BY lag)
+         SELECT lag, m,
+           ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6) AS acf
+         FROM m ORDER BY lag""",
     "q_bootstrap_ci" -> {
       val h = graft.functions.Hashes.h60Sql(
         "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)")

@@ -442,6 +442,51 @@ object CorpusStatsQueries {
         .orderBy("source")
     }),
 
+    // ── Stratification design effect (what stratifying by source buys) ──
+    // Survey-sampling's deff applied to corpus estimation: the ratio of
+    // within-stratum variance mass Σ (n_h/N)·s²_h to total variance s²
+    // is the variance multiplier of a proportional source-stratified
+    // sample vs simple random sampling of the SAME size (the sample size
+    // cancels). deff ≪ 1 ⇒ stratify before estimating corpus stats;
+    // gain = 1 − deff is the variance saved. Moment sums are exact
+    // DECIMAL per stratum; s²_h/deff are one fixed IEEE chain each,
+    // terms rounded at 8 then decimal-summed (the repo-wide round-
+    // before-aggregate discipline). One keyed aggregate + 20-row
+    // constant-key windows — nothing fact-scale after the group-by.
+    "q_stratify_gain" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("nh"), lit(1L)))
+      val st = docs(s, dir)
+        .select(col("source"), col("n_chars").cast("long").as("x"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("nh"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      val s2h = (col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") / col("nh")) /
+        (col("nh") - 1)
+      val gvar = (col("gsxx").cast("double") -
+        col("gsx").cast("double") * col("gsx").cast("double") / col("nn")) /
+        (col("nn") - 1)
+      st.select(col("nh"), col("sx"), col("sxx"),
+          sum(col("nh")).over(W).as("nn"),
+          sum(col("sx")).over(W).as("gsx"),
+          sum(col("sxx")).over(W).as("gsxx"),
+          count(lit(1)).over(W).as("k"))
+        .select(col("nn"), col("k"), col("gsx"), col("gsxx"),
+          when(col("nh") > 1,
+            round(col("nh").cast("double") / col("nn") * s2h, 8))
+            .otherwise(0.0).as("t"))
+        .groupBy(col("nn"), col("k"), col("gsx"), col("gsxx"))
+        .agg(sum(col("t").cast("decimal(38,6)")).cast("double")
+          .as("within"))
+        .select(col("nn").as("n"), col("k").as("k_strata"),
+          round(col("within"), 4).as("within_var"),
+          round(gvar, 4).as("total_var"),
+          round(col("within") / gvar, 6).as("deff"),
+          round(lit(1.0) - col("within") / gvar, 6).as("gain"))
+    }),
+
     // ── Concentration index (HHI) of corpus composition ─────────────────
     // Herfindahl–Hirschman index of doc-mass concentration across
     // sources and across languages: Σ share² with exact integer
@@ -1206,6 +1251,44 @@ object CorpusStatsQueries {
            ROUND(CAST(n_hapax AS DOUBLE) / vocab_size, 6) AS hapax_share,
            ROUND(CAST(vocab_size AS DOUBLE) / n_tokens, 6) AS ttr
          FROM g ORDER BY source""",
+    "q_stratify_gain" ->
+      """WITH st AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS nh,
+             sum(CAST(n_chars AS DECIMAL(38,0))) AS sx,
+             sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS sxx
+           FROM documents GROUP BY source),
+         g AS (
+           SELECT nh, sx, sxx,
+             CAST(sum(nh) OVER () AS BIGINT) AS nn,
+             sum(sx) OVER () AS gsx,
+             sum(sxx) OVER () AS gsxx,
+             CAST(count(*) OVER () AS BIGINT) AS k
+           FROM st),
+         t AS (
+           SELECT nn, k, gsx, gsxx,
+             CASE WHEN nh > 1 THEN
+               ROUND(CAST(nh AS DOUBLE) / nn *
+                 ((CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / nh)
+                  / (nh - 1)), 8)
+             ELSE 0.0 END AS t
+           FROM g),
+         a AS (
+           SELECT nn, k, gsx, gsxx,
+             CAST(sum(CAST(t AS DECIMAL(38,6))) AS DOUBLE) AS within
+           FROM t GROUP BY 1, 2, 3, 4)
+         SELECT nn AS n, k AS k_strata,
+           ROUND(within, 4) AS within_var,
+           ROUND((CAST(gsxx AS DOUBLE)
+                  - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE) / nn)
+                 / (nn - 1), 4) AS total_var,
+           ROUND(within / ((CAST(gsxx AS DOUBLE)
+                  - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE) / nn)
+                 / (nn - 1)), 6) AS deff,
+           ROUND(1.0 - within / ((CAST(gsxx AS DOUBLE)
+                  - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE) / nn)
+                 / (nn - 1)), 6) AS gain
+         FROM a""",
     "q_source_hhi" ->
       """WITH s1 AS (SELECT source AS g FROM documents),
          s2 AS (SELECT lang AS g FROM documents),
