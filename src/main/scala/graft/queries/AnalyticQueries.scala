@@ -487,6 +487,65 @@ object AnalyticQueries {
         .orderBy("lang", "bucket")
     }),
 
+    // ── Discrete churn hazard (survival analysis over user lifetimes) ───
+    // Kaplan–Meier's discrete cousin in exact integers: per observed-
+    // lifetime week w (last-minus-first activity, epoch-day arithmetic),
+    // the users whose observation ended there, the at-risk set (everyone
+    // surviving ≥ w — a reverse running sum over the ≤ weeks relation),
+    // and the hazard ratio rounded once. One per-user aggregate + one
+    // tiny window; the survival product is deliberately NOT emitted
+    // (Π of doubles is order-fragile — consumers fold hazards instead).
+    "q_churn_hazard" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"))
+        .groupBy(col("user_id"))
+        .agg((max(col("day")) - min(col("day"))).as("span"))
+        .select(expr("span div 7").as("w"))
+      val cnt = perUser.groupBy(col("w")).agg(count(lit(1)).as("n_ended"))
+      val wRev = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("w"), lit(1L)))
+        .orderBy(desc("w"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      cnt.select(col("w"), col("n_ended"),
+          sum(col("n_ended")).over(wRev).as("n_at_risk"))
+        .select(col("w"), col("n_ended"), col("n_at_risk"),
+          round(col("n_ended").cast("double") / col("n_at_risk"), 6)
+            .as("hazard"))
+        .orderBy("w")
+    }),
+
+    // ── TPC-H Q3 shape (shipping priority) ──────────────────────────────
+    // The canonical 3-way fact⋈fact⋈dim benchmark query: BUILDING
+    // customers, orders placed before 1998, lineitems shipped after —
+    // both date predicates and the segment filter push to their scans,
+    // the customer side broadcasts, lineitem⋈orders shuffles once on
+    // orderkey, revenue folds in DECIMAL, TakeOrderedAndProject cuts the
+    // top 10. The plan Spark should pick unaided; gated so it stays
+    // picked.
+    "q_tpch_q3" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") <
+          lit("1998-01-01 00:00:00").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >
+          lit("1998-01-01 00:00:00").cast("timestamp"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(Exact.roundSum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    }),
+
     // ── Autocorrelation of the hourly event series (lags 1/24/168) ──────
     // Periodicity detection in exact integer arithmetic: Pearson r
     // between the gap-filled hourly count series and its k-shift, from
@@ -1239,6 +1298,35 @@ object AnalyticQueries {
             ROUND(mn + (bucket + 1) * w, 6) AS hi
           FROM b GROUP BY lang, bucket, mn, w
           ORDER BY lang, bucket""",
+    "q_churn_hazard" ->
+      """WITH pu AS (
+           SELECT user_id,
+             (max(epoch_us(ts) // 86400000000)
+              - min(epoch_us(ts) // 86400000000)) // 7 AS w
+           FROM events GROUP BY user_id),
+         c AS (SELECT w, CAST(count(*) AS BIGINT) AS n_ended
+               FROM pu GROUP BY w),
+         r AS (
+           SELECT w, n_ended,
+             CAST(sum(n_ended) OVER (ORDER BY w DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+           FROM c)
+         SELECT w, n_ended, n_at_risk,
+           ROUND(CAST(n_ended AS DOUBLE) / n_at_risk, 6) AS hazard
+         FROM r ORDER BY w""",
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+           o_orderpriority,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q_autocorr" ->
       """WITH perb AS (
            SELECT epoch_us(ts) // 3600000000 AS b,
