@@ -596,11 +596,26 @@ object AnalyticQueries {
     // rounded once at 6.
     "q_bootstrap_ci" -> ((s, dir) => {
       val B = 32
-      val fan = t(s, dir, "orders")
+      // ONE md5 per row; the per-replica uniforms come from exact-integer
+      // affine transforms of its low 20 bits (odd multiplier ⇒ bijection
+      // on Z_2²⁰ — the Sketches.affineSql identity minhash already uses).
+      // The md5-per-(row, replica) form measured 13.5 s at sf0.1. The
+      // hashed relation is persisted BEFORE the fan-out: without the
+      // barrier Catalyst collapses the md5 projection past the Generate
+      // and recomputes it per replica row (the q_pq_codes inlining trap),
+      // erasing the 33× saving. Lifetime: until the caller clears
+      // (Verify/Bench clear per query).
+      val hashed = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"),
+          pmod(graft.functions.Hashes.h60(col("o_orderkey").cast("string")),
+            lit(1048576L)).as("h20"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fan = hashed
+        .select(col("o_totalprice"), col("h20"),
           explode(sequence(lit(0), lit(B))).as("b"))
-      val u = pmod(graft.functions.Hashes.h60(
-          concat_ws(":", col("o_orderkey"), col("b"))), lit(1048576L))
+      val a = (col("b") * 2462143L) % 524288L * 2L + 1L
+      val c = (col("b") * 586061L) % 1048576L
+      val u = pmod(a * col("h20") + c, lit(1048576L))
         .cast("double") / 1048576.0
       val w = when(col("b") === 0, lit(1L))
         .when(u < 0.36787944117144233, 0L)
@@ -1356,10 +1371,10 @@ object AnalyticQueries {
                 * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6) AS acf
          FROM m ORDER BY lag""",
     "q_bootstrap_ci" -> {
-      val h = graft.functions.Hashes.h60Sql(
-        "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+      val h = graft.functions.Hashes.h60Sql("CAST(o_orderkey AS VARCHAR)")
       s"""WITH fan AS (
            SELECT o_orderkey, o_totalprice,
+             ($h) % 1048576 AS h20,
              unnest(generate_series(0, 32)) AS b
            FROM orders),
          wts AS (
@@ -1371,7 +1386,10 @@ object AnalyticQueries {
                   WHEN u < 0.9810118431238462 THEN 3
                   WHEN u < 0.9963401531726563 THEN 4
                   ELSE 5 END AS w
-           FROM (SELECT *, CAST(($h) % 1048576 AS DOUBLE) / 1048576.0 AS u
+           FROM (SELECT *,
+                   CAST(((((b * 2462143) % 524288) * 2 + 1) * h20
+                         + (b * 586061) % 1048576) % 1048576 AS DOUBLE)
+                     / 1048576.0 AS u
                  FROM fan)),
          means AS (
            SELECT b,

@@ -554,6 +554,51 @@ object CorpusStatsQueries {
             .as("ks"))
     }),
 
+    // ── Population Stability Index between the top-2 sources ────────────
+    // The feature-drift monitor's standard number: PSI = Σ (p−q)·ln(p/q)
+    // over ten POOLED doc-length deciles (boundaries from the combined
+    // distribution, so both sides bin identically), add-one smoothed so
+    // an empty cell can't emit ln(0). Per-bucket terms are one IEEE
+    // chain rounded at 8, then decimal-summed and rounded at 6 — the
+    // repo-wide ln discipline. Same top-2/tag machinery as q_ks_drift
+    // (KS reads the worst single gap; PSI the mass-weighted total).
+    "q_psi_drift" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("source"), col("doc_id"),
+        col("n_chars"))
+      val top2 = d.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        .select(col("source"), col("cnt"),
+          row_number().over(W.partitionBy(pmod(col("cnt"), lit(1L)))
+            .orderBy(desc("cnt"), asc("source"))).as("rn"))
+        .where(col("rn") <= 2)
+      val cells = d
+        .join(broadcast(top2.select(col("source"), col("rn"))),
+          Seq("source"))
+        .select(col("rn"),
+          ntile(10).over(W.partitionBy(pmod(col("doc_id"), lit(1L)))
+            .orderBy(col("n_chars"), col("doc_id"))).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("rn") === 2, 1L).otherwise(0L)).as("c2"))
+      val wC = W.partitionBy(pmod(col("bucket"), lit(1)))
+      val p = (col("c1") + 1L).cast("double") / (col("n1") + 10L)
+      val q = (col("c2") + 1L).cast("double") / (col("n2") + 10L)
+      val names = top2.agg(
+        max(when(col("rn") === 1, col("source"))).as("source_a"),
+        max(when(col("rn") === 2, col("source"))).as("source_b"))
+      cells.select(col("c1"), col("c2"),
+          sum(col("c1")).over(wC).as("n1"),
+          sum(col("c2")).over(wC).as("n2"))
+        .select(col("n1"), col("n2"),
+          round((p - q) * log(p / q), 8).as("t"))
+        .groupBy(col("n1"), col("n2"))
+        .agg(round(sum(col("t").cast("decimal(28,10)")).cast("double"), 6)
+          .as("psi"))
+        .crossJoin(broadcast(names))
+        .select(col("source_a"), col("source_b"),
+          col("n1").as("n_a"), col("n2").as("n_b"), col("psi"))
+    }),
+
     // ── Gini concentration of token mass per source ─────────────────────
     // The data-balance audit behind every mixture decision: how unequally
     // is a source's token budget spread over its documents? Population
@@ -1308,6 +1353,46 @@ object CorpusStatsQueries {
            ROUND(CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
              / CAST(sq AS DOUBLE), 6) AS effective_n
          FROM a ORDER BY dim""",
+    "q_psi_drift" ->
+      """WITH sc AS (
+           SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+         top2 AS (
+           SELECT source, rn FROM (
+             SELECT source,
+               row_number() OVER (ORDER BY cnt DESC, source) AS rn
+             FROM sc) WHERE rn <= 2),
+         b AS (
+           SELECT t.rn,
+             ntile(10) OVER (ORDER BY d.n_chars, d.doc_id) AS bucket
+           FROM documents d JOIN top2 t USING (source)),
+         cells AS (
+           SELECT bucket,
+             sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN rn = 2 THEN 1 ELSE 0 END) AS c2
+           FROM b GROUP BY bucket),
+         wide AS (
+           SELECT c1, c2,
+             CAST(sum(c1) OVER () AS BIGINT) AS n1,
+             CAST(sum(c2) OVER () AS BIGINT) AS n2
+           FROM cells),
+         terms AS (
+           SELECT n1, n2,
+             ROUND((CAST(c1 + 1 AS DOUBLE) / (n1 + 10)
+                    - CAST(c2 + 1 AS DOUBLE) / (n2 + 10))
+               * ln((CAST(c1 + 1 AS DOUBLE) / (n1 + 10))
+                    / (CAST(c2 + 1 AS DOUBLE) / (n2 + 10))), 8) AS t
+           FROM wide),
+         agg AS (
+           SELECT n1, n2,
+             ROUND(CAST(sum(CAST(t AS DECIMAL(28,10))) AS DOUBLE), 6)
+               AS psi
+           FROM terms GROUP BY n1, n2),
+         names AS (
+           SELECT max(CASE WHEN rn = 1 THEN source END) AS source_a,
+             max(CASE WHEN rn = 2 THEN source END) AS source_b
+           FROM top2)
+         SELECT source_a, source_b, n1 AS n_a, n2 AS n_b, psi
+         FROM agg CROSS JOIN names""",
     "q_ks_drift" ->
       """WITH sc AS (
            SELECT source, count(*) AS cnt FROM documents GROUP BY source),

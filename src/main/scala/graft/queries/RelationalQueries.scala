@@ -415,6 +415,32 @@ object RelationalQueries {
         .limit(10)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
 
+    // ── Ordered string aggregation (string_agg / LISTAGG) ───────────────
+    // The report-layer aggregate SQL engines ship as STRING_AGG(expr, sep
+    // ORDER BY …): per nation, the top-3 customers by balance joined in
+    // rank order. Spark has no ordered string_agg — the portable form is
+    // collect_list(struct(rank, name)) → array_sort (struct order = rank
+    // order) → transform → array_join, deterministic because the rank
+    // prefix pins the order before the sort. Top-3 cut via one window;
+    // the aggregate runs on ≤ 3 rows per group.
+    "q_string_agg" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_nationkey"))
+        .orderBy(desc("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_name"),
+          row_number().over(W).as("rk"))
+        .where(col("rk") <= 3)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("rk"), col("c_name")))),
+              x => x.getField("c_name")),
+            ",").as("top_names"))
+        .orderBy("c_nationkey")
+    }),
+
     // ── Zone-map skip audit (what data layout buys a range scan) ────────
     // The min/max-pruning effectiveness read behind every layout
     // decision: shard orders 32 ways under (a) date-clustered and (b)
@@ -805,6 +831,16 @@ object RelationalQueries {
            ROUND(CAST(n_a AS DOUBLE) * n_b / greatest(ndv_a, ndv_b)
                  / actual, 6) AS err_ratio
          FROM sa CROSS JOIN sb CROSS JOIN ac""",
+    "q_string_agg" ->
+      """WITH r AS (
+           SELECT c_nationkey, c_name,
+             row_number() OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey) AS rk
+           FROM customer)
+         SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+           string_agg(c_name, ',' ORDER BY rk) AS top_names
+         FROM r WHERE rk <= 3
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q_zonemap_skip" -> {
       val h = graft.functions.Hashes.h60Sql("CAST(o_orderkey AS VARCHAR)")
       s"""WITH o AS (
