@@ -599,6 +599,52 @@ object CorpusStatsQueries {
           col("n1").as("n_a"), col("n2").as("n_b"), col("psi"))
     }),
 
+    // ── Wasserstein-1 (earth mover's) drift between the top-2 sources ───
+    // q_ks_drift reads the worst single CDF gap; this integrates ALL of
+    // it: W₁ = ∫|F_a − F_b| dx = Σ |c_a·n_b − c_b·n_a|·Δx / (n_a·n_b)
+    // over the pooled distinct-length jump points — numerator exact
+    // int64 (decimal-accumulated), Δx from one lead() on the ≤|support|
+    // relation, ONE division at the edge. Same machinery, the
+    // transport-cost number a mixture rebalance actually minimizes.
+    "q_emd_drift" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("source"), col("n_chars"))
+      val top2 = d.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        .select(col("source"), col("cnt"),
+          row_number().over(W.partitionBy(pmod(col("cnt"), lit(1L)))
+            .orderBy(desc("cnt"), asc("source"))).as("rn"))
+        .where(col("rn") <= 2)
+      val perVal = d
+        .join(broadcast(top2.select(col("source"), col("rn"))),
+          Seq("source"))
+        .groupBy(col("n_chars")).agg(
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("d1"),
+          sum(when(col("rn") === 2, 1L).otherwise(0L)).as("d2"))
+      val wCum = W.partitionBy(pmod(col("n_chars"), lit(1L)))
+        .orderBy(col("n_chars"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val wLead = W.partitionBy(pmod(col("n_chars"), lit(1L)))
+        .orderBy(col("n_chars"))
+      val cums = perVal.select(col("n_chars"),
+        sum(col("d1")).over(wCum).as("c1"),
+        sum(col("d2")).over(wCum).as("c2"),
+        (lead(col("n_chars"), 1).over(wLead) - col("n_chars")).as("dx"))
+      val tot = cums.agg(max(col("c1")).as("n_a"), max(col("c2")).as("n_b"))
+      val names = top2.agg(
+        max(when(col("rn") === 1, col("source"))).as("source_a"),
+        max(when(col("rn") === 2, col("source"))).as("source_b"))
+      cums.where(col("dx").isNotNull)
+        .crossJoin(broadcast(tot))
+        .agg(
+          sum((abs(col("c1") * col("n_b") - col("c2") * col("n_a"))
+            * col("dx")).cast("decimal(38,0)")).as("num"),
+          max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+        .crossJoin(broadcast(names))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          round(col("num").cast("double") / (col("n_a") * col("n_b")), 6)
+            .as("w1"))
+    }),
+
     // ── Gini concentration of token mass per source ─────────────────────
     // The data-balance audit behind every mixture decision: how unequally
     // is a source's token budget spread over its documents? Population
@@ -1353,6 +1399,41 @@ object CorpusStatsQueries {
            ROUND(CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
              / CAST(sq AS DOUBLE), 6) AS effective_n
          FROM a ORDER BY dim""",
+    "q_emd_drift" ->
+      """WITH sc AS (
+           SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+         top2 AS (
+           SELECT source, rn FROM (
+             SELECT source,
+               row_number() OVER (ORDER BY cnt DESC, source) AS rn
+             FROM sc) WHERE rn <= 2),
+         perval AS (
+           SELECT n_chars,
+             sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS d1,
+             sum(CASE WHEN rn = 2 THEN 1 ELSE 0 END) AS d2
+           FROM documents d JOIN top2 t USING (source)
+           GROUP BY n_chars),
+         cums AS (
+           SELECT n_chars,
+             sum(d1) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS c1,
+             sum(d2) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS c2,
+             lead(n_chars, 1) OVER (ORDER BY n_chars) - n_chars AS dx
+           FROM perval),
+         tot AS (SELECT max(c1) AS n_a, max(c2) AS n_b FROM cums),
+         agg AS (
+           SELECT sum(CAST(abs(c1 * n_b - c2 * n_a) * dx AS DECIMAL(38,0)))
+               AS num,
+             max(n_a) AS n_a, max(n_b) AS n_b
+           FROM cums CROSS JOIN tot
+           WHERE dx IS NOT NULL),
+         names AS (
+           SELECT max(CASE WHEN rn = 1 THEN source END) AS source_a,
+             max(CASE WHEN rn = 2 THEN source END) AS source_b
+           FROM top2)
+         SELECT source_a, source_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(CAST(num AS DOUBLE) / (n_a * n_b), 6) AS w1
+         FROM agg CROSS JOIN names""",
     "q_psi_drift" ->
       """WITH sc AS (
            SELECT source, count(*) AS cnt FROM documents GROUP BY source),

@@ -415,6 +415,33 @@ object RelationalQueries {
         .limit(10)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
 
+    // ── Benford first-digit audit ────────────────────────────────────────
+    // The forensic read on any money/measure column: leading-digit shares
+    // vs Benford's log₁₀(1+1/d) expectation. The digit comes from the
+    // STRING rendering of floor(value) — bigint renders identically in
+    // both engines, where double→int casts do NOT (Spark truncates,
+    // DuckDB rounds half-even: the cross-engine trap this query pins
+    // down). One scan + one 9-row rollup; deviations that matter here
+    // say "synthetic generator", not "fraud" — honestly.
+    "q_benford" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("digit"), lit(1)))
+      t(s, dir, "orders")
+        .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .where(col("digit") >= 1)
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .select(col("digit"), col("n"),
+          sum(col("n")).over(W).as("ntot"))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("ntot"), 6).as("share"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+            .as("benford"),
+          round(col("n").cast("double") / col("ntot")
+            - log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("dev"))
+        .orderBy("digit")
+    }),
+
     // ── Ordered string aggregation (string_agg / LISTAGG) ───────────────
     // The report-layer aggregate SQL engines ship as STRING_AGG(expr, sep
     // ORDER BY …): per nation, the top-3 customers by balance joined in
@@ -831,6 +858,24 @@ object RelationalQueries {
            ROUND(CAST(n_a AS DOUBLE) * n_b / greatest(ndv_a, ndv_b)
                  / actual, 6) AS err_ratio
          FROM sa CROSS JOIN sb CROSS JOIN ac""",
+    "q_benford" ->
+      """WITH d AS (
+           SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+             AS VARCHAR), 1, 1) AS INT) AS digit
+           FROM orders),
+         c AS (
+           SELECT digit, CAST(count(*) AS BIGINT) AS n
+           FROM d WHERE digit >= 1 GROUP BY digit),
+         t AS (
+           SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS ntot FROM c)
+         SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / ntot, 6) AS share,
+           ROUND(log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit), 6)
+             AS benford,
+           ROUND(CAST(n AS DOUBLE) / ntot
+             - log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit), 6)
+             AS dev
+         FROM t ORDER BY digit""",
     "q_string_agg" ->
       """WITH r AS (
            SELECT c_nationkey, c_name,
