@@ -599,6 +599,56 @@ object CorpusStatsQueries {
           col("n1").as("n_a"), col("n2").as("n_b"), col("psi"))
     }),
 
+    // ── Mann–Whitney U between the top-2 sources ─────────────────────────
+    // The rank-based member of the two-sample family (KS: worst gap,
+    // EMD: integral, PSI: binned mass, MWU: stochastic dominance): U in
+    // EXACT integers via doubled midranks — a tied group's 2·avg-rank is
+    // start+end, both integers, so R₁ never touches a fraction — plus
+    // the AUC identity U/(n₁n₂) = P(X>Y)+½P(X=Y) and the normal
+    // z-approximation (no tie correction — documented; the untied z is
+    // conservative). One grouped pass over distinct values + two tiny
+    // windows; only the 1-row name pivot is broadcast.
+    "q_mannwhitney" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("source"), col("n_chars"))
+      val top2 = d.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        .select(col("source"), col("cnt"),
+          row_number().over(W.partitionBy(pmod(col("cnt"), lit(1L)))
+            .orderBy(desc("cnt"), asc("source"))).as("rn"))
+        .where(col("rn") <= 2)
+      val perVal = d
+        .join(broadcast(top2.select(col("source"), col("rn"))),
+          Seq("source"))
+        .groupBy(col("n_chars")).agg(
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("d1"),
+          sum(when(col("rn") === 2, 1L).otherwise(0L)).as("d2"))
+      val wCum = W.partitionBy(pmod(col("n_chars"), lit(1L)))
+        .orderBy(col("n_chars"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val names = top2.agg(
+        max(when(col("rn") === 1, col("source"))).as("source_a"),
+        max(when(col("rn") === 2, col("source"))).as("source_b"))
+      val stats = perVal
+        .select(col("d1"), col("d2"),
+          sum(col("d1")).over(wCum).as("c1"),
+          sum(col("d2")).over(wCum).as("c2"))
+        .select(col("c1"), col("c2"),
+          (col("d1") * (col("c1") + col("c2") - (col("d1") + col("d2"))
+            + 1L + col("c1") + col("c2"))).as("r1x2t"))
+        .agg(max(col("c1")).as("n_a"), max(col("c2")).as("n_b"),
+          sum(col("r1x2t")).as("r1x2"))
+      val u2 = lit(2L) * col("n_a") * col("n_b") +
+        col("n_a") * (col("n_a") + 1L) - col("r1x2")
+      stats.crossJoin(broadcast(names))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          u2.as("u2"),
+          round(u2.cast("double") / (lit(2.0) * col("n_a") * col("n_b")), 6)
+            .as("auc"),
+          round((u2 - col("n_a") * col("n_b")).cast("double") * 0.5 /
+            sqrt((col("n_a") * col("n_b")).cast("double") *
+              (col("n_a") + col("n_b") + 1L) / 12.0), 6).as("z_approx"))
+    }),
+
     // ── Wasserstein-1 (earth mover's) drift between the top-2 sources ───
     // q_ks_drift reads the worst single CDF gap; this integrates ALL of
     // it: W₁ = ∫|F_a − F_b| dx = Σ |c_a·n_b − c_b·n_a|·Δx / (n_a·n_b)
@@ -1399,6 +1449,44 @@ object CorpusStatsQueries {
            ROUND(CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
              / CAST(sq AS DOUBLE), 6) AS effective_n
          FROM a ORDER BY dim""",
+    "q_mannwhitney" ->
+      """WITH sc AS (
+           SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+         top2 AS (
+           SELECT source, rn FROM (
+             SELECT source,
+               row_number() OVER (ORDER BY cnt DESC, source) AS rn
+             FROM sc) WHERE rn <= 2),
+         perval AS (
+           SELECT n_chars,
+             sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS d1,
+             sum(CASE WHEN rn = 2 THEN 1 ELSE 0 END) AS d2
+           FROM documents d JOIN top2 t USING (source)
+           GROUP BY n_chars),
+         cums AS (
+           SELECT d1, d2,
+             sum(d1) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS c1,
+             sum(d2) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS c2
+           FROM perval),
+         stats AS (
+           SELECT CAST(max(c1) AS BIGINT) AS n_a,
+             CAST(max(c2) AS BIGINT) AS n_b,
+             CAST(sum(d1 * (c1 + c2 - (d1 + d2) + 1 + c1 + c2)) AS BIGINT)
+               AS r1x2
+           FROM cums),
+         names AS (
+           SELECT max(CASE WHEN rn = 1 THEN source END) AS source_a,
+             max(CASE WHEN rn = 2 THEN source END) AS source_b
+           FROM top2)
+         SELECT source_a, source_b, n_a, n_b,
+           2 * n_a * n_b + n_a * (n_a + 1) - r1x2 AS u2,
+           ROUND(CAST(2 * n_a * n_b + n_a * (n_a + 1) - r1x2 AS DOUBLE)
+             / (2 * n_a * n_b), 6) AS auc,
+           ROUND(CAST((2 * n_a * n_b + n_a * (n_a + 1) - r1x2)
+               - n_a * n_b AS DOUBLE) * 0.5
+             / sqrt(CAST(n_a * n_b AS DOUBLE) * (n_a + n_b + 1) / 12.0), 6)
+             AS z_approx
+         FROM stats CROSS JOIN names""",
     "q_emd_drift" ->
       """WITH sc AS (
            SELECT source, count(*) AS cnt FROM documents GROUP BY source),

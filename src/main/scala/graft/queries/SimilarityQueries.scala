@@ -355,6 +355,32 @@ object SimilarityQueries {
           Tables.table(s, dir, "part"), "p_name")
         .orderBy("name_a", "name_b")),
 
+    // ── k-means elbow curve (cosine inertia at k ∈ {2,4,8}) ─────────────
+    // The "how many clusters" read before any semdedup/IVF design: total
+    // cosine inertia Σ(1 − cos_best) under the shared deterministic
+    // lowest-id seeding, at three k values in one gated table. Each leg
+    // is the q_kmeans_assign machinery (broadcast seed array, narrow
+    // per-row argmin — allowlisted posture) plus ONE keyed join back to
+    // the k-row seeds for the winning cosine; inertias fold in DECIMAL
+    // over the rounded cosines. Diminishing Δinertia = the elbow.
+    "q_cluster_elbow" -> ((s, dir) => {
+      def leg(k: Int) = {
+        val e = emb(s, dir)
+        val seeds = Similarity.seedsRelation(e, k)
+        Similarity.assignToSeeds(e, seeds)
+          .join(broadcast(seeds), Seq("seed_id"))
+          .select(Similarity.cosineExact(col("embedding"), col("sv"))
+            .as("cos"))
+          .agg(count(lit(1)).as("n"),
+            round(sum((lit(1.0) - col("cos")).cast("decimal(28,10)"))
+              .cast("double"), 4).as("inertia"),
+            round(sum(col("cos").cast("decimal(28,10)")).cast("double") /
+              count(lit(1)), 6).as("mean_cos"))
+          .select(lit(k).as("k"), col("n"), col("inertia"), col("mean_cos"))
+      }
+      leg(2).unionByName(leg(4)).unionByName(leg(8)).orderBy("k")
+    }),
+
     // ── Late-interaction MaxSim scoring (ColBERT-style) ─────────────────
     // Multi-vector retrieval's core kernel: a QUERY SET of 8 vectors
     // (label-0's lowest ids, broadcast) scores every candidate group by
@@ -1022,6 +1048,30 @@ object SimilarityQueries {
           FROM n a JOIN n b ON a.name < b.name
           WHERE levenshtein(a.name, b.name) <= 1
           ORDER BY name_a, name_b""",
+    "q_cluster_elbow" -> {
+      def legSql(k: Int) =
+        s"""SELECT $k AS k, CAST(count(*) AS BIGINT) AS n,
+              ROUND(CAST(SUM(CAST(1.0 - cos AS DECIMAL(28,10)))
+                AS DOUBLE), 4) AS inertia,
+              ROUND(CAST(SUM(CAST(cos AS DECIMAL(28,10))) AS DOUBLE)
+                / count(*), 6) AS mean_cos
+            FROM (
+              SELECT vec_id, cos, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+              FROM (
+                SELECT e.vec_id, s.cell,
+                  ${cosineSql("e.embedding", "s.sv")} AS cos
+                FROM embeddings e CROSS JOIN (
+                  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                    embedding AS sv
+                  FROM (SELECT * FROM embeddings ORDER BY vec_id
+                        LIMIT $k)) s))
+            WHERE rn = 1"""
+      s"""${legSql(2)}
+          UNION ALL ${legSql(4)}
+          UNION ALL ${legSql(8)}
+          ORDER BY k"""
+    },
     "q_maxsim" ->
       s"""WITH q AS (
            SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings

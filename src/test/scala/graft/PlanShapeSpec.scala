@@ -74,7 +74,9 @@ class PlanShapeSpec extends SparkSpec {
     "q_ks_drift" -> "crossJoins of the single-row sample-total aggregate onto the distinct-length cum relation and the single-row source-name pivot onto the 1-row result (broadcast, one row each — the q_hll_merge pattern); the source tag join is keyed and broadcast",
     "q_maxsim" -> "broadcast 8-row query-set crossJoin — the documented q_knn_brute late-interaction scan posture; at scale the candidate side is an IVF/LSH shortlist, the kernel unchanged",
     "q_psi_drift" -> "crossJoin of the single-row source-name pivot onto the 1-row PSI result (broadcast, one row — the q_ks_drift pattern); the source tag join is keyed and broadcast",
-    "q_emd_drift" -> "crossJoins of the single-row sample-total aggregate onto the jump-point cum relation and the single-row source-name pivot onto the 1-row result (broadcast, one row each — the q_ks_drift pattern); the source tag join is keyed and broadcast")
+    "q_emd_drift" -> "crossJoins of the single-row sample-total aggregate onto the jump-point cum relation and the single-row source-name pivot onto the 1-row result (broadcast, one row each — the q_ks_drift pattern); the source tag join is keyed and broadcast",
+    "q_mannwhitney" -> "crossJoin of the single-row source-name pivot onto the 1-row stats result (broadcast, one row — the q_ks_drift pattern); rank sums need no total-side join at all",
+    "q_cluster_elbow" -> "three q_kmeans_assign legs, each inheriting the broadcast seed-array crossJoin (orderBy.limit(k) seeds, k <= 8); the winning-cosine attach is a keyed join to the k-row seeds")
 
   // the AQE-aware walker lives on SparkSpec (collectPlanNodes) so DedupSpec's
   // ccRound audit and this guard can never drift apart
