@@ -415,6 +415,28 @@ object RelationalQueries {
         .limit(10)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
 
+    // ── Correlated EXISTS / NOT EXISTS (Catalyst decorrelation) ─────────
+    // The subquery shape q_subquery's scalar form doesn't cover: per
+    // nation, customers with ≥1 urgent-priority order AND no 'P'-status
+    // order, written as genuine correlated EXISTS/NOT EXISTS through the
+    // SQL surface so RewritePredicateSubquery is what's on trial —
+    // Catalyst must decorrelate both into a semi and an anti hash join
+    // on c_custkey (the plan gate would flag anything nested-loop).
+    "q_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c_nationkey, count(*) AS n_customers
+        FROM customer_v c
+        WHERE EXISTS (SELECT 1 FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders_v o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'P')
+        GROUP BY c_nationkey ORDER BY c_nationkey""")
+    }),
+
     // ── Benford first-digit audit ────────────────────────────────────────
     // The forensic read on any money/measure column: leading-digit shares
     // vs Benford's log₁₀(1+1/d) expectation. The digit comes from the
@@ -858,6 +880,16 @@ object RelationalQueries {
            ROUND(CAST(n_a AS DOUBLE) * n_b / greatest(ndv_a, ndv_b)
                  / actual, 6) AS err_ratio
          FROM sa CROSS JOIN sb CROSS JOIN ac""",
+    "q_exists_subquery" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT')
+           AND NOT EXISTS (SELECT 1 FROM orders o2
+                           WHERE o2.o_custkey = c.c_custkey
+                             AND o2.o_orderstatus = 'P')
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q_benford" ->
       """WITH d AS (
            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)

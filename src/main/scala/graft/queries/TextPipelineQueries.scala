@@ -1441,6 +1441,40 @@ object TextPipelineQueries {
         .orderBy("source", "decile")
     }),
 
+    // ── Sorted-neighborhood dedup candidates (SNM blocking) ─────────────
+    // The third blocking discipline next to LSH banding and the inverted
+    // index: sort once on a cheap key (the first-4-token prefix), compare
+    // each doc only to its w=3 sort neighbors, verify with exact 3-gram
+    // Jaccard. The neighbor join is EQUI on rank — each row explodes its
+    // 3 forward offsets, so candidates are exactly 3N and the plan never
+    // holds a non-equi band. Misses near-dups whose prefixes diverge —
+    // the documented SNM trade (multi-pass with rotated keys at scale);
+    // the gate is the candidates→verify machinery, not recall.
+    "q_snm_pairs" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val base = docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          array_join(slice(col("toks"), 1, 4), " ").as("skey"),
+          array_distinct(TextAnalysis.shingles(col("toks"), 3)).as("sh"))
+        .where(size(col("sh")) > 0)
+      val ranked = base.select(col("doc_id"), col("sh"),
+        row_number().over(W.partitionBy(pmod(col("doc_id"), lit(1L)))
+          .orderBy(col("skey"), col("doc_id"))).as("r"))
+      val probes = ranked.select(col("doc_id").as("id_a"),
+        col("sh").as("sh_a"),
+        explode(sequence(col("r") + 1, col("r") + 3)).as("rb"))
+      probes
+        .join(ranked.select(col("r").as("rb"), col("doc_id").as("id_b"),
+          col("sh").as("sh_b")), Seq("rb"))
+        .select(col("id_a"), col("id_b"),
+          round(size(array_intersect(col("sh_a"), col("sh_b")))
+            .cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        .where(col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ── Deny-list lexicon filter (safety-screening rollup) ──────────────
     // The lexicon-based content screen every curation stack runs before
     // anything model-based: per doc, deny-list hits over the house
@@ -1556,6 +1590,29 @@ object TextPipelineQueries {
            ROUND(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY source), 6)
              AS share
          FROM c ORDER BY source, decile""",
+    "q_snm_pairs" ->
+      s"""WITH base AS (
+           SELECT doc_id,
+             array_to_string(($ToksSql)[1:4], ' ') AS skey,
+             ${shinglesSql(ToksSql)} AS sh
+           FROM documents),
+         nz AS (SELECT * FROM base WHERE len(sh) > 0),
+         ranked AS (
+           SELECT doc_id, sh,
+             row_number() OVER (ORDER BY skey, doc_id) AS r
+           FROM nz),
+         probes AS (
+           SELECT doc_id AS id_a, sh AS sh_a,
+             unnest(generate_series(r + 1, r + 3)) AS rb
+           FROM ranked),
+         cand AS (
+           SELECT p.id_a, b.doc_id AS id_b,
+             ROUND(CAST(len(list_intersect(p.sh_a, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(p.sh_a, b.sh))), 6)
+               AS jaccard
+           FROM probes p JOIN ranked b ON p.rb = b.r)
+         SELECT id_a, id_b, jaccard FROM cand
+         WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
     "q_safety_lexicon" ->
       s"""WITH per AS (
            SELECT source,
