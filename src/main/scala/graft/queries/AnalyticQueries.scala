@@ -487,6 +487,44 @@ object AnalyticQueries {
         .orderBy("lang", "bucket")
     }),
 
+    // ── CUSUM changepoint scan over the hourly series ────────────────────
+    // Level-shift detection in exact integers: the scaled CUSUM
+    // D_r = |n·Σ_{i≤r}x_i − r·Σx| is the running deviation from the
+    // global mean with every fraction multiplied out (int64 throughout;
+    // doubles only in the final normalization). The changepoint is the
+    // tie-pinned argmax over the dense gap-filled grid — one window
+    // pass + a 1-row tie-pinned cut, the ops read that answers "did the
+    // stream's level shift, and when".
+    "q_cusum_break" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val hourUs = 3600L * 1000000L
+      val perB = Tables.events(s, dir)
+        .select(expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+          .as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("n"))
+      val dense = perB.agg(min("b").as("b0"), max("b").as("b1"))
+        .select(explode(sequence(col("b0"), col("b1"))).as("b"))
+        .join(perB, Seq("b"), "left")
+        .select(col("b"), coalesce(col("n"), lit(0L)).as("x"))
+      val const = W.partitionBy(pmod(col("b"), lit(1L)))
+      val wCum = const.orderBy(col("b"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      dense.select(col("b"), col("x"),
+          row_number().over(const.orderBy(col("b"))).as("r"),
+          sum(col("x")).over(wCum).as("cx"),
+          sum(col("x")).over(const).as("tot"),
+          count(lit(1)).over(const).as("nn"))
+        .select(col("b"), col("nn"), col("tot"),
+          abs(col("nn") * col("cx") - col("r") * col("tot")).as("d"))
+        .orderBy(desc("d"), col("b")).limit(1)
+        .select(col("nn").as("n_buckets"),
+          timestamp_micros(col("b") * hourUs).cast("timestamp_ntz")
+            .as("cp_hour"),
+          col("d").as("d_max"),
+          round(col("d").cast("double") /
+            (col("nn").cast("double") * col("tot")), 6).as("cusum_stat"))
+    }),
+
     // ── Discrete churn hazard (survival analysis over user lifetimes) ───
     // Kaplan–Meier's discrete cousin in exact integers: per observed-
     // lifetime week w (last-minus-first activity, epoch-day arithmetic),
@@ -1313,6 +1351,33 @@ object AnalyticQueries {
             ROUND(mn + (bucket + 1) * w, 6) AS hi
           FROM b GROUP BY lang, bucket, mn, w
           ORDER BY lang, bucket""",
+    "q_cusum_break" ->
+      """WITH perb AS (
+           SELECT epoch_us(ts) // 3600000000 AS b,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+         bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM perb),
+         grid AS (SELECT unnest(generate_series(b0, b1)) AS b FROM bounds),
+         dense AS (
+           SELECT g.b, CAST(COALESCE(p.n, 0) AS BIGINT) AS x
+           FROM grid g LEFT JOIN perb p USING (b)),
+         c AS (
+           SELECT b, x,
+             row_number() OVER (ORDER BY b) AS r,
+             CAST(sum(x) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cx,
+             CAST(sum(x) OVER () AS BIGINT) AS tot,
+             CAST(count(*) OVER () AS BIGINT) AS nn
+           FROM dense),
+         d AS (
+           SELECT b, nn, tot, abs(nn * cx - r * tot) AS d
+           FROM c ORDER BY d DESC, b LIMIT 1)
+         SELECT nn AS n_buckets,
+           make_timestamp(b * 3600000000) AS cp_hour,
+           CAST(d AS BIGINT) AS d_max,
+           ROUND(CAST(d AS DOUBLE) / (CAST(nn AS DOUBLE) * tot), 6)
+             AS cusum_stat
+         FROM d""",
     "q_churn_hazard" ->
       """WITH pu AS (
            SELECT user_id,

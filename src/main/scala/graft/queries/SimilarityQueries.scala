@@ -355,6 +355,46 @@ object SimilarityQueries {
           Tables.table(s, dir, "part"), "p_name")
         .orderBy("name_a", "name_b")),
 
+    // ── Per-dimension AUC screening (which dims separate a label) ───────
+    // Feature-importance triage before any model: each embedding
+    // dimension scored as a 1-D classifier for label 0 via the exact
+    // Mann–Whitney/AUC identity (doubled midranks — same integer
+    // discipline as q_mannwhitney, here with REAL per-dim window
+    // partitions). One posexplode (64× fan), grouped rank sums, top-10
+    // dims by |AUC − ½|. Near-0.5 AUCs on this fixture honestly read
+    // "labels are geometry-free" — the screen's null result.
+    "q_dim_auc" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ex = emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("pos").as("dim"), col("col").as("v"),
+          when(col("label") === 0, 1L).otherwise(0L).as("is0"))
+      val perVal = ex.groupBy(col("dim"), col("v"))
+        .agg(sum(col("is0")).as("d1"),
+          sum(lit(1L) - col("is0")).as("d2"))
+      val wCum = W.partitionBy(col("dim")).orderBy(col("v"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val stats = perVal
+        .select(col("dim"), col("d1"), col("d2"),
+          sum(col("d1")).over(wCum).as("c1"),
+          sum(col("d2")).over(wCum).as("c2"))
+        .select(col("dim"), col("c1"), col("c2"),
+          (col("d1") * (col("c1") + col("c2") - (col("d1") + col("d2"))
+            + 1L + col("c1") + col("c2"))).as("r1x2t"))
+        .groupBy(col("dim"))
+        .agg(max(col("c1")).as("n_a"), max(col("c2")).as("n_b"),
+          sum(col("r1x2t")).as("r1x2"))
+      val u2 = lit(2L) * col("n_a") * col("n_b") +
+        col("n_a") * (col("n_a") + 1L) - col("r1x2")
+      stats
+        .select(col("dim"), col("n_a"), col("n_b"),
+          round(u2.cast("double") / (lit(2.0) * col("n_a") * col("n_b")), 6)
+            .as("auc"))
+        .select(col("dim"), col("n_a"), col("n_b"), col("auc"),
+          abs(col("auc") - 0.5).as("dev"))
+        .orderBy(desc("dev"), col("dim")).limit(10)
+    }),
+
     // ── k-means elbow curve (cosine inertia at k ∈ {2,4,8}) ─────────────
     // The "how many clusters" read before any semdedup/IVF design: total
     // cosine inertia Σ(1 − cos_best) under the shared deterministic
@@ -1048,6 +1088,38 @@ object SimilarityQueries {
           FROM n a JOIN n b ON a.name < b.name
           WHERE levenshtein(a.name, b.name) <= 1
           ORDER BY name_a, name_b""",
+    "q_dim_auc" ->
+      """WITH ex AS (
+           SELECT i - 1 AS dim, embedding[i] AS v,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS is0
+           FROM (
+             SELECT label, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         perval AS (
+           SELECT dim, v, CAST(sum(is0) AS BIGINT) AS d1,
+             CAST(sum(1 - is0) AS BIGINT) AS d2
+           FROM ex GROUP BY dim, v),
+         cums AS (
+           SELECT dim, d1, d2,
+             CAST(sum(d1) OVER (PARTITION BY dim ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+             CAST(sum(d2) OVER (PARTITION BY dim ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2
+           FROM perval),
+         stats AS (
+           SELECT dim, CAST(max(c1) AS BIGINT) AS n_a,
+             CAST(max(c2) AS BIGINT) AS n_b,
+             CAST(sum(d1 * (c1 + c2 - (d1 + d2) + 1 + c1 + c2)) AS BIGINT)
+               AS r1x2
+           FROM cums GROUP BY dim),
+         auc AS (
+           SELECT dim, n_a, n_b,
+             ROUND(CAST(2 * n_a * n_b + n_a * (n_a + 1) - r1x2 AS DOUBLE)
+               / (2 * n_a * n_b), 6) AS auc
+           FROM stats)
+         SELECT dim, n_a, n_b, auc, abs(auc - 0.5) AS dev
+         FROM auc ORDER BY dev DESC, dim LIMIT 10""",
     "q_cluster_elbow" -> {
       def legSql(k: Int) =
         s"""SELECT $k AS k, CAST(count(*) AS BIGINT) AS n,
