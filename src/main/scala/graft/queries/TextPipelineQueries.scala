@@ -1452,21 +1452,32 @@ object TextPipelineQueries {
     // the gate is the candidates→verify machinery, not recall.
     "q_snm_pairs" -> ((s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
+      // shingle arrays stay OUT of the sort and the offset join — the
+      // first form ranked (doc_id, skey, sh) and moved every array
+      // through the window exchange twice (7.9 s at sf0.1); ranking the
+      // light (doc_id, skey) pairs and joining the persisted shingle
+      // relation back onto the 3N candidate ids is the same answer with
+      // array movement proportional to candidates, not corpus × window
       val base = docs(s, dir)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           array_join(slice(col("toks"), 1, 4), " ").as("skey"),
           array_distinct(TextAnalysis.shingles(col("toks"), 3)).as("sh"))
         .where(size(col("sh")) > 0)
-      val ranked = base.select(col("doc_id"), col("sh"),
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ranked = base.select(col("doc_id"),
         row_number().over(W.partitionBy(pmod(col("doc_id"), lit(1L)))
           .orderBy(col("skey"), col("doc_id"))).as("r"))
-      val probes = ranked.select(col("doc_id").as("id_a"),
-        col("sh").as("sh_a"),
-        explode(sequence(col("r") + 1, col("r") + 3)).as("rb"))
-      probes
-        .join(ranked.select(col("r").as("rb"), col("doc_id").as("id_b"),
-          col("sh").as("sh_b")), Seq("rb"))
+      val cand = ranked
+        .select(col("doc_id").as("id_a"),
+          explode(sequence(col("r") + 1, col("r") + 3)).as("rb"))
+        .join(ranked.select(col("r").as("rb"), col("doc_id").as("id_b")),
+          Seq("rb"))
+      cand
+        .join(base.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+          Seq("id_a"))
+        .join(base.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+          Seq("id_b"))
         .select(col("id_a"), col("id_b"),
           round(size(array_intersect(col("sh_a"), col("sh_b")))
             .cast("double") /
