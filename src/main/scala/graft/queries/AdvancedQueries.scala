@@ -391,6 +391,43 @@ object AdvancedQueries {
         .orderBy(desc("clustering"), col("node")).limit(100)
     }),
 
+    // ── Degree assortativity of the co-purchase graph ────────────────────
+    // Do hubs link to hubs? Pearson r over the degree pairs at every
+    // edge's endpoints, stub-counted (each edge contributes (dₐ,d_b) AND
+    // (d_b,dₐ) so the marginals coincide — the standard Newman form).
+    // Degrees are ints, so every moment sum is exact int64; one double
+    // chain at the edge, rounded once. Two keyed degree joins onto the
+    // support-floored canonical edge relation — the hub-wiring read that
+    // predicts whether q_join_salted-style skew handling will matter on
+    // graph joins.
+    "q_degree_assort" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("sup"))
+        .where(col("sup") >= 2)
+        .select(col("a"), col("b"))
+      val deg = pairs.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      pairs
+        .join(deg.select(col("node").as("a"), col("deg").as("da")),
+          Seq("a"))
+        .join(deg.select(col("node").as("b"), col("deg").as("db")),
+          Seq("b"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(col("da") + col("db")).as("sx"),
+          sum(col("da") * col("da") + col("db") * col("db")).as("sxx"),
+          sum(col("da") * col("db") * 2L).as("sxy"))
+        .select(col("n_edges"),
+          round(((col("n_edges") * 2L).cast("double") * col("sxy")
+              - col("sx").cast("double") * col("sx")) /
+            ((col("n_edges") * 2L).cast("double") * col("sxx")
+              - col("sx").cast("double") * col("sx")), 6)
+            .as("assortativity"))
+    }),
+
     // ── Market-basket association rules (support / confidence / lift) ───
     // Frequent co-purchase pairs from the order→part bipartite relation:
     // support c_ab from the l_orderkey-keyed self-join (a<b, floor ≥ 2 —
@@ -731,6 +768,32 @@ object AdvancedQueries {
           FROM deg d LEFT JOIN tcnt t ON d.node = t.node
           WHERE d.degree >= 2
           ORDER BY clustering DESC, d.node LIMIT 100""",
+    "q_degree_assort" ->
+      """WITH pairs AS (
+           SELECT x.l_partkey AS a, y.l_partkey AS b
+           FROM lineitem x
+           JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+                          AND x.l_partkey < y.l_partkey
+           GROUP BY a, b HAVING count(*) >= 2),
+         deg AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+             SELECT a AS node FROM pairs
+             UNION ALL SELECT b FROM pairs) GROUP BY node),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(da.deg + db.deg) AS BIGINT) AS sx,
+             CAST(sum(da.deg * da.deg + db.deg * db.deg) AS BIGINT)
+               AS sxx,
+             CAST(sum(da.deg * db.deg * 2) AS BIGINT) AS sxy
+           FROM pairs p
+           JOIN deg da ON p.a = da.node
+           JOIN deg db ON p.b = db.node)
+         SELECT n_edges,
+           ROUND((CAST(n_edges * 2 AS DOUBLE) * sxy
+                  - CAST(sx AS DOUBLE) * sx)
+             / (CAST(n_edges * 2 AS DOUBLE) * sxx
+                  - CAST(sx AS DOUBLE) * sx), 6) AS assortativity
+         FROM m""",
     "q_basket_lift" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
           n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)

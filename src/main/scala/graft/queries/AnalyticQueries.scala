@@ -933,6 +933,36 @@ object AnalyticQueries {
         .orderBy("bucket")
     }),
 
+    // ── Audience-overlap matrix (distinct-user Jaccard per type pair) ───
+    // How much do event types share users? Per unordered type pair:
+    // both-audiences count, each side's audience, exact Jaccard. The
+    // pair relation comes from a user-keyed self-join of the DISTINCT
+    // (type, user) relation — each user contributes at most C(5,2)=10
+    // pairs, so candidates are 10N not N², and the size attach is two
+    // keyed joins onto the 5-row audience relation. The segmentation
+    // read behind "are clickers and purchasers the same people".
+    "q_audience_overlap" -> ((s, dir) => {
+      val tu = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+      val sizes = tu.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      tu.as("a").join(tu.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .join(broadcast(sizes.select(col("event_type").as("type_a"),
+          col("n").as("n_a"))), Seq("type_a"))
+        .join(broadcast(sizes.select(col("event_type").as("type_b"),
+          col("n").as("n_b"))), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          round(col("n_both").cast("double") /
+            (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // ── First/last-touch conversion attribution ─────────────────────────
     // For every purchase event: the user's FIRST preceding non-purchase
     // touch and the LAST one strictly before the conversion — the two
@@ -1634,6 +1664,25 @@ object AnalyticQueries {
            p.n IS NULL AS is_gap
          FROM grid g LEFT JOIN perb p USING (b)
          ORDER BY bucket""",
+    "q_audience_overlap" ->
+      """WITH tu AS (
+           SELECT DISTINCT event_type, user_id FROM events),
+         sz AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM tu GROUP BY 1),
+         pairs AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+           FROM tu a JOIN tu b
+             ON a.user_id = b.user_id AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+           ROUND(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6)
+             AS jaccard
+         FROM pairs
+         JOIN sz sa ON type_a = sa.event_type
+         JOIN sz sb ON type_b = sb.event_type
+         ORDER BY type_a, type_b""",
     "q_attribution" ->
       """WITH t AS (
            SELECT event_type, value,
