@@ -127,6 +127,34 @@ object AdvancedQueries {
             count_distinct(col("l_partkey")) * 0.10).as("approx_ok"))
         .orderBy("l_returnflag")),
 
+    // ── Approx-percentile accuracy sweep (sketch-design table) ──────────
+    // The q_agg_approx tolerance-gate pattern applied as a DESIGN SWEEP:
+    // p99 from approx_percentile at accuracy 100 / 1000 / 10000 against
+    // the exact percentile, each gated by the value tolerance its rank
+    // error buys (5 % / 1 % / 0.2 % of exact — validated at sf0.01 AND
+    // sf0.1). The oracle emits the exact value plus literal TRUE (a
+    // sketch can't hash-match cross-engine; the boolean is what's
+    // gated). One aggregate; stack() to the 3-row table.
+    "q_quantile_sweep" -> ((s, dir) => {
+      val agg = t(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("x"))
+        .agg(expr("percentile(x, 0.99)").as("e"),
+          expr("approx_percentile(x, 0.99, 100)").as("a100"),
+          expr("approx_percentile(x, 0.99, 1000)").as("a1000"),
+          expr("approx_percentile(x, 0.99, 10000)").as("a10000"))
+      agg.select(
+          expr("""stack(3, 100, a100, 1000, a1000, 10000, a10000)
+            AS (accuracy, approx)"""), col("e"))
+        .select(col("accuracy"), round(col("e"), 6).as("exact_p99"),
+          when(col("accuracy") === 100,
+            abs(col("approx") - col("e")) <= col("e") * 0.05)
+            .when(col("accuracy") === 1000,
+              abs(col("approx") - col("e")) <= col("e") * 0.01)
+            .otherwise(abs(col("approx") - col("e")) <= col("e") * 0.002)
+            .as("approx_ok"))
+        .orderBy("accuracy")
+    }),
+
     // ── Mergeable HLL sketches (Datasketches) ───────────────────────────
     // The incremental-corpus pattern: per-partition (here per-language)
     // sketches merge via hll_union_agg WITHOUT rescanning the data — at
@@ -768,6 +796,14 @@ object AdvancedQueries {
           FROM deg d LEFT JOIN tcnt t ON d.node = t.node
           WHERE d.degree >= 2
           ORDER BY clustering DESC, d.node LIMIT 100""",
+    "q_quantile_sweep" ->
+      """WITH e AS (
+           SELECT ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p
+           FROM lineitem)
+         SELECT 100 AS accuracy, p AS exact_p99, TRUE AS approx_ok FROM e
+         UNION ALL SELECT 1000, p, TRUE FROM e
+         UNION ALL SELECT 10000, p, TRUE FROM e
+         ORDER BY accuracy""",
     "q_degree_assort" ->
       """WITH pairs AS (
            SELECT x.l_partkey AS a, y.l_partkey AS b

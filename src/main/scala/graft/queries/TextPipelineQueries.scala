@@ -1441,6 +1441,37 @@ object TextPipelineQueries {
         .orderBy("source", "decile")
     }),
 
+    // ── Sampling-error curve (how small a sample estimates quality) ─────
+    // Mean corpus quality from nested deterministic h60 samples at
+    // 1/2/5/10/100 % — the "how much must we score" read before paying
+    // for model-based quality at 100 TB. The five rates are CONDITIONAL
+    // aggregates in ONE scan (the sample at rate r is a superset of every
+    // smaller rate — nested by construction, so the curve is monotone in
+    // information), decimal sums, stack() to rows, error vs the full
+    // mean computed from the same row.
+    "q_sample_size_curve" -> ((s, dir) => {
+      val scored = docs(s, dir).select(
+        pmod(graft.functions.Hashes.h60(col("doc_id").cast("string")),
+          lit(10000L)).as("h"),
+        TextAnalysis.qualityScore(
+          TextAnalysis.qualityFeatures(col("text"))).as("q"))
+      def leg(r: Int) = Seq(
+        sum(when(col("h") < r, 1L).otherwise(0L)).as(s"n$r"),
+        sum(when(col("h") < r, col("q").cast("decimal(28,10)")))
+          .as(s"s$r"))
+      val rates = Seq(100, 200, 500, 1000, 10000)
+      val agg = scored.agg(leg(100).head, (rates.flatMap(leg).tail): _*)
+      val stacked = agg.select(
+        expr(s"""stack(5, ${rates.map(r => s"$r, n$r, s$r").mkString(", ")})
+          AS (rate_bp, n, s_dec)"""),
+        col("n10000").as("n_full"), col("s10000").as("s_full"))
+      stacked.select(col("rate_bp"), col("n"),
+          round(col("s_dec").cast("double") / col("n"), 6).as("mean_q"),
+          round(abs(col("s_dec").cast("double") / col("n")
+            - col("s_full").cast("double") / col("n_full")), 6).as("err"))
+        .orderBy("rate_bp")
+    }),
+
     // ── Sorted-neighborhood dedup candidates (SNM blocking) ─────────────
     // The third blocking discipline next to LSH banding and the inverted
     // index: sort once on a cheap key (the first-4-token prefix), compare
@@ -1601,6 +1632,38 @@ object TextPipelineQueries {
            ROUND(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY source), 6)
              AS share
          FROM c ORDER BY source, decile""",
+    "q_sample_size_curve" -> {
+      val h = Hashes.h60Sql("CAST(doc_id AS VARCHAR)")
+      val rates = Seq(100, 200, 500, 1000, 10000)
+      val aggs = rates.map(r =>
+        s"""CAST(sum(CASE WHEN h < $r THEN 1 ELSE 0 END) AS BIGINT)
+              AS n$r,
+            sum(CASE WHEN h < $r THEN CAST(q AS DECIMAL(28,10)) END)
+              AS s$r""").mkString(",\n            ")
+      val rows = rates.map(r =>
+        s"SELECT $r AS rate_bp, n$r AS n, s$r AS s, n10000 AS nf, s10000 AS sf FROM a")
+        .mkString("\n           UNION ALL ")
+      s"""WITH f AS (
+           SELECT doc_id,
+             CAST(length(text) AS INT) AS n_chars,
+             CAST(len($ToksSql) AS INT) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[!-/:-@[-`{-~]', '', 'g')) AS INT) AS punct,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS digits
+           FROM documents),
+         qq AS (
+           SELECT $QualityScoreSql AS q, ($h) % 10000 AS h FROM f),
+         a AS (
+           SELECT
+            $aggs
+           FROM qq),
+         rws AS (
+           $rows)
+         SELECT rate_bp, n,
+           ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_q,
+           ROUND(abs(CAST(s AS DOUBLE) / n - CAST(sf AS DOUBLE) / nf), 6)
+             AS err
+         FROM rws ORDER BY rate_bp"""
+    },
     "q_snm_pairs" ->
       s"""WITH base AS (
            SELECT doc_id,
