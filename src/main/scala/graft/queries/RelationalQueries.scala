@@ -437,6 +437,58 @@ object RelationalQueries {
         GROUP BY c_nationkey ORDER BY c_nationkey""")
     }),
 
+    // ── Trimmed mean (robust central tendency) ──────────────────────────
+    // 5 %-each-side trimmed mean of order value next to the raw mean —
+    // the outlier-influence read. The trim cut is an EXACT integer rank
+    // predicate (20·r > n ∧ 20·r ≤ 19·n — no double percent_rank at the
+    // boundary), ranks tie-pinned by orderkey, means decimal-exact. One
+    // window + one conditional aggregate.
+    "q_trimmed_mean" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ranked = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").as("x"))
+        .select(col("x"),
+          row_number().over(W.partitionBy(pmod(col("o_orderkey"), lit(1L)))
+            .orderBy(col("x"), col("o_orderkey"))).as("r"),
+          count(lit(1)).over(W.partitionBy(pmod(col("o_orderkey"), lit(1L))))
+            .as("n"))
+      val kept = col("r") * 20L > col("n") && col("r") * 20L <= col("n") * 19L
+      ranked.agg(
+          count(lit(1)).as("n_total"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+          round(sum(col("x").cast("decimal(28,10)")).cast("double") /
+            count(lit(1)), 4).as("mean_raw"),
+          round(sum(when(kept, col("x").cast("decimal(28,10)")))
+            .cast("double") / sum(when(kept, 1L).otherwise(0L)), 4)
+            .as("mean_trimmed"))
+    }),
+
+    // ── Null-safe join semantics (<=> / IS NOT DISTINCT FROM) ───────────
+    // The equality-semantics corner every engine must pin down: with
+    // NULLs planted in the join keys (nationkey 3 → NULL on both sides),
+    // plain `=` drops every NULL row while null-safe equality matches
+    // NULL to NULL — here a planted 67×3-pair difference. Both
+    // forms remain HASH joins in Spark (EqualNullSafe is a valid
+    // equi-key); the four counts arrive as a union of independent
+    // aggregates, never a scalar crossJoin.
+    "q_nullsafe_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(nullif(col("c_nationkey"), lit(3)).as("ck"))
+      val sup = t(s, dir, "supplier")
+        .select(nullif(col("s_nationkey"), lit(3)).as("sk"))
+      val eq = c.join(sup, col("ck") === col("sk"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("eq_pairs").as("metric"), col("n"))
+      val ns = c.join(sup, col("ck") <=> col("sk"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("nullsafe_pairs").as("metric"), col("n"))
+      val nl = c.agg(sum(when(col("ck").isNull, 1L).otherwise(0L)).as("n"))
+        .select(lit("null_keys_left").as("metric"), col("n"))
+      val nr = sup.agg(sum(when(col("sk").isNull, 1L).otherwise(0L)).as("n"))
+        .select(lit("null_keys_right").as("metric"), col("n"))
+      eq.unionByName(ns).unionByName(nl).unionByName(nr).orderBy("metric")
+    }),
+
     // ── Benford first-digit audit ────────────────────────────────────────
     // The forensic read on any money/measure column: leading-digit shares
     // vs Benford's log₁₀(1+1/d) expectation. The digit comes from the
@@ -880,6 +932,40 @@ object RelationalQueries {
            ROUND(CAST(n_a AS DOUBLE) * n_b / greatest(ndv_a, ndv_b)
                  / actual, 6) AS err_ratio
          FROM sa CROSS JOIN sb CROSS JOIN ac""",
+    "q_trimmed_mean" ->
+      """WITH ranked AS (
+           SELECT o_totalprice AS x,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS r,
+             count(*) OVER () AS n
+           FROM orders)
+         SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN r * 20 > n AND r * 20 <= n * 19
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE)
+             / count(*), 4) AS mean_raw,
+           ROUND(CAST(sum(CASE WHEN r * 20 > n AND r * 20 <= n * 19
+                          THEN CAST(x AS DECIMAL(28,10)) END) AS DOUBLE)
+             / sum(CASE WHEN r * 20 > n AND r * 20 <= n * 19
+                   THEN 1 ELSE 0 END), 4) AS mean_trimmed
+         FROM ranked""",
+    "q_nullsafe_join" ->
+      """WITH c AS (SELECT nullif(c_nationkey, 3) AS ck FROM customer),
+         s AS (SELECT nullif(s_nationkey, 3) AS sk FROM supplier),
+         eq AS (
+           SELECT 'eq_pairs' AS metric, CAST(count(*) AS BIGINT) AS n
+           FROM c JOIN s ON ck = sk),
+         ns AS (
+           SELECT 'nullsafe_pairs', CAST(count(*) AS BIGINT)
+           FROM c JOIN s ON ck IS NOT DISTINCT FROM sk),
+         nl AS (
+           SELECT 'null_keys_left', CAST(sum(CASE WHEN ck IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) FROM c),
+         nr AS (
+           SELECT 'null_keys_right', CAST(sum(CASE WHEN sk IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) FROM s)
+         SELECT * FROM eq UNION ALL SELECT * FROM ns
+         UNION ALL SELECT * FROM nl UNION ALL SELECT * FROM nr
+         ORDER BY metric""",
     "q_exists_subquery" ->
       """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
          FROM customer c
