@@ -933,6 +933,65 @@ object AnalyticQueries {
         .orderBy("bucket")
     }),
 
+    // ── Week-over-week audience churn (consecutive-week Jaccard) ────────
+    // How much of each week's audience is still there next week: per
+    // adjacent week pair, both-weeks users (ONE user-keyed self-join on
+    // the shifted week index — never a set comparison per pair), each
+    // week's audience, Jaccard, and the forward retention share. Week
+    // indices in exact epoch arithmetic; timestamps at the edge.
+    "q_week_churn" -> ((s, dir) => {
+      val weekUs = 7L * 86400L * 1000000L
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr(s"unix_micros(cast(ts as timestamp)) div $weekUs").as("w"))
+        .distinct()
+      val sizes = uw.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val both = uw
+        .join(uw.select(col("user_id"), (col("w") - 1L).as("w")),
+          Seq("user_id", "w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n_both"))
+      sizes.select(col("w"), col("n").as("n_this"))
+        .join(sizes.select((col("w") - 1L).as("w"), col("n").as("n_next")),
+          Seq("w"))
+        .join(both, Seq("w"), "left")
+        .select(
+          timestamp_micros(col("w") * weekUs).cast("timestamp_ntz")
+            .as("week"),
+          col("n_this"), col("n_next"),
+          coalesce(col("n_both"), lit(0L)).as("n_both"),
+          round(coalesce(col("n_both"), lit(0L)).cast("double") /
+            (col("n_this") + col("n_next")
+              - coalesce(col("n_both"), lit(0L))), 6).as("jaccard"),
+          round(coalesce(col("n_both"), lit(0L)).cast("double") /
+            col("n_this"), 6).as("retention"))
+        .orderBy("week")
+    }),
+
+    // ── Inter-order gap distribution (repeat-purchase cadence) ──────────
+    // The cadence read behind replenishment and churn thresholds: days
+    // between consecutive orders per customer (lag over the tie-pinned
+    // per-customer order sequence, exact epoch-day arithmetic), then
+    // exact median/p90, decimal mean, and the share of gaps beyond 90
+    // days (an integer-threshold compare). One window + one aggregate.
+    "q_order_gaps" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("day"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            .as("day"), col("o_orderkey"))
+        .select((col("day") - lag(col("day"), 1).over(W)).as("gap"))
+        .where(col("gap").isNotNull)
+        .agg(count(lit(1)).as("n_gaps"),
+          round(expr("percentile(gap, 0.5)"), 6).as("p50_days"),
+          round(expr("percentile(gap, 0.9)"), 6).as("p90_days"),
+          round(sum(col("gap").cast("decimal(28,10)")).cast("double") /
+            count(lit(1)), 6).as("mean_days"),
+          round(sum(when(col("gap") > 90L, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("share_gt_90d"))
+    }),
+
     // ── Audience-overlap matrix (distinct-user Jaccard per type pair) ───
     // How much do event types share users? Per unordered type pair:
     // both-audiences count, each side's audience, exact Jaccard. The
@@ -1664,6 +1723,44 @@ object AnalyticQueries {
            p.n IS NULL AS is_gap
          FROM grid g LEFT JOIN perb p USING (b)
          ORDER BY bucket""",
+    "q_week_churn" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id,
+             epoch_us(ts) // 604800000000 AS w
+           FROM events),
+         sz AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+                FROM uw GROUP BY w),
+         bw AS (
+           SELECT a.w, CAST(count(*) AS BIGINT) AS n_both
+           FROM uw a JOIN uw b
+             ON a.user_id = b.user_id AND b.w = a.w + 1
+           GROUP BY a.w)
+         SELECT make_timestamp(s1.w * 604800000000) AS week,
+           s1.n AS n_this, s2.n AS n_next,
+           CAST(COALESCE(b.n_both, 0) AS BIGINT) AS n_both,
+           ROUND(CAST(COALESCE(b.n_both, 0) AS DOUBLE)
+             / (s1.n + s2.n - COALESCE(b.n_both, 0)), 6) AS jaccard,
+           ROUND(CAST(COALESCE(b.n_both, 0) AS DOUBLE) / s1.n, 6)
+             AS retention
+         FROM sz s1
+         JOIN sz s2 ON s2.w = s1.w + 1
+         LEFT JOIN bw b ON b.w = s1.w
+         ORDER BY week""",
+    "q_order_gaps" ->
+      """WITH g AS (
+           SELECT (epoch_us(o_orderdate) // 86400000000)
+             - lag(epoch_us(o_orderdate) // 86400000000, 1) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS gap
+           FROM orders)
+         SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap, 0.5), 6) AS p50_days,
+           ROUND(quantile_cont(gap, 0.9), 6) AS p90_days,
+           ROUND(CAST(sum(CAST(gap AS DECIMAL(28,10))) AS DOUBLE)
+             / count(*), 6) AS mean_days,
+           ROUND(CAST(sum(CASE WHEN gap > 90 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS share_gt_90d
+         FROM g WHERE gap IS NOT NULL""",
     "q_audience_overlap" ->
       """WITH tu AS (
            SELECT DISTINCT event_type, user_id FROM events),
