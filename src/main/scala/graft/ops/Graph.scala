@@ -177,6 +177,22 @@ object Graph {
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Degree DISTRIBUTION of a symmetric edge relation: per out-degree,
+    * the node count — the first graph-health read before any iterative
+    * job: a heavy tail predicts skewed joins (hub nodes dominate a
+    * partition), the mode sizes per-iteration shuffle volume, and the
+    * degree-1 mass bounds what pruning leaves. Two keyed map-side-combined
+    * aggregates (node → degree, degree → count), both linear in |E| then
+    * |V| — the [[graft.ops.Dedup.duplicationSpectrum]] posture on graphs.
+    * Input contract: `edges(src, dst)` already symmetric and distinct
+    * (the pageRank edge relation), so out-degree = total degree.
+    */
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"))
+
   /** Per-node triangle participation counts over an undirected edge set
     * (any orientation, duplicates fine — canonicalized to distinct
     * `a < b` internally). Compact-forward with DEGREE ordering (Ortmann &
@@ -196,22 +212,6 @@ object Graph {
     * internal order. Nodes in no triangle are absent from the result
     * (COALESCE at the call site if zeros are wanted).
     */
-  /** Degree DISTRIBUTION of a symmetric edge relation: per out-degree,
-    * the node count — the first graph-health read before any iterative
-    * job: a heavy tail predicts skewed joins (hub nodes dominate a
-    * partition), the mode sizes per-iteration shuffle volume, and the
-    * degree-1 mass bounds what pruning leaves. Two keyed map-side-combined
-    * aggregates (node → degree, degree → count), both linear in |E| then
-    * |V| — the [[graft.ops.Dedup.duplicationSpectrum]] posture on graphs.
-    * Input contract: `edges(src, dst)` already symmetric and distinct
-    * (the pageRank edge relation), so out-degree = total degree.
-    */
-  def degreeHistogram(edges: DataFrame): DataFrame =
-    edges.groupBy(col("src"))
-      .agg(count(lit(1)).cast("long").as("degree"))
-      .groupBy(col("degree"))
-      .agg(count(lit(1)).cast("long").as("n_nodes"))
-
   def triangleCounts(edges: DataFrame): DataFrame = {
     val canon = edges.select(
         least(col("src"), col("dst")).as("a"),

@@ -31,8 +31,12 @@ object Merge {
       s"upsert: schemas differ (${target.columns.toSeq} vs ${source.columns.toSeq})")
     val joined = target.as("t")
       .join(source.as("s"), col(s"t.$key") === col(s"s.$key"), "full_outer")
+    // Gate on the source KEY, not per-column coalesce: SQL MERGE's UPDATE
+    // assigns the source value even when it is NULL — coalesce would
+    // silently keep the target's old value for an explicit NULL update.
     val merged = target.columns.map(c =>
-      coalesce(col(s"s.$c"), col(s"t.$c")).as(c))
+      when(col(s"s.$key").isNotNull, col(s"s.$c"))
+        .otherwise(col(s"t.$c")).as(c))
     joined.select(merged :+
       when(col(s"t.$key").isNull, lit("insert"))
         .when(col(s"s.$key").isNull, lit("keep"))

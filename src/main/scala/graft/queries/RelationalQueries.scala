@@ -441,17 +441,34 @@ object RelationalQueries {
     // 5 %-each-side trimmed mean of order value next to the raw mean —
     // the outlier-influence read. The trim cut is an EXACT integer rank
     // predicate (20·r > n ∧ 20·r ≤ 19·n — no double percent_rank at the
-    // boundary), ranks tie-pinned by orderkey, means decimal-exact. One
-    // window + one conditional aggregate.
+    // boundary), ranks tie-pinned by orderkey, means decimal-exact.
+    //
+    // Exact GLOBAL rank without a single-partition funnel (the r12 plan
+    // used a constant-key window — every row through one task's sort):
+    // range-repartition on (x, orderkey), rank locally per range, then add
+    // the per-range row-count prefix offsets (one ≤numParts-row bounded
+    // driver collect). Each task sorts only its own range slice, so the
+    // plan survives a 100× scale-up; the persist barrier pins partition
+    // ids so the count pass and the rank pass read identical slices.
     "q_trimmed_mean" -> ((s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
-      val ranked = t(s, dir, "orders")
+      val numParts = 32
+      val parted = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice").as("x"))
-        .select(col("x"),
-          row_number().over(W.partitionBy(pmod(col("o_orderkey"), lit(1L)))
-            .orderBy(col("x"), col("o_orderkey"))).as("r"),
-          count(lit(1)).over(W.partitionBy(pmod(col("o_orderkey"), lit(1L))))
-            .as("n"))
+        .repartitionByRange(numParts, col("x"), col("o_orderkey"))
+        .withColumn("pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cnts = parted.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+        .orderBy(col("pid"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))) // bounded: ≤ numParts rows
+      val total = cnts.map(_._2).sum
+      val offsets: Map[Int, Long] = // pid → rows in all lower ranges
+        cnts.map(_._1).zip(cnts.map(_._2).scanLeft(0L)(_ + _).init).toMap
+      val ranked = parted.select(col("x"),
+        (row_number().over(W.partitionBy(col("pid"))
+          .orderBy(col("x"), col("o_orderkey"))).cast("long")
+          + element_at(typedlit(offsets), col("pid"))).as("r"),
+        lit(total).as("n"))
       val kept = col("r") * 20L > col("n") && col("r") * 20L <= col("n") * 19L
       ranked.agg(
           count(lit(1)).as("n_total"),

@@ -3,8 +3,8 @@ package graft.ops
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** MERGE INTO kernel: action classification, source-wins coalescing, and
-  * pass-through of unmatched target rows.
+/** MERGE INTO kernel: action classification, source-wins assignment (incl.
+  * explicit NULL updates), and pass-through of unmatched target rows.
   */
 class MergeSpec extends SparkSpec {
   import spark.implicits._
@@ -32,6 +32,18 @@ class MergeSpec extends SparkSpec {
     val got = Merge.upsert(target, target.where(lit(false)), "k")
       .select("k", "__action").as[(Long, String)].collect().toSet
     assert(got === Set((1L, "keep"), (2L, "keep"), (3L, "keep")))
+  }
+
+  test("explicit NULL in the source updates the column to NULL (MERGE semantics)") {
+    val source = Seq((2L, Option.empty[String], Option(99.0)))
+      .toDF("k", "name", "v")
+    val got = Merge.upsert(target, source, "k")
+      .select("k", "name", "v", "__action")
+      .as[(Long, Option[String], Option[Double], String)].collect().toSet
+    assert(got === Set(
+      (1L, Some("a"), Some(10.0), "keep"),
+      (2L, None, Some(99.0), "update"),   // source NULL wins, not coalesced away
+      (3L, Some("c"), Some(30.0), "keep")))
   }
 
   test("schema mismatch is rejected") {
