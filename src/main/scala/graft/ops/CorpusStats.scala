@@ -641,7 +641,42 @@ object CorpusStats {
         sum(col("nu")).cast("long").as("n_units"))
   }
 
-  private def bpeRounds(tok: DataFrame, k: Int, checkpointEvery: Int)
+  /** Per-merge-step compression curve from ONE training chain —
+    * `(step, n_units, n_chars, units_per_char)` for each of the k merges.
+    * Reads the stats off the single chain's intermediate vocabularies as
+    * they materialize (one 1-row aggregate per round against the round's
+    * persisted vocab — k bounded driver collects, the shape a real
+    * tokenizer trainer's per-step logging has), instead of re-deriving k
+    * independent chains (the r12 form: O(K²/2) rounds total, unusable at
+    * a real tokenizer's K≈32k). `n_chars` is constant across steps — a
+    * conservation invariant the oracle re-proves. Rounds where the corpus
+    * has exhausted its merge candidates repeat the previous step's stats
+    * (the no-op-merge semantics [[bpeTrain]] documents).
+    */
+  def bpeCompressionCurve(tok: DataFrame, k: Int,
+                          checkpointEvery: Int = 8): DataFrame = {
+    val Sep = "  "
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    bpeRounds(tok, k, checkpointEvery, onVocab = (step, vocab) => {
+      val r = vocab.select(col("wc"),
+          size(split(trim(col("sym")), Sep)).cast("long").as("nu"),
+          length(call_function("replace", trim(col("sym")), lit(Sep),
+            lit(""))).cast("long").as("nc"))
+        .agg(sum(col("wc") * col("nu")).cast("long").as("n_units"),
+          sum(col("wc") * col("nc")).cast("long").as("n_chars"))
+        .head()
+      buf += ((step, r.getLong(0), r.getLong(1)))
+    })
+    val spark = tok.sparkSession
+    import spark.implicits._
+    buf.toSeq.toDF("step", "n_units", "n_chars")
+      .select(col("step"), col("n_units"), col("n_chars"),
+        round(col("n_units").cast("double")
+          / col("n_chars").cast("double"), 6).as("units_per_char"))
+  }
+
+  private def bpeRounds(tok: DataFrame, k: Int, checkpointEvery: Int,
+      onVocab: (Int, DataFrame) => Unit = (_, _) => ())
       : (Seq[DataFrame], DataFrame) = {
     require(k >= 1, s"k: $k")
     require(checkpointEvery >= 1, s"checkpointEvery: $checkpointEvery")
@@ -694,6 +729,7 @@ object CorpusStats {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         supersedable ::= vocab
       }
+      onVocab(step, vocab)
       top
     }
     (steps, vocab)

@@ -281,26 +281,16 @@ object CorpusStatsQueries {
     // ── BPE compression curve (per-merge-step units/char) ───────────────
     // After each of the k merges, total corpus subword units and the
     // units-per-char ratio — the diminishing-returns curve that decides
-    // how many merges a tokenizer budget buys. Each step re-derives its
-    // chain from the shared trainer (k chains of ≤ k rounds — fixture-
-    // cheap; at real k the intermediate vocabularies of ONE training run
-    // would be checkpointed instead, same numbers). n_chars rides along
-    // (constant across steps — a conservation sanity the oracle re-proves).
-    "q_bpe_compression" -> ((s, dir) => {
-      val tok = tokStream(s, dir)
-      (1 to BpeK).map { k =>
-        CorpusStats.bpeVocab(tok, k, checkpointEvery = 2)
-          .select(col("wc"),
-            size(split(col("sym"), "  ")).cast("long").as("nu"),
-            length(call_function("replace", trim(col("sym")), lit("  "),
-              lit(""))).cast("long").as("nc"))
-          .agg(sum(col("wc") * col("nu")).cast("long").as("n_units"),
-            sum(col("wc") * col("nc")).cast("long").as("n_chars"))
-          .select(lit(k).as("step"), col("n_units"), col("n_chars"),
-            round(col("n_units").cast("double")
-              / col("n_chars").cast("double"), 6).as("units_per_char"))
-      }.reduce(_ unionByName _).orderBy("step")
-    }),
+    // how many merges a tokenizer budget buys. Read off ONE training
+    // chain's intermediate vocabularies as they materialize
+    // (CorpusStats.bpeCompressionCurve — O(K) rounds, not the r12 form's
+    // K independent chains), so the plan a real tokenizer's K≈32k needs
+    // is the plan the fixture runs. n_chars rides along (constant across
+    // steps — a conservation sanity the oracle re-proves).
+    "q_bpe_compression" -> ((s, dir) =>
+      CorpusStats.bpeCompressionCurve(tokStream(s, dir), k = BpeK,
+          checkpointEvery = 2)
+        .orderBy("step")),
 
     // ── Pointwise mutual information: lang × source association ─────────
     // The corpus-composition diagnostic: one pass builds the (lang,

@@ -307,6 +307,34 @@ class CorpusStatsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("bpeCompressionCurve: one-chain stats equal the per-k re-derived form") {
+    // Same hand-traced corpus as above ("aaab"×3, "ab"×2; 16 chars total).
+    // The curve must equal what k independent bpeVocab chains would give
+    // (the r12 form it replaces) — here both hand-checked AND re-derived.
+    val tok = (Seq.fill(3)("aaab") ++ Seq.fill(2)("ab"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "tok")
+    val got = CorpusStats.bpeCompressionCurve(tok, k = 3, checkpointEvery = 2)
+      .orderBy("step")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    // step 1 (a,a): "aaab"→[aa,a,b] 3 units ×3 + "ab" 2 units ×2 = 13
+    // step 2 (a,b): [aa,ab] 2×3 + [ab] 1×2 = 8
+    // step 3 (aa,ab): [aaab] 1×3 + [ab] 1×2 = 5
+    assert(got === Seq(
+      (1, 13L, 16L, 13.0 / 16), (2, 8L, 16L, 0.5), (3, 5L, 16L, 5.0 / 16)))
+    // and equals the per-k re-derivation (old form) at every step
+    val old = (1 to 3).map { k =>
+      val r = CorpusStats.bpeVocab(tok, k, checkpointEvery = 2)
+        .select(col("wc"),
+          size(split(col("sym"), "  ")).cast("long").as("nu"),
+          length(regexp_replace(col("sym"), "  ", "")).cast("long").as("nc"))
+        .agg(sum(col("wc") * col("nu")), sum(col("wc") * col("nc"))).head()
+      (k, r.getLong(0), r.getLong(1))
+    }
+    assert(got.map(t => (t._1, t._2, t._3)) === old)
+    spark.catalog.clearCache()
+  }
+
   test("bpeTrain: merge pattern anchors symbol boundaries — no cross-symbol fusion") {
     // corpus: "aa"×10, "ab"×6, "aab"×1. Step 1 merges (a,a) cnt 11
     // (10 + 1 from "aab"), leaving "aab" as [aa, b]; step 2 merges (a,b)
