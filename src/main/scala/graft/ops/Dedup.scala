@@ -545,6 +545,28 @@ object Dedup {
     * smaller side (ties → `id_a`), i.e. the doc a dedup pass would drop as
     * subsumed.
     */
+  /** Scale-adaptive df cap for the containment index (the cap the
+    * [[containmentPairs]] scaladoc prescribes tightening at a bigger
+    * corpus): `min(capRef, max(floor, capRef·√(refDocs/nDocs)))`.
+    *
+    * Why √N: candidate volume under a df cap c is Σ_{df≤c} df² ≤ c·|postings|
+    * — linear in corpus ONLY once the corpus saturates the bound, so a fixed
+    * cap reads super-linear exactly while boilerplate n-grams climb through
+    * it (the r12 10× perturb probe measured 13.0× at fixed 50). Tightening
+    * the cap as 1/√N bounds measured growth at ~√N until the floor, and the
+    * floor keeps every genuinely-contained pair: a true (quote ⊂ doc) pair's
+    * shared n-grams have df ≈ 2 regardless of corpus size — only
+    * boilerplate-family pairs (df ∝ N) leave the index, and those carry no
+    * containment signal. Deterministic in nDocs, so the DuckDB oracle
+    * mirrors the same arithmetic; at ≤ refDocs the clamp pins the cap at
+    * capRef (the fixture values are unchanged at sf0.01/sf0.1).
+    */
+  def adaptiveMaxDf(nDocs: Long, capRef: Int = 50, refDocs: Long = 5000L,
+                    floor: Int = 8): Int =
+    math.min(capRef, math.max(floor,
+      math.round(capRef * math.sqrt(refDocs.toDouble / math.max(1L, nDocs)))
+        .toInt))
+
   def containmentPairs(hashed: DataFrame, threshold: Double,
                        maxDf: Int = Int.MaxValue,
                        persistIndex: Boolean = true): DataFrame = {

@@ -530,26 +530,34 @@ object TextPipelineQueries {
     // detector — a short doc quoted verbatim inside a long one has
     // jaccard ≈ |short|/|long| (invisible to q_neardup_jaccard) but
     // containment 1.0. contained_id names the doc a dedup pass would drop.
-    "q_containment" -> ((s, dir) =>
+    // The df cap ADAPTS to corpus scale (Dedup.adaptiveMaxDf: √N-tightening
+    // from 50, floor 8 — clamped to 50 at the fixture sizes, so the oracle
+    // arithmetic is unchanged there; the 1-row count is a bounded driver
+    // scalar, the bpeSegmentStats broadcast-gate pattern).
+    "q_containment" -> ((s, dir) => {
+      val d = docs(s, dir)
       Dedup.containmentPairs(
           Dedup.hashedNgrams(
-            docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text"))),
+            d.withColumn("toks", TextAnalysis.tokens(col("text"))),
             "doc_id", "toks", 3),
-          threshold = 0.6, maxDf = 50)
-        .orderBy("id_a", "id_b")),
+          threshold = 0.6, maxDf = Dedup.adaptiveMaxDf(d.count()))
+        .orderBy("id_a", "id_b")
+    }),
 
     // ── Bottom-k containment estimator audit ────────────────────────────
     // k=30 minwise sketch estimate next to the exact containment for
     // every q_containment pair (Dedup.containmentSketchAudit) — the
     // sketch-budget table read before trusting sketch-only containment
     // at scale, where full n-gram sets never meet.
-    "q_containment_sketch" -> ((s, dir) =>
+    "q_containment_sketch" -> ((s, dir) => {
+      val d = docs(s, dir)
       Dedup.containmentSketchAudit(
           Dedup.hashedNgrams(
-            docs(s, dir).withColumn("toks", TextAnalysis.tokens(col("text"))),
+            d.withColumn("toks", TextAnalysis.tokens(col("text"))),
             "doc_id", "toks", 3),
-          threshold = 0.6, maxDf = 50, k = 30)
-        .orderBy("id_a", "id_b")),
+          threshold = 0.6, maxDf = Dedup.adaptiveMaxDf(d.count()), k = 30)
+        .orderBy("id_a", "id_b")
+    }),
 
     // ── Per-source segment-dup rate (the curation decision table) ───────
     // q_seg_dedup's per-doc accounting rolled up per source: how much of
@@ -2137,7 +2145,9 @@ object TextPipelineQueries {
           idx AS (
             SELECT doc_id, len(ngh) AS n, unnest(ngh) AS h FROM ng
             WHERE len(ngh) > 0),
-          dfok AS (SELECT h FROM idx GROUP BY h HAVING count(*) <= 50),
+          dfok AS (SELECT h FROM idx GROUP BY h HAVING count(*) <=
+            LEAST(50, GREATEST(8, CAST(ROUND(50 * SQRT(5000.0 /
+              (SELECT count(*) FROM documents))) AS BIGINT)))),
           kept AS (SELECT idx.doc_id, idx.n, idx.h FROM idx
                    JOIN dfok ON idx.h = dfok.h),
           pairs AS (
@@ -2164,7 +2174,9 @@ object TextPipelineQueries {
           idx AS (
             SELECT doc_id, len(ngh) AS n, unnest(ngh) AS h FROM ng
             WHERE len(ngh) > 0),
-          dfok AS (SELECT h FROM idx GROUP BY h HAVING count(*) <= 50),
+          dfok AS (SELECT h FROM idx GROUP BY h HAVING count(*) <=
+            LEAST(50, GREATEST(8, CAST(ROUND(50 * SQRT(5000.0 /
+              (SELECT count(*) FROM documents))) AS BIGINT)))),
           kept AS (SELECT idx.doc_id, idx.n, idx.h FROM idx
                    JOIN dfok ON idx.h = dfok.h),
           pairs AS (

@@ -192,6 +192,20 @@ class DedupSpec extends SparkSpec {
     assert(muted.isEmpty, "df=1 n-grams are unshared by definition")
   }
 
+  test("adaptiveMaxDf: clamped at capRef up to refDocs, √N-tightens beyond, floored") {
+    // at/below the reference corpus the cap is pinned (fixture arithmetic
+    // unchanged at sf0.01/sf0.1) …
+    assert(Dedup.adaptiveMaxDf(500L) === 50)
+    assert(Dedup.adaptiveMaxDf(5000L) === 50)
+    // … beyond it the cap tightens as 1/√N (50·√(1/10) ≈ 15.8 → 16) …
+    assert(Dedup.adaptiveMaxDf(50000L) === 16)
+    assert(Dedup.adaptiveMaxDf(200000L) === 8) // 50·√(1/40) = 7.9 → floor 8
+    // … and never drops below the floor (true contained pairs share df≈2
+    // n-grams at any corpus size).
+    assert(Dedup.adaptiveMaxDf(5000000000L) === 8)
+    assert(Dedup.adaptiveMaxDf(0L) === 50) // degenerate-input guard
+  }
+
   test("containmentSketchAudit: exact at k ≥ |small set|, bounded error at small k") {
     val passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
     val d = Seq(
