@@ -131,6 +131,142 @@ object Multimodal {
       }
   }
 
+  /** Deterministic 16×16 grayscale NOISE images for the perceptual-hash
+    * near-dup gate: pixel (x, y) of image `id` is the low byte of the
+    * h60 family hash of "img:id:x:y" — the same engine-portable md5
+    * derivation as [[graft.functions.Hashes.h60]], computed here JVM-side
+    * for the PNG generator, so a SQL oracle replays every pixel without a
+    * codec. Ids with `id % plantedEvery == 1` are PLANTED near-dups of
+    * `id − 1`: they reuse the base image's pixels except at positions
+    * where `(y·16 + x) % perturbMod == 0` (3 pixels at the defaults) —
+    * visually the same image with a few hot pixels, exactly what a
+    * crawler re-encode or thumbnail tweak produces. All other image pairs
+    * are independent noise (expected dHash Hamming ≈ 32), so the
+    * perceptual-hash pair search has a real discrimination task.
+    */
+  object NoiseImages {
+    val Size = 16
+
+    /** JVM-side h60: first 15 hex digits of md5 as a non-negative long —
+      * bit-identical to the column form and to the oracle's rendering. */
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"${b & 0xff}%02x").mkString.substring(0, 15), 16)
+    }
+
+    def basePx(id: Long, x: Int, y: Int): Int =
+      (h60(s"img:$id:$x:$y") % 256L).toInt
+
+    def px(id: Long, x: Int, y: Int, plantedEvery: Int = 25,
+           perturbMod: Int = 97): Int =
+      if (id % plantedEvery == 1 && (y * Size + x) % perturbMod != 0)
+        basePx(id - 1, x, y)
+      else basePx(id, x, y)
+
+    def png(id: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(Size, Size,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < Size) {
+        var x = 0
+        while (x < Size) {
+          raster.setSample(x, y, 0, px(id, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      SyntheticImages.encode(img, "png")
+    }
+  }
+
+  /** `(doc_id, payload)` with the [[NoiseImages]] PNG bytes per document —
+    * the stored-media corpus for the image near-dup gate. */
+  def syntheticNoisePayloads(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, NoiseImages.png(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** dHash (difference hash) over REAL decoded pixels — the standard
+    * perceptual image fingerprint (gradient-sign grid; public algorithm,
+    * widely documented): nearest-neighbor sample the decoded raster at a
+    * 9×8 grid, compare horizontal neighbors, emit 8 bits per row. The 64
+    * bits travel as ARRAY of 8 row-bands (ints 0..255) rather than one
+    * packed long: the bands are exactly what the pigeonhole pair search
+    * joins on, and band-wise `bit_count(xor)` keeps every engine's
+    * arithmetic in small non-negative ints (a packed 64-bit form would
+    * put bit 63 in the sign position). Decode is the same batched
+    * `mapPartitions` boundary as [[decodeImageMeta]]; grid sampling makes
+    * the hash O(1) per image regardless of source resolution.
+    */
+  def decodeImageDHash(spark: SparkSession, payloads: DataFrame,
+                       batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            require(img != null, s"doc $id: payload is not a decodable image")
+            val raster = img.getRaster
+            val (w, h) = (img.getWidth, img.getHeight)
+            // nearest-neighbor 9×8 grid (classic dHash geometry)
+            def g(gx: Int, gy: Int): Int =
+              raster.getSample(gx * w / 9, gy * h / 8, 0)
+            val bands = (0 until 8).map { y =>
+              (0 until 8).foldLeft(0) { (acc, x) =>
+                if (g(x + 1, y) > g(x, y)) acc | (1 << x) else acc
+              }
+            }
+            (id, bands)
+          }
+        }
+      }
+      .toDF("doc_id", "bands")
+  }
+
+  /** Perceptual-hash image near-dup pairs: every unordered pair of images
+    * whose dHash Hamming distance is ≤ `maxHamming`. Pair generation is
+    * the SimHash pigeonhole discipline, not all-pairs: two 64-bit hashes
+    * within Hamming 7 must agree exactly on at least one of the 8 row
+    * bands (8 bands, ≤ 7 differing bits — pigeonhole), so candidates come
+    * from an equi-join on `(band_idx, band_val)` and the exact band-wise
+    * `bit_count(xor)` sum verifies each candidate once. Recall is 1 by
+    * construction for `maxHamming ≤ 7`; the brute-force oracle is
+    * therefore exactly equal, while the engine plan stays a keyed hash
+    * join (bucket fan-out ≈ n²/2⁸ per band on noise — the documented LSH
+    * price; raise band count for tighter radii at bigger corpora).
+    */
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming: $maxHamming (8-band pigeonhole guarantees recall to 7)")
+    // the hash relation feeds BOTH join sides — persist it so the decode
+    // mapPartitions runs once (cache lifetime caller-managed; Verify/Bench
+    // clear per query)
+    val hs = hashes
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = hs.select(col("doc_id"), col("bands"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val a = ex.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("id_a"), col("bands").as("bands_a"))
+    val b = ex.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("id_b"), col("bands").as("bands_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        aggregate(
+          zip_with(col("bands_a"), col("bands_b"),
+            (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), _ + _).as("hamming"))
+      .distinct() // multi-band agreements generate the same pair per band
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** STUB — deterministic fake decoder standing in for the NON-image
     * media codecs (audio/video) absent from this environment (image
     * decode is real — [[decodeImageMeta]]). Consumes raw payload bytes,

@@ -81,6 +81,24 @@ object ExtensionQueries {
             "doc_id", "text"),
           frameSize = 64, stride = 2, maxFrames = 4)
         .orderBy("doc_id", "frame_idx")),
+
+    // ── Image near-dup via perceptual hash (dHash) over REAL decode ─────
+    // The image-dedup stage a multimodal training pipeline runs: each doc
+    // gets a deterministic 16×16 h60-noise PNG (ids ≡ 1 mod 25 planted as
+    // 3-pixel perturbations of id−1 — Multimodal.NoiseImages), the engine
+    // DECODES the actual PNG bytes (javax.imageio), dHashes the decoded
+    // raster (9×8 gradient grid → 8 row-bands), and pairs come from the
+    // 8-band pigeonhole join (recall-lossless at Hamming ≤ 7, so the
+    // brute-force oracle — which replays every pixel analytically — is
+    // exactly equal). Planted pairs land at Hamming ≤ 3; independent
+    // noise pairs sit near 32 and never appear.
+    "q_image_neardup" -> ((s, dir) =>
+      Multimodal.imageNearDups(
+          Multimodal.decodeImageDHash(s,
+            Multimodal.syntheticNoisePayloads(
+              s, Tables.table(s, dir, "documents").select("doc_id"))),
+          maxHamming = 7)
+        .orderBy("id_a", "id_b")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -152,5 +170,38 @@ object ExtensionQueries {
            CAST(least(64, len - s * 2 * 64) AS INT) AS n_bytes,
            md5(substr(text, CAST(s * 2 * 64 + 1 AS INT), 64)) AS frame_md5
          FROM g ORDER BY doc_id, frame_idx""",
+    // the engine dHashes real decoded PNG pixels; the oracle replays the
+    // NoiseImages pixel formula (h60 low byte + planted-variant CASE),
+    // the 9×8 nearest-neighbor grid ([0,1,3,5,7,8,10,12,14] × even rows),
+    // and brute-force band-wise Hamming — exactly equal to the banded
+    // engine search because 8-band pigeonhole recall is 1 at ≤ 7.
+    "q_image_neardup" ->
+      s"""WITH b AS (SELECT doc_id, ${noiseBandsSql} AS bands FROM documents),
+         p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           list_sum(list_transform(generate_series(1,8), i ->
+             bit_count(xor(a.bands[i], c.bands[i])))) AS hamming
+           FROM b a JOIN b c ON a.doc_id < c.doc_id)
+         SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+         FROM p WHERE hamming <= 7 ORDER BY id_a, id_b""",
   )
+
+  /** DuckDB replay of one [[Multimodal.NoiseImages]] pixel: the h60 low
+    * byte with the planted-variant CASE (ids ≡ 1 mod 25 take id−1's
+    * pixels except where (y·16+x) % 97 == 0). */
+  private def noisePxSql(gx: String, gy: String): String = {
+    def h(id: String) = "(" + graft.functions.Hashes.h60Sql(
+      s"'img:'||CAST($id AS VARCHAR)||':'||CAST($gx AS VARCHAR)" +
+        s"||':'||CAST($gy AS VARCHAR)") + " % 256)"
+    s"(CASE WHEN doc_id % 25 = 1 AND (($gy) * 16 + ($gx)) % 97 <> 0 " +
+      s"THEN ${h("(doc_id - 1)")} ELSE ${h("doc_id")} END)"
+  }
+
+  /** The 8 dHash row-bands of a doc's noise image, as a DuckDB list
+    * expression (9×8 nearest-neighbor grid over the 16×16 image). */
+  private def noiseBandsSql: String =
+    s"""list_transform(generate_series(0,7), y ->
+          list_sum(list_transform(generate_series(0,7), x ->
+            CASE WHEN ${noisePxSql("([0,1,3,5,7,8,10,12,14])[x+2]", "(2*y)")} >
+                      ${noisePxSql("([0,1,3,5,7,8,10,12,14])[x+1]", "(2*y)")}
+            THEN (1<<x) ELSE 0 END)))"""
 }
