@@ -283,4 +283,53 @@ object Graph {
         round((coalesce(col("n_triangles"), lit(0L)) * 2L).cast("double") /
           (col("degree") * (col("degree") - 1L)), 6).as("clustering"))
   }
+
+  /** Adamic–Adar link prediction over an undirected edge set (public
+    * algorithm, Adamic & Adar 2003): for every NON-adjacent pair (u, v)
+    * sharing ≥ 1 neighbor, score = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) — common
+    * neighbors weighted down by their hubness, the classic "who should be
+    * connected next" read.
+    *
+    * Plan: wedges enumerate at their CENTER w (one keyed self-join of the
+    * neighbor relation on w, legs ordered u < v), each wedge carries the
+    * center's 1/ln(deg) weight, and the pair aggregate is one keyed
+    * groupBy; already-adjacent pairs leave via a keyed left-anti join.
+    * Wedge volume is Σ_w deg(w)² — a dense hub alone emits deg² rows — so
+    * centers above `maxHubDegree` leave the wedge relation first (the
+    * [[graft.ops.Dedup.adaptiveMaxDf]] rationale on graphs: a ubiquitous
+    * neighbor contributes ≤ 1/ln(cap) per pair while costing cap² rows;
+    * AA's own 1/ln weighting says those centers carry the least signal).
+    * Determinism: per-wedge weights are one IEEE chain quantized to
+    * DECIMAL(30,10) at the row, so the pair SUM is shuffle-order-exact and
+    * `aa_dec` orders ties away; `aa_score` is the rounded edge.
+    *
+    * Output: `(u, v, n_common, aa_score, aa_dec)` — callers order by the
+    * exact `aa_dec` and drop it at projection.
+    */
+  def adamicAdar(edges: DataFrame, maxHubDegree: Int = 64): DataFrame = {
+    require(maxHubDegree >= 2, s"maxHubDegree: $maxHubDegree")
+    val canon = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") < col("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = canon.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(canon.select(col("b").as("u"), col("a").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val centered = sym.select(col("v").as("w"), col("u").as("n"))
+      .join(deg.select(col("u").as("w"), col("deg").as("dw")), Seq("w"))
+      .where(col("dw") <= maxHubDegree)
+    val wedges = centered.as("p").join(centered.as("q"),
+        col("p.w") === col("q.w") && col("p.n") < col("q.n"))
+      .select(col("p.n").as("u"), col("q.n").as("v"),
+        (lit(1.0) / log(col("p.dw").cast("double")))
+          .cast("decimal(30,10)").as("aa_w"))
+    wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"), sum(col("aa_w")).as("aa_dec"))
+      .join(canon.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .select(col("u"), col("v"), col("n_common"),
+        round(col("aa_dec").cast("double"), 6).as("aa_score"),
+        col("aa_dec"))
+  }
 }

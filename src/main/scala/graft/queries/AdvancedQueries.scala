@@ -419,6 +419,28 @@ object AdvancedQueries {
         .orderBy(desc("clustering"), col("node")).limit(100)
     }),
 
+    // ── Adamic–Adar link prediction on the co-purchase graph ────────────
+    // "Which parts SHOULD co-occur next": for non-adjacent part pairs,
+    // common co-purchase neighbors weighted by 1/ln(deg) — hubs count
+    // less (Graph.adamicAdar; hub centers > 64 leave the wedge relation,
+    // the adaptiveMaxDf rationale on graphs). Same support-floored edge
+    // relation as q_triangles; wedge self-join keyed on the center,
+    // per-wedge weights quantized DECIMAL(30,10) so the pair sum is
+    // shuffle-order-exact; top-20 by the exact decimal, ties (u, v).
+    "q_adamic_adar" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("sup"))
+        .where(col("sup") >= 2)
+        .select(col("src"), col("dst"))
+      graft.ops.Graph.adamicAdar(pairs, maxHubDegree = 64)
+        .orderBy(desc("aa_dec"), col("u"), col("v")).limit(20)
+        .select(col("u"), col("v"), col("n_common"), col("aa_score"))
+    }),
+
     // ── Degree assortativity of the co-purchase graph ────────────────────
     // Do hubs link to hubs? Pearson r over the degree pairs at every
     // edge's endpoints, stub-counted (each edge contributes (dₐ,d_b) AND
@@ -766,6 +788,40 @@ object AdvancedQueries {
           SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
           FROM corners GROUP BY node
           ORDER BY n_triangles DESC, node LIMIT 100""",
+    // same wedge-at-center enumeration, weights quantized DECIMAL(30,10)
+    // per wedge so both engines sum identical exact values.
+    "q_adamic_adar" ->
+      """WITH canon AS (
+            SELECT x.l_partkey AS a, y.l_partkey AS b
+            FROM lineitem x
+            JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+                           AND x.l_partkey < y.l_partkey
+            GROUP BY a, b HAVING count(*) >= 2),
+          sym AS (
+            SELECT a AS u, b AS v FROM canon
+            UNION ALL SELECT b, a FROM canon),
+          deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+                  FROM sym GROUP BY u),
+          ctr AS (
+            SELECT s.v AS w, s.u AS n, d.deg AS dw
+            FROM sym s JOIN deg d ON s.v = d.u WHERE d.deg <= 64),
+          wedges AS (
+            SELECT p.n AS u, q.n AS v,
+              CAST(CAST(1 AS DOUBLE) / ln(CAST(p.dw AS DOUBLE))
+                AS DECIMAL(30,10)) AS aa_w
+            FROM ctr p JOIN ctr q ON p.w = q.w AND p.n < q.n),
+          scored AS (
+            SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+              SUM(aa_w) AS aa_dec
+            FROM wedges GROUP BY u, v),
+          pred AS (
+            SELECT s.u, s.v, s.n_common, s.aa_dec
+            FROM scored s
+            LEFT JOIN canon c ON s.u = c.a AND s.v = c.b
+            WHERE c.a IS NULL)
+          SELECT u, v, n_common,
+            ROUND(CAST(aa_dec AS DOUBLE), 6) AS aa_score
+          FROM pred ORDER BY aa_dec DESC, u, v LIMIT 20""",
     "q_clustering_coef" ->
       """WITH pairs AS (
             SELECT x.l_partkey AS a, y.l_partkey AS b

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 import graft.Tables
-import graft.functions.Exact
+import graft.functions.{Exact, Hashes}
 
 /** Window / date-time / JSON / array / string / math function surface
   * (SURVEY §2.2 rows "Window functions", "Date/time", "Array/map/JSON",
@@ -90,6 +90,37 @@ object AnalyticQueries {
         .agg(count(lit(1)).as("cnt"), Exact.roundSum(col("o_totalprice")).as("total"))
         .orderBy("o_year", "o_month")),
 
+    // ── Calendar-aligned growth (MoM / YoY) ─────────────────────────────
+    // The report every revenue dashboard opens with: monthly revenue next
+    // to month-over-month and year-over-year percent change. Months key
+    // as a single integer index (y·12 + m − 1), and both comparisons are
+    // KEYED self-joins on mix−1 / mix−12 — no global window, no gapless
+    // assumption (a missing month simply yields no comparison row), and
+    // the month relation is aggregate-scale, so the joins broadcast at
+    // any corpus size. Revenue sums decimal-exact; the pct chains are one
+    // double expression from the exact sums, rounded at the edge.
+    "q_yoy" -> ((s, dir) => {
+      val m = t(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))
+          - 1).as("mix"))
+        .agg(sum(col("o_totalprice").cast("decimal(28,10)")).as("rev_dec"))
+      val prev = m.select((col("mix") + 1).as("mix"),
+        col("rev_dec").as("prev_dec"))
+      val yr = m.select((col("mix") + 12).as("mix"),
+        col("rev_dec").as("yr_dec"))
+      m.join(prev, Seq("mix")).join(yr, Seq("mix"))
+        .select(expr("mix div 12").cast("int").as("o_year"),
+          (pmod(col("mix"), lit(12)) + 1).cast("int").as("o_month"),
+          round(col("rev_dec").cast("double"), 4).as("revenue"),
+          round((col("rev_dec").cast("double")
+            / col("prev_dec").cast("double") - 1) * 100, 4).as("mom_pct"),
+          round((col("rev_dec").cast("double")
+            / col("yr_dec").cast("double") - 1) * 100, 4).as("yoy_pct"),
+          col("mix"))
+        .orderBy("mix")
+        .drop("mix")
+    }),
+
     // ── SCD2 history build (validity intervals from an event stream) ────
     // The warehouse dimension-history derivation: per user, collapse the
     // event stream into state-CHANGE rows (event_type ≠ previous) and give
@@ -157,6 +188,39 @@ object AnalyticQueries {
           col("z"), col("is_outlier"))
         .orderBy("event_type", "hour")
     }),
+    // ── Time-weighted average value (TWAP) per event type ───────────────
+    // The temporal mean that matters when observations mark STATE CHANGES
+    // rather than samples: each event's value holds until the user's next
+    // event, so it weighs by its holding duration — the financial TWAP /
+    // time-weighted balance read. Durations are exact epoch-micros int64
+    // from one keyed per-user lead() window (ts, event_id tie-pin); each
+    // user's last event has no successor and drops out (no duration to
+    // weigh). value·dt is one double product per row quantized
+    // DECIMAL(30,6) so the sums are shuffle-order-exact. One window + one
+    // aggregate; at 100 TB the user-keyed window is the only data-scale
+    // exchange.
+    "q_twap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val dec = "decimal(30,6)"
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
+        .select(col("event_type"), col("value"),
+          (lead(col("ts_us"), 1).over(w) - col("ts_us")).as("dt_us"))
+        .where(col("dt_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dt_us")).as("dur_us"),
+          sum((col("value") * col("dt_us").cast("double")).cast(dec))
+            .cast("double").as("sw"))
+        .select(col("event_type"), col("n_intervals"), col("dur_us"),
+          round(col("sw") / col("dur_us").cast("double"), 6).as("twap"),
+          round(col("sw") / lit(1000000.0), 4).as("value_seconds"))
+        .orderBy("event_type")
+    }),
+
     // Batch session windows (gap 10 min) — DuckDB has no session_window, so
     // the oracle derives sessions relationally (lag → new-session flag →
     // running sum as session id), which also documents the semantics:
@@ -449,6 +513,51 @@ object AnalyticQueries {
           round((col("sy") - col("slope") * col("sx"))
             / col("n").cast("double"), 6).as("intercept"))
         .orderBy("l_returnflag")
+    }),
+
+    // ── Two-feature OLS (normal equations, closed form) ─────────────────
+    // Multiple regression the declarative way: price on (quantity,
+    // discount) via the centered 2×2 normal system solved by Cramer's
+    // rule — b₁, b₂ from the centered moment determinants, b₀ from the
+    // means, R² = (b₁·S1y + b₂·S2y)/Syy (all centered). ONE aggregate
+    // produces the nine decimal-exact moment sums; the solve is a pure
+    // 1-row double chain, so the plan is a scan + map-side-combined
+    // aggregate at any scale — no iterations, no driver matrix library.
+    "q_ols2" -> ((s, dir) => {
+      val dec = "decimal(30,10)"
+      val m = t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("s1"),
+        sum(col("l_discount").cast(dec)).cast("double").as("s2"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sy"),
+        sum((col("l_quantity") * col("l_quantity")).cast(dec))
+          .cast("double").as("s11"),
+        sum((col("l_quantity") * col("l_discount")).cast(dec))
+          .cast("double").as("s12"),
+        sum((col("l_discount") * col("l_discount")).cast(dec))
+          .cast("double").as("s22"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast(dec))
+          .cast("double").as("s1y"),
+        sum((col("l_discount") * col("l_extendedprice")).cast(dec))
+          .cast("double").as("s2y"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast(dec))
+          .cast("double").as("syy"))
+      val nd = col("n").cast("double")
+      val c11 = nd * col("s11") - col("s1") * col("s1")
+      val c12 = nd * col("s12") - col("s1") * col("s2")
+      val c22 = nd * col("s22") - col("s2") * col("s2")
+      val c1y = nd * col("s1y") - col("s1") * col("sy")
+      val c2y = nd * col("s2y") - col("s2") * col("sy")
+      val cyy = nd * col("syy") - col("sy") * col("sy")
+      val det = c11 * c22 - c12 * c12
+      val b1 = (c1y * c22 - c2y * c12) / det
+      val b2 = (c11 * c2y - c12 * c1y) / det
+      m.select(col("n"),
+        round(b1, 6).as("b_quantity"),
+        round(b2, 6).as("b_discount"),
+        round((col("sy") - b1 * col("s1") - b2 * col("s2")) / nd, 6)
+          .as("intercept"),
+        round((b1 * c1y + b2 * c2y) / cyy, 6).as("r2"))
     }),
 
     // ── Equi-width histogram per group ──────────────────────────────────
@@ -907,6 +1016,78 @@ object AnalyticQueries {
         (abs(round(z, 6)) >= 1.96).as("significant"))
     }),
 
+    // ── CUPED variance reduction (experimentation family) ───────────────
+    // The modern A/B-test read: per-user post-period metric (purchase
+    // value) adjusted by the pre-period covariate (view value) via
+    // y′ = y − θ·(x − x̄), θ = cov(x,y)/var(x) pooled — the deterministic
+    // control-variate that shrinks metric variance by ρ² without touching
+    // the treatment-effect estimate. Arms are a deterministic h60 split
+    // of user_id (replayable in any engine). Two keyed per-user
+    // aggregates + one 1-row pooled-moments crossJoin (the q_mi scalar
+    // pattern); every accumulation decimal-exact, θ/x̄ one IEEE chain
+    // from exact sums, rounded only at the edge. At 100 TB the per-user
+    // aggregate is the only data-scale exchange.
+    "q_cuped" -> ((s, dir) => {
+      val dec = "decimal(30,10)"
+      val per = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "view", col("value"))
+            .otherwise(lit(0.0)).cast(dec)).cast("double").as("x"),
+          sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0)).cast(dec)).cast("double").as("y"))
+        .select(pmod(Hashes.h60(col("user_id").cast("string")), lit(2L))
+          .as("arm"), col("x"), col("y"))
+      val st = per.agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).cast("double").as("sx"),
+          sum(col("y").cast(dec)).cast("double").as("sy"),
+          sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"))
+        .select(
+          ((col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+            / (col("n").cast("double") * col("sxx") - col("sx") * col("sx")))
+            .as("theta"),
+          (col("sx") / col("n").cast("double")).as("xbar"),
+          (col("n").cast("double") * col("sxx") - col("sx") * col("sx"))
+            .as("sxxc"),
+          (col("n").cast("double") * col("syy") - col("sy") * col("sy"))
+            .as("syyc"))
+      per.crossJoin(broadcast(st)) // 1-row pooled moments
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("y").cast(dec)).cast("double")
+            / count(lit(1)), 6).as("mean_y"),
+          round(sum((col("y") - col("theta") * (col("x") - col("xbar")))
+            .cast(dec)).cast("double") / count(lit(1)), 6).as("mean_y_adj"),
+          round(max(col("theta")), 6).as("theta"),
+          round(max(col("theta")) * max(col("theta")) * max(col("sxxc"))
+            / max(col("syyc")), 6).as("var_reduction"))
+        .orderBy("arm")
+    }),
+
+    // ── Sample-ratio mismatch check (experiment hygiene) ────────────────
+    // The gate that runs BEFORE any A/B metric is read: a 50/50 h60
+    // assignment whose realized arm counts drift is a broken bucketer or
+    // a differential-logging bug, and every downstream read is invalid.
+    // χ² for two equal-expectation cells reduces to (n_a−n_b)²/(n_a+n_b)
+    // — exact int64 numerator, one double division, flag compared on the
+    // ROUNDED value (the q_ab_test discipline). One distinct + one
+    // aggregate; no joins at all.
+    "q_srm" -> ((s, dir) => {
+      val arms = Tables.events(s, dir).select(col("user_id")).distinct()
+        .select(pmod(Hashes.h60(col("user_id").cast("string")), lit(2L))
+          .as("arm"))
+      arms.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+        .select(col("n_a"), col("n_b"),
+          round(((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+            .cast("double") / (col("n_a") + col("n_b")), 6).as("chi2"))
+        .select(col("n_a"), col("n_b"), col("chi2"),
+          (col("chi2") >= lit(3.841459)).as("srm"))
+    }),
+
     // ── Time-series gap fill (dense bucket grid + zero-filled holes) ────
     // Event counts on a dense 10-minute grid: bucket indices in exact
     // epoch-micros integer arithmetic (timestamps only at the output
@@ -1134,6 +1315,22 @@ object AnalyticQueries {
       s"""SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt,
             ${oSum("value", "sum_value")}
           FROM events GROUP BY 1 ORDER BY hour""",
+    "q_yoy" ->
+      """WITH m AS (
+           SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mix,
+             sum(CAST(o_totalprice AS DECIMAL(28,10))) AS rev
+           FROM orders GROUP BY 1)
+         SELECT CAST(c.mix // 12 AS INT) AS o_year,
+           CAST(c.mix % 12 + 1 AS INT) AS o_month,
+           ROUND(CAST(c.rev AS DOUBLE), 4) AS revenue,
+           ROUND((CAST(c.rev AS DOUBLE) / CAST(p.rev AS DOUBLE) - 1) * 100,
+             4) AS mom_pct,
+           ROUND((CAST(c.rev AS DOUBLE) / CAST(y.rev AS DOUBLE) - 1) * 100,
+             4) AS yoy_pct
+         FROM m c
+         JOIN m p ON c.mix = p.mix + 1
+         JOIN m y ON c.mix = y.mix + 12
+         ORDER BY c.mix""",
     "q_orders_monthly" ->
       s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
             CAST(month(o_orderdate) AS INT) AS o_month,
@@ -1411,6 +1608,47 @@ object AnalyticQueries {
           SELECT l_returnflag, n, ROUND(slope, 6) AS slope,
             ROUND((sy - slope * sx) / CAST(n AS DOUBLE), 6) AS intercept
           FROM k ORDER BY l_returnflag""",
+    // same nine decimal moment sums; Cramer solve is one double chain.
+    "q_ols2" ->
+      """WITH m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS s1,
+              CAST(SUM(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) AS s2,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+                AS sy,
+              CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,10)))
+                   AS DOUBLE) AS s11,
+              CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(30,10)))
+                   AS DOUBLE) AS s12,
+              CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,10)))
+                   AS DOUBLE) AS s22,
+              CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,10)))
+                   AS DOUBLE) AS s1y,
+              CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(30,10)))
+                   AS DOUBLE) AS s2y,
+              CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                   AS DECIMAL(30,10))) AS DOUBLE) AS syy
+            FROM lineitem),
+          c AS (
+            SELECT n,
+              s1, s2, sy,
+              CAST(n AS DOUBLE) * s11 - s1 * s1 AS c11,
+              CAST(n AS DOUBLE) * s12 - s1 * s2 AS c12,
+              CAST(n AS DOUBLE) * s22 - s2 * s2 AS c22,
+              CAST(n AS DOUBLE) * s1y - s1 * sy AS c1y,
+              CAST(n AS DOUBLE) * s2y - s2 * sy AS c2y,
+              CAST(n AS DOUBLE) * syy - sy * sy AS cyy
+            FROM m),
+          b AS (
+            SELECT n, s1, s2, sy, c1y, c2y, cyy,
+              (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+              (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+            FROM c)
+          SELECT n, ROUND(b1, 6) AS b_quantity, ROUND(b2, 6) AS b_discount,
+            ROUND((sy - b1 * s1 - b2 * s2) / CAST(n AS DOUBLE), 6)
+              AS intercept,
+            ROUND((b1 * c1y + b2 * c2y) / cyy, 6) AS r2
+          FROM b""",
     // ntile remainder rule (first buckets take the extra row) is the same
     // in both engines; the (n_chars, doc_id) total order pins membership.
     "q_histogram_eqdepth" ->
@@ -1711,6 +1949,79 @@ object AnalyticQueries {
                * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 6))
              >= 1.96 AS significant
          FROM one""",
+    // same decimal-exact per-user sums, pooled moments, and one IEEE
+    // θ/x̄ chain; arm = h60(user_id) % 2 replayed verbatim.
+    "q_cuped" ->
+      s"""WITH per AS (
+           SELECT user_id,
+             CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value
+                           ELSE 0.0 END AS DECIMAL(30,10))) AS DOUBLE) AS x,
+             CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                           ELSE 0.0 END AS DECIMAL(30,10))) AS DOUBLE) AS y
+           FROM events GROUP BY user_id),
+         pa AS (
+           SELECT ${Hashes.h60Sql("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+             x, y FROM per),
+         st AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS syy
+           FROM pa),
+         th AS (
+           SELECT
+             (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx) AS theta,
+             sx / CAST(n AS DOUBLE) AS xbar,
+             (CAST(n AS DOUBLE) * sxx - sx * sx) AS sxxc,
+             (CAST(n AS DOUBLE) * syy - sy * sy) AS syyc
+           FROM st)
+         SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE)
+             / count(*), 6) AS mean_y,
+           ROUND(CAST(SUM(CAST(y - theta * (x - xbar) AS DECIMAL(30,10)))
+             AS DOUBLE) / count(*), 6) AS mean_y_adj,
+           ROUND(MAX(theta), 6) AS theta,
+           ROUND(MAX(theta) * MAX(theta) * MAX(sxxc) / MAX(syyc), 6)
+             AS var_reduction
+         FROM pa, th GROUP BY arm ORDER BY arm""",
+    "q_srm" ->
+      s"""WITH arms AS (
+           SELECT ${Hashes.h60Sql("CAST(user_id AS VARCHAR)")} % 2 AS arm
+           FROM (SELECT DISTINCT user_id FROM events)),
+         c AS (
+           SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+           FROM arms),
+         x AS (
+           SELECT n_a, n_b,
+             ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+               / (n_a + n_b), 6) AS chi2
+           FROM c)
+         SELECT n_a, n_b, chi2, chi2 >= 3.841459 AS srm FROM x""",
+    "q_twap" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, value,
+             epoch_us(ts) AS ts_us
+           FROM events),
+         d AS (
+           SELECT event_type, value,
+             lead(ts_us) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) - ts_us AS dt_us
+           FROM e)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dt_us) AS BIGINT) AS dur_us,
+           ROUND(CAST(SUM(CAST(value * CAST(dt_us AS DOUBLE)
+                 AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(SUM(dt_us) AS DOUBLE), 6) AS twap,
+           ROUND(CAST(SUM(CAST(value * CAST(dt_us AS DOUBLE)
+                 AS DECIMAL(30,6))) AS DOUBLE) / 1000000.0, 4)
+             AS value_seconds
+         FROM d WHERE dt_us IS NOT NULL
+         GROUP BY 1 ORDER BY event_type""",
     "q_gapfill" ->
       """WITH perb AS (
            SELECT epoch_us(ts) // 600000000 AS b,

@@ -443,32 +443,14 @@ object RelationalQueries {
     // predicate (20·r > n ∧ 20·r ≤ 19·n — no double percent_rank at the
     // boundary), ranks tie-pinned by orderkey, means decimal-exact.
     //
-    // Exact GLOBAL rank without a single-partition funnel (the r12 plan
-    // used a constant-key window — every row through one task's sort):
-    // range-repartition on (x, orderkey), rank locally per range, then add
-    // the per-range row-count prefix offsets (one ≤numParts-row bounded
-    // driver collect). Each task sorts only its own range slice, so the
-    // plan survives a 100× scale-up; the persist barrier pins partition
-    // ids so the count pass and the rank pass read identical slices.
+    // Exact GLOBAL rank without a single-partition funnel: range-
+    // repartitioned distributed ranking (graft.ops.Ranks.globalRank —
+    // per-range local sorts + prefix-count offsets; the r12 plan was a
+    // constant-key window, every row through one task's sort).
     "q_trimmed_mean" -> ((s, dir) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val numParts = 32
-      val parted = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_totalprice").as("x"))
-        .repartitionByRange(numParts, col("x"), col("o_orderkey"))
-        .withColumn("pid", spark_partition_id())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cnts = parted.groupBy(col("pid")).agg(count(lit(1)).as("c"))
-        .orderBy(col("pid"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))) // bounded: ≤ numParts rows
-      val total = cnts.map(_._2).sum
-      val offsets: Map[Int, Long] = // pid → rows in all lower ranges
-        cnts.map(_._1).zip(cnts.map(_._2).scanLeft(0L)(_ + _).init).toMap
-      val ranked = parted.select(col("x"),
-        (row_number().over(W.partitionBy(col("pid"))
-          .orderBy(col("x"), col("o_orderkey"))).cast("long")
-          + element_at(typedlit(offsets), col("pid"))).as("r"),
-        lit(total).as("n"))
+      val ranked = graft.ops.Ranks.globalRank(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        col("o_totalprice"), col("o_orderkey"))
       val kept = col("r") * 20L > col("n") && col("r") * 20L <= col("n") * 19L
       ranked.agg(
           count(lit(1)).as("n_total"),
@@ -478,6 +460,71 @@ object RelationalQueries {
           round(sum(when(kept, col("x").cast("decimal(28,10)")))
             .cast("double") / sum(when(kept, 1L).otherwise(0L)), 4)
             .as("mean_trimmed"))
+    }),
+
+    // ── Winsorized mean (clamp, don't drop) ─────────────────────────────
+    // The trimmed mean's sibling for metrics where sample size must stay
+    // fixed: the 5 %-tail values are CLAMPED to the kept band's boundary
+    // values instead of discarded — winsor_sum = Σ kept + n_low·lo +
+    // n_high·hi, all from ONE pass over the same distributed-rank
+    // relation (Ranks.globalRank), no second scan. Same exact integer
+    // rank cut as q_trimmed_mean; boundary values are exact conditional
+    // min/max.
+    "q_winsor_mean" -> ((s, dir) => {
+      val ranked = graft.ops.Ranks.globalRank(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        col("o_totalprice"), col("o_orderkey"))
+      val dec = "decimal(28,10)"
+      val kept = col("r") * 20L > col("n") && col("r") * 20L <= col("n") * 19L
+      ranked.agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("r") * 20L <= col("n"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("r") * 20L > col("n") * 19L, 1L).otherwise(0L))
+            .as("n_high"),
+          min(when(kept, col("x"))).as("lo_val"),
+          max(when(kept, col("x"))).as("hi_val"),
+          sum(when(kept, col("x").cast(dec))).as("kept_dec"),
+          sum(col("x").cast(dec)).cast("double").as("sx"))
+        .select(col("n_total"), col("n_low"), col("n_high"),
+          col("lo_val"), col("hi_val"),
+          round(col("sx") / col("n_total"), 4).as("mean_raw"),
+          // boundary mass in DOUBLE (one exact-int × double product each),
+          // quantized to the shared decimal scale before the exact add —
+          // decimal×decimal would hit engine-specific precision widening
+          round((col("kept_dec")
+              + (col("n_low").cast("double") * col("lo_val")).cast(dec)
+              + (col("n_high").cast("double") * col("hi_val")).cast(dec))
+            .cast("double") / col("n_total"), 4).as("mean_winsor"))
+    }),
+
+    // ── NULL aggregation semantics (the engine-contract pin-down) ───────
+    // One row that pins every NULL rule an aggregate pipeline silently
+    // relies on, with NULLs planted in c_nationkey (3 → NULL): COUNT(*)
+    // counts rows, COUNT(col)/COUNT(DISTINCT col) skip NULLs, AVG/MIN/MAX
+    // ignore NULLs (decimal-exact mean over the non-null mass), an
+    // all-NULL SUM is NULL (surfaced via the coalesce sentinel −1), and
+    // GROUP BY collects NULLs into ONE group (n_groups = distinct + 1).
+    // Single scan, two tiny aggregates — any engine migration diffs this
+    // row first.
+    "q_null_semantics" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(nullif(col("c_nationkey"), lit(3)).as("ck"),
+          col("c_acctbal"))
+      val groups = c.groupBy(col("ck")).agg(count(lit(1)).as("gn"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("ck").isNull, col("gn")).otherwise(0L))
+            .as("null_group_rows"))
+      val base = c.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("ck")).as("n_nonnull"),
+        count_distinct(col("ck")).as("n_distinct"),
+        round(sum(col("ck").cast("decimal(28,10)")).cast("double")
+          / count(col("ck")), 6).as("avg_ck"),
+        min(col("ck")).as("min_ck"),
+        max(col("ck")).as("max_ck"),
+        coalesce(sum(when(lit(false), col("ck"))), lit(-1L))
+          .as("sum_all_null"))
+      base.crossJoin(broadcast(groups)) // two 1-row aggregates
     }),
 
     // ── Null-safe join semantics (<=> / IS NOT DISTINCT FROM) ───────────
@@ -965,6 +1012,50 @@ object RelationalQueries {
              / sum(CASE WHEN r * 20 > n AND r * 20 <= n * 19
                    THEN 1 ELSE 0 END), 4) AS mean_trimmed
          FROM ranked""",
+    "q_winsor_mean" ->
+      """WITH ranked AS (
+           SELECT o_totalprice AS x,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS r,
+             count(*) OVER () AS n
+           FROM orders),
+         a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN r * 20 <= n THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low,
+             CAST(sum(CASE WHEN r * 20 > n * 19 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_high,
+             min(CASE WHEN r * 20 > n AND r * 20 <= n * 19 THEN x END)
+               AS lo_val,
+             max(CASE WHEN r * 20 > n AND r * 20 <= n * 19 THEN x END)
+               AS hi_val,
+             sum(CASE WHEN r * 20 > n AND r * 20 <= n * 19
+                 THEN CAST(x AS DECIMAL(28,10)) END) AS kept_dec,
+             CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx
+           FROM ranked)
+         SELECT n_total, n_low, n_high, lo_val, hi_val,
+           ROUND(sx / n_total, 4) AS mean_raw,
+           ROUND(CAST(kept_dec
+               + CAST(CAST(n_low AS DOUBLE) * lo_val AS DECIMAL(28,10))
+               + CAST(CAST(n_high AS DOUBLE) * hi_val AS DECIMAL(28,10))
+             AS DOUBLE) / n_total, 4) AS mean_winsor
+         FROM a""",
+    "q_null_semantics" ->
+      """WITH c AS (SELECT nullif(c_nationkey, 3) AS ck FROM customer),
+         g0 AS (SELECT ck, count(*) AS gn FROM c GROUP BY ck),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(sum(CASE WHEN ck IS NULL THEN gn ELSE 0 END)
+                   AS BIGINT) AS null_group_rows
+               FROM g0),
+         b AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(ck) AS BIGINT) AS n_nonnull,
+                 CAST(count(DISTINCT ck) AS BIGINT) AS n_distinct,
+                 ROUND(CAST(sum(CAST(ck AS DECIMAL(28,10))) AS DOUBLE)
+                   / count(ck), 6) AS avg_ck,
+                 min(ck) AS min_ck, max(ck) AS max_ck,
+                 CAST(coalesce(sum(CASE WHEN FALSE THEN ck END), -1)
+                   AS BIGINT) AS sum_all_null
+               FROM c)
+         SELECT b.*, g.* FROM b, g""",
     "q_nullsafe_join" ->
       """WITH c AS (SELECT nullif(c_nationkey, 3) AS ck FROM customer),
          s AS (SELECT nullif(s_nationkey, 3) AS sk FROM supplier),

@@ -59,6 +59,36 @@ object SimilarityQueries {
         round(sqrt(Similarity.norm2Exact(col("embedding"))), 6).as("l2_norm"))
         .orderBy("vec_id")),
 
+    // ── Matryoshka truncation fidelity (dim-budget design table) ────────
+    // How much retrieval geometry survives keeping only the first d dims
+    // — the table that picks a truncated-embedding budget (the MRL
+    // deployment read): cos(full, head_d) = √(Σ_{i≤d}x²/Σx²) and the
+    // energy share Σ_{i≤d}x²/Σx², per budget d ∈ {8,16,32,64}. Head and
+    // full energies are the exact decimal self-dots (native
+    // float_vec_dot_dec on the slice), per-row doubles rounded 6, then
+    // decimal-averaged (the q_embed_anisotropy contract). One narrow
+    // pass + a 4-way budget explode → 4-row output; d = 64 (the full
+    // dim) must read exactly 1.0 — a built-in conservation check.
+    "q_matryoshka" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          explode(array(lit(8), lit(16), lit(32), lit(64))).as("d"))
+        .select(col("d"),
+          Similarity.norm2Exact(slice(col("embedding"), lit(1), col("d")))
+            .as("ed"),
+          Similarity.norm2Exact(col("embedding")).as("e"))
+        .select(col("d"),
+          round(sqrt(col("ed") / col("e")), 6).as("cosr"),
+          round(col("ed") / col("e"), 6).as("ver"))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_vectors"),
+          round(sum(col("cosr").cast("decimal(30,10)")).cast("double")
+            / count(lit(1)), 6).as("mean_cos"),
+          round(sum(col("ver").cast("decimal(30,10)")).cast("double")
+            / count(lit(1)), 6).as("mean_var_explained"),
+          min(col("ver")).as("min_var_explained"))
+        .orderBy("d")),
+
     // ── Embedding-space anisotropy (collapse diagnostic) ────────────────
     // Per label: mean vector μ + average cosine(v, μ) + mean L2 — the
     // "how collapsed is this space" gate run before trusting cosine
@@ -592,6 +622,27 @@ object SimilarityQueries {
             ROUND(sqrt(CAST(${dotSql("embedding", "embedding")} AS DOUBLE)), 6)
               AS l2_norm
           FROM embeddings ORDER BY vec_id""",
+    // head/full energies via the same decimal self-dot; per-row rounded-6
+    // doubles, decimal-averaged (the q_embed_anisotropy contract).
+    "q_matryoshka" ->
+      s"""WITH x AS (
+            SELECT vec_id, d,
+              CAST(${dotSql("embedding[1:d]", "embedding[1:d]")} AS DOUBLE)
+                AS ed,
+              CAST(${dotSql("embedding", "embedding")} AS DOUBLE) AS e
+            FROM embeddings
+            CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS d)),
+          r AS (
+            SELECT d, ROUND(sqrt(ed / e), 6) AS cosr,
+              ROUND(ed / e, 6) AS ver
+            FROM x)
+          SELECT d, CAST(count(*) AS BIGINT) AS n_vectors,
+            ROUND(CAST(SUM(CAST(cosr AS DECIMAL(30,10))) AS DOUBLE)
+              / count(*), 6) AS mean_cos,
+            ROUND(CAST(SUM(CAST(ver AS DECIMAL(30,10))) AS DOUBLE)
+              / count(*), 6) AS mean_var_explained,
+            MIN(ver) AS min_var_explained
+          FROM r GROUP BY d ORDER BY d""",
     // Mirror of Similarity.embeddingAnisotropy stage by stage: per-dim
     // decimal sums / n rounded 6, μ assembled in position order, decimal
     // dot with UNROUNDED norms rounded 6 per row, decimal averages of the

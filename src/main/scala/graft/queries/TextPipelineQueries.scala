@@ -1199,6 +1199,32 @@ object TextPipelineQueries {
           transform(TextAnalysis.tokens(col("text")), t => Hashes.h60(t))),
         "doc_id", col("feats"), "source", buckets = 1024)),
 
+    // ── Classifier calibration curve (margin-bucketed reliability) ──────
+    // The "can I trust the classifier's confidence" table a routing or
+    // filtering decision reads before acting on q_nb_domain's labels:
+    // docs bucketed by the NB winner-vs-runner-up log-margin (floored,
+    // clamped to 19 — data-independent edges, no window, no extra scan
+    // of anything but the shared scorer) with per-bucket accuracy. A
+    // calibrated classifier reads monotone: wide margins ≈ always right,
+    // narrow margins near the prior. Oracle wraps the same NbDomainSql
+    // chain, so the curve and the classifier can never drift.
+    "q_nb_calibration" -> ((s, dir) =>
+      Classify.nbDomain(
+          docs(s, dir).withColumn("feats",
+            transform(TextAnalysis.tokens(col("text")), t => Hashes.h60(t))),
+          "doc_id", col("feats"), "source", buckets = 1024)
+        .select(
+          least(floor(col("margin")), lit(19.0)).cast("long")
+            .as("margin_bucket"),
+          when(col("pred_label") === col("source"), 1L).otherwise(0L)
+            .as("ok"))
+        .groupBy(col("margin_bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"))
+        .select(col("margin_bucket"), col("n_docs"), col("n_correct"),
+          round(col("n_correct").cast("double") / col("n_docs"), 6)
+            .as("accuracy"))
+        .orderBy("margin_bucket")),
+
     // ── Near-dup cluster representative selection ───────────────────────
     // The "which doc survives dedup" stage: connected components over the
     // verified MinHash near-dup pairs (same basis as q_dedup_clusters,
@@ -2970,6 +2996,17 @@ object TextPipelineQueries {
     // broadcast-model plan; the algebra (ln rounded 6, DECIMAL(28,6) sums,
     // ties to the smaller class label) is identical.
     "q_nb_domain" -> NbDomainSql,
+    // the shared scorer chain wrapped as a subquery; floor/clamp/accuracy
+    // on its rounded-6 margin, identical on both sides.
+    "q_nb_calibration" ->
+      s"""SELECT CAST(LEAST(FLOOR(margin), 19) AS BIGINT) AS margin_bucket,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(SUM(CASE WHEN pred_label = source THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_correct,
+            ROUND(CAST(SUM(CASE WHEN pred_label = source THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*), 6) AS accuracy
+          FROM ($NbDomainSql)
+          GROUP BY 1 ORDER BY margin_bucket""",
     // identical answer by construction (shared model builder; the map
     // path's HOF decimal sums add the same rounded-6 values) — the gate
     // proves the zero-shuffle scale path changes the plan, not the result

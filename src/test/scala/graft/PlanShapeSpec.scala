@@ -76,7 +76,10 @@ class PlanShapeSpec extends SparkSpec {
     "q_psi_drift" -> "crossJoin of the single-row source-name pivot onto the 1-row PSI result (broadcast, one row — the q_ks_drift pattern); the source tag join is keyed and broadcast",
     "q_emd_drift" -> "crossJoins of the single-row sample-total aggregate onto the jump-point cum relation and the single-row source-name pivot onto the 1-row result (broadcast, one row each — the q_ks_drift pattern); the source tag join is keyed and broadcast",
     "q_mannwhitney" -> "crossJoin of the single-row source-name pivot onto the 1-row stats result (broadcast, one row — the q_ks_drift pattern); rank sums need no total-side join at all",
-    "q_cluster_elbow" -> "three q_kmeans_assign legs, each inheriting the broadcast seed-array crossJoin (orderBy.limit(k) seeds, k <= 8); the winning-cosine attach is a keyed join to the k-row seeds")
+    "q_cluster_elbow" -> "three q_kmeans_assign legs, each inheriting the broadcast seed-array crossJoin (orderBy.limit(k) seeds, k <= 8); the winning-cosine attach is a keyed join to the k-row seeds",
+    "q_cuped" -> "crossJoin of the single-row pooled CUPED moments (θ, x̄, centered SS) onto the per-user relation (broadcast, one row — the q_mi scalar pattern); the per-user metric aggregate is keyed",
+    "q_null_semantics" -> "crossJoin of two single-row aggregates (base NULL-rule stats x group-semantics stats — the q_hll_merge pattern)",
+    "q_nb_calibration" -> "composes Classify.nbDomain, inheriting q_nb_domain's single-row per-class feature-total and prior crossJoins (broadcast, one row each); the margin-bucket rollup itself is one keyed aggregate")
 
   // the AQE-aware walker lives on SparkSpec (collectPlanNodes) so DedupSpec's
   // ccRound audit and this guard can never drift apart

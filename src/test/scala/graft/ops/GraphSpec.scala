@@ -56,6 +56,41 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("adamicAdar: path endpoints score 1/ln(deg(center)); adjacency excluded") {
+    // Path 0-1-2 plus hub 5 connected to {0,2,6,7}: pair (0,2) has common
+    // neighbors 1 (deg 2) and 5 (deg 4) → 1/ln2 + 1/ln4; pair (6,7) has
+    // only hub 5 → 1/ln4; adjacent pairs like (0,1) never appear.
+    val edges = Seq((0L, 1L), (1L, 2L),
+      (5L, 0L), (5L, 2L), (5L, 6L), (5L, 7L))
+    val got = Graph.adamicAdar(edges.toDF("src", "dst"))
+      .select("u", "v", "n_common", "aa_score")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    def q(x: Double) = // the per-wedge DECIMAL(30,10) quantization
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal) = BigDecimal(x.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((0L, 2L)) ===
+      (2L, r6(q(1.0 / math.log(2)) + q(1.0 / math.log(4)))))
+    assert(got((6L, 7L)) === (1L, r6(q(1.0 / math.log(4)))))
+    assert(!got.contains((0L, 1L)) && !got.contains((0L, 5L)),
+      "adjacent pairs are not predictions")
+    // every common-neighbor pair of hub 5's neighborhood appears
+    assert(got.keySet === Set((0L, 2L), (0L, 6L), (0L, 7L), (2L, 6L),
+      (2L, 7L), (6L, 7L), (1L, 5L)))
+    spark.catalog.clearCache()
+  }
+
+  test("adamicAdar: hub cap drops wedges centered on over-degree hubs") {
+    // star center 9 with 5 leaves: cap 4 < deg 5 removes every wedge —
+    // no predicted pairs at all
+    val edges = (1L to 5L).map(i => (9L, i))
+    val out = Graph.adamicAdar(edges.toDF("src", "dst"), maxHubDegree = 4)
+      .collect()
+    assert(out.isEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("clusteringCoef: K4 is fully clustered, a pendant dilutes its hub") {
     // K4 on {0,1,2,3} (coef 1.0 everywhere) plus a pendant 4 attached to
     // node 0: node 0 now has deg 4 but still 3 triangles → 2·3/(4·3) =
