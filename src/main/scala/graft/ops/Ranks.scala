@@ -42,4 +42,41 @@ object Ranks {
         + element_at(typedlit(offsets), col("pid"))).as("r"),
       lit(total).as("n"))
   }
+
+  /** The WEIGHTED sibling: exact global running weight in (sortCol,
+    * tieCol) order — `(x, w, cumw, totw)` with `cumw` the INCLUSIVE
+    * decimal-exact prefix sum of `weightCol`. Same range-partitioned
+    * discipline (per-range local window + per-range weight-sum offsets,
+    * one bounded driver collect of ≤ numParts decimals); the kernel
+    * behind exact weighted quantiles at scale, where a constant-key
+    * running-sum window would funnel every row through one task.
+    */
+  def globalCumWeight(df: DataFrame, sortCol: Column, tieCol: Column,
+                      weightCol: Column, numParts: Int = 32): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val dec = "decimal(30,10)"
+    val parted = df.select(sortCol.as("x"), tieCol.as("tie"),
+        weightCol.cast(dec).as("w"))
+      .repartitionByRange(numParts, col("x"), col("tie"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sums = parted.groupBy(col("pid"))
+      .agg(sum(col("w")).as("sw"))
+      .orderBy(col("pid"))
+      .collect().map(r => (r.getInt(0), r.getDecimal(1))) // ≤ numParts rows
+    val totw = sums.map(r => BigDecimal(r._2)).sum
+    val offsets: Map[Int, java.math.BigDecimal] = // pid → weight below
+      sums.map(_._1)
+        .zip(sums.map(r => BigDecimal(r._2)).scanLeft(BigDecimal(0))(_ + _)
+          .init.map(_.bigDecimal))
+        .toMap
+    val w = W.partitionBy(col("pid")).orderBy(col("x"), col("tie"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    parted.select(col("x"), col("w"),
+      // offsets carry ≤ 10-dp values: the cast back to the shared scale
+      // is exact, and keeps the add inside one decimal precision class
+      (sum(col("w")).over(w)
+        + element_at(typedlit(offsets), col("pid")).cast(dec)).as("cumw"),
+      lit(totw.bigDecimal).cast(dec).as("totw"))
+  }
 }

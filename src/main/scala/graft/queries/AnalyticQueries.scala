@@ -515,6 +515,93 @@ object AnalyticQueries {
         .orderBy("l_returnflag")
     }),
 
+    // ── Theil inequality index with between/within decomposition ────────
+    // How concentrated is customer revenue, and does the concentration
+    // live BETWEEN nations or WITHIN them — the decomposable inequality
+    // measure (Theil's T; Gini can't split). T = (1/n)Σ(x/μ)ln(x/μ) over
+    // per-customer revenue, T_between = Σ_g s_g·ln(μ_g/μ) over nations,
+    // T_within = T − T_between. Per-row/-group ln chains quantized
+    // DECIMAL(30,6) before their sums; μ arrives via the 1-row global
+    // aggregate crossJoin (the q_mi scalar pattern); the nation leg is a
+    // ≤25-row relation. One keyed per-customer aggregate + one broadcast
+    // dim join is all the data-scale work.
+    "q_theil" -> ((s, dir) => {
+      val dec = "decimal(30,10)"
+      val cust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(dec)).cast("double").as("x"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))),
+          Seq("o_custkey"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val glob = cust.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).cast("double").as("xt"))
+      val mu = col("xt") / col("n").cast("double")
+      val tTot = cust.crossJoin(broadcast(glob)) // 1-row global
+        .select(((col("x") / mu) * log(col("x") / mu))
+          .cast("decimal(30,6)").as("term"))
+        .agg(sum(col("term")).cast("double").as("tsum"))
+      val nat = cust.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("ng"),
+          sum(col("x").cast(dec)).cast("double").as("xg"))
+      val tBet = nat.crossJoin(broadcast(glob)) // ≤25 rows × 1
+        .select(((col("xg") / col("xt"))
+            * log((col("xg") / col("ng").cast("double")) / mu))
+          .cast("decimal(30,6)").as("term"))
+        .agg(sum(col("term")).cast("double").as("bsum"))
+      glob.crossJoin(broadcast(tTot)).crossJoin(broadcast(tBet))
+        .select(col("n").as("n_customers"),
+          round(col("tsum") / col("n").cast("double"), 6).as("t_total"),
+          round(col("bsum"), 6).as("t_between"),
+          round(col("tsum") / col("n").cast("double") - col("bsum"), 6)
+            .as("t_within"))
+    }),
+
+    // ── Simpson's-paradox audit (overall vs pooled-within slope) ────────
+    // The aggregation trap detector: the OLS slope of price on quantity
+    // computed over the whole table vs POOLED WITHIN returnflag groups
+    // (Σ centered cross-moments / Σ centered variances). When the two
+    // disagree in sign, any dashboard reading the overall trend is
+    // confounded by group composition. One keyed group aggregate (decimal
+    // moment sums kept IN decimal so the global sums are exact folds of
+    // the group sums); per-group centered moments are one double chain
+    // each, quantized DECIMAL(30,6) before the group-count-scale sum.
+    "q_simpson" -> ((s, dir) => {
+      val dec = "decimal(30,10)"
+      val g = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec)).as("sx"),
+          sum(col("l_extendedprice").cast(dec)).as("sy"),
+          sum((col("l_quantity") * col("l_extendedprice")).cast(dec))
+            .as("sxy"),
+          sum((col("l_quantity") * col("l_quantity")).cast(dec)).as("sxx"))
+      val nd = col("n").cast("double")
+      val cxy = nd * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val cxx = nd * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val agg = g.agg(
+        sum(col("n")).as("n"),
+        sum(col("sx")).cast("double").as("tsx"),
+        sum(col("sy")).cast("double").as("tsy"),
+        sum(col("sxy")).cast("double").as("tsxy"),
+        sum(col("sxx")).cast("double").as("tsxx"),
+        // within-group centered moments: n_g normalization differs per
+        // group, so divide per group BEFORE summing (each term = Sxy_c/n_g)
+        sum((cxy / nd).cast("decimal(30,6)")).cast("double").as("wxy"),
+        sum((cxx / nd).cast("decimal(30,6)")).cast("double").as("wxx"))
+      val tnd = col("n").cast("double")
+      val slopeAll = (tnd * col("tsxy") - col("tsx") * col("tsy")) /
+        (tnd * col("tsxx") - col("tsx") * col("tsx"))
+      agg.select(col("n"),
+          round(slopeAll, 6).as("slope_overall"),
+          round(col("wxy") / col("wxx"), 6).as("slope_within"))
+        .select(col("n"), col("slope_overall"), col("slope_within"),
+          (col("slope_overall") * col("slope_within") >= 0)
+            .as("same_sign"))
+    }),
+
     // ── Two-feature OLS (normal equations, closed form) ─────────────────
     // Multiple regression the declarative way: price on (quantity,
     // discount) via the centered 2×2 normal system solved by Cramer's
@@ -1649,6 +1736,69 @@ object AnalyticQueries {
               AS intercept,
             ROUND((b1 * c1y + b2 * c2y) / cyy, 6) AS r2
           FROM b""",
+    "q_simpson" ->
+      """WITH g AS (
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+              SUM(CAST(l_quantity AS DECIMAL(30,10))) AS sx,
+              SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS sy,
+              SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,10)))
+                AS sxy,
+              SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,10))) AS sxx
+            FROM lineitem GROUP BY 1),
+          a AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n,
+              CAST(SUM(sx) AS DOUBLE) AS tsx,
+              CAST(SUM(sy) AS DOUBLE) AS tsy,
+              CAST(SUM(sxy) AS DOUBLE) AS tsxy,
+              CAST(SUM(sxx) AS DOUBLE) AS tsxx,
+              CAST(SUM(CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / CAST(n AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS wxy,
+              CAST(SUM(CAST((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                / CAST(n AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS wxx
+            FROM g),
+          s AS (
+            SELECT n,
+              ROUND((CAST(n AS DOUBLE) * tsxy - tsx * tsy)
+                / (CAST(n AS DOUBLE) * tsxx - tsx * tsx), 6)
+                AS slope_overall,
+              ROUND(wxy / wxx, 6) AS slope_within
+            FROM a)
+          SELECT n, slope_overall, slope_within,
+            slope_overall * slope_within >= 0 AS same_sign
+          FROM s""",
+    "q_theil" ->
+      """WITH cust AS (
+            SELECT o.o_custkey,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+                AS x,
+              c.c_nationkey
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY o.o_custkey, c.c_nationkey),
+          gl AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS xt
+            FROM cust),
+          tt AS (
+            SELECT CAST(SUM(CAST((x / (xt / CAST(n AS DOUBLE)))
+                * ln(x / (xt / CAST(n AS DOUBLE))) AS DECIMAL(30,6)))
+              AS DOUBLE) AS tsum
+            FROM cust, gl),
+          nat AS (
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS ng,
+              CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS xg
+            FROM cust GROUP BY 1),
+          tb AS (
+            SELECT CAST(SUM(CAST((xg / xt)
+                * ln((xg / CAST(ng AS DOUBLE)) / (xt / CAST(n AS DOUBLE)))
+                AS DECIMAL(30,6))) AS DOUBLE) AS bsum
+            FROM nat, gl)
+          SELECT gl.n AS n_customers,
+            ROUND(tsum / CAST(gl.n AS DOUBLE), 6) AS t_total,
+            ROUND(bsum, 6) AS t_between,
+            ROUND(tsum / CAST(gl.n AS DOUBLE) - bsum, 6) AS t_within
+          FROM gl, tt, tb""",
     // ntile remainder rule (first buckets take the extra row) is the same
     // in both engines; the (n_chars, doc_id) total order pins membership.
     "q_histogram_eqdepth" ->

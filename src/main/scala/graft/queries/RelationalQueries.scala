@@ -497,6 +497,31 @@ object RelationalQueries {
             .cast("double") / col("n_total"), 4).as("mean_winsor"))
     }),
 
+    // ── Weighted median / weighted p90 (exact, distributed) ─────────────
+    // Order statistics where every row carries economic mass: the
+    // quantity below which half the REVENUE sits (not half the rows) —
+    // the inventory/pricing read. Exact via Ranks.globalCumWeight: the
+    // decimal-exact running revenue in (quantity, row-id) order from
+    // range-partitioned local windows + per-range weight offsets (the
+    // q_trimmed_mean discipline with weight sums instead of counts), then
+    // wp50/wp90 are conditional MINs over the threshold predicates
+    // 2·cumw ≥ totw / 10·cumw ≥ 9·totw — all-decimal comparisons, no
+    // division anywhere.
+    "q_weighted_median" -> ((s, dir) => {
+      val cw = graft.ops.Ranks.globalCumWeight(
+        t(s, dir, "lineitem")
+          .select(col("l_quantity"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice")),
+        col("l_quantity"),
+        col("l_orderkey") * 10L + col("l_linenumber"),
+        col("l_extendedprice"))
+      cw.agg(
+        count(lit(1)).as("n_rows"),
+        round(max(col("totw")).cast("double"), 4).as("total_weight"),
+        min(when(col("cumw") * 2 >= col("totw"), col("x"))).as("wp50"),
+        min(when(col("cumw") * 10 >= col("totw") * 9, col("x"))).as("wp90"))
+    }),
+
     // ── NULL aggregation semantics (the engine-contract pin-down) ───────
     // One row that pins every NULL rule an aggregate pipeline silently
     // relies on, with NULLs planted in c_nationkey (3 → NULL): COUNT(*)
@@ -1039,6 +1064,22 @@ object RelationalQueries {
                + CAST(CAST(n_high AS DOUBLE) * hi_val AS DECIMAL(28,10))
              AS DOUBLE) / n_total, 4) AS mean_winsor
          FROM a""",
+    "q_weighted_median" ->
+      """WITH cw AS (
+           SELECT l_quantity AS x,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,10)))
+               OVER (ORDER BY l_quantity, l_orderkey * 10 + l_linenumber
+                     ROWS UNBOUNDED PRECEDING) AS cumw
+           FROM lineitem),
+         t AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS totw
+           FROM lineitem)
+         SELECT n_rows,
+           ROUND(CAST(totw AS DOUBLE), 4) AS total_weight,
+           MIN(CASE WHEN cumw * 2 >= totw THEN x END) AS wp50,
+           MIN(CASE WHEN cumw * 10 >= totw * 9 THEN x END) AS wp90
+         FROM cw, t GROUP BY n_rows, totw""",
     "q_null_semantics" ->
       """WITH c AS (SELECT nullif(c_nationkey, 3) AS ck FROM customer),
          g0 AS (SELECT ck, count(*) AS gn FROM c GROUP BY ck),

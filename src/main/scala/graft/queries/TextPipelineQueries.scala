@@ -1199,6 +1199,51 @@ object TextPipelineQueries {
           transform(TextAnalysis.tokens(col("text")), t => Hashes.h60(t))),
         "doc_id", col("feats"), "source", buckets = 1024)),
 
+    // ── Distinctive terms per source (informative-Dirichlet log-odds) ───
+    // "What is source X actually made of" — the corpus-composition read
+    // behind mixture decisions: per source, the tokens most over-
+    // represented vs the REST of the corpus, scored by Monroe et al.'s
+    // log-odds-ratio with an informative Dirichlet prior (α_w ∝ global
+    // frequency, α₀ = 20) and its z-standardization — the method that
+    // fixes raw TF-IDF's low-frequency explosions. Counts are exact
+    // int64; each z is one IEEE chain rounded 6; top-10 per source via a
+    // source-keyed window over the ≥5-count survivors. One token-explode
+    // aggregate feeds everything (persisted: counts, marginals, totals).
+    "q_log_odds" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val st = docs(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val g = st.groupBy(col("token")).agg(sum(col("y")).as("gw"))
+      val ns = st.groupBy(col("source")).agg(sum(col("y")).as("nsrc"))
+      val tot = st.agg(sum(col("y")).as("ntot"))
+      val a0 = lit(20.0)
+      val aw = a0 * col("gw").cast("double") / col("ntot").cast("double")
+      val d1 = log((col("y").cast("double") + aw) /
+        (col("nsrc").cast("double") + a0 - col("y").cast("double") - aw))
+      val d2 = log(((col("gw") - col("y")).cast("double") + aw) /
+        ((col("ntot") - col("nsrc")).cast("double") + a0
+          - (col("gw") - col("y")).cast("double") - aw))
+      val varr = lit(1.0) / (col("y").cast("double") + aw) +
+        lit(1.0) / ((col("gw") - col("y")).cast("double") + aw)
+      st.join(g, Seq("token"))
+        .join(broadcast(ns), Seq("source"))
+        .crossJoin(broadcast(tot)) // 1-row corpus token total
+        .where(col("y") >= 5)
+        .select(col("source"), col("token"), col("y").as("n_source"),
+          (col("gw") - col("y")).as("n_rest"),
+          round((d1 - d2) / sqrt(varr), 6).as("z"))
+        .select(col("source"), col("token"), col("n_source"), col("n_rest"),
+          col("z"),
+          row_number().over(W.partitionBy(col("source"))
+            .orderBy(desc("z"), col("token"))).as("rank"))
+        .where(col("rank") <= 10)
+        .orderBy("source", "rank")
+    }),
+
     // ── Classifier calibration curve (margin-bucketed reliability) ──────
     // The "can I trust the classifier's confidence" table a routing or
     // filtering decision reads before acting on q_nb_domain's labels:
@@ -2996,6 +3041,48 @@ object TextPipelineQueries {
     // broadcast-model plan; the algebra (ln rounded 6, DECIMAL(28,6) sums,
     // ties to the smaller class label) is identical.
     "q_nb_domain" -> NbDomainSql,
+    // same count algebra; aw/d1/d2/var are the identical IEEE chains.
+    "q_log_odds" ->
+      s"""WITH tok AS (
+            SELECT source, unnest($ToksSql) AS token FROM documents),
+          st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS y
+                 FROM tok GROUP BY 1, 2),
+          g AS (SELECT token, CAST(SUM(y) AS BIGINT) AS gw
+                FROM st GROUP BY 1),
+          ns AS (SELECT source, CAST(SUM(y) AS BIGINT) AS nsrc
+                 FROM st GROUP BY 1),
+          tt AS (SELECT CAST(SUM(y) AS BIGINT) AS ntot FROM st),
+          sc AS (
+            SELECT st.source, st.token, st.y AS n_source,
+              g.gw - st.y AS n_rest,
+              ROUND((
+                ln((CAST(st.y AS DOUBLE)
+                    + 20.0 * CAST(g.gw AS DOUBLE) / CAST(tt.ntot AS DOUBLE))
+                  / (CAST(ns.nsrc AS DOUBLE) + 20.0 - CAST(st.y AS DOUBLE)
+                    - 20.0 * CAST(g.gw AS DOUBLE) / CAST(tt.ntot AS DOUBLE)))
+                - ln((CAST(g.gw - st.y AS DOUBLE)
+                    + 20.0 * CAST(g.gw AS DOUBLE) / CAST(tt.ntot AS DOUBLE))
+                  / (CAST(tt.ntot - ns.nsrc AS DOUBLE) + 20.0
+                    - CAST(g.gw - st.y AS DOUBLE)
+                    - 20.0 * CAST(g.gw AS DOUBLE) / CAST(tt.ntot AS DOUBLE))))
+                / sqrt(CAST(1 AS DOUBLE) / (CAST(st.y AS DOUBLE)
+                    + 20.0 * CAST(g.gw AS DOUBLE) / CAST(tt.ntot AS DOUBLE))
+                  + CAST(1 AS DOUBLE) / (CAST(g.gw - st.y AS DOUBLE)
+                    + 20.0 * CAST(g.gw AS DOUBLE) / CAST(tt.ntot AS DOUBLE))),
+                6) AS z
+            FROM st
+            JOIN g ON g.token = st.token
+            JOIN ns ON ns.source = st.source
+            CROSS JOIN tt
+            WHERE st.y >= 5),
+          r AS (
+            SELECT source, token, n_source, n_rest, z,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY z DESC, token) AS rank
+            FROM sc)
+          SELECT source, token, n_source, n_rest, z, CAST(rank AS INT)
+            AS rank
+          FROM r WHERE rank <= 10 ORDER BY source, rank""",
     // the shared scorer chain wrapped as a subquery; floor/clamp/accuracy
     // on its rounded-6 margin, identical on both sides.
     "q_nb_calibration" ->

@@ -55,7 +55,8 @@ object ScaleProbe {
       .getOrElse(Seq("q_rrf_hybrid", "q_mixture_sample"))
     val mode = args.lift(3).getOrElse("exact")
     require(factor >= 2, s"factor: $factor")
-    require(mode == "exact" || mode == "perturb", s"mode: $mode")
+    require(mode == "exact" || mode == "perturb" || mode == "shiftparts",
+      s"mode: $mode")
     val spark = graft.Sessions.local("scale-probe")
     val outDir = s"target/scaleprobe/$mode-x$factor"
 
@@ -67,12 +68,14 @@ object ScaleProbe {
       if (mode == "perturb")
         docs.withColumn("text", perturbText(col("text"), col("rep"), 15))
       else docs
-    docsOut.drop("rep")
+    docsOut.drop("rep").repartition(32) // ≥32 files: the replicated read
+      // must not collapse to 1-2 input splits (63 MB single-file replicas
+      // made every 100× leg run 1-2 tasks wide — the r13 probe wedge)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     spark.read.parquet(s"$sfDir/embeddings.parquet")
       .crossJoin(broadcast(reps))
       .withColumn("vec_id", col("vec_id") + col("rep") * 1000000000L)
-      .drop("rep")
+      .drop("rep").repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     // Fact tables for the relational/events probes (r12): row-identity
     // keys shift by rep·10¹⁰ (clear of the 10⁹ offsets q_upsert/q_cdc_diff
@@ -81,22 +84,35 @@ object ScaleProbe {
     // (a fixed user set would just deepen per-user sequences). Dimension
     // tables copy verbatim — they are the star schema's broadcast side and
     // deliberately do NOT grow (the 100 TB posture).
+    // `shiftparts` (r13): ALSO shift l_partkey per replica, giving the
+    // support-floored co-purchase GRAPH queries `factor` DISJOINT copies
+    // of the 1× graph — honest weak scaling. Exact replication instead
+    // multiplies every pair's support by `factor`, voiding the sup ≥ 2
+    // floor: the probe then measures a ~1000×-denser graph (a different
+    // problem), which is why q_kcore's 100× exact leg wedged. Part-DIM
+    // joins would dangle under shifted partkeys — use this mode only for
+    // queries that treat l_partkey as an opaque node id.
     val keyShift = col("rep") * 10000000000L
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val liBase = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .crossJoin(broadcast(reps))
       .withColumn("l_orderkey", col("l_orderkey") + keyShift)
-      .drop("rep")
+    val li =
+      if (mode == "shiftparts")
+        liBase.withColumn("l_partkey",
+          col("l_partkey") + col("rep") * 100000000L)
+      else liBase
+    li.drop("rep").repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     spark.read.parquet(s"$sfDir/orders.parquet")
       .crossJoin(broadcast(reps))
       .withColumn("o_orderkey", col("o_orderkey") + keyShift)
-      .drop("rep")
+      .drop("rep").repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
     spark.read.parquet(s"$sfDir/events.parquet")
       .crossJoin(broadcast(reps))
       .withColumn("event_id", col("event_id") + keyShift)
       .withColumn("user_id", col("user_id") + col("rep") * 1000000L)
-      .drop("rep")
+      .drop("rep").repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet")
