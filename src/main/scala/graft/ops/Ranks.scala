@@ -21,7 +21,9 @@ object Ranks {
 
   /** `df` extended with `r` (1-based exact global rank by (sortCol,
     * tieCol) — tieCol must make the order total) and `n` (total rows).
-    * Output columns: sortCol aliased `x`, rank `r`, total `n`.
+    * Output columns: sortCol aliased `x`, tieCol aliased `tie` (carried
+    * through so callers can join rankings back to rows), rank `r`,
+    * total `n`.
     */
   def globalRank(df: DataFrame, sortCol: Column, tieCol: Column,
                  numParts: Int = 32): DataFrame = {
@@ -36,7 +38,7 @@ object Ranks {
     val total = cnts.map(_._2).sum
     val offsets: Map[Int, Long] = // pid → rows in all lower ranges
       cnts.map(_._1).zip(cnts.map(_._2).scanLeft(0L)(_ + _).init).toMap
-    parted.select(col("x"),
+    parted.select(col("x"), col("tie"),
       (row_number().over(W.partitionBy(col("pid"))
         .orderBy(col("x"), col("tie"))).cast("long")
         + element_at(typedlit(offsets), col("pid"))).as("r"),

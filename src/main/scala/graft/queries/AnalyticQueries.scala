@@ -515,6 +515,87 @@ object AnalyticQueries {
         .orderBy("l_returnflag")
     }),
 
+    // ── Spearman rank correlation (tie-corrected, distributed-exact) ────
+    // The monotone-association read Pearson can't give: correlation of
+    // RANKS, robust to outliers and nonlinearity. Ranks come from the
+    // distributed Ranks.globalRank kernel (no single-partition sort), tie
+    // handling is exact midranks in the DOUBLED integer form (2·minrank
+    // + cnt − 1 — the MWU idiom: the ×2 cancels in Pearson, and every
+    // moment stays an exact integer; per-row u·v products in
+    // DECIMAL(19,0)² so nothing overflows at any corpus size). Two
+    // rankings joined back on the row id (keyed), one moment aggregate,
+    // one IEEE chain at the edge.
+    "q_spearman" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_extendedprice"),
+          (col("l_orderkey") * 10L + col("l_linenumber")).as("rid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def doubledMidranks(valCol: String, as: String) = {
+        val rk = graft.ops.Ranks.globalRank(base, col(valCol), col("rid"))
+        val per = rk.groupBy(col("x"))
+          .agg(min(col("r")).as("minr"), count(lit(1)).as("cnt"))
+        rk.join(per, Seq("x"))
+          .select(col("tie").as("rid"),
+            (col("minr") * 2L + col("cnt") - 1L).as(as))
+      }
+      val d19 = "decimal(19,0)"
+      val m = doubledMidranks("l_quantity", "u")
+        .join(doubledMidranks("l_extendedprice", "v"), Seq("rid"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("u").cast("decimal(30,0)")).cast("double").as("su"),
+          sum(col("v").cast("decimal(30,0)")).cast("double").as("sv"),
+          sum(col("u").cast(d19) * col("v").cast(d19)).cast("double")
+            .as("suv"),
+          sum(col("u").cast(d19) * col("u").cast(d19)).cast("double")
+            .as("suu"),
+          sum(col("v").cast(d19) * col("v").cast(d19)).cast("double")
+            .as("svv"))
+      val nd = col("n").cast("double")
+      m.select(col("n"),
+        round((nd * col("suv") - col("su") * col("sv")) /
+          (sqrt(nd * col("suu") - col("su") * col("su")) *
+            sqrt(nd * col("svv") - col("sv") * col("sv"))), 6)
+          .as("spearman_rho"))
+    }),
+
+    // ── Cramér's V (categorical × categorical association) ──────────────
+    // The contingency-strength read between two categorical columns
+    // (returnflag × ship month): χ² over the FULL r×c grid — absent
+    // cells contribute their expectation — then V = √(χ²/(n·min(r,c)−n)).
+    // One keyed cell aggregate; marginals fold from the CELLS (never a
+    // second scan); the grid is a marginal×marginal crossJoin (≤ r·c
+    // rows at any corpus size — the q_split_balance pattern) and per-cell
+    // χ² terms quantize DECIMAL(30,6) before the sum.
+    "q_cramers_v" -> ((s, dir) => {
+      val cells = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rf"),
+          month(col("l_shipdate")).as("mo"))
+        .agg(count(lit(1)).as("o"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rm = cells.groupBy(col("rf")).agg(sum(col("o")).as("rsum"))
+      val cm = cells.groupBy(col("mo")).agg(sum(col("o")).as("csum"))
+      val tot = cells.agg(sum(col("o")).as("n"),
+        count_distinct(col("rf")).as("r"),
+        count_distinct(col("mo")).as("c"))
+      val e = col("rsum").cast("double") * col("csum").cast("double") /
+        col("n").cast("double")
+      val chi = rm.crossJoin(cm) // marginal grid: r·c rows
+        .join(cells, Seq("rf", "mo"), "left")
+        .crossJoin(broadcast(tot))
+        .select(((coalesce(col("o"), lit(0L)).cast("double") - e) *
+          (coalesce(col("o"), lit(0L)).cast("double") - e) / e)
+          .cast("decimal(30,6)").as("term"))
+        .agg(sum(col("term")).cast("double").as("chi2"))
+      tot.crossJoin(broadcast(chi))
+        .select(col("n"), col("r"), col("c"),
+          round(col("chi2"), 6).as("chi2"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          round(sqrt(col("chi2") /
+            (col("n").cast("double") *
+              least(col("r") - 1, col("c") - 1).cast("double"))), 6)
+            .as("cramers_v"))
+    }),
+
     // ── Theil inequality index with between/within decomposition ────────
     // How concentrated is customer revenue, and does the concentration
     // live BETWEEN nations or WITHIN them — the decomposable inequality
@@ -1736,6 +1817,71 @@ object AnalyticQueries {
               AS intercept,
             ROUND((b1 * c1y + b2 * c2y) / cyy, 6) AS r2
           FROM b""",
+    // rank() = min-rank on ties; doubled midrank = 2·rank + cnt − 1.
+    "q_spearman" ->
+      """WITH b AS (
+            SELECT l_quantity AS q, l_extendedprice AS p,
+              l_orderkey * 10 + l_linenumber AS rid
+            FROM lineitem),
+          ur AS (
+            SELECT rid, 2 * rank() OVER (ORDER BY q)
+              + count(*) OVER (PARTITION BY q) - 1 AS u
+            FROM b),
+          vr AS (
+            SELECT rid, 2 * rank() OVER (ORDER BY p)
+              + count(*) OVER (PARTITION BY p) - 1 AS v
+            FROM b),
+          m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(u AS DECIMAL(30,0))) AS DOUBLE) AS su,
+              CAST(SUM(CAST(v AS DECIMAL(30,0))) AS DOUBLE) AS sv,
+              CAST(SUM(CAST(u AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)))
+                AS DOUBLE) AS suv,
+              CAST(SUM(CAST(u AS DECIMAL(19,0)) * CAST(u AS DECIMAL(19,0)))
+                AS DOUBLE) AS suu,
+              CAST(SUM(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)))
+                AS DOUBLE) AS svv
+            FROM ur JOIN vr USING (rid))
+          SELECT n,
+            ROUND((CAST(n AS DOUBLE) * suv - su * sv)
+              / (sqrt(CAST(n AS DOUBLE) * suu - su * su)
+                * sqrt(CAST(n AS DOUBLE) * svv - sv * sv)), 6)
+              AS spearman_rho
+          FROM m""",
+    "q_cramers_v" ->
+      """WITH cells AS (
+            SELECT l_returnflag AS rf, month(l_shipdate) AS mo,
+              CAST(count(*) AS BIGINT) AS o
+            FROM lineitem GROUP BY 1, 2),
+          rm AS (SELECT rf, CAST(SUM(o) AS BIGINT) AS rsum
+                 FROM cells GROUP BY 1),
+          cm AS (SELECT mo, CAST(SUM(o) AS BIGINT) AS csum
+                 FROM cells GROUP BY 1),
+          tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                    CAST(count(DISTINCT rf) AS BIGINT) AS r,
+                    CAST(count(DISTINCT mo) AS BIGINT) AS c
+                  FROM cells),
+          grid AS (
+            SELECT rm.rf, cm.mo, rm.rsum, cm.csum,
+              coalesce(cells.o, 0) AS o
+            FROM rm CROSS JOIN cm
+            LEFT JOIN cells ON cells.rf = rm.rf AND cells.mo = cm.mo),
+          x AS (
+            SELECT CAST(SUM(CAST(
+                (CAST(o AS DOUBLE) - CAST(rsum AS DOUBLE)
+                   * CAST(csum AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(o AS DOUBLE) - CAST(rsum AS DOUBLE)
+                   * CAST(csum AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(rsum AS DOUBLE) * CAST(csum AS DOUBLE)
+                   / CAST(n AS DOUBLE))
+              AS DECIMAL(30,6))) AS DOUBLE) AS chi2
+            FROM grid, tot)
+          SELECT n, r, c,
+            ROUND(chi2, 6) AS chi2,
+            (r - 1) * (c - 1) AS dof,
+            ROUND(sqrt(chi2 / (CAST(n AS DOUBLE)
+              * CAST(least(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v
+          FROM x, tot""",
     "q_simpson" ->
       """WITH g AS (
             SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

@@ -24,7 +24,7 @@ class RanksSpec extends SparkSpec {
   test("globalRank equals the local sort's ranks, ties made total by the tie column") {
     val df = rows.toDF("id", "x").repartition(7) // scrambled input
     val got = Ranks.globalRank(df, col("x"), col("id"), numParts = 4)
-      .as[(Double, Long, Long)].collect()
+      .select("x", "r", "n").as[(Double, Long, Long)].collect()
     assert(got.length === rows.length)
     assert(got.forall(_._3 === rows.length), "n carries the exact total")
     val localRanks = rows.sortBy(r => (r._2, r._1)).map(_._1)
@@ -42,11 +42,14 @@ class RanksSpec extends SparkSpec {
   test("rank assignment is invariant to the range-partition count") {
     val df = rows.toDF("id", "x")
     val r4 = Ranks.globalRank(df, col("x"), col("id"), numParts = 4)
-      .as[(Double, Long, Long)].collect().sortBy(_._2).toSeq
+      .select("x", "tie", "r").as[(Double, Long, Long)].collect()
+      .sortBy(_._3).toSeq
     val r1 = Ranks.globalRank(df, col("x"), col("id"), numParts = 1)
-      .as[(Double, Long, Long)].collect().sortBy(_._2).toSeq
+      .select("x", "tie", "r").as[(Double, Long, Long)].collect()
+      .sortBy(_._3).toSeq
     val r32 = Ranks.globalRank(df.repartition(13), col("x"), col("id"),
-      numParts = 32).as[(Double, Long, Long)].collect().sortBy(_._2).toSeq
+      numParts = 32).select("x", "tie", "r").as[(Double, Long, Long)]
+      .collect().sortBy(_._3).toSeq
     assert(r4 === r1)
     assert(r4 === r32)
     spark.catalog.clearCache()
