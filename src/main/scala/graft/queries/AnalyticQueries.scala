@@ -1234,6 +1234,89 @@ object AnalyticQueries {
         .orderBy("arm")
     }),
 
+    // ── Cohen's d effect size (the "is it LARGE" read next to q_ab_test's
+    // "is it significant"): standardized mean difference of per-user
+    // purchase value between the h60 arms, d = (μ_a − μ_b)/s_pooled with
+    // the Bessel-corrected pooled SD. Per-arm decimal moment sums from
+    // ONE keyed aggregate; d is one IEEE chain on the 2-row pivot
+    // (constant-key window over 2 rows — the q_ab_test shape).
+    "q_cohend" -> ((s, dir) => {
+      val dec = "decimal(30,10)"
+      val arms = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast(dec)).cast("double").as("y"))
+        .select(pmod(Hashes.h60(col("user_id").cast("string")), lit(2L))
+          .as("arm"), col("y"))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y").cast(dec)).cast("double").as("sy"),
+          sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"))
+      val W1 = Window.partitionBy(pmod(col("arm"), lit(1L)))
+      val one = arms.select(
+          max(when(col("arm") === 0, col("n"))).over(W1).as("n_a"),
+          max(when(col("arm") === 1, col("n"))).over(W1).as("n_b"),
+          max(when(col("arm") === 0, col("sy"))).over(W1).as("sy_a"),
+          max(when(col("arm") === 1, col("sy"))).over(W1).as("sy_b"),
+          max(when(col("arm") === 0, col("syy"))).over(W1).as("syy_a"),
+          max(when(col("arm") === 1, col("syy"))).over(W1).as("syy_b"))
+        .limit(1)
+      val na = col("n_a").cast("double")
+      val nb = col("n_b").cast("double")
+      val ma = col("sy_a") / na
+      val mb = col("sy_b") / nb
+      val ssa = col("syy_a") - col("sy_a") * col("sy_a") / na
+      val ssb = col("syy_b") - col("sy_b") * col("sy_b") / nb
+      val sp = sqrt((ssa + ssb) / (na + nb - 2))
+      one.select(col("n_a"), col("n_b"),
+        round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+        round(sp, 6).as("sd_pooled"),
+        round((ma - mb) / sp, 6).as("cohen_d"))
+    }),
+
+    // ── Delta-method CI for a RATIO metric (revenue per session-day) ────
+    // The experimentation pitfall q_ab_test sidesteps: a ratio of two
+    // per-user sums (Σ purchase value / Σ active days) is NOT a mean of
+    // i.i.d. user values, so its variance needs the delta method:
+    // var(ȳ/x̄) ≈ (var_y − 2R·cov + R²·var_x)/(n·x̄²). Per-arm moment
+    // sums (y, x, y², x², xy) decimal-exact from one keyed aggregate;
+    // ratio, SE, and the ±1.96 CI are one double chain per arm row.
+    "q_delta_ratio" -> ((s, dir) => {
+      val dec = "decimal(30,10)"
+      val per = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0)).cast(dec)).cast("double").as("y"),
+          count_distinct(expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"))
+            .cast("double").as("x"))
+        .select(pmod(Hashes.h60(col("user_id").cast("string")), lit(2L))
+          .as("arm"), col("x"), col("y"))
+      val m = per.groupBy(col("arm")).agg(
+        count(lit(1)).as("n"),
+        sum(col("y").cast(dec)).cast("double").as("sy"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"))
+      val nd = col("n").cast("double")
+      val mx = col("sx") / nd
+      val my = col("sy") / nd
+      val vy = (col("syy") - col("sy") * col("sy") / nd) / (nd - 1)
+      val vx = (col("sxx") - col("sx") * col("sx") / nd) / (nd - 1)
+      val cxy = (col("sxy") - col("sx") * col("sy") / nd) / (nd - 1)
+      val ratio = my / mx
+      val se = sqrt((vy - lit(2.0) * ratio * cxy + ratio * ratio * vx) /
+        (nd * mx * mx))
+      m.select(col("arm"), col("n"),
+          round(ratio, 6).as("ratio"),
+          round(se, 6).as("se"),
+          round(ratio - lit(1.96) * se, 6).as("ci_lo"),
+          round(ratio + lit(1.96) * se, 6).as("ci_hi"))
+        .orderBy("arm")
+    }),
+
     // ── Sample-ratio mismatch check (experiment hygiene) ────────────────
     // The gate that runs BEFORE any A/B metric is read: a 50/50 h60
     // assignment whose realized arm counts drift is a broken bucketer or
@@ -2283,6 +2366,79 @@ object AnalyticQueries {
            ROUND(MAX(theta) * MAX(theta) * MAX(sxxc) / MAX(syyc), 6)
              AS var_reduction
          FROM pa, th GROUP BY arm ORDER BY arm""",
+    "q_cohend" ->
+      s"""WITH per AS (
+           SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS y
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         pa AS (
+           SELECT ${Hashes.h60Sql("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+             y FROM per),
+         arms AS (
+           SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS syy
+           FROM pa GROUP BY arm),
+         one AS (
+           SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+             max(CASE WHEN arm = 1 THEN n END) AS n_b,
+             max(CASE WHEN arm = 0 THEN sy END) AS sy_a,
+             max(CASE WHEN arm = 1 THEN sy END) AS sy_b,
+             max(CASE WHEN arm = 0 THEN syy END) AS syy_a,
+             max(CASE WHEN arm = 1 THEN syy END) AS syy_b
+           FROM arms),
+         k AS (
+           SELECT n_a, n_b,
+             sy_a / CAST(n_a AS DOUBLE) AS ma,
+             sy_b / CAST(n_b AS DOUBLE) AS mb,
+             sqrt(((syy_a - sy_a * sy_a / CAST(n_a AS DOUBLE))
+                 + (syy_b - sy_b * sy_b / CAST(n_b AS DOUBLE)))
+               / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2)) AS sp
+           FROM one)
+         SELECT n_a, n_b, ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+           ROUND(sp, 6) AS sd_pooled,
+           ROUND((ma - mb) / sp, 6) AS cohen_d
+         FROM k""",
+    "q_delta_ratio" ->
+      s"""WITH per AS (
+           SELECT user_id,
+             CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                           ELSE 0.0 END AS DECIMAL(30,10))) AS DOUBLE) AS y,
+             CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS DOUBLE)
+               AS x
+           FROM events GROUP BY user_id),
+         pa AS (
+           SELECT ${Hashes.h60Sql("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+             x, y FROM per),
+         m AS (
+           SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+           FROM pa GROUP BY arm),
+         k AS (
+           SELECT arm, n,
+             sx / CAST(n AS DOUBLE) AS mx,
+             sy / CAST(n AS DOUBLE) AS my,
+             (syy - sy * sy / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1) AS vy,
+             (sxx - sx * sx / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1) AS vx,
+             (sxy - sx * sy / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1) AS cxy
+           FROM m),
+         r AS (
+           SELECT arm, n, my / mx AS ratio,
+             sqrt((vy - CAST(2.0 AS DOUBLE) * (my / mx) * cxy
+                 + (my / mx) * (my / mx) * vx)
+               / (CAST(n AS DOUBLE) * mx * mx)) AS se
+           FROM k)
+         SELECT arm, n, ROUND(ratio, 6) AS ratio, ROUND(se, 6) AS se,
+           ROUND(ratio - CAST(1.96 AS DOUBLE) * se, 6) AS ci_lo,
+           ROUND(ratio + CAST(1.96 AS DOUBLE) * se, 6) AS ci_hi
+         FROM r ORDER BY arm""",
     "q_srm" ->
       s"""WITH arms AS (
            SELECT ${Hashes.h60Sql("CAST(user_id AS VARCHAR)")} % 2 AS arm
