@@ -57,9 +57,13 @@ object Bench {
     * because its carried prior was already high, and the single recorded
     * number was undiagnosable post-hoc). Expensive queries are exactly
     * the ones whose drift matters; the extra cost is bounded by the
-    * handful of >2 s queries in the sweep.
+    * handful of >1 s queries in the sweep. Lowered 2.0 → 1.0 in r13
+    * (VERDICT r12 #5): with the per-query average at ~0.8 s, sub-2 s
+    * drifts like q_minhash_acc's 0.62 → 1.01 s carried no samples and
+    * were undiagnosable post-hoc; at 1.0 s the sampled set still stays a
+    * small fraction of the sweep.
     */
-  val SampleAtSec = 2.0
+  val SampleAtSec = 1.0
 
   def settle(prior: Option[Double], first: Double,
              retime: () => Double): (Double, Boolean) =

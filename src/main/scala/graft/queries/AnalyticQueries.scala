@@ -728,6 +728,49 @@ object AnalyticQueries {
         round((b1 * c1y + b2 * c2y) / cyy, 6).as("r2"))
     }),
 
+    // ── Partial correlation (x ⟂ y given z) ─────────────────────────────
+    // Does quantity relate to price AFTER controlling for discount — the
+    // confounder-adjusted association q_corr can't give: r_xy·z =
+    // (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) from the three pairwise
+    // Pearsons, all from ONE aggregate's decimal moment sums (the q_ols2
+    // nine). A gap between r_xy and r_xy·z is the q_simpson read in
+    // correlation form.
+    "q_partial_corr" -> ((s, dir) => {
+      val dec = "decimal(30,10)"
+      val m = t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("sx"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sy"),
+        sum(col("l_discount").cast(dec)).cast("double").as("sz"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast(dec))
+          .cast("double").as("sxy"),
+        sum((col("l_quantity") * col("l_discount")).cast(dec))
+          .cast("double").as("sxz"),
+        sum((col("l_extendedprice") * col("l_discount")).cast(dec))
+          .cast("double").as("syz"),
+        sum((col("l_quantity") * col("l_quantity")).cast(dec))
+          .cast("double").as("sxx"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast(dec))
+          .cast("double").as("syy"),
+        sum((col("l_discount") * col("l_discount")).cast(dec))
+          .cast("double").as("szz"))
+      val nd = col("n").cast("double")
+      def r(sab: Column, sa: Column, sb: Column,
+            saa: Column, sbb: Column) =
+        (nd * sab - sa * sb) /
+          (sqrt(nd * saa - sa * sa) * sqrt(nd * sbb - sb * sb))
+      val rxy = r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+      val rxz = r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+      val ryz = r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+      m.select(col("n"),
+        round(rxy, 6).as("r_xy"),
+        round(rxz, 6).as("r_xz"),
+        round(ryz, 6).as("r_yz"),
+        round((rxy - rxz * ryz) /
+          sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 6)
+          .as("r_xy_given_z"))
+    }),
+
     // ── Equi-width histogram per group ──────────────────────────────────
     // 10 buckets of doc length per language: per-group min/max broadcast
     // back (group-count rows), bucket = least(floor((x−min)/w), 9); the
@@ -1965,6 +2008,44 @@ object AnalyticQueries {
             ROUND(sqrt(chi2 / (CAST(n AS DOUBLE)
               * CAST(least(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v
           FROM x, tot""",
+    "q_partial_corr" ->
+      """WITH m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+                AS sy,
+              CAST(SUM(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) AS sz,
+              CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,10)))
+                AS DOUBLE) AS sxy,
+              CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(30,10)))
+                AS DOUBLE) AS sxz,
+              CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,10)))
+                AS DOUBLE) AS syz,
+              CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,10)))
+                AS DOUBLE) AS sxx,
+              CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                AS DECIMAL(30,10))) AS DOUBLE) AS syy,
+              CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,10)))
+                AS DOUBLE) AS szz
+            FROM lineitem),
+          k AS (
+            SELECT n,
+              (CAST(n AS DOUBLE) * sxy - sx * sy)
+                / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                  * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS rxy,
+              (CAST(n AS DOUBLE) * sxz - sx * sz)
+                / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                  * sqrt(CAST(n AS DOUBLE) * szz - sz * sz)) AS rxz,
+              (CAST(n AS DOUBLE) * syz - sy * sz)
+                / (sqrt(CAST(n AS DOUBLE) * syy - sy * sy)
+                  * sqrt(CAST(n AS DOUBLE) * szz - sz * sz)) AS ryz
+            FROM m)
+          SELECT n, ROUND(rxy, 6) AS r_xy, ROUND(rxz, 6) AS r_xz,
+            ROUND(ryz, 6) AS r_yz,
+            ROUND((rxy - rxz * ryz)
+              / sqrt((CAST(1 AS DOUBLE) - rxz * rxz)
+                * (CAST(1 AS DOUBLE) - ryz * ryz)), 6) AS r_xy_given_z
+          FROM k""",
     "q_simpson" ->
       """WITH g AS (
             SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

@@ -89,6 +89,54 @@ object SimilarityQueries {
           min(col("ver")).as("min_var_explained"))
         .orderBy("d")),
 
+    // ── Embedding-space outlier screen per label ─────────────────────────
+    // The contamination read an embedding pipeline runs before trusting
+    // labels/centroids: per label, each member's cosine to the label
+    // centroid (the q_embed_anisotropy per-row kernel), then the share
+    // sitting below mean − 2σ — mislabeled or off-distribution vectors
+    // that poison centroid-based dedup and IVF routing. Moments over the
+    // ROUNDED per-row cosines are decimal-exact; the threshold is one
+    // deterministic double chain, so the flag is engine-stable. Centroids
+    // broadcast (≤ labels·d values); the per-row relation persists (it
+    // feeds the stats pass AND the flag pass).
+    "q_emb_outliers" -> ((s, dir) => {
+      val Dec = "decimal(30,16)"
+      val v = emb(s, dir)
+      val dims = v.select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "xx")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(sum(col("xx").cast("double").cast(Dec)).cast("double")
+          / count(lit(1)), 6).as("m"))
+      val mu = dims.groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s0 => s0.getField("m")).as("mu"))
+        .withColumn("mu_norm2", Similarity.dotExactHof(col("mu"), col("mu")))
+      val per = v.join(broadcast(mu), Seq("label"))
+        .select(col("label"),
+          round(Similarity.dotExactHofZeroPad(col("embedding"), col("mu"))
+            / (sqrt(Similarity.norm2Exact(col("embedding")))
+              * sqrt(col("mu_norm2"))), 6).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val st = per.groupBy(col("label")).agg(
+        count(lit(1)).as("n"),
+        sum(col("c").cast(Dec)).cast("double").as("sc"),
+        sum((col("c") * col("c")).cast(Dec)).cast("double").as("scc"))
+      val nd = col("n").cast("double")
+      val mean = col("sc") / nd
+      val sd = sqrt((col("scc") - col("sc") * col("sc") / nd) / (nd - 1))
+      per.join(broadcast(st), Seq("label"))
+        .select(col("label"), col("n"),
+          round(mean, 6).as("mean_cos"), round(sd, 6).as("sd_cos"),
+          when(col("c") < mean - lit(2.0) * sd, 1L).otherwise(0L).as("flag"))
+        .groupBy(col("label"), col("n"), col("mean_cos"), col("sd_cos"))
+        .agg(sum(col("flag")).as("n_outliers"))
+        .select(col("label"), col("n"), col("mean_cos"), col("sd_cos"),
+          col("n_outliers"),
+          round(col("n_outliers").cast("double") / col("n"), 6)
+            .as("outlier_frac"))
+        .orderBy("label")
+    }),
+
     // ── Embedding-space anisotropy (collapse diagnostic) ────────────────
     // Per label: mean vector μ + average cosine(v, μ) + mean L2 — the
     // "how collapsed is this space" gate run before trusting cosine
@@ -672,6 +720,46 @@ object SimilarityQueries {
             ROUND(CAST(SUM(CAST(l2 AS DECIMAL(30,16))) AS DOUBLE)
                   / COUNT(*), 6) AS mean_l2
           FROM per GROUP BY label ORDER BY label""",
+    // the anisotropy per-row chain + moments over the rounded cosines;
+    // the 2σ threshold is the same deterministic double chain both sides.
+    "q_emb_outliers" ->
+      s"""WITH dims AS (
+            SELECT label, i,
+              ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                    AS DECIMAL(30,16))) AS DOUBLE) / COUNT(*), 6) AS m
+            FROM embeddings,
+              UNNEST(generate_series(1, len(embedding))) AS t(i)
+            GROUP BY label, i),
+          mu AS (
+            SELECT label, list(m ORDER BY i) AS mu FROM dims GROUP BY label),
+          per AS (
+            SELECT e.label,
+              ROUND(CAST(${dotSql("e.embedding", "mu.mu")} AS DOUBLE)
+                / (sqrt(CAST(${dotSql("e.embedding", "e.embedding")}
+                     AS DOUBLE))
+                   * sqrt(CAST(${dotSql("mu.mu", "mu.mu")} AS DOUBLE))), 6)
+                AS c
+            FROM embeddings e JOIN mu USING (label)),
+          st AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(c AS DECIMAL(30,16))) AS DOUBLE) AS sc,
+              CAST(SUM(CAST(c * c AS DECIMAL(30,16))) AS DOUBLE) AS scc
+            FROM per GROUP BY label),
+          k AS (
+            SELECT label, n, sc / CAST(n AS DOUBLE) AS mean0,
+              sqrt((scc - sc * sc / CAST(n AS DOUBLE))
+                / (CAST(n AS DOUBLE) - 1)) AS sd0
+            FROM st),
+          f AS (
+            SELECT per.label, k.n,
+              ROUND(k.mean0, 6) AS mean_cos, ROUND(k.sd0, 6) AS sd_cos,
+              CASE WHEN per.c < k.mean0 - CAST(2.0 AS DOUBLE) * k.sd0
+                   THEN 1 ELSE 0 END AS flag
+            FROM per JOIN k ON per.label = k.label)
+          SELECT label, n, mean_cos, sd_cos,
+            CAST(SUM(flag) AS BIGINT) AS n_outliers,
+            ROUND(CAST(SUM(flag) AS DOUBLE) / n, 6) AS outlier_frac
+          FROM f GROUP BY label, n, mean_cos, sd_cos ORDER BY label""",
     // Mirror of Similarity.dimensionVariance: decimal moment sums per dim
     // (1-based DuckDB index emitted as the 0-based pos), ONE fixed IEEE
     // variance combine rounded 6, rounded variances re-summed as

@@ -16,13 +16,13 @@ class BenchPolicySpec extends AnyFunSuite {
 
   test("no prior, under the sampling floor: first timing reported, no re-time") {
     val (re, n) = counting(99.0, 99.0)
-    assert(Bench.settle(None, 1.5, re) === ((1.5, false)))
+    assert(Bench.settle(None, 0.7, re) === ((0.7, false)))
     assert(n() === 0)
   }
 
   test("within 2x of prior and under the floor: no re-time") {
     val (re, n) = counting(99.0, 99.0)
-    assert(Bench.settle(Some(1.2), 1.9, re) === ((1.9, false)))
+    assert(Bench.settle(Some(0.6), 0.9, re) === ((0.9, false)))
     assert(n() === 0)
   }
 
