@@ -123,4 +123,76 @@ object AsofJoin {
     joined.select(keep ++ vals :+ ok.as("asof_matched") :+
       when(ok, lagUs).otherwise(lit(-1L)).as("asof_lag_us"): _*)
   }
+
+  /** NEAREST-match as-of join (pandas `merge_asof(direction='nearest')`):
+    * for every left row, the right row minimizing |Δt| in EITHER
+    * direction within the key group; exact ties go to the backward
+    * (earlier-or-equal) match. The sensor-alignment semantics — a reading
+    * 1 s in the future beats one 5 min in the past, where [[asofJoin]]
+    * would silently take the stale one.
+    *
+    * Same union-and-scan discipline, ONE hash exchange: the backward leg
+    * is [[asofJoin]]'s running `last(payload, ignoreNulls)`; the forward
+    * leg is its mirror — `first(payload, ignoreNulls)` over
+    * (currentRow, unboundedFollowing) with the tie marker DESCENDING, so
+    * an exactly-simultaneous right row is visible to BOTH legs and the
+    * Δt=0 tie resolves backward. Two sorts share the one exchange.
+    *
+    * Contract: time columns are numeric epoch-micros (int64); (key, time)
+    * unique on the right. Output: left columns + `nearest_<val>` (null
+    * when the key group has no right rows), `nearest_dt_us` (−1 sentinel
+    * when unmatched), `nearest_dir` ∈ {backward, forward, none}.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, on: String,
+                      leftTime: String, rightTime: String,
+                      rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val t = "__asof_t"
+    val m = "__asof_m"
+    val p = "__asof_p"
+    val fields = ("rt" -> right.schema(rightTime).dataType) +:
+      rightVals.map(c => c -> right.schema(c).dataType)
+    val pType = org.apache.spark.sql.types.StructType(fields.map {
+      case (n, dt) => org.apache.spark.sql.types.StructField(n, dt)
+    })
+    val l = left
+      .withColumn(t, col(leftTime))
+      .withColumn(m, lit(1))
+      .select(Seq(col(on), col(t), col(m)) ++
+        leftCols.filterNot(_ == on).map(col) :+
+        lit(null).cast(pType).as(p): _*)
+    val r = right
+      .withColumn(t, col(rightTime))
+      .withColumn(m, lit(0))
+      .select(Seq(col(on), col(t), col(m)) ++
+        leftCols.filterNot(_ == on)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(col(rightTime).as("rt") +: rightVals.map(col): _*).as(p): _*)
+    val wb = Window.partitionBy(col(on))
+      .orderBy(col(t).asc, col(m).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(on))
+      .orderBy(col(t).asc, col(m).desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pb = last(col(p), ignoreNulls = true).over(wb)
+    val pf = first(col(p), ignoreNulls = true).over(wf)
+    val u = l.unionByName(r)
+      .select(Seq(col(on), col(m), col(t)) ++
+        leftCols.filterNot(_ == on).map(col) :+
+        pb.as("__pb") :+ pf.as("__pf"): _*)
+      .where(col(m) === 1)
+    val dtb = col(t).cast("long") - col("__pb").getField("rt").cast("long")
+    val dtf = col("__pf").getField("rt").cast("long") - col(t).cast("long")
+    val dir = when(col("__pb").isNull && col("__pf").isNull, lit("none"))
+      .when(col("__pf").isNull ||
+        (col("__pb").isNotNull && dtb <= dtf), lit("backward"))
+      .otherwise(lit("forward"))
+    val chosen = when(dir === "backward", col("__pb"))
+      .when(dir === "forward", col("__pf"))
+    u.select(Seq(col(on)) ++ leftCols.filterNot(_ == on).map(col) ++
+      rightVals.map(c => chosen.getField(c).as(s"nearest_$c")) :+
+      when(dir === "none", lit(-1L))
+        .when(dir === "backward", dtb).otherwise(dtf).as("nearest_dt_us") :+
+      dir.as("nearest_dir"): _*)
+  }
 }

@@ -284,6 +284,49 @@ object Graph {
           (col("degree") * (col("degree") - 1L)), 6).as("clustering"))
   }
 
+  /** Bounded-hop BFS distances from a seed node over an undirected edge
+    * set: `(node, dist)` for every node within `maxHops` of `seed` —
+    * the reachability primitive behind neighborhood sampling, blast-
+    * radius analysis, and "how connected is this component" reads.
+    *
+    * Level-synchronous frontier expansion (the BSP/Pregel discipline):
+    * round k joins the (k−1)-frontier against the symmetric edge
+    * relation (keyed on the frontier node), distincts the neighbors, and
+    * anti-joins the visited set — each round is two keyed exchanges over
+    * frontier-scale relations, never node²; frontiers persist
+    * (each feeds the next round AND the final union) and the visited
+    * accumulator re-persists per round so round plans stay shallow.
+    * Rounds are FIXED at maxHops — the bounded form that survives a
+    * 1000-executor schedule (unbounded BFS wants the
+    * [[graft.ops.Dedup.connectedComponents]] convergence loop).
+    */
+  def bfsDistances(edges: DataFrame, seed: Long, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops: $maxHops")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val canon = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") < col("b")).distinct()
+    val sym = canon.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(canon.select(col("b").as("u"), col("a").as("v")))
+      .persist(lvl)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var frontier = Seq(seed).toDF("node").persist(lvl)
+    var visited = frontier
+    val levels = scala.collection.mutable.ArrayBuffer(
+      frontier.select(col("node"), lit(0).as("dist")))
+    (1 to maxHops).foreach { k =>
+      val next = sym.join(frontier.select(col("node").as("u")), Seq("u"))
+        .select(col("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .persist(lvl)
+      levels += next.select(col("node"), lit(k).as("dist"))
+      visited = visited.unionByName(next).persist(lvl)
+      frontier = next
+    }
+    levels.reduce(_ unionByName _)
+  }
+
   /** Adamic–Adar link prediction over an undirected edge set (public
     * algorithm, Adamic & Adar 2003): for every NON-adjacent pair (u, v)
     * sharing ≥ 1 neighbor, score = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) — common

@@ -419,6 +419,54 @@ object AdvancedQueries {
         .orderBy(desc("clustering"), col("node")).limit(100)
     }),
 
+    // ── Bounded BFS from the smallest part (reachability profile) ───────
+    // How far does influence travel in the co-purchase graph: per hop
+    // count ≤ 4 from the minimum part key, node counts and the min node
+    // id per level (Graph.bfsDistances — level-synchronous keyed frontier
+    // joins + anti-join dedup; the Pregel shape, fixed rounds). The seed
+    // arrives as a 1-value bounded driver collect (the kmeans-seed
+    // precedent).
+    "q_bfs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("sup"))
+        .where(col("sup") >= 2)
+        .select(col("src"), col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seed = pairs.agg(min(least(col("src"), col("dst"))))
+        .head().getLong(0) // 1-value bounded driver scalar
+      graft.ops.Graph.bfsDistances(pairs, seed, maxHops = 4)
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+        .orderBy("dist")
+    }),
+
+    // ── Nearest-direction as-of join (sensor-alignment semantics) ───────
+    // pandas merge_asof(direction='nearest'): every view matched to the
+    // click minimizing |Δt| in EITHER direction per user — a click 1 s
+    // later beats one 5 min earlier, where q_join_asof's backward-only
+    // form takes the stale one (AsofJoin.asofJoinNearest: one union
+    // exchange, two shared-sort window legs, Δt=0 ties backward).
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us").as("click_us"))
+        .agg(max(col("value")).as("click_value")) // unique (key, time)
+      AsofJoin.asofJoinNearest(views, clicks, "user_id", "ts_us",
+          "click_us", Seq("click_value"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          coalesce(col("nearest_click_value"), lit(-1.0))
+            .as("nearest_click_value"),
+          col("nearest_dt_us"), col("nearest_dir"))
+        .orderBy("event_id")
+    }),
+
     // ── Adamic–Adar link prediction on the co-purchase graph ────────────
     // "Which parts SHOULD co-occur next": for non-adjacent part pairs,
     // common co-purchase neighbors weighted by 1/ln(deg) — hubs count
@@ -788,6 +836,87 @@ object AdvancedQueries {
           SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
           FROM corners GROUP BY node
           ORDER BY n_triangles DESC, node LIMIT 100""",
+    // unrolled level-synchronous frontiers (EXCEPT = the anti-join dedup).
+    "q_bfs" ->
+      """WITH canon AS (
+            SELECT x.l_partkey AS a, y.l_partkey AS b
+            FROM lineitem x JOIN lineitem y
+              ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+            GROUP BY a, b HAVING count(*) >= 2),
+          sym AS (SELECT a AS u, b AS v FROM canon
+                  UNION ALL SELECT b, a FROM canon),
+          f0 AS (SELECT min(u) AS node FROM sym),
+          f1 AS (SELECT DISTINCT s.v AS node
+                 FROM sym s JOIN f0 ON s.u = f0.node
+                 EXCEPT SELECT node FROM f0),
+          f2 AS (SELECT DISTINCT s.v AS node
+                 FROM sym s JOIN f1 ON s.u = f1.node
+                 EXCEPT (SELECT node FROM f0 UNION SELECT node FROM f1)),
+          f3 AS (SELECT DISTINCT s.v AS node
+                 FROM sym s JOIN f2 ON s.u = f2.node
+                 EXCEPT (SELECT node FROM f0 UNION SELECT node FROM f1
+                         UNION SELECT node FROM f2)),
+          f4 AS (SELECT DISTINCT s.v AS node
+                 FROM sym s JOIN f3 ON s.u = f3.node
+                 EXCEPT (SELECT node FROM f0 UNION SELECT node FROM f1
+                         UNION SELECT node FROM f2
+                         UNION SELECT node FROM f3)),
+          lv AS (SELECT node, 0 AS dist FROM f0
+                 UNION ALL SELECT node, 1 FROM f1
+                 UNION ALL SELECT node, 2 FROM f2
+                 UNION ALL SELECT node, 3 FROM f3
+                 UNION ALL SELECT node, 4 FROM f4)
+          SELECT CAST(dist AS INT) AS dist,
+            CAST(count(*) AS BIGINT) AS n_nodes,
+            min(node) AS min_node
+          FROM lv GROUP BY dist ORDER BY dist""",
+    // union-and-scan mirror: backward = running last_value, forward =
+    // reversed-tie first_value; Δt in exact epoch micros, ties backward.
+    "q_asof_nearest" ->
+      """WITH v AS (
+            SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+            FROM events WHERE event_type = 'view'),
+          c AS (
+            SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS click_us,
+              max(value) AS click_value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          u AS (
+            SELECT user_id, ts_us AS t, 1 AS m, event_id,
+              CAST(NULL AS STRUCT(rt BIGINT, cv DOUBLE)) AS p
+            FROM v
+            UNION ALL
+            SELECT user_id, click_us, 0, NULL,
+              {'rt': click_us, 'cv': click_value}
+            FROM c),
+          w AS (
+            SELECT user_id, t, m, event_id,
+              last_value(p IGNORE NULLS) OVER (PARTITION BY user_id
+                ORDER BY t, m
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+              first_value(p IGNORE NULLS) OVER (PARTITION BY user_id
+                ORDER BY t, m DESC
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pf
+            FROM u),
+          k AS (
+            SELECT event_id, user_id, t AS ts_us, pb, pf,
+              t - pb.rt AS dtb, pf.rt - t AS dtf
+            FROM w WHERE m = 1),
+          r AS (
+            SELECT event_id, user_id, ts_us, pb, pf, dtb, dtf,
+              CASE WHEN pb IS NULL AND pf IS NULL THEN 'none'
+                   WHEN pf IS NULL OR (pb IS NOT NULL AND dtb <= dtf)
+                     THEN 'backward'
+                   ELSE 'forward' END AS nearest_dir
+            FROM k)
+          SELECT event_id, user_id, ts_us,
+            coalesce(CASE WHEN nearest_dir = 'backward' THEN pb.cv
+                          WHEN nearest_dir = 'forward' THEN pf.cv END,
+              -1.0) AS nearest_click_value,
+            CAST(CASE WHEN nearest_dir = 'none' THEN -1
+                      WHEN nearest_dir = 'backward' THEN dtb
+                      ELSE dtf END AS BIGINT) AS nearest_dt_us,
+            nearest_dir
+          FROM r ORDER BY event_id""",
     // same wedge-at-center enumeration, weights quantized DECIMAL(30,10)
     // per wedge so both engines sum identical exact values.
     "q_adamic_adar" ->

@@ -34,6 +34,32 @@ class AsofJoinSpec extends SparkSpec {
     assert(got("l-nomatch") === None)      // right row is in the future
   }
 
+  test("nearest: min |Δt| in either direction, ties backward, none when empty") {
+    // key 1 rights at 8, 20, 30; key 3's only right is at 60 (future —
+    // nearest must still take it, FORWARD); key 4 has no rights at all
+    val l4 = left.unionByName(Seq((4L, 99L, "l-norights"))
+      .toDF("k", "t", "label"))
+    val got = AsofJoin.asofJoinNearest(l4, right, "k", "t", "t", Seq("v"))
+      .select("label", "nearest_v", "nearest_dt_us", "nearest_dir")
+      .as[(String, Option[Double], Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("l-a") === ((Some(100.0), 2L, "backward"))) // 8 beats 20 (|2|<|10|)
+    assert(got("l-b") === ((Some(200.0), 0L, "backward"))) // exact tie at 20
+    assert(got("l-early") === ((Some(100.0), 3L, "forward"))) // 8 is ahead
+    assert(got("l-c") === ((Some(400.0), 14L, "backward")))
+    assert(got("l-nomatch") === ((Some(500.0), 10L, "forward"))) // future-only
+    assert(got("l-norights") === ((None, -1L, "none")))
+  }
+
+  test("nearest: equidistant candidates resolve to the backward match") {
+    val l = Seq((1L, 10L, "mid")).toDF("k", "t", "label")
+    val r = Seq((1L, 7L, 1.0), (1L, 13L, 2.0)).toDF("k", "t", "v")
+    val got = AsofJoin.asofJoinNearest(l, r, "k", "t", "t", Seq("v"))
+      .select("nearest_v", "nearest_dt_us", "nearest_dir")
+      .as[(Double, Long, String)].head()
+    assert(got === ((1.0, 3L, "backward")))
+  }
+
   test("asof tolerance: stale matches rejected, fresh carried, lag exact") {
     val l2 = left.withColumn("ts", timestamp_seconds(col("t")))
     val r2 = right.withColumn("ts", timestamp_seconds(col("t")))

@@ -81,6 +81,20 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("bfsDistances: path + branch levels exact, unreachable absent, bound respected") {
+    // 0-1-2-3-4-5 path with a branch 2-10; from seed 0 with maxHops 4:
+    // dist(1)=1, dist(2)=2, dist(3)=3, dist(10)=3, dist(4)=4; 5 is 5 hops
+    // away (outside the bound) and node 99-100 is a disconnected edge.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (2L, 10L), (99L, 100L))
+    val got = Graph.bfsDistances(edges.toDF("src", "dst"), seed = 0L,
+        maxHops = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 10L -> 3,
+      4L -> 4))
+    spark.catalog.clearCache()
+  }
+
   test("adamicAdar: hub cap drops wedges centered on over-degree hubs") {
     // star center 9 with 5 leaves: cap 4 < deg 5 removes every wedge —
     // no predicted pairs at all
