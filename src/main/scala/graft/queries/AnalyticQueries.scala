@@ -90,6 +90,31 @@ object AnalyticQueries {
         .agg(count(lit(1)).as("cnt"), Exact.roundSum(col("o_totalprice")).as("total"))
         .orderBy("o_year", "o_month")),
 
+    // ── Gaps-and-islands: consecutive-active-day streaks ────────────────
+    // The classic islands pattern (and the engagement metric behind
+    // "current streak" features): per user, maximal runs of consecutive
+    // active days via the day − row_number() island key — constant within
+    // a run, strictly decreasing across a gap — then the corpus-wide
+    // streak-length histogram. Day indices are exact epoch-day int64;
+    // the only window is user-keyed; output is ≤ max-streak rows.
+    "q_streaks" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("d"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      val runs = days
+        .select(col("user_id"), col("d"),
+          (col("d") - row_number().over(w)).as("isl"))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(count(lit(1)).as("len"))
+      runs.groupBy(col("len"))
+        .agg(count(lit(1)).as("n_streaks"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("len")
+    }),
+
     // ── Calendar-aligned growth (MoM / YoY) ─────────────────────────────
     // The report every revenue dashboard opens with: monthly revenue next
     // to month-over-month and year-over-year percent change. Months key
@@ -1609,6 +1634,20 @@ object AnalyticQueries {
       s"""SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt,
             ${oSum("value", "sum_value")}
           FROM events GROUP BY 1 ORDER BY hour""",
+    "q_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+           FROM events),
+         runs AS (
+           SELECT user_id, d - row_number() OVER (PARTITION BY user_id
+             ORDER BY d) AS isl
+           FROM days),
+         lens AS (
+           SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len
+           FROM runs GROUP BY 1, 2)
+         SELECT len, CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM lens GROUP BY len ORDER BY len""",
     "q_yoy" ->
       """WITH m AS (
            SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mix,

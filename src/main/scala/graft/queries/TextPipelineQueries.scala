@@ -1244,6 +1244,48 @@ object TextPipelineQueries {
         .orderBy("source", "rank")
     }),
 
+    // ── Per-class precision / recall / F1 (classifier report card) ──────
+    // The table every classifier eval ends with, over the shared NB
+    // scorer: per class, tp / fp / fn from the (pred, truth) pairs and
+    // the derived precision/recall/F1 — the per-class view q_lang_confusion
+    // gives cell-wise and q_nb_calibration gives confidence-wise. All
+    // counts exact int64 from two keyed aggregates over the scored
+    // relation (persisted — it feeds the pred-side and truth-side
+    // marginals); one double chain per class row, 0-denominator guarded
+    // to 0 (a class never predicted has precision 0, not NULL).
+    "q_nb_prf" -> ((s, dir) => {
+      val scored = Classify.nbDomain(
+          docs(s, dir).withColumn("feats",
+            transform(TextAnalysis.tokens(col("text")), t => Hashes.h60(t))),
+          "doc_id", col("feats"), "source", buckets = 1024)
+        .select(col("source").as("truth"), col("pred_label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tp = scored.where(col("truth") === col("pred_label"))
+        .groupBy(col("truth").as("cls")).agg(count(lit(1)).as("tp"))
+      val pred = scored.groupBy(col("pred_label").as("cls"))
+        .agg(count(lit(1)).as("n_pred"))
+      val truth = scored.groupBy(col("truth").as("cls"))
+        .agg(count(lit(1)).as("n_truth"))
+      val prec = coalesce(col("tp"), lit(0L)).cast("double") /
+        col("n_pred").cast("double")
+      val rec = coalesce(col("tp"), lit(0L)).cast("double") /
+        col("n_truth").cast("double")
+      truth.join(pred, Seq("cls"), "full_outer")
+        .join(tp, Seq("cls"), "left")
+        .select(col("cls"),
+          coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          round(when(col("n_pred").isNull, lit(0.0)).otherwise(prec), 6)
+            .as("precision"),
+          round(when(col("n_truth").isNull, lit(0.0)).otherwise(rec), 6)
+            .as("recall"),
+          round(when(col("n_pred").isNull || col("n_truth").isNull ||
+              coalesce(col("tp"), lit(0L)) === 0, lit(0.0))
+            .otherwise(lit(2.0) * prec * rec / (prec + rec)), 6).as("f1"))
+        .orderBy("cls")
+    }),
+
     // ── Classifier calibration curve (margin-bucketed reliability) ──────
     // The "can I trust the classifier's confidence" table a routing or
     // filtering decision reads before acting on q_nb_domain's labels:
@@ -3041,6 +3083,42 @@ object TextPipelineQueries {
     // broadcast-model plan; the algebra (ln rounded 6, DECIMAL(28,6) sums,
     // ties to the smaller class label) is identical.
     "q_nb_domain" -> NbDomainSql,
+    // the shared scorer + two marginal rollups; guards mirrored.
+    "q_nb_prf" ->
+      s"""WITH scored AS (
+            SELECT source AS truth, pred_label FROM ($NbDomainSql)),
+          tp AS (SELECT truth AS cls, CAST(count(*) AS BIGINT) AS tp
+                 FROM scored WHERE truth = pred_label GROUP BY 1),
+          pred AS (SELECT pred_label AS cls,
+                     CAST(count(*) AS BIGINT) AS n_pred
+                   FROM scored GROUP BY 1),
+          truth AS (SELECT truth AS cls,
+                      CAST(count(*) AS BIGINT) AS n_truth
+                    FROM scored GROUP BY 1),
+          j AS (
+            SELECT coalesce(t.cls, p.cls) AS cls, t.n_truth, p.n_pred,
+              tp.tp
+            FROM truth t
+            FULL OUTER JOIN pred p ON t.cls = p.cls
+            LEFT JOIN tp ON tp.cls = coalesce(t.cls, p.cls)),
+          k AS (
+            SELECT cls,
+              CAST(coalesce(n_truth, 0) AS BIGINT) AS n_truth,
+              CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+              CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+              CAST(coalesce(tp, 0) AS DOUBLE) / CAST(n_pred AS DOUBLE)
+                AS prec0,
+              CAST(coalesce(tp, 0) AS DOUBLE) / CAST(n_truth AS DOUBLE)
+                AS rec0,
+              n_pred IS NULL AS pnull, n_truth IS NULL AS tnull
+            FROM j)
+          SELECT cls, n_truth, n_pred, tp,
+            ROUND(CASE WHEN pnull THEN 0.0 ELSE prec0 END, 6) AS precision,
+            ROUND(CASE WHEN tnull THEN 0.0 ELSE rec0 END, 6) AS recall,
+            ROUND(CASE WHEN pnull OR tnull OR tp = 0 THEN 0.0
+                  ELSE CAST(2.0 AS DOUBLE) * prec0 * rec0
+                    / (prec0 + rec0) END, 6) AS f1
+          FROM k ORDER BY cls""",
     // same count algebra; aw/d1/d2/var are the identical IEEE chains.
     "q_log_odds" ->
       s"""WITH tok AS (
