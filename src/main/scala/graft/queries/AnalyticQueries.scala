@@ -90,6 +90,80 @@ object AnalyticQueries {
         .agg(count(lit(1)).as("cnt"), Exact.roundSum(col("o_totalprice")).as("total"))
         .orderBy("o_year", "o_month")),
 
+    // ── Hill tail-index estimator (how heavy is the heavy tail) ─────────
+    // The power-law exponent of customer revenue from the top-k order
+    // statistics: α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) (Hill 1975, the standard
+    // tail estimator; complements q_zipf_fit's rank-frequency view).
+    // α ≤ 2 means infinite variance — the regime where mean-based
+    // dashboards and uniform samplers break. The top-(k+1) cut is a
+    // TakeOrdered (k-row, no global sort); the reference quantile rides
+    // a 1-row crossJoin; ln terms quantize DECIMAL(30,10) before the sum.
+    "q_hill_tail" -> ((s, dir) => {
+      val k = 100
+      val top = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(28,10)")).cast("double")
+          .as("x"))
+        .orderBy(desc("x"), col("o_custkey")).limit(k + 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val W1 = Window.partitionBy(pmod(col("o_custkey"), lit(1L)))
+        .orderBy(desc("x"), col("o_custkey"))
+      val ranked = top.select(col("x"),
+        row_number().over(W1).as("rn")) // 101-row relation: tiny window
+      val ref = ranked.where(col("rn") === k + 1)
+        .select(col("x").as("xref"))
+      ranked.where(col("rn") <= k)
+        .crossJoin(broadcast(ref)) // 1-row reference quantile
+        .select(log(col("x") / col("xref")).cast("decimal(30,10)")
+          .as("term"), col("xref"))
+        .groupBy(col("xref"))
+        .agg(count(lit(1)).as("k"),
+          sum(col("term")).cast("double").as("s"))
+        .select(col("k"),
+          round(col("xref"), 4).as("x_kplus1"),
+          round(col("k").cast("double") / col("s"), 6).as("hill_alpha"))
+    }),
+
+    // ── Conditional transition entropy (how predictable is behavior) ────
+    // H(next event type | current) over per-user event bigrams, next to
+    // the marginal H(next): the gap is the information the current state
+    // carries — the sequence-predictability read on top of
+    // q_markov_chain's raw matrix. Transitions from one user-keyed lead()
+    // window; cells are ≤ types² rows; per-cell −(c/N)·ln(c/tot) terms
+    // quantize DECIMAL(30,10); totals ride 1-row crossJoins.
+    "q_transition_entropy" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val cells = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        .select(col("event_type").as("cur"),
+          lead(col("event_type"), 1).over(w).as("nxt"))
+        .where(col("nxt").isNotNull)
+        .groupBy(col("cur"), col("nxt"))
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val curTot = cells.groupBy(col("cur")).agg(sum(col("c")).as("tc"))
+      val nxtTot = cells.groupBy(col("nxt")).agg(sum(col("c")).as("tn"))
+      val tot = cells.agg(sum(col("c")).as("n"))
+      val hCond = cells.join(broadcast(curTot), Seq("cur"))
+        .crossJoin(broadcast(tot))
+        .select((lit(0.0) - col("c").cast("double") / col("n")
+          * log(col("c").cast("double") / col("tc")))
+          .cast("decimal(30,10)").as("term"))
+        .agg(sum(col("term")).cast("double").as("h_cond"))
+      val hMarg = nxtTot.crossJoin(broadcast(tot))
+        .select((lit(0.0) - col("tn").cast("double") / col("n")
+          * log(col("tn").cast("double") / col("n")))
+          .cast("decimal(30,10)").as("term"))
+        .agg(sum(col("term")).cast("double").as("h_marg"))
+      tot.crossJoin(broadcast(hCond)).crossJoin(broadcast(hMarg))
+        .select(col("n").as("n_transitions"),
+          round(col("h_cond"), 6).as("h_cond"),
+          round(col("h_marg"), 6).as("h_marg"),
+          round(col("h_marg") - col("h_cond"), 6).as("info_gain"))
+    }),
+
     // ── Gaps-and-islands: consecutive-active-day streaks ────────────────
     // The classic islands pattern (and the engagement metric behind
     // "current streak" features): per user, maximal runs of consecutive
@@ -1634,6 +1708,59 @@ object AnalyticQueries {
       s"""SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt,
             ${oSum("value", "sum_value")}
           FROM events GROUP BY 1 ORDER BY hour""",
+    "q_hill_tail" ->
+      """WITH cust AS (
+           SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) AS x
+           FROM orders GROUP BY 1),
+         top AS (
+           SELECT o_custkey, x FROM cust
+           ORDER BY x DESC, o_custkey LIMIT 101),
+         ranked AS (
+           SELECT x, row_number() OVER (ORDER BY x DESC, o_custkey) AS rn
+           FROM top),
+         ref AS (SELECT x AS xref FROM ranked WHERE rn = 101),
+         s AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(ln(x / xref) AS DECIMAL(30,10))) AS DOUBLE)
+               AS s,
+             xref
+           FROM ranked, ref WHERE rn <= 100 GROUP BY xref)
+         SELECT k, ROUND(xref, 4) AS x_kplus1,
+           ROUND(CAST(k AS DOUBLE) / s, 6) AS hill_alpha
+         FROM s""",
+    "q_transition_entropy" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us
+           FROM events),
+         p AS (
+           SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS nxt
+           FROM e),
+         cells AS (
+           SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c
+           FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         ct AS (SELECT cur, CAST(SUM(c) AS BIGINT) AS tc
+                FROM cells GROUP BY 1),
+         nt AS (SELECT nxt, CAST(SUM(c) AS BIGINT) AS tn
+                FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+         hc AS (
+           SELECT CAST(SUM(CAST(0.0 - CAST(c AS DOUBLE) / n
+               * ln(CAST(c AS DOUBLE) / tc) AS DECIMAL(30,10))) AS DOUBLE)
+             AS h_cond
+           FROM cells JOIN ct USING (cur) CROSS JOIN tot),
+         hm AS (
+           SELECT CAST(SUM(CAST(0.0 - CAST(tn AS DOUBLE) / n
+               * ln(CAST(tn AS DOUBLE) / n) AS DECIMAL(30,10))) AS DOUBLE)
+             AS h_marg
+           FROM nt CROSS JOIN tot)
+         SELECT n AS n_transitions, ROUND(h_cond, 6) AS h_cond,
+           ROUND(h_marg, 6) AS h_marg,
+           ROUND(h_marg - h_cond, 6) AS info_gain
+         FROM tot, hc, hm""",
     "q_streaks" ->
       """WITH days AS (
            SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
