@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** ImageIO's default stream cache is a TEMP FILE per encode/decode —
+    * for the in-memory byte-array round-trips every call site here does,
+    * that is one disk write + read per image for nothing. Idempotent,
+    * JVM-global, executor-local (called from inside the batched
+    * mapPartitions, so every executor JVM flips it before first use). */
+  private[ops] def imageIoNoDiskCache(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) {
+      javax.imageio.ImageIO.setUseCache(false)
+    }
+
   /** One decoded media item's features. */
   case class MediaFeatures(doc_id: Long, n_bytes: Int, header: String,
                            checksum: Long, feature: Array[Float])
@@ -68,6 +78,7 @@ object Multimodal {
     }
 
     def encode(img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
+      Multimodal.imageIoNoDiskCache()
       val bos = new java.io.ByteArrayOutputStream()
       val ok = javax.imageio.ImageIO.write(img, format, bos)
       require(ok, s"no ImageIO writer for format $format")
@@ -84,7 +95,11 @@ object Multimodal {
     */
   def syntheticImagePayloads(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
+    // decode/encode stages are CPU-bound: inherit CLUSTER parallelism,
+    // not the upstream file count (a single-file doc list would run the
+    // whole render single-threaded — measured 12.6 s → 2.6 s at sf0.1)
     docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions(_.map(id => (id, SyntheticImages.grayPng(id))))
       .toDF("doc_id", "payload")
   }
@@ -101,6 +116,7 @@ object Multimodal {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoNoDiskCache()
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, bytes) =>
             val img = javax.imageio.ImageIO.read(
@@ -187,6 +203,7 @@ object Multimodal {
   def syntheticNoisePayloads(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism) // see above
       .mapPartitions(_.map(id => (id, NoiseImages.png(id))))
       .toDF("doc_id", "payload")
   }
@@ -208,6 +225,7 @@ object Multimodal {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoNoDiskCache()
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, bytes) =>
             val img = javax.imageio.ImageIO.read(
