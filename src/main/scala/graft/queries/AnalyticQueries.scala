@@ -90,6 +90,64 @@ object AnalyticQueries {
         .agg(count(lit(1)).as("cnt"), Exact.roundSum(col("o_totalprice")).as("total"))
         .orderBy("o_year", "o_month")),
 
+    // ── Fano factor (burstiness) per event type ─────────────────────────
+    // Dispersion index of hourly event counts: F = var/mean over the
+    // dense hour grid — F ≈ 1 is Poisson, F ≫ 1 is bursty traffic (the
+    // q_events_anomaly companion that characterizes the PROCESS, not the
+    // outliers). The grid is span-bounded (hours in range), absent hours
+    // count as zero via the dense-bucket denominator — moments fold from
+    // the NON-ZERO buckets only (Σx, Σx² are unchanged by zero rows; n is
+    // the grid size), so no gap-fill join is needed. Exact int64 moments;
+    // one double chain per type.
+    "q_fano" -> ((s, dir) => {
+      val hours = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+            .as("h"))
+      val perH = hours.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val span = perH.agg((max(col("h")) - min(col("h")) + 1L).as("n_hours"))
+      val m = perH.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("sx"),
+          sum(col("c") * col("c")).as("sxx"))
+      val nd = col("n_hours").cast("double")
+      val mean = col("sx").cast("double") / nd
+      val varr = col("sxx").cast("double") / nd - mean * mean
+      m.crossJoin(broadcast(span)) // 1-row span
+        .select(col("event_type"), col("n_hours"), col("sx").as("n_events"),
+          round(mean, 6).as("mean_per_hour"),
+          round(varr, 6).as("var_per_hour"),
+          round(varr / mean, 6).as("fano"))
+        .orderBy("event_type")
+    }),
+
+    // ── New-vs-returning mix per week (acquisition read) ────────────────
+    // Per ISO-ish week (epoch-day div 7): events and actives split by
+    // whether the user's FIRST-EVER activity falls in that week — the
+    // audience-composition read behind growth accounting (q_week_churn's
+    // forward-looking sibling). First-seen is one user-keyed min; the
+    // week rollup joins it back broadcast (user-count scale).
+    "q_new_returning" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 604800000000")
+            .as("wk"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("wk0"))
+      ev.join(broadcast(first), Seq("user_id"))
+        .groupBy(col("wk"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          count_distinct(when(col("wk") === col("wk0"), col("user_id")))
+            .as("n_new_users"))
+        .select(col("wk"), col("n_events"), col("n_users"),
+          col("n_new_users"),
+          round(col("n_new_users").cast("double") / col("n_users"), 6)
+            .as("new_share"))
+        .orderBy("wk")
+    }),
+
     // ── Hill tail-index estimator (how heavy is the heavy tail) ─────────
     // The power-law exponent of customer revenue from the top-k order
     // statistics: α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) (Hill 1975, the standard
@@ -1708,6 +1766,43 @@ object AnalyticQueries {
       s"""SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt,
             ${oSum("value", "sum_value")}
           FROM events GROUP BY 1 ORDER BY hour""",
+    "q_fano" ->
+      """WITH perh AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         span AS (
+           SELECT CAST(max(h) - min(h) + 1 AS BIGINT) AS n_hours
+           FROM perh),
+         m AS (
+           SELECT event_type, CAST(SUM(c) AS BIGINT) AS sx,
+             CAST(SUM(c * c) AS BIGINT) AS sxx
+           FROM perh GROUP BY 1),
+         k AS (
+           SELECT event_type, n_hours, sx,
+             CAST(sx AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean0,
+             CAST(sxx AS DOUBLE) / CAST(n_hours AS DOUBLE)
+               - (CAST(sx AS DOUBLE) / CAST(n_hours AS DOUBLE))
+               * (CAST(sx AS DOUBLE) / CAST(n_hours AS DOUBLE)) AS var0
+           FROM m, span)
+         SELECT event_type, n_hours, sx AS n_events,
+           ROUND(mean0, 6) AS mean_per_hour,
+           ROUND(var0, 6) AS var_per_hour,
+           ROUND(var0 / mean0, 6) AS fano
+         FROM k ORDER BY event_type""",
+    "q_new_returning" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+         f AS (SELECT user_id, min(wk) AS wk0 FROM ev GROUP BY 1)
+         SELECT wk, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CASE WHEN wk = wk0 THEN ev.user_id END)
+             AS BIGINT) AS n_new_users,
+           ROUND(CAST(count(DISTINCT CASE WHEN wk = wk0 THEN ev.user_id END)
+               AS DOUBLE)
+             / count(DISTINCT ev.user_id), 6) AS new_share
+         FROM ev JOIN f USING (user_id)
+         GROUP BY wk ORDER BY wk""",
     "q_hill_tail" ->
       """WITH cust AS (
            SELECT o_custkey,

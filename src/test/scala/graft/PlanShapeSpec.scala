@@ -84,7 +84,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_theil" -> "crossJoins of the single-row global (n, total) aggregate onto the per-customer and <=25-row nation relations, and of the two 1-row Theil sums onto the final row (the q_hll_merge pattern); the per-customer aggregate and the dim join are keyed/broadcast",
     "q_cramers_v" -> "marginal x marginal grid crossJoin (<= r*c rows at any corpus size — the q_split_balance pattern: absent cells must contribute their expectation) plus 1-row totals/chi2 crossJoins; the cell aggregate is keyed",
     "q_hill_tail" -> "crossJoin of the 1-row (k+1)-th order-statistic reference onto the 100-row top cut (broadcast, one row — the q_tfidf scalar pattern); the cut itself is a TakeOrdered",
-    "q_transition_entropy" -> "crossJoins of the single-row transition total onto the <=types^2 cell relation and of the two 1-row entropy sums onto the final row (the q_hll_merge pattern); cells and marginals are keyed aggregates")
+    "q_transition_entropy" -> "crossJoins of the single-row transition total onto the <=types^2 cell relation and of the two 1-row entropy sums onto the final row (the q_hll_merge pattern); cells and marginals are keyed aggregates",
+    "q_fano" -> "crossJoin of the single-row hour-span aggregate onto the per-type moment relation (broadcast, one row — the q_tfidf scalar pattern); the bucket and moment aggregates are keyed")
 
   // the AQE-aware walker lives on SparkSpec (collectPlanNodes) so DedupSpec's
   // ccRound audit and this guard can never drift apart
