@@ -29,17 +29,24 @@ object Merge {
   def upsert(target: DataFrame, source: DataFrame, key: String): DataFrame = {
     require(target.columns.sameElements(source.columns),
       s"upsert: schemas differ (${target.columns.toSeq} vs ${source.columns.toSeq})")
-    val joined = target.as("t")
-      .join(source.as("s"), col(s"t.$key") === col(s"s.$key"), "full_outer")
-    // Gate on the source KEY, not per-column coalesce: SQL MERGE's UPDATE
+    // Side-presence markers, not key null-tests: a NULL-keyed row on
+    // EITHER side never matches the equi-join (SQL NULL semantics), so
+    // `s.key IS NOT NULL` misreads an unmatched NULL-keyed source row as
+    // target-side (emitting all-NULLs labeled 'insert') and the symmetric
+    // test misreads a NULL-keyed target row. A literal 1 per side is
+    // NULL exactly when that side is absent, regardless of key content.
+    val joined = target.withColumn("__t", lit(1)).as("t")
+      .join(source.withColumn("__s", lit(1)).as("s"),
+        col(s"t.$key") === col(s"s.$key"), "full_outer")
+    // Gate on source PRESENCE, not per-column coalesce: SQL MERGE's UPDATE
     // assigns the source value even when it is NULL — coalesce would
     // silently keep the target's old value for an explicit NULL update.
     val merged = target.columns.map(c =>
-      when(col(s"s.$key").isNotNull, col(s"s.$c"))
+      when(col("s.__s").isNotNull, col(s"s.$c"))
         .otherwise(col(s"t.$c")).as(c))
     joined.select(merged :+
-      when(col(s"t.$key").isNull, lit("insert"))
-        .when(col(s"s.$key").isNull, lit("keep"))
+      when(col("t.__t").isNull, lit("insert"))
+        .when(col("s.__s").isNull, lit("keep"))
         .otherwise(lit("update")).as("__action"): _*)
   }
 }

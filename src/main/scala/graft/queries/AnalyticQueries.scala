@@ -127,7 +127,11 @@ object AnalyticQueries {
     // whether the user's FIRST-EVER activity falls in that week — the
     // audience-composition read behind growth accounting (q_week_churn's
     // forward-looking sibling). First-seen is one user-keyed min; the
-    // week rollup joins it back broadcast (user-count scale).
+    // week rollup joins it back on user_id — hint-free, because the
+    // first-seen relation is USER-COUNT scale (unbounded at 100×): AQE's
+    // size threshold picks broadcast when it fits and a shuffle join
+    // when it doesn't (VERDICT r13 #1 — never force-broadcast a relation
+    // that grows with the corpus).
     "q_new_returning" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("user_id"),
@@ -135,7 +139,7 @@ object AnalyticQueries {
             .as("wk"))
       val first = ev.groupBy(col("user_id"))
         .agg(min(col("wk")).as("wk0"))
-      ev.join(broadcast(first), Seq("user_id"))
+      ev.join(first, Seq("user_id"))
         .groupBy(col("wk"))
         .agg(count(lit(1)).as("n_events"),
           count_distinct(col("user_id")).as("n_users"),
@@ -761,15 +765,18 @@ object AnalyticQueries {
     // T_within = T − T_between. Per-row/-group ln chains quantized
     // DECIMAL(30,6) before their sums; μ arrives via the 1-row global
     // aggregate crossJoin (the q_mi scalar pattern); the nation leg is a
-    // ≤25-row relation. One keyed per-customer aggregate + one broadcast
-    // dim join is all the data-scale work.
+    // ≤25-row relation. One keyed per-customer aggregate + one customer
+    // dim join is all the data-scale work — the dim join carries NO
+    // broadcast hint (VERDICT r13 #1): customer grows with sf, so AQE's
+    // size threshold owns the side choice; at 100× it becomes a keyed
+    // shuffle join instead of a forced multi-GB broadcast.
     "q_theil" -> ((s, dir) => {
       val dec = "decimal(30,10)"
       val cust = t(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast(dec)).cast("double").as("x"))
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))),
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
           Seq("o_custkey"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val glob = cust.agg(count(lit(1)).as("n"),
@@ -1036,10 +1043,12 @@ object AnalyticQueries {
     // The canonical 3-way fact⋈fact⋈dim benchmark query: BUILDING
     // customers, orders placed before 1998, lineitems shipped after —
     // both date predicates and the segment filter push to their scans,
-    // the customer side broadcasts, lineitem⋈orders shuffles once on
-    // orderkey, revenue folds in DECIMAL, TakeOrderedAndProject cuts the
-    // top 10. The plan Spark should pick unaided; gated so it stays
-    // picked.
+    // lineitem⋈orders shuffles once on orderkey, revenue folds in
+    // DECIMAL, TakeOrderedAndProject cuts the top 10. The filtered
+    // customer side carries NO broadcast hint (VERDICT r13 #1): it is
+    // still ~1/5 of a relation that grows with sf, so AQE's size
+    // threshold picks broadcast while it fits and a shuffle join once
+    // it doesn't — the plan Spark picks unaided IS the point.
     "q_tpch_q3" -> ((s, dir) => {
       val c = t(s, dir, "customer")
         .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
@@ -1050,7 +1059,7 @@ object AnalyticQueries {
         .where(col("l_shipdate") >
           lit("1998-01-01 00:00:00").cast("timestamp"))
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"),
           col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
           col("o_orderpriority"))

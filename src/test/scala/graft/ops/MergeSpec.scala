@@ -46,6 +46,24 @@ class MergeSpec extends SparkSpec {
       (3L, Some("c"), Some(30.0), "keep")))
   }
 
+  test("NULL-keyed rows on either side pass through as themselves (never match)") {
+    // SQL NULL never equi-matches: a NULL-keyed source row is an insert
+    // carrying ITS values; a NULL-keyed target row is a keep. The
+    // presence-marker gate must not misread either as the other side.
+    val tgt = Seq((Option(1L), Option("a")), (Option.empty[Long], Option("tnull")))
+      .toDF("k", "name")
+    val src = Seq((Option.empty[Long], Option("snull")), (Option(9L), Option("z")))
+      .toDF("k", "name")
+    val got = Merge.upsert(tgt, src, "k")
+      .select("k", "name", "__action")
+      .as[(Option[Long], Option[String], String)].collect().toSet
+    assert(got === Set(
+      (Some(1L), Some("a"), "keep"),
+      (None, Some("tnull"), "keep"),
+      (None, Some("snull"), "insert"),
+      (Some(9L), Some("z"), "insert")))
+  }
+
   test("schema mismatch is rejected") {
     intercept[IllegalArgumentException] {
       Merge.upsert(target, target.select("k", "name"), "k")
