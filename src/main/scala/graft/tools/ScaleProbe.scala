@@ -31,8 +31,47 @@ import org.apache.spark.sql.functions._
   *    identically and stay twins). Pairs then grow ~N, not ~N², and a
   *    10× wall-clock ratio reads directly. Embeddings are replicated
   *    verbatim in both modes (the perturbed probes are the text family).
+  *  - `perturbemb` (r14): `perturb` text PLUS decorrelated replica
+  *    embeddings — replica k>0 flips the sign of each element where
+  *    hash(vec_id, k, i) is odd. Sign flips preserve every norm and the
+  *    fixture's near-random geometry while making cross-replica cosines
+  *    ≈ N(0, 1/d) noise, so replicas stop colliding into their twins'
+  *    LSH buckets — verbatim replicas are DEGENERATE for the sign-LSH
+  *    probes exactly as exact text replicas are for near-dup (every
+  *    bucket's occupancy grows ×N with identical members, forcing ~N²
+  *    candidate growth no matter the bit width). Honest "more data"
+  *    scaling for probe_knn_fixed/probe_knn_scaled.
+  *
+  * Probe-only queries (VERDICT r13 #2 — measure the documented scale
+  * levers the gated surface pins for oracle replay):
+  *  - `probe_knn_fixed` / `probe_knn_scaled`: q_knn_accuracy's agreement
+  *    relation at the gated fixed 8 bits vs `Similarity.AutoBits`
+  *    (scaledNBits ⌈log₂N⌉+2) — the lever that keeps sign-LSH candidate
+  *    volume O(N).
+  *  - `probe_image_8band` / `probe_image_16band`: q_image_neardup's pair
+  *    search at the fixed 8-bit bands vs the 16-bit super-band +
+  *    Hamming-1 multiprobe plan (`Multimodal.adaptiveSuperBandBits`'s
+  *    big-corpus choice; output-invariant, so the gated query carries
+  *    the lever adaptively).
   */
 object ScaleProbe {
+  private val probeQueries: Map[String,
+      (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "probe_knn_fixed" -> ((s, d) =>
+      graft.queries.SimilarityQueries.knnAccuracyRelation(s, d)),
+    "probe_knn_scaled" -> ((s, d) =>
+      graft.queries.SimilarityQueries.knnAccuracyRelation(
+        s, d, graft.ops.Similarity.AutoBits)),
+    "probe_image_8band" -> ((s, d) => imagePairs(s, d, 8)),
+    "probe_image_16band" -> ((s, d) => imagePairs(s, d, 16)))
+
+  private def imagePairs(s: org.apache.spark.sql.SparkSession, dir: String,
+                         superBandBits: Int) =
+    graft.ops.Multimodal.imageNearDups(
+      graft.ops.Multimodal.decodeImageDHash(s,
+        graft.ops.Multimodal.syntheticNoisePayloads(
+          s, s.read.parquet(s"$dir/documents.parquet").select("doc_id"))),
+      maxHamming = 7, superBandBits = superBandBits)
   /** Perturbed text: fraction `pctOfTokens`/100 of whitespace tokens
     * replaced by replica-keyed junk; replica 0 passes through verbatim. */
   private def perturbText(text: org.apache.spark.sql.Column,
@@ -55,7 +94,8 @@ object ScaleProbe {
       .getOrElse(Seq("q_rrf_hybrid", "q_mixture_sample"))
     val mode = args.lift(3).getOrElse("exact")
     require(factor >= 2, s"factor: $factor")
-    require(mode == "exact" || mode == "perturb" || mode == "shiftparts",
+    require(mode == "exact" || mode == "perturb" || mode == "shiftparts"
+        || mode == "perturbemb",
       s"mode: $mode")
     val spark = graft.Sessions.local("scale-probe")
     val outDir = s"target/scaleprobe/$mode-x$factor"
@@ -65,17 +105,26 @@ object ScaleProbe {
       .crossJoin(broadcast(reps))
       .withColumn("doc_id", col("doc_id") + col("rep") * 1000000000L)
     val docsOut =
-      if (mode == "perturb")
+      if (mode == "perturb" || mode == "perturbemb")
         docs.withColumn("text", perturbText(col("text"), col("rep"), 15))
       else docs
     docsOut.drop("rep").repartition(32) // ≥32 files: the replicated read
       // must not collapse to 1-2 input splits (63 MB single-file replicas
       // made every 100× leg run 1-2 tasks wide — the r13 probe wedge)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .crossJoin(broadcast(reps))
       .withColumn("vec_id", col("vec_id") + col("rep") * 1000000000L)
-      .drop("rep").repartition(32)
+    val embOut =
+      if (mode == "perturbemb")
+        embBase.withColumn("embedding",
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1), (x, i) =>
+              when(col("rep") > 0 &&
+                  pmod(hash(col("vec_id"), col("rep"), i), lit(2)) === 1,
+                -x).otherwise(x)))
+      else embBase
+    embOut.drop("rep").repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     // Fact tables for the relational/events probes (r12): row-identity
     // keys shift by rep·10¹⁰ (clear of the 10⁹ offsets q_upsert/q_cdc_diff
@@ -124,7 +173,7 @@ object ScaleProbe {
     def timed(name: String, dir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(name)(spark, dir)
+        probeQueries.getOrElse(name, graft.SparkEntry.queries(name))(spark, dir)
           .write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
