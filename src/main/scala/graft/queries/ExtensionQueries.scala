@@ -104,6 +104,43 @@ object ExtensionQueries {
               s, Tables.table(s, dir, "documents").select("doc_id"))),
           maxHamming = 7)
         .orderBy("id_a", "id_b")),
+
+    // ── REAL audio decode (javax.sound.sampled) gated analytically ──────
+    // Each doc gets a deterministic 16-bit PCM mono WAV (samples are h60
+    // closed forms of doc_id — Multimodal.NoiseAudio), the engine decodes
+    // the actual RIFF/WAV bytes back through the JDK audio stack (format
+    // asserted FROM the decoded header), and the oracle replays every
+    // sample analytically: count/rate/duration plus exact-integer-backed
+    // min/max/mean/RMS. A framing, endianness, or header bug breaks the
+    // hash. The +0.0 normalizes IEEE −0.0 (the q_knn_ci contract).
+    "q_audio_meta" -> ((s, dir) =>
+      Multimodal.decodeAudioMeta(s,
+          Multimodal.syntheticAudioPayloads(
+            s, Tables.table(s, dir, "documents").select("doc_id")))
+        .toDF()
+        .select(col("doc_id"), col("n_samples"), col("sample_rate"),
+          col("duration_ms"), col("s_min"), col("s_max"),
+          (round(col("s_sum").cast("double") / col("n_samples"), 6)
+            + lit(0.0)).as("mean_amp"),
+          round(sqrt(col("s_sumsq").cast("double") / col("n_samples")), 6)
+            .as("rms_amp"))
+        .orderBy("doc_id")),
+
+    // ── Audio near-dup via energy dHash over REAL decode ────────────────
+    // The audio-dedup stage (q_image_neardup's sibling, VERDICT r13 #4):
+    // decoded PCM → 65-frame exact energy grid → adjacent-energy gradient
+    // signs → the SAME 8-band pigeonhole pair machinery (incl. the
+    // adaptive super-band lever), recall-lossless at Hamming ≤ 7, so the
+    // brute-force oracle — replaying every sample analytically — is
+    // exactly equal. Planted variants (ids ≡ 1 mod 25, ≤3 corrupted
+    // samples) pair close; independent noise clips sit near Hamming 32.
+    "q_audio_neardup" -> ((s, dir) =>
+      Multimodal.imageNearDups(
+          Multimodal.decodeAudioDHash(s,
+            Multimodal.syntheticAudioPayloads(
+              s, Tables.table(s, dir, "documents").select("doc_id"))),
+          maxHamming = 7)
+        .orderBy("id_a", "id_b")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -188,7 +225,64 @@ object ExtensionQueries {
            FROM b a JOIN b c ON a.doc_id < c.doc_id)
          SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
          FROM p WHERE hamming <= 7 ORDER BY id_a, id_b""",
+    // the engine decodes real WAV bytes; the oracle replays the NoiseAudio
+    // sample formula (h60 in [-2000,2000] + planted-variant CASE) and the
+    // exact integer statistics — format fields are the fixture constants
+    // the decoded header must reproduce.
+    "q_audio_meta" ->
+      s"""WITH d AS (SELECT doc_id,
+             (512 + ((doc_id // 25) % 4) * 128) AS n FROM documents),
+         sm AS (SELECT doc_id, n,
+             unnest(generate_series(0, n - 1)) AS i FROM d),
+         v AS (SELECT doc_id, n, ${audioSampleSql} AS s FROM sm),
+         a AS (SELECT doc_id, CAST(max(n) AS INT) AS n_samples,
+             SUM(CAST(s AS BIGINT)) AS ssum,
+             SUM(CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS ssq,
+             CAST(min(s) AS INT) AS s_min, CAST(max(s) AS INT) AS s_max
+           FROM v GROUP BY doc_id)
+         SELECT doc_id, n_samples, 8000 AS sample_rate,
+           CAST((n_samples * 1000) // 8000 AS BIGINT) AS duration_ms,
+           s_min, s_max,
+           (ROUND(CAST(ssum AS DOUBLE) / n_samples, 6) + 0.0) AS mean_amp,
+           ROUND(sqrt(CAST(ssq AS DOUBLE) / n_samples), 6) AS rms_amp
+         FROM a ORDER BY doc_id""",
+    // brute-force replay of the energy dHash: per-sample closed forms →
+    // 65-frame exact energy grid (frame = (i*65) div n, the engine's
+    // integer arithmetic) → gradient-sign bands → band-wise Hamming.
+    "q_audio_neardup" ->
+      s"""WITH d AS (SELECT doc_id,
+             (512 + ((doc_id // 25) % 4) * 128) AS n FROM documents),
+         sm AS (SELECT doc_id, n,
+             unnest(generate_series(0, n - 1)) AS i FROM d),
+         v AS (SELECT doc_id, (i * 65) // n AS k,
+             ${audioSampleSql} AS s FROM sm),
+         e AS (SELECT doc_id, k,
+             SUM(CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS en
+           FROM v GROUP BY doc_id, k),
+         bl AS (SELECT doc_id, list(en ORDER BY k) AS es FROM e
+           GROUP BY doc_id),
+         b AS (SELECT doc_id, list_transform(generate_series(0,7), y ->
+             list_sum(list_transform(generate_series(0,7), x ->
+               CASE WHEN es[8*y + x + 2] > es[8*y + x + 1]
+               THEN (1<<x) ELSE 0 END))) AS bands FROM bl),
+         p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           list_sum(list_transform(generate_series(1,8), i ->
+             bit_count(xor(a.bands[i], c.bands[i])))) AS hamming
+           FROM b a JOIN b c ON a.doc_id < c.doc_id)
+         SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+         FROM p WHERE hamming <= 7 ORDER BY id_a, id_b""",
   )
+
+  /** DuckDB replay of one [[Multimodal.NoiseAudio]] sample: the h60 hash
+    * of "aud:id:i" in [−2000, 2000], with the planted-variant CASE
+    * (ids ≡ 1 mod 25 take id−1's samples except where i % 331 == 0). */
+  private def audioSampleSql: String = {
+    def h(id: String) = "((" + graft.functions.Hashes.h60Sql(
+      s"'aud:'||CAST($id AS VARCHAR)||':'||CAST(i AS VARCHAR)") +
+      " % 4001) - 2000)"
+    s"(CASE WHEN doc_id % 25 = 1 AND i % 331 <> 0 " +
+      s"THEN ${h("(doc_id - 1)")} ELSE ${h("doc_id")} END)"
+  }
 
   /** DuckDB replay of one [[Multimodal.NoiseImages]] pixel: the h60 low
     * byte with the planted-variant CASE (ids ≡ 1 mod 25 take id−1's
