@@ -317,4 +317,58 @@ object Classify {
           .as("kl_ba"))
       .orderBy(col("label_a"), col("label_b"))
   }
+
+  /** Pairwise Jensen-Shannon divergence between the same smoothed hashed
+    * unigram distributions [[domainDivergence]] compares by KL — the
+    * SYMMETRIC, bounded ([0, ln 2]) domain distance mixture design
+    * actually wants (KL explodes when one domain lacks the other's mass;
+    * JS against the midpoint M = ½(P+Q) never does). Same exactness
+    * discipline: per-bucket logs quantized DECIMAL(12,6) — ln p from the
+    * smoothed rational, ln m from the one fixed IEEE chain over both
+    * sides' rationals — multiplied by exact integer counts and summed in
+    * decimal, one closing division per side. Same plan shape too: one
+    * bucket-keyed aggregate, the B × C grid explode, a bucket-keyed pair
+    * join (B·C² rows — bounded by the bucket grid, never corpus-scale).
+    */
+  def domainJsDivergence(df: DataFrame, featsCol: Column, labelCol: String,
+                         buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets: $buckets")
+    val f = df
+      .select(col(labelCol).cast("string").as("lbl"), explode(featsCol).as("fh"))
+      .withColumn("b", pmod(col("fh"), lit(buckets.toLong)))
+    val cnt = f.groupBy(col("lbl"), col("b")).agg(count(lit(1)).as("cnt"))
+    val tot = cnt.groupBy(col("lbl")).agg(sum(col("cnt")).as("tot"))
+    val grid = tot
+      .select(col("lbl"), col("tot"),
+        explode(sequence(lit(0L), lit(buckets - 1L))).as("b"))
+      .join(cnt, Seq("lbl", "b"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .select(col("lbl"), col("b"), col("tot"),
+        col("cnt").cast("decimal(19,0)").as("cnt"),
+        round(log((col("cnt") + 1).cast("double")
+            / (col("tot") + buckets).cast("double")), 6)
+          .cast("decimal(12,6)").as("lnp"))
+    val a = grid.select(col("lbl").as("label_a"), col("b"),
+      col("cnt").as("cnt_a"), col("tot").as("tot_a"), col("lnp").as("lnp_a"))
+    val c = grid.select(col("lbl").as("label_b"), col("b"),
+      col("cnt").as("cnt_b"), col("tot").as("tot_b"), col("lnp").as("lnp_b"))
+    a.join(c, Seq("b")).where(col("label_a") < col("label_b"))
+      .withColumn("lnm",
+        round(log(lit(0.5) *
+            ((col("cnt_a") + 1).cast("double")
+                / (col("tot_a") + buckets).cast("double")
+              + (col("cnt_b") + 1).cast("double")
+                / (col("tot_b") + buckets).cast("double"))), 6)
+          .cast("decimal(12,6)"))
+      .groupBy(col("label_a"), col("label_b"), col("tot_a"), col("tot_b"))
+      .agg(
+        sum((col("cnt_a") + 1) * (col("lnp_a") - col("lnm"))).as("num_a"),
+        sum((col("cnt_b") + 1) * (col("lnp_b") - col("lnm"))).as("num_b"))
+      .select(col("label_a"), col("label_b"),
+        round(lit(0.5) *
+          (col("num_a").cast("double") / (col("tot_a") + buckets)
+            + col("num_b").cast("double") / (col("tot_b") + buckets)), 6)
+          .as("js"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
 }

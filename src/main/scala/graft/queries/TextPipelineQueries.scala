@@ -1412,6 +1412,69 @@ object TextPipelineQueries {
           transform(TextAnalysis.tokens(col("text")), t => Hashes.h60(t))),
         col("feats"), "source", buckets = 256)),
 
+    // ── Pairwise domain JS divergence (symmetric, bounded) ──────────────
+    // q_domain_kl's symmetric sibling: Jensen-Shannon over the same
+    // smoothed hashed-unigram distributions — bounded [0, ln 2], defined
+    // even when one domain entirely lacks the other's mass, which makes
+    // it the distance a mixture-weight optimizer can actually minimize
+    // (Classify.domainJsDivergence; same grid plan, C·B² bounded pair
+    // relation, decimal-exact numerators).
+    "q_js_divergence" -> ((s, dir) =>
+      Classify.domainJsDivergence(
+        docs(s, dir).withColumn("feats",
+          transform(TextAnalysis.tokens(col("text")), t => Hashes.h60(t))),
+        col("feats"), "source", buckets = 256)),
+
+    // ── χ² feature selection per source (distinctive-term report) ───────
+    // The classic feature-selection table next to q_log_odds' Dirichlet
+    // z-scores: per (source, token) the 2×2 presence contingency (docs in
+    // source containing the token vs the rest), χ² = N(ad−bc)²/
+    // ((a+b)(c+d)(a+c)(b+d)), top-10 per source among tokens present in
+    // the source with overall df ≥ 5. Counts are exact int64 from ONE
+    // doc-distinct token explode + keyed aggregate (persisted — it feeds
+    // the per-token marginal too); per-row χ² is one fixed IEEE chain
+    // rounded 6 (products ≤ N² fit int64 through sf0.1×100; the
+    // DECIMAL(38,0) upgrade is the documented 100 TB swap). Ranking on
+    // the ROUNDED value, token tiebreak, so both engines rank the same
+    // relation.
+    "q_chisq_feature" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val dp = d.select(col("doc_id"), col("source"),
+          explode(array_distinct(TextAnalysis.tokens(col("text"))))
+            .as("token"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val st = dp.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("n_docs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val g = st.groupBy(col("token")).agg(sum(col("n_docs")).as("df"))
+      val ns = d.groupBy(col("source")).agg(count(lit(1)).as("nsrc"))
+      val nn = d.agg(count(lit(1)).as("nn"))
+      val aC = col("n_docs")
+      val bC = col("df") - col("n_docs")
+      val cC = col("nsrc") - col("n_docs")
+      val dC = col("nn") - col("nsrc") - bC
+      val diff = (aC * dC - bC * cC).cast("double")
+      val chi2 = round(
+        col("nn").cast("double") * diff * diff /
+          ((aC + bC).cast("double") * (cC + dC).cast("double")
+            * (aC + cC).cast("double") * (bC + dC).cast("double")), 6)
+      st.join(g, Seq("token"))
+        .join(broadcast(ns), Seq("source")) // #sources rows
+        .crossJoin(broadcast(nn)) // 1-row corpus doc total
+        // df < N: a token in EVERY doc has an empty "absent" margin
+        // (c+d = 0 → 0/0) and carries no signal anyway
+        .where(col("df") >= 5 && col("df") < col("nn"))
+        .select(col("source"), col("token"), col("n_docs"), col("df"),
+          chi2.as("chi2"))
+        .select(col("source"), col("token"), col("n_docs"), col("df"),
+          col("chi2"),
+          row_number().over(W.partitionBy(col("source"))
+            .orderBy(desc("chi2"), col("token"))).as("rank"))
+        .where(col("rank") <= 10)
+        .orderBy("source", "rank")
+    }),
+
     // ── Per-language quality-quantile gate (FineWeb-style) ──────────────
     // Keep docs at or above their language's 75th quality percentile —
     // thresholding by per-group quantile instead of a global constant.
@@ -3258,6 +3321,71 @@ object TextPipelineQueries {
           JOIN tot ta ON ta.lbl = label_a
           JOIN tot tb ON tb.lbl = label_b
           ORDER BY label_a, label_b""",
+    "q_js_divergence" ->
+      s"""WITH hs AS (
+            SELECT source AS lbl,
+              list_transform($ToksSql, t -> ${h60("t")}) AS hsarr
+            FROM documents),
+          fb AS (SELECT lbl, unnest(hsarr) % 256 AS b FROM hs),
+          cnt AS (SELECT lbl, b, count(*) AS cnt FROM fb GROUP BY 1, 2),
+          tot AS (SELECT lbl, CAST(count(*) AS BIGINT) AS tot FROM fb GROUP BY 1),
+          grid AS (
+            SELECT t.lbl, g.b, t.tot,
+              CAST(coalesce(c.cnt, 0) AS DECIMAL(19,0)) AS cnt,
+              CAST(ROUND(ln(CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE)
+                  / CAST(t.tot + 256 AS DOUBLE)), 6) AS DECIMAL(12,6)) AS lnp
+            FROM tot t
+            CROSS JOIN generate_series(0, 255) g(b)
+            LEFT JOIN cnt c ON c.lbl = t.lbl AND c.b = g.b),
+          pm AS (
+            SELECT a.lbl AS label_a, q.lbl AS label_b,
+              a.tot AS tot_a, q.tot AS tot_b,
+              a.cnt AS cnt_a, q.cnt AS cnt_b,
+              a.lnp AS lnp_a, q.lnp AS lnp_b,
+              CAST(ROUND(ln(CAST(0.5 AS DOUBLE) *
+                  (CAST(a.cnt + 1 AS DOUBLE) / CAST(a.tot + 256 AS DOUBLE)
+                   + CAST(q.cnt + 1 AS DOUBLE) / CAST(q.tot + 256 AS DOUBLE))), 6)
+                AS DECIMAL(12,6)) AS lnm
+            FROM grid a JOIN grid q ON a.b = q.b AND a.lbl < q.lbl),
+          pairs AS (
+            SELECT label_a, label_b, tot_a, tot_b,
+              SUM((cnt_a + 1) * (lnp_a - lnm)) AS num_a,
+              SUM((cnt_b + 1) * (lnp_b - lnm)) AS num_b
+            FROM pm GROUP BY 1, 2, 3, 4)
+          SELECT label_a, label_b,
+            ROUND(CAST(0.5 AS DOUBLE) *
+              (CAST(num_a AS DOUBLE) / (tot_a + 256)
+               + CAST(num_b AS DOUBLE) / (tot_b + 256)), 6) AS js
+          FROM pairs ORDER BY label_a, label_b""",
+    "q_chisq_feature" ->
+      s"""WITH dp AS (
+            SELECT doc_id, source, unnest(list_distinct($ToksSql)) AS token
+            FROM documents),
+          st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n_docs
+            FROM dp GROUP BY 1, 2),
+          g AS (SELECT token, CAST(SUM(n_docs) AS BIGINT) AS df
+            FROM st GROUP BY 1),
+          ns AS (SELECT source, CAST(count(*) AS BIGINT) AS nsrc
+            FROM documents GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+          sc AS (
+            SELECT st.source, st.token, st.n_docs, g.df,
+              st.n_docs AS a, g.df - st.n_docs AS b,
+              ns.nsrc - st.n_docs AS c,
+              nn - ns.nsrc - (g.df - st.n_docs) AS d, nn
+            FROM st JOIN g USING (token) JOIN ns USING (source) CROSS JOIN n
+            WHERE g.df >= 5 AND g.df < nn),
+          x AS (
+            SELECT source, token, n_docs, df,
+              ROUND(CAST(nn AS DOUBLE) * CAST(a*d - b*c AS DOUBLE)
+                  * CAST(a*d - b*c AS DOUBLE)
+                / (CAST(a+b AS DOUBLE) * CAST(c+d AS DOUBLE)
+                   * CAST(a+c AS DOUBLE) * CAST(b+d AS DOUBLE)), 6) AS chi2
+            FROM sc)
+          SELECT source, token, n_docs, df, chi2, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY chi2 DESC, token ASC) AS rank FROM x)
+          WHERE rank <= 10 ORDER BY source, rank""",
     // Per-language q75 threshold (quantile_cont ↔ percentile — the
     // q_percentiles portability result) + the q_quality feature/score CTE.
     "q_quality_quantile" -> {
