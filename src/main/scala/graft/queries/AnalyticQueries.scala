@@ -152,6 +152,83 @@ object AnalyticQueries {
         .orderBy("wk")
     }),
 
+    // ── Wilcoxon signed-rank (paired two-sample test, exact midranks) ───
+    // The PAIRED member of the rank family (q_mannwhitney is the
+    // independent one): per customer, H1-month spend vs H2-month spend
+    // across the order history; zero diffs drop (standard Wilcoxon), W⁺
+    // accumulates in DOUBLED midranks so every sum is an exact int64 (a
+    // tied |d| group's 2·avg-rank is start+end — the q_mannwhitney
+    // contract), and the normal z closes in one IEEE chain. |d| ranking
+    // uses Ranks.globalCumWeight over the per-|d| grouped relation — the
+    // distributed order-statistics kernel, NOT a constant-key window, so
+    // the rank pass survives a customer count that grows with the data.
+    "q_wilcoxon" -> ((s, dir) => {
+      val dec = "decimal(30,10)"
+      val diffs = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg((sum(when(month(col("o_orderdate")) <= 6,
+              col("o_totalprice")).otherwise(0.0).cast(dec))
+            - sum(when(month(col("o_orderdate")) > 6,
+              col("o_totalprice")).otherwise(0.0).cast(dec))).as("d"))
+        .where(col("d") =!= 0)
+      val grp = diffs.groupBy(abs(col("d")).as("absd"))
+        .agg(count(lit(1)).as("c"),
+          sum(when(col("d") > 0, 1L).otherwise(0L)).as("p"))
+        // feeds the rank kernel AND the join back
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cum = graft.ops.Ranks.globalCumWeight(
+          grp, col("absd"), col("absd"), col("c"))
+        .select(col("x").as("absd"), col("cumw").cast("long").as("cc"),
+          col("totw").cast("long").as("n"))
+      grp.join(cum, Seq("absd"))
+        // group's doubled rank-sum for positives: p · (2·C − c + 1)
+        .select(col("n"),
+          (col("p") * (lit(2L) * col("cc") - col("c") + 1L)).as("w2g"))
+        .groupBy(col("n"))
+        .agg(sum(col("w2g")).as("w2_plus"))
+        .select(col("n").as("n_pairs"), col("w2_plus"),
+          round((col("w2_plus") - col("n") * (col("n") + 1L) / 2L)
+              .cast("double") /
+            sqrt((col("n") * (col("n") + 1L) * (lit(2L) * col("n") + 1L))
+              .cast("double") / 6.0), 6).as("z"))
+    }),
+
+    // ── Empirical-Bayes rate shrinkage (beta-binomial, MoM prior) ───────
+    // Per-part return rate shrunk toward the corpus prior — the estimator
+    // that stops a 3-of-4 part from outranking a 900-of-1200 one in any
+    // rate leaderboard. Method-of-moments prior from the per-part rate
+    // distribution: rates quantize DECIMAL(12,6) so their mean/variance
+    // accumulate exactly in decimal; α+β = m(1−m)/v − 1 and the per-part
+    // posterior mean (k+α)/(n+α+β) close in fixed IEEE chains rounded 6.
+    // One keyed aggregate + the 1-row prior crossJoin — the q_mi scalar
+    // pattern; nothing data-scale crosses the driver.
+    "q_eb_shrinkage" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("n_returns"))
+        .withColumn("rate",
+          round(col("n_returns").cast("double") / col("n_items"), 6))
+        // feeds the prior aggregate AND the scored output
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pri = li.agg(count(lit(1)).as("g"),
+          sum(col("rate").cast("decimal(12,6)")).as("s1"),
+          sum((col("rate").cast("decimal(12,6)")
+            * col("rate").cast("decimal(12,6)"))).as("s2"))
+      val m = col("s1").cast("double") / col("g")
+      val v = (col("s2").cast("double")
+        - col("s1").cast("double") * col("s1").cast("double") / col("g")) /
+        (col("g") - 1L)
+      val ab = m * (lit(1.0) - m) / v - lit(1.0)
+      li.crossJoin(broadcast(pri)) // 1-row prior
+        .select(col("l_partkey"), col("n_items"), col("n_returns"),
+          col("rate").as("rate_raw"),
+          round((col("n_returns") + m * ab) / (col("n_items") + ab), 6)
+            .as("rate_eb"))
+        .orderBy("l_partkey")
+    }),
+
     // ── Hill tail-index estimator (how heavy is the heavy tail) ─────────
     // The power-law exponent of customer revenue from the top-k order
     // statistics: α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) (Hill 1975, the standard
@@ -1719,6 +1796,47 @@ object AnalyticQueries {
     s"ROUND(CAST(SUM(CAST($expr AS DECIMAL(28,10))) AS DOUBLE), $scale) AS $as"
 
   val oracles: Map[String, String] = Map(
+    "q_wilcoxon" ->
+      """WITH d0 AS (
+           SELECT o_custkey,
+             SUM(CAST(CASE WHEN month(o_orderdate) <= 6 THEN o_totalprice
+                 ELSE 0.0 END AS DECIMAL(30,10)))
+             - SUM(CAST(CASE WHEN month(o_orderdate) > 6 THEN o_totalprice
+                 ELSE 0.0 END AS DECIMAL(30,10))) AS d
+           FROM orders GROUP BY 1),
+         dd AS (SELECT d FROM d0 WHERE d <> 0),
+         grp AS (SELECT abs(d) AS absd, CAST(count(*) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p
+           FROM dd GROUP BY 1),
+         cum AS (SELECT absd, c, p, SUM(c) OVER (ORDER BY absd) AS cc,
+             SUM(c) OVER () AS n FROM grp),
+         st AS (SELECT CAST(max(n) AS BIGINT) AS n,
+             CAST(SUM(p * (2*cc - c + 1)) AS BIGINT) AS w2_plus FROM cum)
+         SELECT n AS n_pairs, w2_plus,
+           ROUND(CAST(w2_plus - n*(n+1)//2 AS DOUBLE)
+             / sqrt(CAST(n*(n+1)*(2*n+1) AS DOUBLE) / CAST(6 AS DOUBLE)), 6)
+             AS z
+         FROM st""",
+    "q_eb_shrinkage" ->
+      """WITH li AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_items,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_returns
+           FROM lineitem GROUP BY 1),
+         lr AS (SELECT *, ROUND(CAST(n_returns AS DOUBLE) / n_items, 6)
+             AS rate FROM li),
+         pri AS (SELECT CAST(count(*) AS BIGINT) AS g,
+             SUM(CAST(rate AS DECIMAL(12,6))) AS s1,
+             SUM(CAST(rate AS DECIMAL(12,6)) * CAST(rate AS DECIMAL(12,6)))
+               AS s2 FROM lr),
+         pp AS (SELECT g, CAST(s1 AS DOUBLE)/g AS m,
+             (CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/g) / (g - 1) AS v
+           FROM pri),
+         pr AS (SELECT m,
+             m*(CAST(1 AS DOUBLE)-m)/v - CAST(1 AS DOUBLE) AS ab FROM pp)
+         SELECT l_partkey, n_items, n_returns, rate AS rate_raw,
+           ROUND((n_returns + m*ab) / (n_items + ab), 6) AS rate_eb
+         FROM lr CROSS JOIN pr ORDER BY l_partkey""",
     "q_window_rank" ->
       """SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
            SELECT c_mktsegment, c_custkey, c_acctbal,
