@@ -1774,6 +1774,89 @@ object AnalyticQueries {
     // pass + one aggregate + one from-state-partitioned share window
     // over the |states|² relation — the user-behavior kernel session
     // simulators and next-event models start from.
+    // ── Sequential probability ratio test per event type (SPRT) ─────────
+    // The always-valid sequential monitor the fixed-horizon q_ab_test
+    // family can't give: per event type, each event is a Bernoulli trial
+    // (value > 35), H₀ p=0.45 vs H₁ p=0.55, and the Wald LLR walk
+    // ln(.55/.45)·(2h−k) is tracked to the ±ln 19 boundaries (α=β=0.05).
+    // The log-ratio constant is QUANTIZED to 0.200671 (= round(ln(11/9),
+    // 6)) and the boundary to 2.944439, so the walk is an exact
+    // decimal·integer product both engines replay bit-equal; first
+    // boundary crossing and the closing LLR come from one per-type
+    // ordered window (sequential testing is inherently a per-stream
+    // ordered scan — type count is bounded, and at production scale this
+    // exact recurrence is the streaming monitor's state update).
+    "q_sprt" -> ((s, dir) => {
+      val c1 = lit(new java.math.BigDecimal("0.200671"))
+      val bnd = lit(new java.math.BigDecimal("2.944439"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val r = Tables.events(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          when(col("value") > 35.0, 1L).otherwise(0L).as("hit"))
+        .select(col("event_type"),
+          row_number().over(w).cast("long").as("k"),
+          sum(col("hit")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("h"))
+        .withColumn("llr", c1 * (lit(2L) * col("h") - col("k")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val crossed = r.where(col("llr") >= bnd || col("llr") <= -bnd)
+        .groupBy(col("event_type"))
+        .agg(min(struct(col("k"), col("llr"))).as("fc"))
+      val fin = r.groupBy(col("event_type"))
+        .agg(max(col("k")).as("n_events"),
+          max(struct(col("k"), col("llr"))).getField("llr").as("llr_fin"))
+      fin.join(crossed, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_events"),
+          coalesce(col("fc.k"), lit(-1L)).as("first_cross_k"),
+          when(col("fc").isNull, "continue")
+            .when(col("fc.llr") > 0, "accept_h1")
+            .otherwise("accept_h0").as("decision"),
+          round(col("llr_fin").cast("double"), 6).as("llr_final"))
+        .orderBy("event_type")
+    }),
+
+    // ── Markov stationary distribution (3-step power iteration) ─────────
+    // Where does user attention settle: q_markov_chain's row-normalized
+    // transition matrix (end-state transitions dropped — conditioning on
+    // continuation), uniform start, three exact power-iteration steps.
+    // Matrix cells and π components quantize DECIMAL(12,6) each step
+    // (products accumulate in DECIMAL(24,12) — order-free), so both
+    // engines walk the identical vector. The data-scale work is the ONE
+    // lead()+aggregate building the matrix; the iteration runs on the
+    // |types|² relation.
+    "q_markov_stationary" -> ((s, dir) => {
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val dec6 = "decimal(12,6)"
+      val p = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(wU).as("to_type"))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("from_type"), col("to_type"),
+          round(col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(col("from_type"))), 6)
+            .cast(dec6).as("p"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val states = p.select(col("from_type").as("state")).distinct()
+      val pi0 = states
+        .crossJoin(broadcast(states.agg(count(lit(1)).as("ns")))) // 1 row
+        .select(col("state"),
+          round(lit(1.0) / col("ns"), 6).cast(dec6).as("pi"))
+      val pi3 = (1 to 3).foldLeft(pi0) { (pi, _) =>
+        p.join(pi, col("from_type") === col("state"))
+          .groupBy(col("to_type"))
+          .agg(round(sum((col("pi") * col("p")).cast("decimal(24,12)"))
+            .cast("double"), 6).cast(dec6).as("pi"))
+          .select(col("to_type").as("state"), col("pi"))
+      }
+      pi3.select(col("state"), col("pi").cast("double").as("pi3"))
+        .orderBy("state")
+    }),
+
     "q_markov_chain" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -1817,6 +1900,65 @@ object AnalyticQueries {
              / sqrt(CAST(n*(n+1)*(2*n+1) AS DOUBLE) / CAST(6 AS DOUBLE)), 6)
              AS z
          FROM st""",
+    "q_sprt" ->
+      """WITH ev AS (SELECT event_type, ts, event_id,
+             CASE WHEN value > 35.0 THEN 1 ELSE 0 END AS hit FROM events),
+         r AS (SELECT event_type,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY ts, event_id) AS k,
+             SUM(hit) OVER (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS h
+           FROM ev),
+         l AS (SELECT event_type, k,
+             CAST(0.200671 AS DECIMAL(12,6)) * (2*h - k) AS llr FROM r),
+         c AS (SELECT event_type, min(k) AS first_cross_k FROM l
+           WHERE llr >= CAST(2.944439 AS DECIMAL(12,6))
+              OR llr <= -CAST(2.944439 AS DECIMAL(12,6)) GROUP BY 1),
+         cd AS (SELECT l.event_type, c.first_cross_k, l.llr AS cross_llr
+           FROM c JOIN l ON l.event_type = c.event_type
+             AND l.k = c.first_cross_k),
+         f AS (SELECT event_type, max(k) AS n_events FROM l GROUP BY 1),
+         fl AS (SELECT l.event_type, f.n_events, l.llr AS llr_final
+           FROM f JOIN l ON l.event_type = f.event_type
+             AND l.k = f.n_events)
+         SELECT fl.event_type, fl.n_events,
+           COALESCE(cd.first_cross_k, -1) AS first_cross_k,
+           CASE WHEN cd.first_cross_k IS NULL THEN 'continue'
+             WHEN cd.cross_llr > 0 THEN 'accept_h1'
+             ELSE 'accept_h0' END AS decision,
+           ROUND(CAST(fl.llr_final AS DOUBLE), 6) AS llr_final
+         FROM fl LEFT JOIN cd ON cd.event_type = fl.event_type
+         ORDER BY fl.event_type""",
+    "q_markov_stationary" ->
+      """WITH tr AS (SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events),
+         cnt AS (SELECT from_type, to_type, count(*) AS n FROM tr
+           WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         p AS (SELECT from_type, to_type,
+             CAST(ROUND(CAST(n AS DOUBLE) /
+               SUM(n) OVER (PARTITION BY from_type), 6)
+               AS DECIMAL(12,6)) AS p
+           FROM cnt),
+         s0 AS (SELECT DISTINCT from_type AS state FROM p),
+         ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM s0),
+         pi0 AS (SELECT state,
+             CAST(ROUND(CAST(1 AS DOUBLE) / ns, 6) AS DECIMAL(12,6)) AS pi
+           FROM s0 CROSS JOIN ns),
+         pi1 AS (SELECT p.to_type AS state,
+             CAST(ROUND(CAST(SUM(CAST(pi.pi * p.p AS DECIMAL(24,12)))
+               AS DOUBLE), 6) AS DECIMAL(12,6)) AS pi
+           FROM p JOIN pi0 pi ON pi.state = p.from_type GROUP BY 1),
+         pi2 AS (SELECT p.to_type AS state,
+             CAST(ROUND(CAST(SUM(CAST(pi.pi * p.p AS DECIMAL(24,12)))
+               AS DOUBLE), 6) AS DECIMAL(12,6)) AS pi
+           FROM p JOIN pi1 pi ON pi.state = p.from_type GROUP BY 1),
+         pi3 AS (SELECT p.to_type AS state,
+             CAST(ROUND(CAST(SUM(CAST(pi.pi * p.p AS DECIMAL(24,12)))
+               AS DOUBLE), 6) AS DECIMAL(12,6)) AS pi
+           FROM p JOIN pi2 pi ON pi.state = p.from_type GROUP BY 1)
+         SELECT state, CAST(pi AS DOUBLE) AS pi3 FROM pi3 ORDER BY state""",
     "q_eb_shrinkage" ->
       """WITH li AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_items,
              CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
