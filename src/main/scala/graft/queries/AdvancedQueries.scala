@@ -419,6 +419,94 @@ object AdvancedQueries {
         .orderBy(desc("clustering"), col("node")).limit(100)
     }),
 
+    // ── Modularity of the brand partition over the co-purchase graph ────
+    // Does the catalog's own taxonomy explain the co-purchase structure —
+    // the community-quality score (Newman Q) for the p_brand partition:
+    // per brand, Q_c = m_c/m − (d_c/2m)², from exact integer edge/degree
+    // counts over the same support-floored pairs relation as q_triangles
+    // (persisted — it feeds within-count, degree sums, and node counts);
+    // one double chain per ≤|brands| row, the 1-row edge total broadcast.
+    // Σ Q_c near 0 ⇒ brands are not communities here — itself the read.
+    "q_modularity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("sup"))
+        .where(col("sup") >= 2)
+        .select(col("src"), col("dst"))
+      val br = t(s, dir, "part")
+      val e = pairs
+        .join(br.select(col("p_partkey").as("src"),
+          col("p_brand").as("brand_src")), Seq("src"))
+        .join(br.select(col("p_partkey").as("dst"),
+          col("p_brand").as("brand_dst")), Seq("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m = e.agg(count(lit(1)).as("m"))
+      val mc = e.where(col("brand_src") === col("brand_dst"))
+        .groupBy(col("brand_src").as("brand"))
+        .agg(count(lit(1)).as("m_within"))
+      val dc = e.select(col("brand_src").as("brand"))
+        .unionByName(e.select(col("brand_dst").as("brand")))
+        .groupBy(col("brand")).agg(count(lit(1)).as("deg_sum"))
+      val nn = e.select(col("src").as("node"), col("brand_src").as("brand"))
+        .unionByName(e.select(col("dst").as("node"),
+          col("brand_dst").as("brand")))
+        .distinct().groupBy(col("brand")).agg(count(lit(1)).as("n_nodes"))
+      val x = col("deg_sum").cast("double") / (lit(2L) * col("m"))
+      dc.join(nn, Seq("brand"))
+        .join(mc, Seq("brand"), "left").na.fill(0L, Seq("m_within"))
+        .crossJoin(broadcast(m)) // 1-row edge total
+        .select(col("brand"), col("n_nodes"), col("m_within"), col("deg_sum"),
+          round(col("m_within").cast("double") / col("m") - x * x, 6)
+            .as("q_contrib"))
+        .orderBy("brand")
+    }),
+
+    // ── Seeded label propagation over the co-purchase graph ─────────────
+    // Semi-supervised community assignment: 10% of graph parts (partkey ≡
+    // 0 mod 10) seed with their p_brand, then two synchronous rounds —
+    // each still-unlabeled node takes the MAJORITY label among its
+    // labeled neighbors (count desc, label asc tiebreak — total order, so
+    // the sweep is deterministic), assigned nodes keep their label. The
+    // Pregel shape: per round one keyed neighbor join + one keyed
+    // majority window + an anti-join guard; rounds bound the plan, the
+    // frontier relation is node-scale. The transductive labeling pass a
+    // catalog-completion pipeline runs where most nodes lack metadata.
+    "q_label_prop" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("sup"))
+        .where(col("sup") >= 2)
+        .select(col("src"), col("dst"))
+      val sym = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nodes = sym.select(col("src").as("node")).distinct()
+      val seeds = nodes
+        .join(t(s, dir, "part").select(col("p_partkey").as("node"),
+          col("p_brand").as("label")), Seq("node"))
+        .where(col("node") % 10 === 0)
+      val labels = (1 to 2).foldLeft(seeds) { (lab, _) =>
+        val votes = sym
+          .join(lab.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        val newly = votes
+          .join(lab.select(col("node").as("dst")), Seq("dst"), "left_anti")
+          .withColumn("rn", row_number().over(W.partitionBy(col("dst"))
+            .orderBy(desc("cnt"), asc("label"))))
+          .where(col("rn") === 1)
+          .select(col("dst").as("node"), col("label"))
+        lab.unionByName(newly)
+      }
+      labels.orderBy("node")
+    }),
+
     // ── Bounded BFS from the smallest part (reachability profile) ───────
     // How far does influence travel in the co-purchase graph: per hop
     // count ≤ 4 from the minimum part key, node counts and the min node
@@ -836,6 +924,63 @@ object AdvancedQueries {
           SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
           FROM corners GROUP BY node
           ORDER BY n_triangles DESC, node LIMIT 100""",
+    "q_modularity" ->
+      """WITH pairs AS (
+            SELECT x.l_partkey AS a, y.l_partkey AS b
+            FROM lineitem x
+            JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+                           AND x.l_partkey < y.l_partkey
+            GROUP BY a, b HAVING count(*) >= 2),
+          e AS (
+            SELECT pr.a AS src, pr.b AS dst,
+              p1.p_brand AS brand_src, p2.p_brand AS brand_dst
+            FROM pairs pr
+            JOIN part p1 ON p1.p_partkey = pr.a
+            JOIN part p2 ON p2.p_partkey = pr.b),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+          mc AS (SELECT brand_src AS brand, CAST(count(*) AS BIGINT)
+              AS m_within FROM e WHERE brand_src = brand_dst GROUP BY 1),
+          dc AS (SELECT brand, CAST(count(*) AS BIGINT) AS deg_sum FROM (
+              SELECT brand_src AS brand FROM e
+              UNION ALL SELECT brand_dst FROM e) GROUP BY 1),
+          nn AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_nodes FROM (
+              SELECT DISTINCT node, brand FROM (
+                SELECT src AS node, brand_src AS brand FROM e
+                UNION ALL SELECT dst, brand_dst FROM e)) GROUP BY 1)
+          SELECT dc.brand, nn.n_nodes,
+            CAST(COALESCE(mc.m_within, 0) AS BIGINT) AS m_within, dc.deg_sum,
+            ROUND(CAST(COALESCE(mc.m_within, 0) AS DOUBLE) / m
+              - (CAST(dc.deg_sum AS DOUBLE) / (2*m))
+                * (CAST(dc.deg_sum AS DOUBLE) / (2*m)), 6) AS q_contrib
+          FROM dc JOIN nn USING (brand) LEFT JOIN mc USING (brand)
+          CROSS JOIN m ORDER BY dc.brand""",
+    "q_label_prop" ->
+      """WITH pairs AS (
+            SELECT x.l_partkey AS a, y.l_partkey AS b
+            FROM lineitem x
+            JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+                           AND x.l_partkey < y.l_partkey
+            GROUP BY a, b HAVING count(*) >= 2),
+          sym AS (SELECT a AS src, b AS dst FROM pairs
+            UNION ALL SELECT b, a FROM pairs),
+          nodes AS (SELECT DISTINCT src AS node FROM sym),
+          l0 AS (SELECT n.node, p.p_brand AS label FROM nodes n
+            JOIN part p ON p.p_partkey = n.node WHERE n.node % 10 = 0),
+          v1 AS (SELECT s.dst AS node, l.label, count(*) AS cnt
+            FROM sym s JOIN l0 l ON l.node = s.src GROUP BY 1, 2),
+          n1 AS (SELECT node, label FROM (
+              SELECT node, label, row_number() OVER (PARTITION BY node
+                ORDER BY cnt DESC, label ASC) AS rn
+              FROM v1 WHERE node NOT IN (SELECT node FROM l0)) WHERE rn = 1),
+          l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM n1),
+          v2 AS (SELECT s.dst AS node, l.label, count(*) AS cnt
+            FROM sym s JOIN l1 l ON l.node = s.src GROUP BY 1, 2),
+          n2 AS (SELECT node, label FROM (
+              SELECT node, label, row_number() OVER (PARTITION BY node
+                ORDER BY cnt DESC, label ASC) AS rn
+              FROM v2 WHERE node NOT IN (SELECT node FROM l1)) WHERE rn = 1),
+          l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM n2)
+          SELECT node, label FROM l2 ORDER BY node""",
     // unrolled level-synchronous frontiers (EXCEPT = the anti-join dedup).
     "q_bfs" ->
       """WITH canon AS (
