@@ -191,6 +191,66 @@ object AdvancedQueries {
             expr("percentile(l_quantity, 0.5)")) <= 2.0).as("p50_approx_ok"))
         .orderBy("l_returnflag")),
 
+    // ── Exact GLOBAL deciles on the distributed rank kernel ─────────────
+    // q_percentiles is per-group (bounded groups own their sorts); the
+    // GLOBAL exact quantile is the one that degenerates into a single
+    // all-data sort task unless ranked distributively — this is
+    // Ranks.globalRank (range-partition + local rank + ≤numParts offset
+    // collect) selecting the type-1 (lower inverse-CDF) decile values at
+    // ranks ⌈q·n⌉, q ∈ {0.1..0.9}. The target relation is 9 rows joined
+    // keyed on rank; nothing data-scale leaves the executors. Tie order
+    // (price, orderkey·8+linenumber) is total, so both engines pick the
+    // identical row even among equal prices.
+    "q_global_quantiles" -> ((s, dir) => {
+      val ranks = graft.ops.Ranks.globalRank(
+          t(s, dir, "lineitem"),
+          col("l_extendedprice"),
+          col("l_orderkey") * 8 + col("l_linenumber"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val targets = ranks.agg(max(col("n")).as("n"))
+        .select(col("n"),
+          explode(array((1 to 9).map(i => lit(i / 10.0)): _*)).as("q"))
+        .select(col("q"), ceil(col("q") * col("n")).cast("long").as("r"))
+      ranks.join(broadcast(targets), Seq("r")) // 9-row target relation
+        .select(col("q"), col("r").as("rank"), col("x").as("value"))
+        .orderBy("q")
+    }),
+
+    // ── Encoding-quality scan (mojibake / control characters) ───────────
+    // The ingest health check a crawl pipeline runs before tokenization:
+    // per source, docs carrying U+FFFD replacement characters (the
+    // mojibake fingerprint of a mis-decoded byte stream) and C0 control
+    // characters (NUL..BS, VT, FF, SO..US — tab/newline/CR excluded),
+    // with the total stray-control count. The fixture is clean, so — the
+    // q_dedup_exact discipline — each doc_id ≡ 0 mod 7 contributes a
+    // corrupted twin (id+200000) with injected BEL+U+FFFD+BEL, which the
+    // scan must flag exactly. Counts via length-difference under
+    // character-class regexp_replace: one narrow scan, one keyed
+    // aggregate.
+    "q_encoding_quality" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("text"))
+      val twins = base.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("source"),
+          concat(col("text"), lit("\u0007\uFFFD\u0007")).as("text"))
+      base.unionByName(twins)
+        .select(col("source"),
+          (length(col("text")) - length(regexp_replace(col("text"),
+            "\uFFFD", ""))).as("n_repl"),
+          (length(col("text")) - length(regexp_replace(col("text"),
+            "[\u0000-\u0008\u000B\u000C\u000E-\u001F]", ""))).as("n_ctrl"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_repl") > 0, 1L).otherwise(0L)).as("n_mojibake"),
+          sum(when(col("n_ctrl") > 0, 1L).otherwise(0L)).as("n_ctrl_docs"),
+          sum(col("n_ctrl")).as("ctrl_chars"))
+        .select(col("source"), col("n_docs"), col("n_mojibake"),
+          col("n_ctrl_docs"), col("ctrl_chars"),
+          round(col("n_mojibake").cast("double") / col("n_docs"), 6)
+            .as("mojibake_share"))
+        .orderBy("source")
+    }),
+
     // ── Correlated scalar subquery (Catalyst decorrelates to a join) ─────
     // Orders priced above 1.5× their priority class's mean. The threshold
     // goes through the decimal-exact route in BOTH engines so the boundary
@@ -924,6 +984,40 @@ object AdvancedQueries {
           SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
           FROM corners GROUP BY node
           ORDER BY n_triangles DESC, node LIMIT 100""",
+    "q_global_quantiles" ->
+      """WITH r AS (SELECT l_extendedprice AS x,
+            row_number() OVER (ORDER BY l_extendedprice,
+              l_orderkey*8 + l_linenumber) AS r,
+            count(*) OVER () AS n
+          FROM lineitem),
+         tg AS (SELECT CAST(q AS DOUBLE) AS q,
+            CAST(ceil(CAST(q AS DOUBLE) * (SELECT max(n) FROM r))
+              AS BIGINT) AS rank
+          FROM (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q))
+         SELECT tg.q, tg.rank, r.x AS value
+         FROM tg JOIN r ON r.r = tg.rank ORDER BY tg.q""",
+    "q_encoding_quality" ->
+      """WITH all_docs AS (
+           SELECT doc_id, source, text FROM documents
+           UNION ALL
+           SELECT doc_id + 200000, source,
+             text || chr(7) || chr(65533) || chr(7)
+           FROM documents WHERE doc_id % 7 = 0),
+         m AS (SELECT source,
+            length(text) - length(regexp_replace(text, chr(65533), '', 'g'))
+              AS n_repl,
+            length(text) - length(regexp_replace(text,
+              '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS n_ctrl
+          FROM all_docs)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mojibake,
+           CAST(SUM(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ctrl_docs,
+           CAST(SUM(n_ctrl) AS BIGINT) AS ctrl_chars,
+           ROUND(CAST(SUM(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS mojibake_share
+         FROM m GROUP BY source ORDER BY source""",
     "q_modularity" ->
       """WITH pairs AS (
             SELECT x.l_partkey AS a, y.l_partkey AS b
