@@ -1657,6 +1657,80 @@ object AnalyticQueries {
     // the shifted week index — never a set comparison per pair), each
     // week's audience, Jaccard, and the forward retention share. Week
     // indices in exact epoch arithmetic; timestamps at the edge.
+    // ── Lorenz curve of customer revenue (concentration table) ──────────
+    // L(q) = share of total revenue held by the bottom q of customers,
+    // q ∈ {0.1..0.9} — the concentration read behind q_theil/q_hill_tail,
+    // as the table a sampling-design review actually consults. Customers
+    // rank globally by revenue on Ranks.globalRank (the distributed
+    // order-statistics kernel — no single-task all-data sort); the nine
+    // cumulative sums are conditional DECIMAL aggregates in ONE pass over
+    // the ranked relation (r ≤ ⌈q·n⌉ against the carried total), so the
+    // decile table costs one aggregate regardless of customer count.
+    "q_lorenz" -> ((s, dir) => {
+      val dec = "decimal(30,10)"
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(dec)).as("rev"))
+      val ranks = graft.ops.Ranks.globalRank(
+        rev, col("rev"), col("o_custkey"))
+      val aggCols = (1 to 9).map(i =>
+        sum(when(col("r") <= ceil(lit(i / 10.0) * col("n")), col("x"))
+          .otherwise(lit(0).cast(dec))).as(s"c$i")) ++
+        Seq(sum(col("x")).as("tot"), max(col("n")).as("n"))
+      val agg = ranks.agg(aggCols.head, aggCols.tail: _*)
+      agg.select(
+          explode(array((1 to 9).map(i =>
+            struct(lit(i / 10.0).as("q"), col(s"c$i").as("cum"))): _*))
+            .as("s"), col("tot"), col("n"))
+        .select(col("s.q").as("q"),
+          ceil(col("s.q") * col("n")).cast("long").as("n_cust"),
+          round(col("s.cum").cast("double") / col("tot").cast("double"), 6)
+            .as("rev_share"))
+        .orderBy("q")
+    }),
+
+    // ── Weekly growth accounting (new / retained / resurrected / churn) ─
+    // The MAU-accounting decomposition behind q_new_returning and
+    // q_week_churn: per week, actives split into first-ever (new), also
+    // active last week (retained), and returning after a gap
+    // (resurrected) — plus last week's actives who went silent (churned).
+    // new + retained + resurrected = active, the identity the report
+    // audits. Plan: the distinct (user, week) relation full-outer-joined
+    // with its own one-week shift on presence MARKERS (the Merge.upsert
+    // NULL-safe discipline), first-seen joined back KEYED on user — no
+    // broadcast hint on a user-scale relation (VERDICT r13 #1).
+    "q_growth_accounting" -> ((s, dir) => {
+      val weekUs = 7L * 86400L * 1000000L
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr(s"unix_micros(cast(ts as timestamp)) div $weekUs").as("w"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val first = uw.groupBy(col("user_id")).agg(min(col("w")).as("w0"))
+      val cur = uw.withColumn("c", lit(1))
+      val prev = uw.select(col("user_id"), (col("w") + 1L).as("w"))
+        .withColumn("p", lit(1))
+      cur.join(prev, Seq("user_id", "w"), "full_outer")
+        .join(first, Seq("user_id"))
+        .groupBy(col("w"))
+        .agg(
+          sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_active"),
+          sum(when(col("c").isNotNull && col("w0") === col("w"), 1L)
+            .otherwise(0L)).as("n_new"),
+          sum(when(col("c").isNotNull && col("p").isNotNull, 1L)
+            .otherwise(0L)).as("n_retained"),
+          sum(when(col("c").isNotNull && col("p").isNull &&
+            col("w0") < col("w"), 1L).otherwise(0L)).as("n_resurrected"),
+          sum(when(col("p").isNotNull && col("c").isNull, 1L)
+            .otherwise(0L)).as("n_churned"))
+        .select(
+          timestamp_micros(col("w") * weekUs).cast("timestamp_ntz")
+            .as("week"),
+          col("n_active"), col("n_new"), col("n_retained"),
+          col("n_resurrected"), col("n_churned"))
+        .orderBy("week")
+    }),
+
     "q_week_churn" -> ((s, dir) => {
       val weekUs = 7L * 86400L * 1000000L
       val uw = Tables.events(s, dir)
@@ -3097,6 +3171,52 @@ object AnalyticQueries {
            p.n IS NULL AS is_gap
          FROM grid g LEFT JOIN perb p USING (b)
          ORDER BY bucket""",
+    "q_lorenz" ->
+      """WITH rev AS (SELECT o_custkey,
+            SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS rev
+          FROM orders GROUP BY 1),
+         r AS (SELECT rev AS x,
+            row_number() OVER (ORDER BY rev, o_custkey) AS r,
+            count(*) OVER () AS n
+          FROM rev),
+         tq AS (SELECT CAST(q AS DOUBLE) AS q
+          FROM (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q)),
+         a AS (SELECT tq.q,
+            CAST(ceil(tq.q * (SELECT max(n) FROM r)) AS BIGINT) AS n_cust,
+            SUM(CASE WHEN r.r <= ceil(tq.q * (SELECT max(n) FROM r))
+              THEN x ELSE CAST(0 AS DECIMAL(30,10)) END) AS cum
+          FROM tq CROSS JOIN r GROUP BY 1, 2),
+         tot AS (SELECT SUM(x) AS tot FROM r)
+         SELECT q, n_cust,
+           ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS rev_share
+         FROM a CROSS JOIN tot ORDER BY q""",
+    "q_growth_accounting" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id,
+             epoch_us(ts) // 604800000000 AS w
+           FROM events),
+         fst AS (SELECT user_id, min(w) AS w0 FROM uw GROUP BY 1),
+         cur AS (SELECT user_id, w, 1 AS c FROM uw),
+         prv AS (SELECT user_id, w + 1 AS w, 1 AS p FROM uw),
+         j AS (SELECT COALESCE(cur.user_id, prv.user_id) AS user_id,
+             COALESCE(cur.w, prv.w) AS w, cur.c, prv.p
+           FROM cur FULL OUTER JOIN prv
+             ON cur.user_id = prv.user_id AND cur.w = prv.w),
+         g AS (SELECT j.w,
+             CAST(SUM(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_active,
+             CAST(SUM(CASE WHEN c IS NOT NULL AND f.w0 = j.w
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN c IS NOT NULL AND p IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             CAST(SUM(CASE WHEN c IS NOT NULL AND p IS NULL AND f.w0 < j.w
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+             CAST(SUM(CASE WHEN p IS NOT NULL AND c IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+           FROM j JOIN fst f ON f.user_id = j.user_id GROUP BY 1)
+         SELECT make_timestamp(w * 604800000000) AS week,
+           n_active, n_new, n_retained, n_resurrected, n_churned
+         FROM g ORDER BY week""",
     "q_week_churn" ->
       """WITH uw AS (
            SELECT DISTINCT user_id,
