@@ -229,6 +229,55 @@ object AnalyticQueries {
         .orderBy("l_partkey")
     }),
 
+    // ── Window: ntile quartiles per segment ─────────────────────────────
+    // The bucket-assignment window (ntile) closing the ranking-family
+    // surface: customers quartiled by balance within their market
+    // segment (total order via the custkey tiebreak — ntile's extra-row
+    // placement is deterministic only under one), then rolled up to the
+    // (segment, quartile) design table with the decimal-exact mean.
+    "q_window_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("c_mktsegment"), col("quartile"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal").cast("decimal(28,10)")).cast("double")
+            / count(lit(1)), 6).as("avg_bal"))
+        .orderBy("c_mktsegment", "quartile")
+    }),
+
+    // ── Per-brand discount elasticity (grouped closed-form OLS) ─────────
+    // q_ols2 fits ONE global regression; this is the grouped sibling —
+    // the per-brand slope of quantity on discount, the price-response
+    // table a promo design reads. x/y quantize DECIMAL(12,6)/(12,2) so
+    // the four moment sums per brand accumulate exactly; slope =
+    // (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) and the intercept close in fixed IEEE
+    // chains rounded 6. One keyed part join (brand is part-side metadata)
+    // + one keyed aggregate — the scan cost IS the query.
+    "q_price_elasticity" -> ((s, dir) => {
+      val x = col("l_discount").cast("decimal(12,6)")
+      val y = col("l_quantity").cast("decimal(12,2)")
+      val g = t(s, dir, "lineitem")
+        .join(t(s, dir, "part").select(col("p_partkey").as("l_partkey"),
+          col("p_brand")), Seq("l_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum((x * y).cast("decimal(28,10)")).as("sxy"),
+          sum((x * x).cast("decimal(28,10)")).as("sxx"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double")
+      val den = (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      g.select(col("p_brand"), col("n"),
+          round(num / den, 6).as("slope"),
+          round((col("sy").cast("double")
+            - (num / den) * col("sx").cast("double")) / col("n"), 6)
+            .as("intercept"))
+        .orderBy("p_brand")
+    }),
+
     // ── Hill tail-index estimator (how heavy is the heavy tail) ─────────
     // The power-law exponent of customer revenue from the top-k order
     // statistics: α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) (Hill 1975, the standard
@@ -3171,6 +3220,35 @@ object AnalyticQueries {
            p.n IS NULL AS is_gap
          FROM grid g LEFT JOIN perb p USING (b)
          ORDER BY bucket""",
+    "q_window_ntile" ->
+      """WITH q AS (SELECT c_mktsegment, c_acctbal,
+            ntile(4) OVER (PARTITION BY c_mktsegment
+              ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+          FROM customer)
+         SELECT c_mktsegment, quartile, CAST(count(*) AS BIGINT) AS n_cust,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE)
+             / count(*), 6) AS avg_bal
+         FROM q GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_price_elasticity" ->
+      """WITH g AS (SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,
+            SUM(CAST(l_discount AS DECIMAL(12,6))) AS sx,
+            SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sy,
+            SUM(CAST(CAST(l_discount AS DECIMAL(12,6))
+              * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(28,10)))
+              AS sxy,
+            SUM(CAST(CAST(l_discount AS DECIMAL(12,6))
+              * CAST(l_discount AS DECIMAL(12,6)) AS DECIMAL(28,10)))
+              AS sxx
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          GROUP BY 1)
+         SELECT p_brand, n,
+           ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+             / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+             - (CAST(n*sxy - sx*sy AS DOUBLE)
+                / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / n, 6) AS intercept
+         FROM g ORDER BY p_brand""",
     "q_lorenz" ->
       """WITH rev AS (SELECT o_custkey,
             SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS rev
