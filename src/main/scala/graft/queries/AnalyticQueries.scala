@@ -229,6 +229,60 @@ object AnalyticQueries {
         .orderBy("l_partkey")
     }),
 
+    // ── Theil–Sen robust trend of monthly revenue ───────────────────────
+    // The median-of-pairwise-slopes trend estimator — immune to the
+    // outlier months that pull OLS (q_regression/q_ols2) around. The
+    // series is the ≤|months| aggregated revenue relation (decimal-exact
+    // per month), so the all-pairs slope relation is |months|²-bounded —
+    // a BOUNDED inequality self-join, never corpus-scale; the median
+    // closes via percentile (↔ quantile_cont, the q_percentiles
+    // portability result). Slopes are one fixed IEEE chain each
+    // (decimal diffs cast double, divided once).
+    "q_theil_sen" -> ((s, dir) => {
+      val m = t(s, dir, "orders")
+        .groupBy(expr("unix_micros(cast(o_orderdate as timestamp))" +
+          " div 2629800000000").as("m")) // 30.4375-day civil months
+        .agg(sum(col("o_totalprice").cast("decimal(30,10)")).as("rev"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = m.as("a").join(m.as("b"), col("a.m") < col("b.m"))
+        .select((((col("b.rev") - col("a.rev")).cast("double"))
+          / (col("b.m") - col("a.m")).cast("double")).as("slope"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(slope, 0.5)"), 6).as("med_slope"))
+        .crossJoin(broadcast(m.agg(count(lit(1)).as("n_months"))))
+        .select(col("n_months"), col("n_pairs"), col("med_slope"))
+    }),
+
+    // ── Mann–Kendall trend test on the same monthly series ──────────────
+    // The nonparametric trend TEST next to q_theil_sen's estimate:
+    // S = Σ_{i<j} sign(rev_j − rev_i) over the bounded month pairs (exact
+    // integer; decimal compares), Var(S) = n(n−1)(2n+5)/18 (no-tie form —
+    // monthly revenue sums are decimal-distinct), and the
+    // continuity-corrected z in one piecewise IEEE chain. Positive z =
+    // monotone growth at the chosen confidence; the seasonality-robust
+    // health check a revenue dashboard runs before claiming a trend.
+    "q_mk_trend" -> ((s, dir) => {
+      val m = t(s, dir, "orders")
+        .groupBy(expr("unix_micros(cast(o_orderdate as timestamp))" +
+          " div 2629800000000").as("m"))
+        .agg(sum(col("o_totalprice").cast("decimal(30,10)")).as("rev"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val st = m.as("a").join(m.as("b"), col("a.m") < col("b.m"))
+        .select(when(col("b.rev") > col("a.rev"), 1L)
+          .when(col("b.rev") < col("a.rev"), -1L).otherwise(0L).as("sg"))
+        .agg(sum(col("sg")).as("s"))
+      val nRel = m.agg(count(lit(1)).as("n"))
+      val varS = (col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L))
+        .cast("double") / 18.0
+      st.crossJoin(broadcast(nRel))
+        .select(col("n").as("n_months"), col("s"),
+          round(when(col("s") > 0,
+              (col("s") - 1L).cast("double") / sqrt(varS))
+            .when(col("s") < 0,
+              (col("s") + 1L).cast("double") / sqrt(varS))
+            .otherwise(lit(0.0)), 6).as("z"))
+    }),
+
     // ── Window: ntile quartiles per segment ─────────────────────────────
     // The bucket-assignment window (ntile) closing the ranking-family
     // surface: customers quartiled by balance within their market
@@ -3220,6 +3274,32 @@ object AnalyticQueries {
            p.n IS NULL AS is_gap
          FROM grid g LEFT JOIN perb p USING (b)
          ORDER BY bucket""",
+    "q_theil_sen" ->
+      """WITH m AS (SELECT epoch_us(o_orderdate) // 2629800000000 AS m,
+            SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS rev
+          FROM orders GROUP BY 1),
+         p AS (SELECT CAST(b.rev - a.rev AS DOUBLE)
+             / CAST(b.m - a.m AS DOUBLE) AS slope
+           FROM m a JOIN m b ON a.m < b.m),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           ROUND(quantile_cont(slope, 0.5), 6) AS med_slope FROM p),
+         nm AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM m)
+         SELECT n_months, n_pairs, med_slope FROM ag CROSS JOIN nm""",
+    "q_mk_trend" ->
+      """WITH m AS (SELECT epoch_us(o_orderdate) // 2629800000000 AS m,
+            SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS rev
+          FROM orders GROUP BY 1),
+         st AS (SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+             WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s
+           FROM m a JOIN m b ON a.m < b.m),
+         nm AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m)
+         SELECT n AS n_months, s,
+           ROUND(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+               / sqrt(CAST(n*(n-1)*(2*n+5) AS DOUBLE) / CAST(18 AS DOUBLE))
+             WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+               / sqrt(CAST(n*(n-1)*(2*n+5) AS DOUBLE) / CAST(18 AS DOUBLE))
+             ELSE CAST(0 AS DOUBLE) END, 6) AS z
+         FROM st CROSS JOIN nm""",
     "q_window_ntile" ->
       """WITH q AS (SELECT c_mktsegment, c_acctbal,
             ntile(4) OVER (PARTITION BY c_mktsegment
