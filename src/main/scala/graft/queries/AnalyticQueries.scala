@@ -229,6 +229,94 @@ object AnalyticQueries {
         .orderBy("l_partkey")
     }),
 
+    // ── Difference-in-differences (observational causal read) ───────────
+    // The two-group pre/post estimator the experimentation tier lacks
+    // when treatment wasn't randomized: treated = click events, control =
+    // view events, split at the midpoint week (a 1-row aggregate both
+    // engines derive identically); effect = (ΔT) − (ΔC) of per-cell value
+    // means, SE = √Σ s²_g/n_g over the four cells (Welch-style), t =
+    // effect/SE. Cell sums accumulate in DECIMAL (values and their
+    // squares quantized by one deterministic double product), means and
+    // variances close in fixed IEEE chains — one keyed aggregate over the
+    // filtered events is all the data-scale work.
+    "q_did" -> ((s, dir) => {
+      val dec = "decimal(30,10)"
+      val ev = Tables.events(s, dir)
+        .where(col("event_type").isin("click", "view"))
+        .select((col("event_type") === "click").as("treated"),
+          col("value"),
+          expr("unix_micros(cast(ts as timestamp)) div 604800000000")
+            .as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sp = ev.agg(expr("(min(w) + max(w)) div 2").as("wmid"))
+      val cells = ev.crossJoin(broadcast(sp)) // 1-row split week
+        .groupBy(col("treated"), (col("w") > col("wmid")).as("post"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).as("s"),
+          sum((col("value") * col("value")).cast(dec)).as("ss"))
+      val m = col("s").cast("double") / col("n")
+      val vOverN = ((col("ss").cast("double")
+        - col("s").cast("double") * col("s").cast("double") / col("n"))
+        / (col("n") - 1L)) / col("n")
+      val g = cells.select(col("treated"), col("post"), m.as("m"),
+        vOverN.as("vn"))
+      val one = g.agg(
+        max(when(col("treated") && col("post"), col("m"))).as("mtp"),
+        max(when(col("treated") && !col("post"), col("m"))).as("mt0"),
+        max(when(!col("treated") && col("post"), col("m"))).as("mcp"),
+        max(when(!col("treated") && !col("post"), col("m"))).as("mc0"),
+        max(when(col("treated") && col("post"), col("vn"))).as("vtp"),
+        max(when(col("treated") && !col("post"), col("vn"))).as("vt0"),
+        max(when(!col("treated") && col("post"), col("vn"))).as("vcp"),
+        max(when(!col("treated") && !col("post"), col("vn"))).as("vc0"))
+      val eff = (col("mtp") - col("mt0")) - (col("mcp") - col("mc0"))
+      val se = sqrt(col("vtp") + col("vt0") + col("vcp") + col("vc0"))
+      one.select(round(eff, 6).as("did_effect"), round(se, 6).as("se"),
+        round(eff / se, 6).as("t_stat"))
+    }),
+
+    // ── MASE: seasonal-naive forecast accuracy per event type ───────────
+    // Is yesterday-same-hour a better predictor than last-hour — the
+    // scale-free forecast-eval metric (MASE) over the gap-filled hourly
+    // count series (the q_fano dense-span discipline): per type,
+    // MAE(lag-24 forecast) / MAE(lag-1 naive), both over the SAME h ≥
+    // h₀+24 horizon, from exact integer absolute-error sums. MASE < 1 ⇒
+    // daily seasonality carries real signal for that type. Bounded-type
+    // ordered windows over the dense series; one divide chain per row.
+    "q_mase" -> ((s, dir) => {
+      val perH = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+            .as("h"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val span = perH.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val dense = perH.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span)) // 1-row span
+        .select(col("event_type"), col("h0"),
+          explode(sequence(col("h0"), col("h1"))).as("h"))
+        .join(perH, Seq("event_type", "h"), "left")
+        .na.fill(0L, Seq("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val horizon = col("h") >= col("h0") + 24L
+      val agg = dense
+        .select(col("event_type"), col("h"), col("h0"), col("c"),
+          lag(col("c"), 1).over(w).as("c1"),
+          lag(col("c"), 24).over(w).as("c24"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(horizon, abs(col("c") - col("c1")))).as("sae1"),
+          sum(when(horizon, abs(col("c") - col("c24")))).as("sae24"),
+          sum(when(horizon, 1L)).as("nh"))
+      agg.select(col("event_type"), col("nh").as("n_hours"),
+          round(col("sae1").cast("double") / col("nh"), 6).as("mae_naive"),
+          round(col("sae24").cast("double") / col("nh"), 6)
+            .as("mae_seasonal"),
+          round(col("sae24").cast("double") / col("sae1").cast("double"), 6)
+            .as("mase"))
+        .orderBy("event_type")
+    }),
+
     // ── Theil–Sen robust trend of monthly revenue ───────────────────────
     // The median-of-pairwise-slopes trend estimator — immune to the
     // outlier months that pull OLS (q_regression/q_ols2) around. The
@@ -3274,6 +3362,64 @@ object AnalyticQueries {
            p.n IS NULL AS is_gap
          FROM grid g LEFT JOIN perb p USING (b)
          ORDER BY bucket""",
+    "q_did" ->
+      """WITH ev AS (SELECT (event_type = 'click') AS treated, value,
+            epoch_us(ts) // 604800000000 AS w
+          FROM events WHERE event_type IN ('click', 'view')),
+         sp AS (SELECT (min(w) + max(w)) // 2 AS wmid FROM ev),
+         cells AS (SELECT treated, (w > wmid) AS post,
+             CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(30,10))) AS s,
+             SUM(CAST(value * value AS DECIMAL(30,10))) AS ss
+           FROM ev CROSS JOIN sp GROUP BY 1, 2),
+         g AS (SELECT treated, post,
+             CAST(s AS DOUBLE) / n AS m,
+             ((CAST(ss AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) / n
+               AS vn
+           FROM cells),
+         one AS (SELECT
+             max(CASE WHEN treated AND post THEN m END) AS mtp,
+             max(CASE WHEN treated AND NOT post THEN m END) AS mt0,
+             max(CASE WHEN NOT treated AND post THEN m END) AS mcp,
+             max(CASE WHEN NOT treated AND NOT post THEN m END) AS mc0,
+             max(CASE WHEN treated AND post THEN vn END) AS vtp,
+             max(CASE WHEN treated AND NOT post THEN vn END) AS vt0,
+             max(CASE WHEN NOT treated AND post THEN vn END) AS vcp,
+             max(CASE WHEN NOT treated AND NOT post THEN vn END) AS vc0
+           FROM g)
+         SELECT ROUND((mtp - mt0) - (mcp - mc0), 6) AS did_effect,
+           ROUND(sqrt(vtp + vt0 + vcp + vc0), 6) AS se,
+           ROUND(((mtp - mt0) - (mcp - mc0))
+             / sqrt(vtp + vt0 + vcp + vc0), 6) AS t_stat
+         FROM one""",
+    "q_mase" ->
+      """WITH perh AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+            CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+         span AS (SELECT min(h) AS h0, max(h) AS h1 FROM perh),
+         dense AS (SELECT t.event_type, s.h0, g.h, COALESCE(p.c, 0) AS c
+           FROM (SELECT DISTINCT event_type FROM perh) t
+           CROSS JOIN span s
+           CROSS JOIN (SELECT unnest(generate_series(
+             (SELECT h0 FROM span), (SELECT h1 FROM span))) AS h) g
+           LEFT JOIN perh p ON p.event_type = t.event_type AND p.h = g.h),
+         e AS (SELECT event_type, h, h0, c,
+             lag(c, 1) OVER (PARTITION BY event_type ORDER BY h) AS c1,
+             lag(c, 24) OVER (PARTITION BY event_type ORDER BY h) AS c24
+           FROM dense),
+         a AS (SELECT event_type,
+             CAST(SUM(CASE WHEN h >= h0 + 24 THEN abs(c - c1) END)
+               AS BIGINT) AS sae1,
+             CAST(SUM(CASE WHEN h >= h0 + 24 THEN abs(c - c24) END)
+               AS BIGINT) AS sae24,
+             CAST(SUM(CASE WHEN h >= h0 + 24 THEN 1 END) AS BIGINT) AS nh
+           FROM e GROUP BY 1)
+         SELECT event_type, nh AS n_hours,
+           ROUND(CAST(sae1 AS DOUBLE) / nh, 6) AS mae_naive,
+           ROUND(CAST(sae24 AS DOUBLE) / nh, 6) AS mae_seasonal,
+           ROUND(CAST(sae24 AS DOUBLE) / CAST(sae1 AS DOUBLE), 6) AS mase
+         FROM a ORDER BY event_type""",
     "q_theil_sen" ->
       """WITH m AS (SELECT epoch_us(o_orderdate) // 2629800000000 AS m,
             SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS rev

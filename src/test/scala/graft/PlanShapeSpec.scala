@@ -86,6 +86,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_markov_stationary" -> "crossJoin of the single-row state-count aggregate onto the ≤|types|-row state relation (broadcast, one row); the matrix build is one keyed aggregate and the iteration runs on the |types|^2 relation",
     "q_modularity" -> "crossJoin of the single-row global edge-count aggregate onto the ≤|brands|-row community relation (broadcast, one row); edge labeling and all counts are keyed joins/aggregates",
     "q_theil_sen" -> "inequality self-join of the ≤|months|-row aggregated series (|months|^2-bounded pair grid — the estimator's definition) plus the 1-row month-count crossJoin; the data-scale work is the one monthly aggregate",
+    "q_did" -> "crossJoin of the single-row midpoint-week aggregate onto the filtered events (broadcast, one row — the q_mi scalar pattern); the cell aggregate is keyed",
+    "q_mase" -> "crossJoin of the single-row hour-span aggregate onto the ≤|types|-row type relation (broadcast, one row — the q_fano dense-span pattern); the dense-series join and windows are keyed",
     "q_mk_trend" -> "same ≤|months|-row inequality pair grid as q_theil_sen plus the 1-row month-count crossJoin; S accumulates over the bounded grid only",
     "q_theil" -> "crossJoins of the single-row global (n, total) aggregate onto the per-customer and <=25-row nation relations, and of the two 1-row Theil sums onto the final row (the q_hll_merge pattern); the per-customer aggregate and the dim join are keyed/broadcast",
     "q_cramers_v" -> "marginal x marginal grid crossJoin (<= r*c rows at any corpus size — the q_split_balance pattern: absent cells must contribute their expectation) plus 1-row totals/chi2 crossJoins; the cell aggregate is keyed",
