@@ -161,6 +161,72 @@ object SimilarityQueries {
       Similarity.dimensionVariance(emb(s, dir), "embedding")
         .orderBy("pos")),
 
+    // ── Top principal direction (distributed power iteration) ───────────
+    // The leading PCA axis of the embedding cloud — the direction
+    // quantizer design and anisotropy correction both want — computed the
+    // scale-native way: the 64×64 Gram matrix from ONE vec_id-keyed
+    // self-join of the exploded dims (data-scale), then two power
+    // iterations on the dim²-bounded matrix relation. Every step
+    // quantizes to fixed decimal scales (Gram cells 6dp, iterates 9dp,
+    // norms via exact decimal square sums → one double sqrt), so both
+    // engines walk the identical vector — the q_markov_stationary
+    // discipline applied to linear algebra. Start vector 1/64 (exact
+    // binary); sign is pinned by the start, making the output total.
+    "q_pca_power" -> ((s, dir) => {
+      val x = emb(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding"))
+          .as(Seq("i", "xi")))
+        .select(col("vec_id"), col("i"), col("xi").cast("double").as("xi"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cMat = x
+        .join(x.select(col("vec_id"), col("i").as("j"),
+          col("xi").as("xj")), Seq("vec_id"))
+        .groupBy(col("i"), col("j"))
+        .agg(round(sum((col("xi") * col("xj")).cast("decimal(30,12)"))
+          .cast("double"), 6).cast("decimal(18,6)").as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val v0 = cMat.select(col("i").as("dim")).distinct()
+        .select(col("dim"),
+          lit(new java.math.BigDecimal("0.015625")) // 1/64, exact binary
+            .cast("decimal(12,9)").as("v"))
+      val v2 = (1 to 2).foldLeft(v0) { (v, _) =>
+        val u = cMat.join(v, col("j") === col("dim"))
+          .groupBy(col("i"))
+          .agg(sum((col("c") * col("v")).cast("decimal(30,15)")).as("u"))
+          .select(col("i"),
+            round(col("u").cast("double"), 6).cast("decimal(18,6)")
+              .as("u"))
+        val nrm = u.agg(
+          sqrt(sum((col("u") * col("u")).cast("decimal(38,12)"))
+            .cast("double")).as("nrm"))
+        u.crossJoin(broadcast(nrm)) // 1-row norm
+          .select(col("i").as("dim"),
+            round(col("u").cast("double") / col("nrm"), 9)
+              .cast("decimal(12,9)").as("v"))
+      }
+      v2.select(col("dim"), col("v").cast("double").as("loading"))
+        .orderBy("dim")
+    }),
+
+    // ── Effective rank of the embedding spectrum (participation ratio) ──
+    // One number for "how many dimensions actually carry energy":
+    // (Σλ)²/Σλ² over the per-dim variances q_embed_variance tabulates —
+    // 64 for isotropic clouds, →1 for a single dominant axis; the scalar
+    // that decides matryoshka budgets and PQ subspace counts. Variances
+    // arrive rounded 6dp (the shared dimensionVariance contract), so the
+    // two sums accumulate exactly in decimal and one IEEE chain closes.
+    "q_effective_rank" -> ((s, dir) => {
+      val v = Similarity.dimensionVariance(emb(s, dir), "embedding")
+        .select(col("variance").cast("decimal(18,6)").as("v"))
+      v.agg(count(lit(1)).as("n_dims"),
+          sum(col("v")).as("s1"),
+          sum((col("v") * col("v")).cast("decimal(38,12)")).as("s2"))
+        .select(col("n_dims"),
+          round(col("s1").cast("double"), 6).as("var_total"),
+          round(col("s1").cast("double") * col("s1").cast("double")
+            / col("s2").cast("double"), 6).as("eff_rank"))
+    }),
+
     // ── Train/val centroid drift (dense split-representativeness) ───────
     // Per label: cosine between the train-split and val-split centroids
     // under the SAME deterministic hash split as q_split (salt "split:",
@@ -764,6 +830,66 @@ object SimilarityQueries {
             CAST(SUM(flag) AS BIGINT) AS n_outliers,
             ROUND(CAST(SUM(flag) AS DOUBLE) / n, 6) AS outlier_frac
           FROM f GROUP BY label, n, mean_cos, sd_cos ORDER BY label""",
+    // two unrolled power steps over the 64×64 Gram CTE, every quantization
+    // mirrored (cells 6dp, iterates 9dp, exact decimal square-sum norms).
+    "q_pca_power" ->
+      s"""WITH x AS (
+            SELECT vec_id, CAST(i - 1 AS INT) AS i,
+              CAST(embedding[i] AS DOUBLE) AS xi
+            FROM embeddings,
+              UNNEST(generate_series(1, len(embedding))) AS t(i)),
+          c AS (
+            SELECT a.i, b.i AS j,
+              CAST(ROUND(CAST(SUM(CAST(a.xi * b.xi AS DECIMAL(30,12)))
+                AS DOUBLE), 6) AS DECIMAL(18,6)) AS c
+            FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+          v0 AS (SELECT DISTINCT i AS dim,
+              CAST(0.015625 AS DECIMAL(12,9)) AS v FROM c),
+          u1 AS (SELECT c.i,
+              CAST(ROUND(CAST(SUM(CAST(c.c * v.v AS DECIMAL(30,15)))
+                AS DOUBLE), 6) AS DECIMAL(18,6)) AS u
+            FROM c JOIN v0 v ON v.dim = c.j GROUP BY 1),
+          n1 AS (SELECT sqrt(CAST(SUM(CAST(u*u AS DECIMAL(38,12)))
+              AS DOUBLE)) AS nrm FROM u1),
+          v1 AS (SELECT i AS dim,
+              CAST(ROUND(CAST(u AS DOUBLE) / nrm, 9) AS DECIMAL(12,9)) AS v
+            FROM u1 CROSS JOIN n1),
+          u2 AS (SELECT c.i,
+              CAST(ROUND(CAST(SUM(CAST(c.c * v.v AS DECIMAL(30,15)))
+                AS DOUBLE), 6) AS DECIMAL(18,6)) AS u
+            FROM c JOIN v1 v ON v.dim = c.j GROUP BY 1),
+          n2 AS (SELECT sqrt(CAST(SUM(CAST(u*u AS DECIMAL(38,12)))
+              AS DOUBLE)) AS nrm FROM u2),
+          v2 AS (SELECT i AS dim,
+              CAST(ROUND(CAST(u AS DOUBLE) / nrm, 9) AS DECIMAL(12,9)) AS v
+            FROM u2 CROSS JOIN n2)
+          SELECT dim, CAST(v AS DOUBLE) AS loading FROM v2 ORDER BY dim""",
+    // the q_embed_variance moment/variance CTE feeding the participation
+    // ratio; rounded variances re-summed exactly in decimal.
+    "q_effective_rank" ->
+      s"""WITH mom AS (
+            SELECT i, COUNT(*) AS n,
+              SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,16))) AS sx,
+              SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                * CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,16))) AS sxx
+            FROM embeddings,
+              UNNEST(generate_series(1, len(embedding))) AS t(i)
+            GROUP BY i),
+          stats AS (
+            SELECT ROUND((CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n, 6)
+              AS variance
+            FROM mom),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS n_dims,
+              SUM(CAST(variance AS DECIMAL(18,6))) AS s1,
+              SUM(CAST(CAST(variance AS DECIMAL(18,6))
+                * CAST(variance AS DECIMAL(18,6)) AS DECIMAL(38,12)))
+                AS s2
+            FROM stats)
+          SELECT n_dims, ROUND(CAST(s1 AS DOUBLE), 6) AS var_total,
+            ROUND(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+              / CAST(s2 AS DOUBLE), 6) AS eff_rank
+          FROM a""",
     // Mirror of Similarity.dimensionVariance: decimal moment sums per dim
     // (1-based DuckDB index emitted as the 0-based pos), ONE fixed IEEE
     // variance combine rounded 6, rounded variances re-summed as

@@ -56,6 +56,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_lsh_recall" -> "crossJoin of two single-row count aggregates (exact x caught — the q_lsh_precision pattern)",
     "q_rank_overlap" -> "composes q_knn_brute's documented broadcast-NLJ dense baseline and q_bm25's single-row stats crossJoin (the q_rrf_hybrid legs); the agreement aggregate itself is a full-outer join of two top-50 cuts",
     "q_embed_variance" -> "crossJoin of the single-row total-variance aggregate onto the d-row spectrum (broadcast, one row)",
+    "q_pca_power" -> "crossJoins of the single-row iterate-norm aggregates onto the d-row vector (broadcast, one row per power step); the Gram build is a vec_id-keyed self-join and the iteration runs on the d^2-bounded matrix relation",
+    "q_effective_rank" -> "inherits q_embed_variance's single-row total crossJoin via the shared dimensionVariance relation",
     "q_token_budget" -> "composes q_mixture's recipe weights, inheriting its single-row totals crossJoin; the budget arithmetic itself is a narrow projection of the group-count relation",
     "q_shard_skew" -> "crossJoin of the single-row total-weight aggregate onto the N-row shard relation (broadcast, one row)",
     "q_semdedup_rate" -> "per-threshold crossJoin of the single-row corpus-count aggregate onto the single-row pair/removal aggregate (broadcast, one row each; the pair relation itself is q_semdedup's keyed cell join)",
