@@ -102,6 +102,40 @@ object CorpusStatsQueries {
           budget = BudgetTokens)
         .orderBy("grp")),
 
+    // ── Nucleus vocabulary cut (top-p mass coverage per language) ───────
+    // How many distinct tokens cover 90% of each language's token mass —
+    // the vocabulary-budget read behind tokenizer sizing (q_vocab gives
+    // the top-k list; this gives the coverage COUNT). Exact integers end
+    // to end: per-(lang, token) counts, the (count desc, token asc)
+    // running sum per language, and the crossing test 10·(cum − c) <
+    // 9·total — no doubles until the closing shares. Per-lang windows
+    // over the token-distinct relation (vocabulary-scale — sub-linear in
+    // corpus size by Heaps' law, the same class as scoreBuckets).
+    "q_nucleus_vocab" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val tc = docs(s, dir)
+        .select(col("lang"), explode(toks).as("token"))
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("c"))
+      val w = W.partitionBy(col("lang"))
+        .orderBy(desc("c"), asc("token"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      tc.select(col("lang"), col("c"),
+          sum(col("c")).over(w).as("cum"),
+          sum(col("c")).over(W.partitionBy(col("lang"))).as("total"),
+          count(lit(1)).over(W.partitionBy(col("lang"))).as("vocab"))
+        .groupBy(col("lang"))
+        .agg(max(col("vocab")).as("vocab_size"),
+          max(col("total")).as("total_tokens"),
+          sum(when(lit(10L) * (col("cum") - col("c"))
+            < lit(9L) * col("total"), 1L).otherwise(0L)).as("nucleus_90"))
+        .select(col("lang"), col("vocab_size"), col("total_tokens"),
+          col("nucleus_90"),
+          round(col("nucleus_90").cast("double") / col("vocab_size"), 6)
+            .as("nucleus_share"))
+        .orderBy("lang")
+    }),
+
     // ── CCNet-style per-language perplexity buckets ─────────────────────
     // Unigram-LM score → per-lang tercile thresholds → head/middle/tail.
     // Composes q_unigram_lm's scoring with the q_percentiles-portable
@@ -834,6 +868,25 @@ object CorpusStatsQueries {
               ORDER BY bm25 DESC, doc_id LIMIT $limit)"""
 
   val oracles: Map[String, String] = Map(
+    "q_nucleus_vocab" ->
+      s"""WITH tc AS (
+            SELECT lang, tok AS token, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT lang, unnest($ToksSql) AS tok FROM documents)
+            GROUP BY 1, 2),
+          r AS (SELECT lang, c,
+              SUM(c) OVER (PARTITION BY lang ORDER BY c DESC, token ASC
+                ROWS UNBOUNDED PRECEDING) AS cum,
+              SUM(c) OVER (PARTITION BY lang) AS total,
+              count(*) OVER (PARTITION BY lang) AS vocab
+            FROM tc)
+          SELECT lang, CAST(max(vocab) AS BIGINT) AS vocab_size,
+            CAST(max(total) AS BIGINT) AS total_tokens,
+            CAST(SUM(CASE WHEN 10 * (cum - c) < 9 * total THEN 1 ELSE 0 END)
+              AS BIGINT) AS nucleus_90,
+            ROUND(CAST(SUM(CASE WHEN 10 * (cum - c) < 9 * total
+                THEN 1 ELSE 0 END) AS DOUBLE) / max(vocab), 6)
+              AS nucleus_share
+          FROM r GROUP BY lang ORDER BY lang""",
     "q_unigram_lm" ->
       s"""WITH $TokCte,
             dc AS (SELECT doc_id, tok, count(*) AS dc FROM tok

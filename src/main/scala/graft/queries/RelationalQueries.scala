@@ -35,6 +35,30 @@ object RelationalQueries {
     s"ROUND(CAST(SUM(CAST($expr AS DECIMAL(28,10))) AS DOUBLE) / COUNT($expr), $scale) AS $as"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── Catalog coverage (dead-inventory read per brand) ────────────────
+    // Which brands carry parts that never sold — the dim-side coverage
+    // audit (the inverse of every fact-side rollup): distinct ordered
+    // partkeys (fact-scale aggregate) LEFT-joined onto the part dim,
+    // keyed; per brand the ordered share and the dead count. The same
+    // shape reads "documents never retrieved" or "users never active" —
+    // referential coverage of a dimension by a fact.
+    "q_catalog_coverage" -> ((s, dir) => {
+      val ordered = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("p_partkey")).distinct()
+        .withColumn("hit", lit(1))
+      t(s, dir, "part")
+        .join(ordered, Seq("p_partkey"), "left")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L))
+            .as("n_ordered"))
+        .select(col("p_brand"), col("n_parts"), col("n_ordered"),
+          (col("n_parts") - col("n_ordered")).as("n_dead"),
+          round(col("n_ordered").cast("double") / col("n_parts"), 6)
+            .as("coverage"))
+        .orderBy("p_brand")
+    }),
+
     // ── Join family ──────────────────────────────────────────────────────
     // 4-way inner join: fact⋈fact shuffled on orderkey, dims broadcast.
     "q_join_pricing" -> ((s, dir) => {
@@ -759,6 +783,17 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_catalog_coverage" ->
+      """WITH ord AS (SELECT DISTINCT l_partkey FROM lineitem)
+         SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN o.l_partkey IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_ordered,
+           CAST(count(*) - SUM(CASE WHEN o.l_partkey IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
+           ROUND(CAST(SUM(CASE WHEN o.l_partkey IS NOT NULL THEN 1 ELSE 0
+             END) AS DOUBLE) / count(*), 6) AS coverage
+         FROM part p LEFT JOIN ord o ON o.l_partkey = p.p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
     "q_join_pricing" ->
       s"""SELECT n_name, ${oSum("l_extendedprice*(1-l_discount)", "revenue")},
             count(*) AS n_items
