@@ -496,12 +496,122 @@ object Multimodal {
       .toDF("doc_id", "bands")
   }
 
-  /** STUB — deterministic fake decoder standing in for the VIDEO codecs
-    * absent from this environment (image decode is real —
-    * [[decodeImageMeta]]; audio decode is real — [[decodeAudioMeta]] via
-    * the JDK's `javax.sound.sampled`). Consumes raw payload bytes,
-    * emits a fixed-width "feature" derived only from the bytes, so tests
-    * and reruns are reproducible.
+  /** Deterministic multi-frame grayscale clips in a REAL video container
+    * the JDK decodes natively: animated GIF (ImageIO's gif plugin reads
+    * and writes frame sequences). Clip `id` has `2 + id mod 3` frames of
+    * 16×16 pixels, pixel (f, x, y) = low byte of h60("vid:id:f:x:y") —
+    * the [[NoiseImages]] closed-form family, so a SQL oracle replays
+    * every pixel of every frame without a codec. Grayscale stays exact
+    * through GIF's palette (≤256 distinct values — the writer's palette
+    * covers them losslessly; the frame spec asserts sample-level parity).
+    */
+  object NoiseVideo {
+    val Size = 16
+
+    def nFrames(id: Long): Int = 2 + (id % 3).toInt
+
+    def px(id: Long, f: Int, x: Int, y: Int): Int =
+      (NoiseImages.h60(s"vid:$id:$f:$x:$y") % 256L).toInt
+
+    /** REAL animated-GIF bytes via ImageIO's sequence writer. */
+    def gif(id: Long): Array[Byte] = {
+      Multimodal.imageIoNoDiskCache()
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nFrames(id)).foreach { f =>
+        val img = new java.awt.image.BufferedImage(Size, Size,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < Size) {
+          var x = 0
+          while (x < Size) {
+            raster.setSample(x, y, 0, px(id, f, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      ios.flush(); ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+  }
+
+  /** `(doc_id, payload)` with the [[NoiseVideo]] animated-GIF bytes. */
+  def syntheticVideoPayloads(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map(id => (id, NoiseVideo.gif(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL multi-frame video-container decode: every frame of the animated
+    * GIF read back through ImageIO's sequence reader (`getNumImages` +
+    * per-index `read`), one output row per frame with exact integer pixel
+    * statistics. Palette lookup goes through `getRGB` (indexed GIF frames
+    * surface palette INDICES via the raster — the gray value is the
+    * post-palette channel). Same batched boundary as the other decoders.
+    * Frame-sampling composes upstream ([[sampleFrames]]); real codec
+    * video (H.264 etc.) remains [[FakeDecoder]]-stubbed — GIF is the
+    * container this JDK can honestly decode end to end.
+    */
+  def decodeVideoFrames(spark: SparkSession, payloads: DataFrame,
+                        batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        imageIoNoDiskCache()
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            val reader = javax.imageio.ImageIO
+              .getImageReadersByFormatName("gif").next()
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            require(n >= 1, s"doc $id: payload is not a decodable GIF")
+            val rows = (0 until n).map { f =>
+              val img = reader.read(f)
+              val (w, h) = (img.getWidth, img.getHeight)
+              var (sum, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val v = img.getRGB(x, y) & 0xff // post-palette gray
+                  sum += v
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  x += 1
+                }
+                y += 1
+              }
+              (id, f, w, h, sum, mn, mx)
+            }
+            reader.dispose(); iis.close()
+            rows
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "width", "height",
+        "px_sum", "px_min", "px_max")
+  }
+
+  /** STUB — deterministic fake decoder standing in for the CODEC-video
+    * formats (H.264/VP9 etc.) absent from this environment. Image decode
+    * is real ([[decodeImageMeta]]), audio decode is real
+    * ([[decodeAudioMeta]] via `javax.sound.sampled`), and container-video
+    * frame decode is real for animated GIF ([[decodeVideoFrames]]).
+    * Consumes raw payload bytes, emits a fixed-width "feature" derived
+    * only from the bytes, so tests and reruns are reproducible.
     */
   object FakeDecoder {
     val FeatureDim = 8

@@ -229,6 +229,38 @@ object AnalyticQueries {
         .orderBy("l_partkey")
     }),
 
+    // ── Session-gap sensitivity sweep (the 30-min-timeout audit) ────────
+    // How session counts move with the inactivity threshold — the table
+    // that justifies (or indicts) the conventional 30-minute cut before
+    // every session-scoped metric inherits it. ONE per-user ordered
+    // window computes the inter-event gaps; all three thresholds read
+    // from the same gap relation as conditional aggregates (sessions(g) =
+    // users + gaps > g), so the sweep costs one pass regardless of
+    // threshold count. Exact micros; doubles only at the events/session
+    // edge.
+    "q_session_gap_sweep" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val us = expr("unix_micros(cast(ts as timestamp))")
+      val gaps = Tables.events(s, dir)
+        .select(col("user_id"),
+          (us - lag(us, 1).over(w)).as("gap"))
+      val agg = gaps.agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(when(col("gap") > 900000000L, 1L).otherwise(0L)).as("b900"),
+        sum(when(col("gap") > 1800000000L, 1L).otherwise(0L)).as("b1800"),
+        sum(when(col("gap") > 3600000000L, 1L).otherwise(0L)).as("b3600"))
+      agg.select(explode(array(
+          struct(lit(900).as("gap_s"), (col("n_users") + col("b900")).as("ns")),
+          struct(lit(1800).as("gap_s"), (col("n_users") + col("b1800")).as("ns")),
+          struct(lit(3600).as("gap_s"), (col("n_users") + col("b3600")).as("ns"))))
+          .as("r"), col("n_events"))
+        .select(col("r.gap_s").as("gap_s"), col("r.ns").as("n_sessions"),
+          round(col("n_events").cast("double") / col("r.ns"), 6)
+            .as("events_per_session"))
+        .orderBy("gap_s")
+    }),
+
     // ── Difference-in-differences (observational causal read) ───────────
     // The two-group pre/post estimator the experimentation tier lacks
     // when treatment wasn't randomized: treated = click events, control =
@@ -3362,6 +3394,27 @@ object AnalyticQueries {
            p.n IS NULL AS is_gap
          FROM grid g LEFT JOIN perb p USING (b)
          ORDER BY bucket""",
+    "q_session_gap_sweep" ->
+      """WITH g AS (SELECT user_id,
+            epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS gap
+          FROM events),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+            CAST(SUM(CASE WHEN gap > 900000000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b900,
+            CAST(SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b1800,
+            CAST(SUM(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b3600
+          FROM g)
+         SELECT t.gap_s, t.ns AS n_sessions,
+           ROUND(CAST(a.n_events AS DOUBLE) / t.ns, 6)
+             AS events_per_session
+         FROM a, LATERAL (VALUES (900, n_users + b900),
+           (1800, n_users + b1800), (3600, n_users + b3600))
+           AS t(gap_s, ns)
+         ORDER BY t.gap_s""",
     "q_did" ->
       """WITH ev AS (SELECT (event_type = 'click') AS treated, value,
             epoch_us(ts) // 604800000000 AS w

@@ -105,6 +105,22 @@ object ExtensionQueries {
           maxHamming = 7)
         .orderBy("id_a", "id_b")),
 
+    // ── REAL multi-frame video-container decode (animated GIF) ──────────
+    // Each doc gets a deterministic 2-4-frame animated GIF (per-frame
+    // pixels are h60 closed forms — Multimodal.NoiseVideo), the engine
+    // decodes EVERY frame back through ImageIO's sequence reader
+    // (getNumImages + indexed read, palette applied via getRGB), and the
+    // oracle replays every pixel of every frame analytically. One row
+    // per (doc, frame) with exact integer pixel statistics — a frame
+    // count, palette, or sequencing bug breaks the hash. Real codec
+    // video stays FakeDecoder-stubbed; GIF is the container this JDK
+    // honestly decodes end to end.
+    "q_video_frames" -> ((s, dir) =>
+      Multimodal.decodeVideoFrames(s,
+          Multimodal.syntheticVideoPayloads(
+            s, Tables.table(s, dir, "documents").select("doc_id")))
+        .orderBy("doc_id", "frame_idx")),
+
     // ── REAL audio decode (javax.sound.sampled) gated analytically ──────
     // Each doc gets a deterministic 16-bit PCM mono WAV (samples are h60
     // closed forms of doc_id — Multimodal.NoiseAudio), the engine decodes
@@ -225,6 +241,21 @@ object ExtensionQueries {
            FROM b a JOIN b c ON a.doc_id < c.doc_id)
          SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
          FROM p WHERE hamming <= 7 ORDER BY id_a, id_b""",
+    // the engine decodes every animated-GIF frame; the oracle replays the
+    // NoiseVideo pixel formula per (doc, frame, x, y).
+    "q_video_frames" ->
+      s"""WITH d AS (SELECT doc_id,
+             CAST(2 + doc_id % 3 AS INT) AS nf FROM documents),
+         fr AS (SELECT doc_id, CAST(unnest(generate_series(0, nf - 1))
+             AS INT) AS frame_idx FROM d),
+         px AS (SELECT doc_id, frame_idx, ${noiseVideoPxSql} AS v
+           FROM fr,
+             (SELECT unnest(generate_series(0, 15)) AS x) gx,
+             (SELECT unnest(generate_series(0, 15)) AS y) gy)
+         SELECT doc_id, frame_idx, 16 AS width, 16 AS height,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+         FROM px GROUP BY 1, 2 ORDER BY doc_id, frame_idx""",
     // the engine decodes real WAV bytes; the oracle replays the NoiseAudio
     // sample formula (h60 in [-2000,2000] + planted-variant CASE) and the
     // exact integer statistics — format fields are the fixture constants
@@ -272,6 +303,12 @@ object ExtensionQueries {
          SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
          FROM p WHERE hamming <= 7 ORDER BY id_a, id_b""",
   )
+
+  /** DuckDB replay of one [[Multimodal.NoiseVideo]] pixel. */
+  private def noiseVideoPxSql: String =
+    "(" + graft.functions.Hashes.h60Sql(
+      "'vid:'||CAST(doc_id AS VARCHAR)||':'||CAST(frame_idx AS VARCHAR)" +
+        "||':'||CAST(x AS VARCHAR)||':'||CAST(y AS VARCHAR)") + " % 256)"
 
   /** DuckDB replay of one [[Multimodal.NoiseAudio]] sample: the h60 hash
     * of "aud:id:i" in [−2000, 2000], with the planted-variant CASE
