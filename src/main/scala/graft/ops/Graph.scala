@@ -375,4 +375,53 @@ object Graph {
         round(col("aa_dec").cast("double"), 6).as("aa_score"),
         col("aa_dec"))
   }
+
+  /** HITS hubs & authorities (Kleinberg) by fixed-iteration mutual
+    * reinforcement over a DIRECTED edge relation (`src`, `dst`): each
+    * iteration sets authority(v) = Σ_{u→v} hub(u) then hub(u) =
+    * Σ_{u→v} authority(v), each L1-normalized. The scale shape is the
+    * [[pageRank]] one — per iteration two keyed join+aggregate pairs on
+    * the edge relation (hash exchanges on node keys, nothing quadratic)
+    * plus a single-row normalization-total crossJoin.
+    *
+    * Determinism: scores live in DECIMAL(12,6) between steps — the
+    * propagation SUM over decimals is shuffle-order-exact — and each
+    * normalization is ONE double divide rounded to 6, so both engines
+    * walk the identical score vector (the [[graft.queries.AnalyticQueries]]
+    * q_markov_stationary discipline). `iters` is fixed so the oracle
+    * unrolls as CTEs with identical literals.
+    *
+    * Output: `(node, hub, authority)` — hub NULL for nodes with no
+    * out-edges, authority NULL for nodes with no in-edges (a production
+    * run coalesces to 0; keeping the NULLs lets callers tell "never a
+    * hub" from "scored 0").
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters: $iters")
+    val dec6 = "decimal(12,6)"
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var hub = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1.0).cast(dec6).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val ar = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("raw"))
+      val at = ar.agg(sum(col("raw")).as("tot"))
+      auth = ar.crossJoin(broadcast(at)) // 1-row normalization total
+        .select(col("dst").as("node"),
+          round(col("raw").cast("double") / col("tot").cast("double"), 6)
+            .cast(dec6).as("a"))
+      val hr = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("raw"))
+      val ht = hr.agg(sum(col("raw")).as("tot"))
+      hub = hr.crossJoin(broadcast(ht)) // 1-row normalization total
+        .select(col("src").as("node"),
+          round(col("raw").cast("double") / col("tot").cast("double"), 6)
+            .cast(dec6).as("h"))
+    }
+    hub.join(auth, Seq("node"), "full_outer")
+      .select(col("node"), col("h").cast("double").as("hub"),
+        col("a").cast("double").as("authority"))
+  }
 }

@@ -709,6 +709,36 @@ object AdvancedQueries {
             (col("c_a") * col("c_b")), 6).as("lift"))
         .orderBy(desc("lift"), col("part_a"), col("part_b")).limit(100)
     }),
+
+    // ── HITS hubs & authorities over the directed trade graph ───────────
+    // Kleinberg's mutual-reinforcement ranking on the supplier→customer
+    // graph (the q_pagerank_full edge relation): hubs are suppliers whose
+    // customers are themselves heavily-supplied, authorities the
+    // customers those hubs concentrate on — the two-sided importance
+    // read PageRank's single score can't give. Two fixed iterations of
+    // Graph.hits (keyed join+aggregate pairs, DECIMAL scores between
+    // steps, one rounded double divide per normalization); the oracle
+    // unrolls all four propagations as CTEs with identical literals.
+    // Top-15 per side, ties broken by node.
+    "q_hits" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + 1000000000000L).as("dst"))
+        .distinct()
+      val hk = graft.ops.Graph.hits(edges, iters = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val topH = hk.where(col("hub").isNotNull)
+        .select(lit("hub").as("role"), col("node"), col("hub").as("score"))
+        .orderBy(desc("score"), col("node")).limit(15)
+      val topA = hk.where(col("authority").isNotNull)
+        .select(lit("authority").as("role"), col("node"),
+          col("authority").as("score"))
+        .orderBy(desc("score"), col("node")).limit(15)
+      topA.unionByName(topH)
+        .orderBy(col("role"), desc("score"), col("node"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1276,5 +1306,45 @@ object AdvancedQueries {
           JOIN pc cb ON part_b = cb.l_partkey
           CROSS JOIN n
           ORDER BY lift DESC, part_a, part_b LIMIT 100""",
+    "q_hits" ->
+      """WITH fwd AS (SELECT DISTINCT l_suppkey AS src,
+            o_custkey + 1000000000000 AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         a1r AS (SELECT dst, SUM(CAST(1.0 AS DECIMAL(12,6))) AS raw
+           FROM fwd GROUP BY 1),
+         a1t AS (SELECT SUM(raw) AS tot FROM a1r),
+         a1 AS (SELECT dst AS node,
+             CAST(ROUND(CAST(raw AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+               AS DECIMAL(12,6)) AS a
+           FROM a1r CROSS JOIN a1t),
+         h1r AS (SELECT f.src, SUM(a.a) AS raw
+           FROM fwd f JOIN a1 a ON f.dst = a.node GROUP BY 1),
+         h1t AS (SELECT SUM(raw) AS tot FROM h1r),
+         h1 AS (SELECT src AS node,
+             CAST(ROUND(CAST(raw AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+               AS DECIMAL(12,6)) AS h
+           FROM h1r CROSS JOIN h1t),
+         a2r AS (SELECT f.dst, SUM(h.h) AS raw
+           FROM fwd f JOIN h1 h ON f.src = h.node GROUP BY 1),
+         a2t AS (SELECT SUM(raw) AS tot FROM a2r),
+         a2 AS (SELECT dst AS node,
+             CAST(ROUND(CAST(raw AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+               AS DECIMAL(12,6)) AS a
+           FROM a2r CROSS JOIN a2t),
+         h2r AS (SELECT f.src, SUM(a.a) AS raw
+           FROM fwd f JOIN a2 a ON f.dst = a.node GROUP BY 1),
+         h2t AS (SELECT SUM(raw) AS tot FROM h2r),
+         h2 AS (SELECT src AS node,
+             CAST(ROUND(CAST(raw AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+               AS DECIMAL(12,6)) AS h
+           FROM h2r CROSS JOIN h2t),
+         ranked AS (
+           SELECT 'authority' AS role, node, CAST(a AS DOUBLE) AS score,
+             row_number() OVER (ORDER BY a DESC, node) AS rn FROM a2
+           UNION ALL
+           SELECT 'hub' AS role, node, CAST(h AS DOUBLE) AS score,
+             row_number() OVER (ORDER BY h DESC, node) AS rn FROM h2)
+         SELECT role, node, score FROM ranked WHERE rn <= 15
+         ORDER BY role, score DESC, node""",
   )
 }

@@ -2170,6 +2170,130 @@ object AnalyticQueries {
             .as("p"))
         .orderBy("from_type", "to_type")
     }),
+
+    // ── TPC-H Q5 shape (local supplier volume) ──────────────────────────
+    // The canonical snowflake fact⋈fact⋈4-dim benchmark: revenue by
+    // nation where the CUSTOMER and the SUPPLIER sit in the same nation
+    // of one region, for one order-date year. All five joins are keyed —
+    // lineitem⋈orders shuffles on orderkey, the co-location predicate
+    // c_nationkey = s_nationkey rides the supplier equi-join, and the
+    // fixed-cardinality nation/region dims (25/5 rows at ANY scale
+    // factor) broadcast under AQE's size threshold unaided (no hints:
+    // customer/supplier grow with sf — VERDICT r13 #1 discipline).
+    // Date + region filters push to their scans; revenue folds DECIMAL.
+    "q_tpch_q5" -> ((s, dir) => {
+      val asia = t(s, dir, "nation")
+        .join(t(s, dir, "region").where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >=
+            lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") <
+            lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(asia, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(Exact.roundSum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
+    // ── Kendall's τ-b between monthly revenue and monthly order count ───
+    // The rank-correlation sibling of q_spearman that handles TIES
+    // exactly: over the ≤|months|-row aggregated series, every a<b pair
+    // classifies concordant/discordant/tied via exact DECIMAL and int64
+    // compares (the q_mk_trend sign discipline — no doubles until the
+    // final sqrt), then τ_b = (C−D)/√((n₀−t_x)(n₀−t_y)). The data-scale
+    // work is the ONE monthly aggregate; the pair grid is |months|²-
+    // bounded (the q_theil_sen pattern), never corpus-scale.
+    "q_kendall_tau" -> ((s, dir) => {
+      val m = t(s, dir, "orders")
+        .groupBy(expr("unix_micros(cast(o_orderdate as timestamp))" +
+          " div 2629800000000").as("m"))
+        .agg(sum(col("o_totalprice").cast("decimal(30,10)")).as("rev"),
+          count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pr = m.as("a").join(m.as("b"), col("a.m") < col("b.m"))
+        .select(
+          when(col("b.rev") > col("a.rev"), 1L)
+            .when(col("b.rev") < col("a.rev"), -1L).otherwise(0L).as("cx"),
+          when(col("b.cnt") > col("a.cnt"), 1L)
+            .when(col("b.cnt") < col("a.cnt"), -1L).otherwise(0L).as("cy"))
+      pr.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("cx") * col("cy") > 0, 1L).otherwise(0L)).as("c"),
+          sum(when(col("cx") * col("cy") < 0, 1L).otherwise(0L)).as("d"),
+          sum(when(col("cx") === 0L, 1L).otherwise(0L)).as("tx"),
+          sum(when(col("cy") === 0L, 1L).otherwise(0L)).as("ty"))
+        .select(col("n_pairs"), col("c").as("concordant"),
+          col("d").as("discordant"),
+          round((col("c") - col("d")).cast("double") /
+            sqrt(((col("n_pairs") - col("tx")) *
+              (col("n_pairs") - col("ty"))).cast("double")), 6).as("tau_b"))
+    }),
+
+    // ── Kaplan–Meier survival curve of user lifetime ─────────────────────
+    // The censoring-correct retention read q_churn_hazard approximates:
+    // per-user lifetime = last−first event in whole HOURS; users still
+    // active in the final 6 hours of the study window are CENSORED (they
+    // didn't churn — they ran out of observation; the fixture's tail-gap
+    // median is ~7 h, so both arms are populated). Ŝ(t) = Π_{t'≤t}
+    // (1 − d_t'/n_t') over event times. The data-scale work is ONE
+    // per-user aggregate; the KM table itself is SPAN-bounded (≤ hours in
+    // the study window at ANY corpus size — more users change the counts,
+    // not the row count), so its ordered window is a bounded single
+    // partition (the q_churn_hazard pmod idiom). Determinism: at-risk
+    // counts are exact int64 prefix sums; each step's log-factor is one
+    // IEEE chain quantized DECIMAL(20,10) so the cumulative product
+    // (exp of the exact running decimal sum) is order-free; the
+    // everyone-dies final step is floored at 1e-12 (rounds to 0) to keep
+    // log finite on both engines.
+    "q_kaplan_meier" -> ((s, dir) => {
+      val per = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("us"))
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      val end = per.agg(max(col("mx")).as("study_end"))
+      val byT = per.crossJoin(broadcast(end)) // 1-row study end
+        .select(expr("(mx - mn) div 3600000000").as("t"),
+          (col("study_end") - col("mx") < lit(21600000000L))
+            .as("censored"))
+        .groupBy(col("t"))
+        .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("d"),
+          count(lit(1)).as("tot"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = byT.agg(sum(col("tot")).as("n_total"))
+      // span-bounded single partition (see scaladoc): ≤ days-in-window rows
+      val wPrev = Window.partitionBy(pmod(col("t"), lit(1L)))
+        .orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.partitionBy(pmod(col("t"), lit(1L)))
+        .orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byT.crossJoin(broadcast(n)) // 1-row population total
+        .select(col("t"), col("d"),
+          (col("n_total") - coalesce(sum(col("tot")).over(wPrev), lit(0L)))
+            .as("r"))
+        .select(col("t"), col("d"), col("r"),
+          sum(log(greatest(
+              (col("r") - col("d")).cast("double") / col("r").cast("double"),
+              lit(1e-12))).cast("decimal(20,10)")).over(wCum).as("ls"))
+        .where(col("d") > 0)
+        .select(col("t").as("t_hours"), col("r").as("n_at_risk"),
+          col("d").as("n_events"),
+          round(exp(col("ls").cast("double")), 6).as("survival"))
+        .orderBy("t_hours")
+    }),
   )
 
   private def oSum(expr: String, as: String, scale: Int = 4): String =
@@ -3666,5 +3790,70 @@ object AnalyticQueries {
            ROUND(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type),
                  6) AS p
          FROM c ORDER BY from_type, to_type""",
+    "q_tpch_q5" ->
+      """SELECT n_name,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+           AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1 ORDER BY revenue DESC, n_name""",
+    "q_kendall_tau" ->
+      """WITH m AS (SELECT epoch_us(o_orderdate) // 2629800000000 AS m,
+            SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS rev,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM orders GROUP BY 1),
+         p AS (SELECT
+             CASE WHEN b.rev > a.rev THEN 1
+               WHEN b.rev < a.rev THEN -1 ELSE 0 END AS cx,
+             CASE WHEN b.cnt > a.cnt THEN 1
+               WHEN b.cnt < a.cnt THEN -1 ELSE 0 END AS cy
+           FROM m a JOIN m b ON a.m < b.m),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN cx*cy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c,
+             CAST(SUM(CASE WHEN cx*cy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d,
+             CAST(SUM(CASE WHEN cx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS tx,
+             CAST(SUM(CASE WHEN cy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ty
+           FROM p)
+         SELECT n_pairs, c AS concordant, d AS discordant,
+           ROUND(CAST(c - d AS DOUBLE)
+             / sqrt(CAST((n_pairs - tx) * (n_pairs - ty) AS DOUBLE)), 6)
+             AS tau_b
+         FROM ag""",
+    "q_kaplan_meier" ->
+      """WITH per AS (SELECT user_id, min(epoch_us(ts)) AS mn,
+            max(epoch_us(ts)) AS mx
+          FROM events GROUP BY 1),
+         fin AS (SELECT max(mx) AS study_end FROM per),
+         byt AS (SELECT (mx - mn) // 3600000000 AS t,
+             CAST(SUM(CASE WHEN study_end - mx < 21600000000
+               THEN 0 ELSE 1 END) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS tot
+           FROM per CROSS JOIN fin GROUP BY 1),
+         n AS (SELECT CAST(SUM(tot) AS BIGINT) AS n_total FROM byt),
+         km AS (SELECT t, d,
+             CAST(n_total - COALESCE(SUM(tot) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS r
+           FROM byt CROSS JOIN n),
+         st AS (SELECT t, d, r,
+             SUM(CAST(ln(greatest(CAST(r - d AS DOUBLE) / r, 1e-12))
+               AS DECIMAL(20,10))) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls
+           FROM km)
+         SELECT t AS t_hours, r AS n_at_risk, d AS n_events,
+           ROUND(exp(CAST(ls AS DOUBLE)), 6) AS survival
+         FROM st WHERE d > 0 ORDER BY t""",
   )
 }

@@ -95,7 +95,10 @@ class PlanShapeSpec extends SparkSpec {
     "q_cramers_v" -> "marginal x marginal grid crossJoin (<= r*c rows at any corpus size — the q_split_balance pattern: absent cells must contribute their expectation) plus 1-row totals/chi2 crossJoins; the cell aggregate is keyed",
     "q_hill_tail" -> "crossJoin of the 1-row (k+1)-th order-statistic reference onto the 100-row top cut (broadcast, one row — the q_tfidf scalar pattern); the cut itself is a TakeOrdered",
     "q_transition_entropy" -> "crossJoins of the single-row transition total onto the <=types^2 cell relation and of the two 1-row entropy sums onto the final row (the q_hll_merge pattern); cells and marginals are keyed aggregates",
-    "q_fano" -> "crossJoin of the single-row hour-span aggregate onto the per-type moment relation (broadcast, one row — the q_tfidf scalar pattern); the bucket and moment aggregates are keyed")
+    "q_fano" -> "crossJoin of the single-row hour-span aggregate onto the per-type moment relation (broadcast, one row — the q_tfidf scalar pattern); the bucket and moment aggregates are keyed",
+    "q_kendall_tau" -> "same <=|months|-row inequality pair grid as q_theil_sen/q_mk_trend (the tau estimator's definition); the data-scale work is the one monthly aggregate",
+    "q_hits" -> "per-iteration crossJoin of the single-row L1-normalization total (broadcast, one row — the q_pagerank_full pattern); the propagation joins/aggregates are keyed on the node",
+    "q_kaplan_meier" -> "crossJoins of the single-row study-end and population-total aggregates (broadcast, one row each — the q_mi scalar pattern); the per-user aggregate is keyed and the KM table is span-bounded")
 
   // the AQE-aware walker lives on SparkSpec (collectPlanNodes) so DedupSpec's
   // ccRound audit and this guard can never drift apart
