@@ -2294,6 +2294,47 @@ object AnalyticQueries {
           round(exp(col("ls").cast("double")), 6).as("survival"))
         .orderBy("t_hours")
     }),
+
+    // ── Isotonic (PAV) calibration of return rate vs discount ───────────
+    // The monotone-fit calibrator a probability model runs before
+    // deployment (q_nb_calibration reports buckets; this FIXES them):
+    // weighted least-squares isotonic regression of P(returnflag='R')
+    // on the discount bin via the minimax identity f(i) = max_{k≤i}
+    // min_{j≥i} avg(k..j) — exactly the pool-adjacent-violators
+    // solution, expressed as bounded relational algebra instead of the
+    // sequential PAV sweep. The data-scale work is ONE binned aggregate;
+    // the interval grid is |bins|²- and the solve |bins|³-bounded (11
+    // discount bins at any corpus size). Determinism: interval averages
+    // are single double divides of exact int64 range sums (prefix cums
+    // on the pmod-bounded window), min/max over exact doubles.
+    "q_isotonic" -> ((s, dir) => {
+      val b = t(s, dir, "lineitem")
+        .groupBy(round(col("l_discount") * 100).cast("int").as("i"))
+        .agg(count(lit(1)).as("w"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wCum = Window.partitionBy(pmod(col("i"), lit(1)))
+        .orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val p = b.select(col("i"), col("w"), col("y"),
+        sum(col("w")).over(wCum).as("cw"),
+        sum(col("y")).over(wCum).as("cy"))
+      val iv = p.as("k").join(p.as("j"), col("k.i") <= col("j.i"))
+        .select(col("k.i").as("k"), col("j.i").as("j"),
+          ((col("j.cy") - col("k.cy") + col("k.y")).cast("double") /
+            (col("j.cw") - col("k.cw") + col("k.w")).cast("double"))
+            .as("a"))
+      val fit = b.select(col("i"))
+        .join(iv, col("k") <= col("i") && col("i") <= col("j"))
+        .groupBy(col("i"), col("k")).agg(min(col("a")).as("mn"))
+        .groupBy(col("i")).agg(max(col("mn")).as("iso"))
+      b.join(fit, Seq("i"))
+        .select(col("i").as("discount_pct"), col("w").as("n"),
+          round(col("y").cast("double") / col("w").cast("double"), 6)
+            .as("raw_rate"),
+          round(col("iso"), 6).as("iso_rate"))
+        .orderBy("discount_pct")
+    }),
   )
 
   private def oSum(expr: String, as: String, scale: Int = 4): String =
@@ -3855,5 +3896,26 @@ object AnalyticQueries {
          SELECT t AS t_hours, r AS n_at_risk, d AS n_events,
            ROUND(exp(CAST(ls AS DOUBLE)), 6) AS survival
          FROM st WHERE d > 0 ORDER BY t""",
+    "q_isotonic" ->
+      """WITH b AS (SELECT CAST(round(l_discount * 100, 0) AS INT) AS i,
+            CAST(count(*) AS BIGINT) AS w,
+            CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+          FROM lineitem GROUP BY 1),
+         p AS (SELECT i, w, y,
+             CAST(SUM(w) OVER (ORDER BY i) AS BIGINT) AS cw,
+             CAST(SUM(y) OVER (ORDER BY i) AS BIGINT) AS cy
+           FROM b),
+         iv AS (SELECT k.i AS k, j.i AS j,
+             CAST(j.cy - k.cy + k.y AS DOUBLE)
+               / CAST(j.cw - k.cw + k.w AS DOUBLE) AS a
+           FROM p k JOIN p j ON k.i <= j.i),
+         mn AS (SELECT b.i, iv.k, min(iv.a) AS mn
+           FROM b JOIN iv ON iv.k <= b.i AND b.i <= iv.j GROUP BY 1, 2),
+         f AS (SELECT i, max(mn) AS iso FROM mn GROUP BY 1)
+         SELECT b.i AS discount_pct, b.w AS n,
+           ROUND(CAST(b.y AS DOUBLE) / CAST(b.w AS DOUBLE), 6) AS raw_rate,
+           ROUND(f.iso, 6) AS iso_rate
+         FROM b JOIN f USING (i) ORDER BY discount_pct""",
   )
 }

@@ -618,6 +618,52 @@ object SimilarityQueries {
             .as("sqrt_inv_w"))
         .orderBy("label")
     }),
+
+    // ── NDCG@10 retrieval-ranking quality per probe ──────────────────────
+    // The position-discounted eval the recall gates (q_ann_recall,
+    // q_knn_accuracy) don't give: did the ranker put the RELEVANT
+    // results HIGH, not just somewhere in the cut. Binary relevance =
+    // label match against the probe; DCG = Σ rel_i/log₂(i+1) over the
+    // brute top-10 (the documented exact baseline — at scale the ranked
+    // input is the IVF/LSH shortlist, the metric unchanged); IDCG from
+    // the ideal prefix min(|relevant|−1, 10) via a bounded
+    // explode(sequence). Per-rank discount terms quantize
+    // DECIMAL(20,10) (log₂ verified 10-dp-identical across engines) so
+    // both sums are order-free; the label joins and aggregates are keyed.
+    "q_ndcg" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val probes = e.where(col("vec_id") < 5)
+      val disc = (c: org.apache.spark.sql.Column) =>
+        (lit(1.0) / log2(c.cast("double") + 1.0)).cast("decimal(20,10)")
+      val dcg = Similarity.topKNeighbors(probes, e, k = 10)
+        .join(e.select(col("vec_id").as("probe_id"),
+          col("label").as("pl")), Seq("probe_id"))
+        .join(e.select(col("vec_id").as("cand_id"),
+          col("label").as("cl")), Seq("cand_id"))
+        .groupBy(col("probe_id"))
+        .agg(sum(when(col("cl") === col("pl"), disc(col("rank")))
+            .otherwise(lit(0.0).cast("decimal(20,10)"))).as("dcg_dec"),
+          sum(when(col("cl") === col("pl"), 1L).otherwise(0L))
+            .as("n_rel_topk"))
+      val idcg = probes
+        .select(col("vec_id").as("probe_id"), col("label"))
+        .join(e.groupBy(col("label")).agg(count(lit(1)).as("n_lab")),
+          Seq("label"))
+        .select(col("probe_id"),
+          least(col("n_lab") - 1L, lit(10L)).as("n_rel_ideal"))
+        .select(col("probe_id"), col("n_rel_ideal"),
+          explode(sequence(lit(1L), col("n_rel_ideal"))).as("i"))
+        .groupBy(col("probe_id"), col("n_rel_ideal"))
+        .agg(sum(disc(col("i"))).as("idcg_dec"))
+      dcg.join(idcg, Seq("probe_id"))
+        .select(col("probe_id"), col("n_rel_topk"), col("n_rel_ideal"),
+          round(col("dcg_dec").cast("double"), 6).as("dcg"),
+          round(col("idcg_dec").cast("double"), 6).as("idcg"),
+          round(col("dcg_dec").cast("double") /
+            col("idcg_dec").cast("double"), 6).as("ndcg"))
+        .orderBy("probe_id")
+    }),
   )
 
   // ── Oracle SQL ────────────────────────────────────────────────────────
@@ -1441,5 +1487,43 @@ object SimilarityQueries {
            ROUND(CAST(n_total AS DOUBLE) / (k * n), 6) AS inv_freq_w,
            ROUND(1.0 / sqrt(CAST(n AS DOUBLE)), 6) AS sqrt_inv_w
          FROM t ORDER BY label""",
+    "q_ndcg" ->
+      s"""WITH pairs AS (
+            SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+              p.label AS pl, c.label AS cl,
+              ${cosineSql("p.embedding", "c.embedding")} AS cosine
+            FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+            WHERE p.vec_id < 5),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY cosine DESC, cand_id ASC) AS rank
+            FROM pairs),
+          dcg AS (
+            SELECT probe_id,
+              SUM(CASE WHEN cl = pl THEN
+                  CAST(1.0 / log2(CAST(rank AS DOUBLE) + 1.0)
+                    AS DECIMAL(20,10))
+                ELSE CAST(0.0 AS DECIMAL(20,10)) END) AS dcg_dec,
+              CAST(SUM(CASE WHEN cl = pl THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_rel_topk
+            FROM ranked WHERE rank <= 10 GROUP BY 1),
+          lab AS (SELECT label, CAST(count(*) AS BIGINT) AS n_lab
+            FROM embeddings GROUP BY 1),
+          rel AS (SELECT p.vec_id AS probe_id,
+              least(l.n_lab - 1, 10) AS n_rel_ideal
+            FROM embeddings p JOIN lab l ON p.label = l.label
+            WHERE p.vec_id < 5),
+          idcg AS (SELECT probe_id, n_rel_ideal,
+              SUM(CAST(1.0 / log2(CAST(g.i AS DOUBLE) + 1.0)
+                AS DECIMAL(20,10))) AS idcg_dec
+            FROM rel, LATERAL (SELECT unnest(generate_series(1,
+              n_rel_ideal)) AS i) g
+            GROUP BY 1, 2)
+          SELECT d.probe_id, d.n_rel_topk, i.n_rel_ideal,
+            ROUND(CAST(d.dcg_dec AS DOUBLE), 6) AS dcg,
+            ROUND(CAST(i.idcg_dec AS DOUBLE), 6) AS idcg,
+            ROUND(CAST(d.dcg_dec AS DOUBLE) / CAST(i.idcg_dec AS DOUBLE),
+              6) AS ndcg
+          FROM dcg d JOIN idcg i USING (probe_id) ORDER BY probe_id""",
   )
 }

@@ -98,7 +98,9 @@ class PlanShapeSpec extends SparkSpec {
     "q_fano" -> "crossJoin of the single-row hour-span aggregate onto the per-type moment relation (broadcast, one row — the q_tfidf scalar pattern); the bucket and moment aggregates are keyed",
     "q_kendall_tau" -> "same <=|months|-row inequality pair grid as q_theil_sen/q_mk_trend (the tau estimator's definition); the data-scale work is the one monthly aggregate",
     "q_hits" -> "per-iteration crossJoin of the single-row L1-normalization total (broadcast, one row — the q_pagerank_full pattern); the propagation joins/aggregates are keyed on the node",
-    "q_kaplan_meier" -> "crossJoins of the single-row study-end and population-total aggregates (broadcast, one row each — the q_mi scalar pattern); the per-user aggregate is keyed and the KM table is span-bounded")
+    "q_kaplan_meier" -> "crossJoins of the single-row study-end and population-total aggregates (broadcast, one row each — the q_mi scalar pattern); the per-user aggregate is keyed and the KM table is span-bounded",
+    "q_ndcg" -> "composes q_knn_brute's documented broadcast-NLJ exact baseline (the ranking under eval); the label joins, DCG aggregate, and ideal-prefix explode are keyed",
+    "q_isotonic" -> "the PAV minimax solve's inequality joins over the 11-bin relation (|bins|^2 interval grid, |bins|^3 candidate rows at any corpus size); the data-scale work is the one binned aggregate")
 
   // the AQE-aware walker lives on SparkSpec (collectPlanNodes) so DedupSpec's
   // ccRound audit and this guard can never drift apart
