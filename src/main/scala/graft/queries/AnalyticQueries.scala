@@ -2335,6 +2335,115 @@ object AnalyticQueries {
           round(col("iso"), 6).as("iso_rate"))
         .orderBy("discount_pct")
     }),
+
+    // ── EWMA control chart over the hourly event series ──────────────────
+    // The small-shift detector next to q_cusum_break's changepoint: per
+    // type, the λ=0.2 exponentially-weighted moving average of hourly
+    // counts, truncated at 24 lags ((1−λ)²⁴ ≈ 0.5% residual weight), and
+    // the 3σ out-of-control count against the series' own moments.
+    // Recursive EWMA would chain IEEE state cross-engine; instead each
+    // source hour EMITS its 24 decimal contributions (weight w_k =
+    // round(λ(1−λ)ᵏ, 8) — a 24-value table identical in both engines)
+    // and the keyed (type, hour) SUM of decimals reassembles the same
+    // number order-free. Zero hours contribute zero, so only NON-zero
+    // buckets fan out (24× the bucket relation, never corpus-scale);
+    // the dense horizon arrives via the q_mase span grid. Moments fold
+    // from double-squared decimals (the q_did discipline).
+    "q_ewma" -> ((s, dir) => {
+      val perH = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+            .as("h"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val span = perH.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val contrib = perH
+        .select(col("event_type"), col("h"), col("c"),
+          explode(sequence(lit(0L), lit(23L))).as("k"))
+        .select(col("event_type"), (col("h") + col("k")).as("th"),
+          (col("c") * round(lit(0.2) * pow(lit(0.8),
+              col("k").cast("double")), 8).cast("decimal(12,8)"))
+            .cast("decimal(30,10)").as("t"))
+        .groupBy(col("event_type"), col("th"))
+        .agg(sum(col("t")).as("ewma_dec"))
+      val dense = perH.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span)) // 1-row span
+        .select(col("event_type"),
+          explode(sequence(col("h0") + 23L, col("h1"))).as("th"))
+        .join(contrib, Seq("event_type", "th"), "left")
+        .select(col("event_type"), col("th"),
+          coalesce(col("ewma_dec"), lit(0).cast("decimal(30,10)"))
+            .as("e"))
+      val m = dense.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("e")).as("s"),
+          sum((col("e").cast("double") * col("e").cast("double"))
+            .cast("decimal(30,10)")).as("ss"))
+        .select(col("event_type"), col("n"),
+          (col("s").cast("double") / col("n").cast("double")).as("mean"),
+          sqrt(greatest(
+            (col("ss").cast("double") - col("s").cast("double") *
+              col("s").cast("double") / col("n").cast("double")) /
+              (col("n") - 1L).cast("double"),
+            lit(0.0))).as("sd"))
+      val out = abs(col("e").cast("double") - col("mean")) >
+        lit(3.0) * col("sd")
+      dense.join(m, Seq("event_type"))
+        .groupBy(col("event_type"), col("n"), col("mean"), col("sd"))
+        .agg(sum(when(out, 1L).otherwise(0L)).as("n_out"),
+          min(when(out, col("th"))).as("first_out_h"))
+        .select(col("event_type"), col("n").as("n_hours"),
+          round(col("mean"), 6).as("mean_ewma"),
+          round(col("sd"), 6).as("sd_ewma"),
+          col("n_out"), col("first_out_h"))
+        .orderBy("event_type")
+    }),
+
+    // ── Delete-one-nation jackknife SE of revenue per order ─────────────
+    // The resampling-free uncertainty read next to q_bootstrap_ci: the
+    // ratio estimator R = Σ revenue / Σ orders, re-estimated with each
+    // customer nation deleted (R₍₋g₎ = (S−s_g)/(N−n_g)), then
+    // SE² = (G−1)/G · Σ(R₍₋g₎ − R̄)². One keyed per-nation aggregate is
+    // the data-scale work (dim join unhinted — VERDICT r13 #1); the
+    // jackknife algebra runs on the ≤25-row group relation with
+    // leave-one-out ratios as single double divides of exact decimals,
+    // deviations² quantized DECIMAL(30,10) before their sum.
+    "q_jackknife" -> ((s, dir) => {
+      val dec = "decimal(30,10)"
+      val g = t(s, dir, "orders")
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+          Seq("o_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("o_totalprice").cast(dec)).as("sg"),
+          count(lit(1)).as("ng"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = g.agg(sum(col("sg")).as("st"), sum(col("ng")).as("nt"),
+        count(lit(1)).as("gcnt"))
+      val loo = g.crossJoin(broadcast(tot)) // 1-row totals
+        .select(col("gcnt"),
+          (col("st").cast("double") / col("nt").cast("double"))
+            .as("r_full"),
+          ((col("st") - col("sg")).cast("double") /
+            (col("nt") - col("ng")).cast("double")).as("r"))
+      val rb = loo.agg(sum(col("r").cast(dec)).as("sr"))
+      loo.crossJoin(broadcast(rb)) // 1-row pseudo-value mean
+        .select(col("gcnt"), col("r_full"),
+          (col("sr").cast("double") / col("gcnt").cast("double"))
+            .as("rbar"), col("r"))
+        .groupBy(col("gcnt"), col("r_full"), col("rbar"))
+        .agg(sum(((col("r") - col("rbar")) * (col("r") - col("rbar")))
+          .cast(dec)).as("sdev"))
+        .select(col("gcnt").as("n_groups"),
+          round(col("r_full"), 6).as("r_full"),
+          round(col("rbar"), 6).as("r_loo_mean"),
+          round(sqrt((col("gcnt") - 1L).cast("double") /
+            col("gcnt").cast("double") * col("sdev").cast("double")), 6)
+            .as("se_jack"),
+          round((col("gcnt") - 1L).cast("double") *
+            (col("rbar") - col("r_full")), 6).as("bias_jack"))
+    }),
   )
 
   private def oSum(expr: String, as: String, scale: Int = 4): String =
@@ -3917,5 +4026,69 @@ object AnalyticQueries {
            ROUND(CAST(b.y AS DOUBLE) / CAST(b.w AS DOUBLE), 6) AS raw_rate,
            ROUND(f.iso, 6) AS iso_rate
          FROM b JOIN f USING (i) ORDER BY discount_pct""",
+    "q_ewma" ->
+      """WITH perh AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+            CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+         span AS (SELECT min(h) AS h0, max(h) AS h1 FROM perh),
+         contrib AS (SELECT event_type, h + g.k AS th,
+             CAST(c * CAST(round(0.2 * pow(0.8, g.k), 8)
+               AS DECIMAL(12,8)) AS DECIMAL(30,10)) AS t
+           FROM perh, LATERAL (SELECT unnest(generate_series(0, 23)) AS k)
+             g),
+         agg AS (SELECT event_type, th, SUM(t) AS ewma_dec
+           FROM contrib GROUP BY 1, 2),
+         dense AS (SELECT ty.event_type, gr.th,
+             COALESCE(a.ewma_dec, CAST(0 AS DECIMAL(30,10))) AS e
+           FROM (SELECT DISTINCT event_type FROM perh) ty
+           CROSS JOIN (SELECT unnest(generate_series(
+             (SELECT h0 + 23 FROM span), (SELECT h1 FROM span))) AS th) gr
+           LEFT JOIN agg a ON a.event_type = ty.event_type
+             AND a.th = gr.th),
+         m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             SUM(e) AS s,
+             SUM(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+               AS DECIMAL(30,10))) AS ss
+           FROM dense GROUP BY 1),
+         st AS (SELECT event_type, n,
+             CAST(s AS DOUBLE) / n AS mean,
+             sqrt(greatest((CAST(ss AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+               / (n - 1), 0.0)) AS sd
+           FROM m)
+         SELECT d.event_type, st.n AS n_hours,
+           ROUND(st.mean, 6) AS mean_ewma, ROUND(st.sd, 6) AS sd_ewma,
+           CAST(SUM(CASE WHEN abs(CAST(d.e AS DOUBLE) - st.mean)
+             > 3.0 * st.sd THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+           min(CASE WHEN abs(CAST(d.e AS DOUBLE) - st.mean)
+             > 3.0 * st.sd THEN d.th END) AS first_out_h
+         FROM dense d JOIN st ON d.event_type = st.event_type
+         GROUP BY 1, 2, 3, 4 ORDER BY d.event_type""",
+    "q_jackknife" ->
+      """WITH g AS (SELECT c_nationkey,
+            SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS sg,
+            CAST(count(*) AS BIGINT) AS ng
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1),
+         tot AS (SELECT SUM(sg) AS st, CAST(SUM(ng) AS BIGINT) AS nt,
+           CAST(count(*) AS BIGINT) AS gcnt FROM g),
+         loo AS (SELECT gcnt,
+             CAST(st AS DOUBLE) / nt AS r_full,
+             CAST(st - sg AS DOUBLE) / CAST(nt - ng AS DOUBLE) AS r
+           FROM g CROSS JOIN tot),
+         rb AS (SELECT SUM(CAST(r AS DECIMAL(30,10))) AS sr FROM loo),
+         dev AS (SELECT gcnt, r_full,
+             CAST(sr AS DOUBLE) / gcnt AS rbar,
+             SUM(CAST((r - CAST(sr AS DOUBLE) / gcnt)
+               * (r - CAST(sr AS DOUBLE) / gcnt) AS DECIMAL(30,10)))
+               AS sdev
+           FROM loo CROSS JOIN rb GROUP BY 1, 2, 3)
+         SELECT gcnt AS n_groups, ROUND(r_full, 6) AS r_full,
+           ROUND(rbar, 6) AS r_loo_mean,
+           ROUND(sqrt(CAST(gcnt - 1 AS DOUBLE) / gcnt
+             * CAST(sdev AS DOUBLE)), 6) AS se_jack,
+           ROUND(CAST(gcnt - 1 AS DOUBLE) * (rbar - r_full), 6)
+             AS bias_jack
+         FROM dev""",
   )
 }
