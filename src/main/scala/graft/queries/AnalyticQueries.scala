@@ -2444,6 +2444,87 @@ object AnalyticQueries {
           round((col("gcnt") - 1L).cast("double") *
             (col("rbar") - col("r_full")), 6).as("bias_jack"))
     }),
+
+    // ── Gumbel block-maxima fit of weekly peak order value ──────────────
+    // The extreme-value read next to q_hill_tail's tail index: weekly
+    // MAXIMA of order totalprice (max is arithmetic-free — exact on any
+    // engine), Gumbel(μ, β) fitted by method of moments (β̂ = s√6/π,
+    // μ̂ = m − γβ̂), and the 99% return level μ̂ − β̂·ln(−ln 0.99) — "the
+    // weekly peak exceeded only 1% of weeks". The data-scale work is ONE
+    // keyed weekly aggregate; moments fold over the ≤|weeks|-row maxima
+    // relation with the q_did decimal discipline; the closing constants
+    // (γ, π) are fixed literals so both engines run one IEEE chain.
+    "q_gumbel" -> ((s, dir) => {
+      val wk = t(s, dir, "orders")
+        .groupBy(expr("unix_micros(cast(o_orderdate as timestamp))" +
+          " div 604800000000").as("w"))
+        .agg(max(col("o_totalprice")).as("mx"))
+      val m = wk.agg(count(lit(1)).as("n"),
+        sum(col("mx").cast("decimal(30,10)")).as("s"),
+        sum((col("mx") * col("mx")).cast("decimal(30,10)")).as("ss"))
+      val mean = col("s").cast("double") / col("n").cast("double")
+      val sd = sqrt(greatest(
+        (col("ss").cast("double") - col("s").cast("double") *
+          col("s").cast("double") / col("n").cast("double")) /
+          (col("n") - 1L).cast("double"), lit(0.0)))
+      val beta = sd * lit(math.sqrt(6.0) / math.Pi)
+      val mu = mean - lit(0.5772156649015329) * beta
+      m.select(col("n").as("n_weeks"),
+        round(mean, 6).as("mean_max"), round(sd, 6).as("sd_max"),
+        round(beta, 6).as("beta"), round(mu, 6).as("mu"),
+        round(mu - beta * lit(math.log(-math.log(0.99))), 6)
+          .as("ret_level_99"))
+    }),
+
+    // ── Inverse-propensity-weighted treatment effect (Hájek IPW) ────────
+    // The confounder-adjusted sibling of q_did/q_cuped: treated = click,
+    // control = view, confounder = hour-of-day stratum (24 cells at any
+    // corpus size). Propensity p_s = treated share per stratum (exact
+    // int ratio, ONE double divide); each row weighs 1/p̂ (treated) or
+    // 1/(1−p̂) (control); ATE is the difference of self-normalized
+    // weighted means. Per-row y·w and w chains quantize DECIMAL(30,10)
+    // so the four arm sums are order-free; the stratum attach is a keyed
+    // join to the 24-row stats relation. Reads "what the click−view gap
+    // would be if both arms had the same hourly mix".
+    "q_ipw_ate" -> ((s, dir) => {
+      val dec = "decimal(30,10)"
+      val ev = Tables.events(s, dir)
+        .where(col("event_type").isin("click", "view"))
+        .select((col("event_type") === "click").as("treated"),
+          col("value"),
+          expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 24")
+            .as("stratum"))
+      val strat = ev.groupBy(col("stratum"))
+        .agg(count(lit(1)).as("n_s"),
+          sum(when(col("treated"), 1L).otherwise(0L)).as("nt_s"))
+      val wcol = when(col("treated"),
+          col("n_s").cast("double") / col("nt_s").cast("double"))
+        .otherwise(col("n_s").cast("double") /
+          (col("n_s") - col("nt_s")).cast("double"))
+      val agg = ev.join(strat, Seq("stratum"))
+        .select(col("treated"), col("value"), wcol.as("w"))
+        .groupBy(col("treated"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("value") * col("w")).cast(dec)).as("syw"),
+          sum(col("w").cast(dec)).as("sw"),
+          sum(col("value").cast(dec)).as("sy"))
+      val one = agg.agg(
+        max(when(col("treated"), col("n"))).as("n_treated"),
+        max(when(!col("treated"), col("n"))).as("n_control"),
+        max(when(col("treated"),
+          col("syw").cast("double") / col("sw").cast("double")))
+          .as("mt"),
+        max(when(!col("treated"),
+          col("syw").cast("double") / col("sw").cast("double")))
+          .as("mc"),
+        max(when(col("treated"),
+          col("sy").cast("double") / col("n").cast("double"))).as("yt"),
+        max(when(!col("treated"),
+          col("sy").cast("double") / col("n").cast("double"))).as("yc"))
+      one.select(col("n_treated"), col("n_control"),
+        round(col("mt") - col("mc"), 6).as("ate_ipw"),
+        round(col("yt") - col("yc"), 6).as("diff_naive"))
+    }),
   )
 
   private def oSum(expr: String, as: String, scale: Int = 4): String =
@@ -4090,5 +4171,61 @@ object AnalyticQueries {
            ROUND(CAST(gcnt - 1 AS DOUBLE) * (rbar - r_full), 6)
              AS bias_jack
          FROM dev""",
+    "q_gumbel" ->
+      """WITH wk AS (SELECT epoch_us(o_orderdate) // 604800000000 AS w,
+            max(o_totalprice) AS mx
+          FROM orders GROUP BY 1),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(mx AS DECIMAL(30,10))) AS s,
+             SUM(CAST(mx * mx AS DECIMAL(30,10))) AS ss
+           FROM wk),
+         st AS (SELECT n,
+             CAST(s AS DOUBLE) / n AS mean,
+             sqrt(greatest((CAST(ss AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1),
+               0.0)) AS sd
+           FROM m),
+         fit AS (SELECT n, mean, sd,
+             sd * (sqrt(6.0) / pi()) AS beta
+           FROM st)
+         SELECT n AS n_weeks, ROUND(mean, 6) AS mean_max,
+           ROUND(sd, 6) AS sd_max, ROUND(beta, 6) AS beta,
+           ROUND(mean - 0.5772156649015329 * beta, 6) AS mu,
+           ROUND(mean - 0.5772156649015329 * beta
+             - beta * ln(-ln(0.99)), 6) AS ret_level_99
+         FROM fit""",
+    "q_ipw_ate" ->
+      """WITH ev AS (SELECT (event_type = 'click') AS treated, value,
+            (epoch_us(ts) // 3600000000) % 24 AS stratum
+          FROM events WHERE event_type IN ('click', 'view')),
+         strat AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_s,
+             CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+               AS nt_s
+           FROM ev GROUP BY 1),
+         wtd AS (SELECT e.treated, e.value,
+             CASE WHEN e.treated
+               THEN CAST(s.n_s AS DOUBLE) / s.nt_s
+               ELSE CAST(s.n_s AS DOUBLE) / (s.n_s - s.nt_s) END AS w
+           FROM ev e JOIN strat s ON e.stratum = s.stratum),
+         agg AS (SELECT treated, CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(value * w AS DECIMAL(30,10))) AS syw,
+             SUM(CAST(w AS DECIMAL(30,10))) AS sw,
+             SUM(CAST(value AS DECIMAL(30,10))) AS sy
+           FROM wtd GROUP BY 1),
+         one AS (SELECT
+             max(CASE WHEN treated THEN n END) AS n_treated,
+             max(CASE WHEN NOT treated THEN n END) AS n_control,
+             max(CASE WHEN treated THEN CAST(syw AS DOUBLE)
+               / CAST(sw AS DOUBLE) END) AS mt,
+             max(CASE WHEN NOT treated THEN CAST(syw AS DOUBLE)
+               / CAST(sw AS DOUBLE) END) AS mc,
+             max(CASE WHEN treated THEN CAST(sy AS DOUBLE) / n END)
+               AS yt,
+             max(CASE WHEN NOT treated THEN CAST(sy AS DOUBLE) / n END)
+               AS yc
+           FROM agg)
+         SELECT n_treated, n_control, ROUND(mt - mc, 6) AS ate_ipw,
+           ROUND(yt - yc, 6) AS diff_naive
+         FROM one""",
   )
 }
