@@ -424,4 +424,38 @@ object Graph {
       .select(col("node"), col("h").cast("double").as("hub"),
         col("a").cast("double").as("authority"))
   }
+
+  /** Single-source shortest paths by fixed-round Bellman–Ford relaxation
+    * over a weighted edge relation (`src`, `dst`, `w` — DECIMAL weights;
+    * symmetrize before calling for undirected semantics). Each round is
+    * one keyed join propagating `d + w` along edges plus one keyed
+    * min-aggregate folding candidates into the frontier — the
+    * [[pageRank]]/[[kCore]] iteration shape, nothing quadratic; `rounds`
+    * bounds path length in hops (a production run loops to an
+    * unchanged-count fixpoint, same per-round plan).
+    *
+    * Determinism: distances are exact DECIMAL(20,6) sums of quantized
+    * weights — min over exact decimals has no FP ties — so both engines
+    * agree on every distance. Unreached nodes carry NULL.
+    */
+  def sssp(edges: DataFrame, seed: Long, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds: $rounds")
+    val dec = "decimal(20,6)"
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var dist = nodes.select(col("node"),
+      when(col("node") === seed, lit(0).cast(dec)).as("d"))
+    for (_ <- 1 to rounds) {
+      val cand = e
+        .join(dist.where(col("d").isNotNull)
+          .select(col("node").as("src"), col("d").as("du")), Seq("src"))
+        .select(col("dst").as("node"),
+          (col("du") + col("w")).cast(dec).as("d"))
+      dist = dist.unionByName(cand)
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+    }
+    dist
+  }
 }

@@ -739,6 +739,40 @@ object AdvancedQueries {
       topA.unionByName(topH)
         .orderBy(col("role"), desc("score"), col("node"))
     }),
+
+    // ── Weighted SSSP over the co-purchase graph ─────────────────────────
+    // q_bfs's hop counts, upgraded to WEIGHTED distance: edge length =
+    // round(1/support, 6) (strong co-purchase ties are short), so the
+    // result ranks parts by affinity-path closeness to the seed — the
+    // related-items expansion a recommender walks. Four Bellman–Ford
+    // relaxation rounds (Graph.sssp: keyed propagate-join + keyed
+    // min-fold per round, the q_bfs frontier shape); the oracle unrolls
+    // the rounds as CTEs. Distances are exact DECIMAL(20,6) sums of the
+    // quantized weights, so min-folds can't FP-tie; the seed is the
+    // 1-value bounded driver scalar (the q_bfs precedent). Top-20
+    // closest, node-tiebroken.
+    "q_sssp" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val canon = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("sup"))
+        .where(col("sup") >= 2)
+        .select(col("a"), col("b"),
+          round(lit(1.0) / col("sup"), 6).cast("decimal(12,6)").as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sym = canon.select(col("a").as("src"), col("b").as("dst"),
+          col("w"))
+        .unionByName(canon.select(col("b").as("src"), col("a").as("dst"),
+          col("w")))
+      val seed = canon.agg(min(least(col("a"), col("b"))))
+        .head().getLong(0) // 1-value bounded driver scalar
+      graft.ops.Graph.sssp(sym, seed, rounds = 4)
+        .where(col("d").isNotNull)
+        .select(col("node"), col("d").cast("double").as("dist"))
+        .orderBy(col("dist"), col("node")).limit(20)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1346,5 +1380,42 @@ object AdvancedQueries {
              row_number() OVER (ORDER BY h DESC, node) AS rn FROM h2)
          SELECT role, node, score FROM ranked WHERE rn <= 15
          ORDER BY role, score DESC, node""",
+    "q_sssp" ->
+      """WITH canon AS (
+            SELECT x.l_partkey AS a, y.l_partkey AS b,
+              CAST(round(1.0 / count(*), 6) AS DECIMAL(12,6)) AS w
+            FROM lineitem x JOIN lineitem y
+              ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+            GROUP BY a, b HAVING count(*) >= 2),
+          sym AS (SELECT a AS src, b AS dst, w FROM canon
+                  UNION ALL SELECT b, a, w FROM canon),
+          seed AS (SELECT min(least(a, b)) AS s FROM canon),
+          nodes AS (SELECT DISTINCT src AS node FROM sym
+                    UNION SELECT DISTINCT dst FROM sym),
+          d0 AS (SELECT node, CASE WHEN node = seed.s
+              THEN CAST(0 AS DECIMAL(20,6)) END AS d
+            FROM nodes CROSS JOIN seed),
+          d1 AS (SELECT node, min(d) AS d FROM (
+              SELECT node, d FROM d0
+              UNION ALL SELECT e.dst, CAST(p.d + e.w AS DECIMAL(20,6))
+              FROM sym e JOIN d0 p ON e.src = p.node
+              WHERE p.d IS NOT NULL) GROUP BY 1),
+          d2 AS (SELECT node, min(d) AS d FROM (
+              SELECT node, d FROM d1
+              UNION ALL SELECT e.dst, CAST(p.d + e.w AS DECIMAL(20,6))
+              FROM sym e JOIN d1 p ON e.src = p.node
+              WHERE p.d IS NOT NULL) GROUP BY 1),
+          d3 AS (SELECT node, min(d) AS d FROM (
+              SELECT node, d FROM d2
+              UNION ALL SELECT e.dst, CAST(p.d + e.w AS DECIMAL(20,6))
+              FROM sym e JOIN d2 p ON e.src = p.node
+              WHERE p.d IS NOT NULL) GROUP BY 1),
+          d4 AS (SELECT node, min(d) AS d FROM (
+              SELECT node, d FROM d3
+              UNION ALL SELECT e.dst, CAST(p.d + e.w AS DECIMAL(20,6))
+              FROM sym e JOIN d3 p ON e.src = p.node
+              WHERE p.d IS NOT NULL) GROUP BY 1)
+          SELECT node, CAST(d AS DOUBLE) AS dist FROM d4
+          WHERE d IS NOT NULL ORDER BY dist, node LIMIT 20""",
   )
 }

@@ -745,6 +745,40 @@ object CorpusStatsQueries {
             .as("gini"))
         .orderBy("source")
     }),
+
+    // ── Count-min sketch accuracy audit over the token stream ───────────
+    // The OTHER streaming frequency sketch next to q_hll_merge's
+    // cardinality one: a 4×1024 CMS built relationally — each vocabulary
+    // row fans out its 4 (row, h60(tok:r) mod 1024) cells, the sketch is
+    // ONE keyed aggregate collapsing to ≤4096 cells no matter the corpus
+    // size — then audited against exact truth on the top-20 tokens:
+    // estimate = min over rows of the hit cell, overestimate = est −
+    // true ≥ 0 always (the CMS one-sided guarantee, asserted in spec).
+    // This is the design read before committing sketch params for a
+    // 100 TB heavy-hitters pass: all-integer, exactly replayable (the
+    // shared h60 hash), every join keyed on (row, bucket).
+    "q_cms" -> ((s, dir) => {
+      val W = 1024L
+      val freq = tokStream(s, dir).groupBy(col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def cells(df: DataFrame): DataFrame = df
+        .select(col("tok"), col("c"),
+          explode(sequence(lit(0L), lit(3L))).as("r"))
+        .select(col("tok"), col("c"), col("r"),
+          pmod(graft.functions.Hashes.h60(
+            concat(col("tok"), lit(":"), col("r").cast("string"))),
+            lit(W)).as("bucket"))
+      val sketch = cells(freq).groupBy(col("r"), col("bucket"))
+        .agg(sum(col("c")).as("bc"))
+      val top = freq.orderBy(desc("c"), col("tok")).limit(20)
+      cells(top).join(sketch, Seq("r", "bucket"))
+        .groupBy(col("tok"), col("c")).agg(min(col("bc")).as("est"))
+        .select(col("tok"), col("c").as("true_count"),
+          col("est").as("cms_estimate"),
+          (col("est") - col("c")).as("overestimate"))
+        .orderBy(desc("true_count"), col("tok"))
+    }),
   )
 
   private val BpeK = 5
@@ -1658,5 +1692,28 @@ object CorpusStatsQueries {
            ROUND(CAST(2 * iwx AS DOUBLE) / (n_docs * tok_total)
                  - CAST(n_docs + 1 AS DOUBLE) / n_docs, 6) AS gini
          FROM g ORDER BY source""",
+    "q_cms" ->
+      s"""WITH $TokCte,
+         freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1),
+         fan AS (SELECT tok, c, g.r,
+             ${graft.functions.Hashes.h60Sql(
+               "tok||':'||CAST(g.r AS VARCHAR)")} % 1024 AS bucket
+           FROM freq, LATERAL (SELECT unnest(generate_series(0, 3)) AS r)
+             g),
+         sketch AS (SELECT r, bucket, CAST(SUM(c) AS BIGINT) AS bc
+           FROM fan GROUP BY 1, 2),
+         top AS (SELECT tok, c FROM freq ORDER BY c DESC, tok LIMIT 20),
+         tf AS (SELECT t.tok, t.c, g.r,
+             ${graft.functions.Hashes.h60Sql(
+               "t.tok||':'||CAST(g.r AS VARCHAR)")} % 1024 AS bucket
+           FROM top t, LATERAL (SELECT unnest(generate_series(0, 3))
+             AS r) g),
+         est AS (SELECT tf.tok, tf.c, min(s.bc) AS est
+           FROM tf JOIN sketch s ON s.r = tf.r AND s.bucket = tf.bucket
+           GROUP BY 1, 2)
+         SELECT tok, c AS true_count, est AS cms_estimate,
+           est - c AS overestimate
+         FROM est ORDER BY true_count DESC, tok""",
   )
 }

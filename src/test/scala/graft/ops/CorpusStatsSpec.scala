@@ -552,4 +552,21 @@ class CorpusStatsSpec extends SparkSpec {
       ("xx", 1L, 1L, 2L, 2.0, 1.0)))  // 1 word → 2 units, 2 chars
     spark.catalog.clearCache()
   }
+
+  test("q_cms: the count-min guarantee — estimate never undershoots") {
+    // the CMS one-sided error bound est >= true is structural (bucket
+    // sums only ever ADD counts); a violation means the estimate's
+    // bucket routing diverged from the sketch's — exactly the bug class
+    // this guards
+    val sfDir = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.isReadable(java.nio.file.Paths.get(sfDir)))
+    val rows = graft.SparkEntry.queries("q_cms")(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length === 20)
+    rows.foreach { case (tok, tc, est, over) =>
+      assert(est >= tc, s"one-sided bound violated for '$tok'")
+      assert(over === est - tc, s"overestimate column for '$tok'")
+    }
+    spark.catalog.clearCache()
+  }
 }

@@ -268,4 +268,39 @@ class GraphSpec extends SparkSpec {
     assert(got === Seq((1L, 3L), (3L, 1L)))
     spark.catalog.clearCache()
   }
+
+  test("hits: the busier hub dominates, authorities are L1-normalized") {
+    // hub 0 links 3 authorities, hub 1 links one of them: 0 must out-hub
+    // 1, authority 10 (linked by both) must top the authority side
+    val edges = Seq((0L, 10L), (0L, 11L), (0L, 12L), (1L, 10L))
+      .toDF("src", "dst")
+    val r = Graph.hits(edges, iters = 2)
+      .as[(Long, Option[Double], Option[Double])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(0L)._1.get > r(1L)._1.get, s"hub order: $r")
+    assert(r(10L)._2.get > r(11L)._2.get, s"authority order: $r")
+    assert(r(11L)._2 === r(12L)._2, s"symmetric authorities: $r")
+    // sources have no in-edges → no authority; sinks no hub
+    assert(r(0L)._2.isEmpty && r(10L)._1.isEmpty)
+    val authSum = r.values.flatMap(_._2).sum
+    assert(math.abs(authSum - 1.0) < 1e-5, s"L1 norm: $authSum")
+    spark.catalog.clearCache()
+  }
+
+  test("sssp: the cheap two-hop path beats the direct expensive edge") {
+    // 0→1 costs 1.0 direct, but 0→2→1 costs 0.2; node 9 is unreachable
+    val edges = Seq((0L, 1L, "1.0"), (0L, 2L, "0.1"), (2L, 1L, "0.1"),
+        (8L, 9L, "0.5"))
+      .toDF("src", "dst", "ws")
+      .select(col("src"), col("dst"),
+        col("ws").cast("decimal(12,6)").as("w"))
+    val d = Graph.sssp(edges, seed = 0L, rounds = 4)
+      .select(col("node"), col("d").cast("double"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(d(0L) === Some(0.0))
+    assert(d(2L) === Some(0.1))
+    assert(d(1L) === Some(0.2), s"relaxation must find the 2-hop path: $d")
+    assert(d(9L).isEmpty, s"disconnected component stays NULL: $d")
+    spark.catalog.clearCache()
+  }
 }
