@@ -2525,6 +2525,61 @@ object AnalyticQueries {
         round(col("mt") - col("mc"), 6).as("ate_ipw"),
         round(col("yt") - col("yc"), 6).as("diff_naive"))
     }),
+
+    // ── TPC-H Q18 shape (large-volume customers) ─────────────────────────
+    // The HAVING-subquery benchmark: orders whose total quantity exceeds
+    // 300 (top ~0.1%), joined back to customer and re-aggregated. The
+    // qualifying set is a LEFT SEMI join against the keyed
+    // groupBy-HAVING relation — the IN-subquery plan shape — so lineitem
+    // is scanned twice (once to qualify, once to total) but shuffled
+    // only on orderkey; quantities are integral doubles summed as exact
+    // int64 (Exact.longSum). Customer join unhinted (VERDICT r13 #1).
+    "q_tpch_q18" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(Exact.longSum(col("l_quantity")).as("qty"))
+        .where(col("qty") > 300L)
+        .select(col("l_orderkey"))
+      val o = t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      o.join(t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_name")),
+          Seq("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+          col("o_totalprice"))
+        .agg(Exact.longSum(col("l_quantity")).as("total_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // ── Top event trigram paths (behavioral sequence mining) ────────────
+    // What users DO in order — the n-gram extension of q_markov_chain's
+    // single transitions: per-user ts-ordered event streams yield
+    // sliding (e₁→e₂→e₃) trigrams via two keyed leads, counted and
+    // ranked with each path's share of all trigrams. One window shuffle
+    // on user_id + one keyed aggregate — corpus-linear; the share
+    // denominator rides a constant-key window over the ≤|types|³-row
+    // path relation (the q_class_weights pmod idiom). Top-20,
+    // path-tiebroken.
+    "q_event_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tri = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .where(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(col("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+      val wTot = Window.partitionBy(pmod(length(col("e1")), lit(1)))
+      tri.select(col("e1"), col("e2"), col("e3"), col("n"),
+          round(col("n").cast("double") / sum(col("n")).over(wTot), 6)
+            .as("share"))
+        .orderBy(desc("n"), col("e1"), col("e2"), col("e3"))
+        .limit(20)
+    }),
   )
 
   private def oSum(expr: String, as: String, scale: Int = 4): String =
@@ -4227,5 +4282,30 @@ object AnalyticQueries {
          SELECT n_treated, n_control, ROUND(mt - mc, 6) AS ate_ipw,
            ROUND(yt - yc, 6) AS diff_naive
          FROM one""",
+    "q_tpch_q18" ->
+      """SELECT c_name, o_custkey, o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+           HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+         GROUP BY 1, 2, 3, 4, 5
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_event_paths" ->
+      """WITH seq AS (SELECT event_type AS e1,
+            lead(event_type, 1) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS e2,
+            lead(event_type, 2) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS e3
+          FROM events),
+         tri AS (SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+           FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+           GROUP BY 1, 2, 3)
+         SELECT e1, e2, e3, n,
+           ROUND(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS share
+         FROM tri ORDER BY n DESC, e1, e2, e3 LIMIT 20""",
   )
 }
