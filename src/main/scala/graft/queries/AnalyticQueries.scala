@@ -2580,6 +2580,51 @@ object AnalyticQueries {
         .orderBy(desc("n"), col("e1"), col("e2"), col("e3"))
         .limit(20)
     }),
+
+    // ── 7-day rolling correlation of click vs purchase dailies ──────────
+    // Does engagement co-move with conversion, and WHEN does the
+    // coupling break — the rolling bivariate read q_autocorr (self) and
+    // q_corr (static) don't give. Daily click/purchase counts on the
+    // dense day grid (q_mase span discipline), then per full 7-day
+    // window the five moment sums fold as exact int64 window sums and
+    // Pearson r closes in one IEEE chain per row (NULL when a window's
+    // series is constant — both engines compare the same exact-integer
+    // denominator to zero). The rolled relation is SPAN-bounded (days in
+    // window at any corpus size), so its ordered windows ride the pmod
+    // idiom.
+    "q_rolling_corr" -> ((s, dir) => {
+      val perD = Tables.events(s, dir)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("d"))
+        .groupBy(col("d"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      val dense = perD.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(col("d0"),
+          explode(sequence(col("d0"), col("d1"))).as("d"))
+        .join(perD, Seq("d"), "left")
+        .na.fill(0L, Seq("x", "y"))
+      val w7 = Window.partitionBy(pmod(col("d"), lit(1L)))
+        .orderBy(col("d")).rowsBetween(-6, 0)
+      val m = dense.select(col("d"), col("d0"), col("x"), col("y"),
+        sum(col("x")).over(w7).as("sx"), sum(col("y")).over(w7).as("sy"),
+        sum(col("x") * col("y")).over(w7).as("sxy"),
+        sum(col("x") * col("x")).over(w7).as("sxx"),
+        sum(col("y") * col("y")).over(w7).as("syy"))
+      val den = (lit(7L) * col("sxx") - col("sx") * col("sx")) *
+        (lit(7L) * col("syy") - col("sy") * col("sy"))
+      m.where(col("d") >= col("d0") + 6L)
+        .select(col("d").as("day"), col("x").as("clicks"),
+          col("y").as("purchases"),
+          when(den > 0L,
+            round((lit(7L) * col("sxy") - col("sx") * col("sy"))
+              .cast("double") / sqrt(den.cast("double")), 6)).as("r7"))
+        .orderBy("day")
+    }),
   )
 
   private def oSum(expr: String, as: String, scale: Int = 4): String =
@@ -4307,5 +4352,36 @@ object AnalyticQueries {
          SELECT e1, e2, e3, n,
            ROUND(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS share
          FROM tri ORDER BY n DESC, e1, e2, e3 LIMIT 20""",
+    "q_rolling_corr" ->
+      """WITH perd AS (SELECT epoch_us(ts) // 86400000000 AS d,
+            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+          FROM events WHERE event_type IN ('click', 'purchase')
+          GROUP BY 1),
+         bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM perd),
+         dense AS (SELECT b.d0, g.d,
+             CAST(COALESCE(p.x, 0) AS BIGINT) AS x,
+             CAST(COALESCE(p.y, 0) AS BIGINT) AS y
+           FROM bounds b
+           CROSS JOIN (SELECT unnest(generate_series(
+             (SELECT d0 FROM bounds), (SELECT d1 FROM bounds))) AS d) g
+           LEFT JOIN perd p ON p.d = g.d),
+         m AS (SELECT d, d0, x, y,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS BIGINT) AS sy,
+             CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+           FROM dense
+           WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING
+             AND CURRENT ROW))
+         SELECT d AS day, x AS clicks, y AS purchases,
+           CASE WHEN (7 * sxx - sx * sx) * (7 * syy - sy * sy) > 0
+             THEN ROUND(CAST(7 * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST((7 * sxx - sx * sx) * (7 * syy - sy * sy)
+                 AS DOUBLE)), 6) END AS r7
+         FROM m WHERE d >= d0 + 6 ORDER BY day""",
   )
 }

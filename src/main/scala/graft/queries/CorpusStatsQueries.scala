@@ -779,6 +779,33 @@ object CorpusStatsQueries {
           (col("est") - col("c")).as("overestimate"))
         .orderBy(desc("true_count"), col("tok"))
     }),
+
+    // ── Differential-privacy mechanism audit (seeded Laplace) ───────────
+    // The privacy-release primitive next to q_k_anonymity's risk audit:
+    // per-source doc counts ε=1 Laplace-noised via the INVERSE-CDF map
+    // noise = −b·sign(u−½)·ln(1−2|u−½|) with u a shared-hash uniform
+    // (h60(source‖':dp') folded to (0,1) by one exact-integer divide) —
+    // seeded, so both engines draw the IDENTICAL noise and the release
+    // is exactly replayable (the audit framing: true counts ride along
+    // to report |err| against the b = 1/ε expectation). One keyed
+    // aggregate; the noise chain is per-group IEEE rounded once.
+    "q_dp_noise" -> ((s, dir) => {
+      val u = ((pmod(graft.functions.Hashes.h60(
+          concat(col("source"), lit(":dp"))), lit(1000000L))
+          .cast("double") + 0.5) / 1000001.0).as("u")
+      val b = 1.0 // Laplace scale = sensitivity/epsilon = 1/1.0
+      docs(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("source"), col("n_docs"), u)
+        .select(col("source"), col("n_docs"),
+          round(col("n_docs") +
+            -signum(col("u") - 0.5) * lit(b) *
+              log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)), 6)
+            .as("noisy_n"))
+        .select(col("source"), col("n_docs"), col("noisy_n"),
+          round(abs(col("noisy_n") - col("n_docs")), 6).as("abs_err"))
+        .orderBy("source")
+    }),
   )
 
   private val BpeK = 5
@@ -1715,5 +1742,19 @@ object CorpusStatsQueries {
          SELECT tok, c AS true_count, est AS cms_estimate,
            est - c AS overestimate
          FROM est ORDER BY true_count DESC, tok""",
+    "q_dp_noise" ->
+      s"""WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         seeded AS (SELECT source, n_docs,
+             (CAST(${graft.functions.Hashes.h60Sql("source||':dp'")}
+               % 1000000 AS DOUBLE) + 0.5) / 1000001.0 AS u
+           FROM g),
+         noised AS (SELECT source, n_docs,
+             ROUND(n_docs + -sign(u - 0.5) * 1.0
+               * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_n
+           FROM seeded)
+         SELECT source, n_docs, noisy_n,
+           ROUND(abs(noisy_n - n_docs), 6) AS abs_err
+         FROM noised ORDER BY source""",
   )
 }
