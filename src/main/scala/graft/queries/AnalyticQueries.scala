@@ -2625,6 +2625,101 @@ object AnalyticQueries {
               .cast("double") / sqrt(den.cast("double")), 6)).as("r7"))
         .orderBy("day")
     }),
+
+    // ── Log-rank test: click-first vs view-first survival ───────────────
+    // Do the two onboarding cohorts CHURN differently — the hypothesis
+    // test on top of q_kaplan_meier's curve: arm 1 = users whose FIRST
+    // event is a click, lifetimes/censoring as in KM (hours, 6 h window).
+    // At each lifetime t: O₁ₜ = d₁ₜ observed arm-1 deaths, E₁ₜ = r₁ₜ·dₜ/rₜ
+    // expected under H₀, Vₜ the hypergeometric variance; z = (O₁−E₁)/√V.
+    // At-risk counts are exact int64 prefix sums on the span-bounded
+    // lifetime table (pmod window); each per-row E/V term is one IEEE
+    // chain quantized DECIMAL(20,10) so the three sums are order-free;
+    // the degenerate rₜ=1 final row is guarded identically both sides.
+    "q_logrank" -> ((s, dir) => {
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val per = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("us"),
+          first(col("event_type")).over(wU).as("ftype"))
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as("mn"), max(col("us")).as("mx"),
+          max((col("ftype") === "click").cast("int")).as("arm1"))
+      val end = per.agg(max(col("mx")).as("study_end"))
+      val byT = per.crossJoin(broadcast(end)) // 1-row study end
+        .select(expr("(mx - mn) div 3600000000").as("t"), col("arm1"),
+          (col("study_end") - col("mx") < lit(21600000000L))
+            .as("censored"))
+        .groupBy(col("t"))
+        .agg(
+          sum(when(!col("censored") && col("arm1") === 1, 1L)
+            .otherwise(0L)).as("d1"),
+          sum(when(!col("censored"), 1L).otherwise(0L)).as("d"),
+          sum(when(col("arm1") === 1, 1L).otherwise(0L)).as("tot1"),
+          count(lit(1)).as("tot"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = byT.agg(sum(col("tot1")).as("n1"), sum(col("tot")).as("nt"))
+      val wPrev = Window.partitionBy(pmod(col("t"), lit(1L)))
+        .orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val risk = byT.crossJoin(broadcast(n)) // 1-row cohort totals
+        .select(col("t"), col("d1"), col("d"),
+          (col("n1") - coalesce(sum(col("tot1")).over(wPrev), lit(0L)))
+            .as("r1"),
+          (col("nt") - coalesce(sum(col("tot")).over(wPrev), lit(0L)))
+            .as("r"))
+      val share = col("r1").cast("double") / col("r").cast("double")
+      val stats = risk.where(col("d") > 0L).agg(
+        sum(col("d1")).as("o1"),
+        sum((col("d").cast("double") * share).cast("decimal(20,10)"))
+          .as("e1"),
+        sum(when(col("r") > 1L,
+            (col("d").cast("double") * share * (lit(1.0) - share) *
+              (col("r") - col("d")).cast("double") /
+              (col("r") - 1L).cast("double")).cast("decimal(20,10)"))
+          .otherwise(lit(0.0).cast("decimal(20,10)"))).as("v"))
+      stats.crossJoin(broadcast(n)) // 1-row cohort totals
+        .select(col("n1").as("n_arm1"), (col("nt") - col("n1"))
+            .as("n_arm2"), col("o1").as("observed1"),
+          round(col("e1").cast("double"), 6).as("expected1"),
+          round(col("v").cast("double"), 6).as("variance"),
+          round((col("o1").cast("double") - col("e1").cast("double")) /
+            sqrt(col("v").cast("double")), 6).as("z"))
+    }),
+
+    // ── Empirical VaR / CVaR of daily revenue ────────────────────────────
+    // The tail-risk read a revenue dashboard puts next to q_gumbel's
+    // peak model: the 5% value-at-risk (type-1 order statistic at
+    // ⌈0.05·n⌉ over the ≤|days|-row daily revenue relation) and the
+    // expected shortfall CVaR = mean of the days at or below it. Daily
+    // sums are decimal-exact; the rank rides the pmod window on the
+    // span-bounded relation; the tail mean folds decimal sums with ONE
+    // final divide. Exactly replayable — no interpolation semantics to
+    // disagree on (the q_global_quantiles type-1 discipline).
+    "q_var_cvar" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(expr("unix_micros(cast(o_orderdate as timestamp))" +
+          " div 86400000000").as("d"))
+        .agg(sum(col("o_totalprice").cast("decimal(30,10)")).as("rev"))
+      val wRank = Window.partitionBy(pmod(col("d"), lit(1L)))
+        .orderBy(col("rev"), col("d"))
+      val wTot = Window.partitionBy(pmod(col("d"), lit(1L)))
+      val ranked = daily.select(col("rev"),
+        row_number().over(wRank).as("rk"),
+        count(lit(1)).over(wTot).as("n"))
+      ranked
+        .where(col("rk") <= ceil(col("n").cast("double") * 0.05)
+          .cast("long"))
+        .groupBy(col("n"))
+        .agg(count(lit(1)).as("n_tail"),
+          max(col("rev")).as("var_dec"),
+          sum(col("rev")).as("tail_sum"))
+        .select(col("n").as("n_days"), col("n_tail"),
+          round(col("var_dec").cast("double"), 4).as("var_5pct"),
+          round(col("tail_sum").cast("double") /
+            col("n_tail").cast("double"), 4).as("cvar_5pct"))
+    }),
   )
 
   private def oSum(expr: String, as: String, scale: Int = 4): String =
@@ -4383,5 +4478,66 @@ object AnalyticQueries {
                / sqrt(CAST((7 * sxx - sx * sx) * (7 * syy - sy * sy)
                  AS DOUBLE)), 6) END AS r7
          FROM m WHERE d >= d0 + 6 ORDER BY day""",
+    "q_logrank" ->
+      """WITH seq AS (SELECT user_id, epoch_us(ts) AS us,
+            first_value(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS ftype
+          FROM events),
+         per AS (SELECT user_id, min(us) AS mn, max(us) AS mx,
+             max(CASE WHEN ftype = 'click' THEN 1 ELSE 0 END) AS arm1
+           FROM seq GROUP BY 1),
+         fin AS (SELECT max(mx) AS study_end FROM per),
+         byt AS (SELECT (mx - mn) // 3600000000 AS t,
+             CAST(SUM(CASE WHEN study_end - mx >= 21600000000
+               AND arm1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN study_end - mx >= 21600000000
+               THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(SUM(arm1) AS BIGINT) AS tot1,
+             CAST(count(*) AS BIGINT) AS tot
+           FROM per CROSS JOIN fin GROUP BY 1),
+         n AS (SELECT CAST(SUM(tot1) AS BIGINT) AS n1,
+           CAST(SUM(tot) AS BIGINT) AS nt FROM byt),
+         risk AS (SELECT t, d1, d,
+             CAST(n1 - COALESCE(SUM(tot1) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS r1,
+             CAST(nt - COALESCE(SUM(tot) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS r
+           FROM byt CROSS JOIN n),
+         st AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             SUM(CAST(d * (CAST(r1 AS DOUBLE) / r) AS DECIMAL(20,10)))
+               AS e1,
+             SUM(CASE WHEN r > 1 THEN CAST(
+                 d * (CAST(r1 AS DOUBLE) / r)
+                   * (1.0 - CAST(r1 AS DOUBLE) / r)
+                   * CAST(r - d AS DOUBLE) / CAST(r - 1 AS DOUBLE)
+                 AS DECIMAL(20,10))
+               ELSE CAST(0.0 AS DECIMAL(20,10)) END) AS v
+           FROM risk WHERE d > 0)
+         SELECT n.n1 AS n_arm1, n.nt - n.n1 AS n_arm2,
+           st.o1 AS observed1,
+           ROUND(CAST(st.e1 AS DOUBLE), 6) AS expected1,
+           ROUND(CAST(st.v AS DOUBLE), 6) AS variance,
+           ROUND((CAST(st.o1 AS DOUBLE) - CAST(st.e1 AS DOUBLE))
+             / sqrt(CAST(st.v AS DOUBLE)), 6) AS z
+         FROM st CROSS JOIN n""",
+    "q_var_cvar" ->
+      """WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+            SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS rev
+          FROM orders GROUP BY 1),
+         ranked AS (SELECT rev,
+             row_number() OVER (ORDER BY rev, d) AS rk,
+             count(*) OVER () AS n
+           FROM daily),
+         tail AS (SELECT n, CAST(count(*) AS BIGINT) AS n_tail,
+             max(rev) AS var_dec, SUM(rev) AS tail_sum
+           FROM ranked
+           WHERE rk <= CAST(ceil(CAST(n AS DOUBLE) * 0.05) AS BIGINT)
+           GROUP BY n)
+         SELECT CAST(n AS BIGINT) AS n_days, n_tail,
+           ROUND(CAST(var_dec AS DOUBLE), 4) AS var_5pct,
+           ROUND(CAST(tail_sum AS DOUBLE) / n_tail, 4) AS cvar_5pct
+         FROM tail""",
   )
 }
