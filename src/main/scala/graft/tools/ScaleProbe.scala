@@ -170,6 +170,18 @@ object ScaleProbe {
     val nDocs = spark.read.parquet(s"$outDir/documents.parquet").count()
     println(s"[scaleprobe] replicated corpus ($mode): $nDocs docs at $outDir")
 
+    // arg 5 "cold": drop intra-query persists between the warm and timed
+    // runs. The default (warm) protocol matches Bench — a query that
+    // persists a bounded aggregate legitimately reuses it — but for
+    // SCALE-posture readings on such queries the warm timed leg skips
+    // the corpus-scale scan entirely (measured ratios < 1 at 10× data),
+    // so the cold leg is the honest scan-scaling number.
+    val cold = args.lift(4).contains("cold")
+    def dropCaches(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
     def timed(name: String, dir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -178,10 +190,9 @@ object ScaleProbe {
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm
+      if (cold) dropCaches()
       val t = once()
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+      dropCaches()
       t
     }
     queries.foreach { q =>
