@@ -404,9 +404,17 @@ object Graph {
     var hub = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).cast(dec6).as("h"))
     var auth: DataFrame = null
+    // Each raw-score relation (ar, hr) is read TWICE per iteration — the
+    // 1-row normalization-total aggregate AND the crossJoin main branch.
+    // Unpersisted, that is the [[sssp]] 2^rounds re-derivation shape
+    // (correctness would lean on Spark's identical-subtree ReusedExchange,
+    // which is fragile under plan changes). Persist the node-scale raw
+    // relation per half-step; caches are caller-released (Verify/Bench
+    // clear per query) and the returned frame stays lazy.
     for (_ <- 1 to iters) {
       val ar = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("h")).as("raw"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val at = ar.agg(sum(col("raw")).as("tot"))
       auth = ar.crossJoin(broadcast(at)) // 1-row normalization total
         .select(col("dst").as("node"),
@@ -414,6 +422,7 @@ object Graph {
             .cast(dec6).as("a"))
       val hr = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src")).agg(sum(col("a")).as("raw"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ht = hr.agg(sum(col("raw")).as("tot"))
       hub = hr.crossJoin(broadcast(ht)) // 1-row normalization total
         .select(col("src").as("node"),

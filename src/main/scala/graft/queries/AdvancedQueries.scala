@@ -552,7 +552,13 @@ object AdvancedQueries {
         .join(t(s, dir, "part").select(col("p_partkey").as("node"),
           col("p_brand").as("label")), Seq("node"))
         .where(col("node") % 10 === 0)
-      val labels = (1 to 2).foldLeft(seeds) { (lab, _) =>
+      // lab⁽ᵏ⁾ is read THREE times per round (votes join, anti-join
+      // guard, carry-over union) — unpersisted that is the Graph.sssp
+      // 3^rounds re-derivation shape. Persist the node-scale round
+      // relation (caches are caller-released per query).
+      val labels = (1 to 2).foldLeft(seeds) { (lab0, _) =>
+        val lab = lab0
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val votes = sym
           .join(lab.withColumnRenamed("node", "src"), Seq("src"))
           .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))

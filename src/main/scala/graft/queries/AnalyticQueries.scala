@@ -2236,9 +2236,15 @@ object AnalyticQueries {
           sum(when(col("cy") === 0L, 1L).otherwise(0L)).as("ty"))
         .select(col("n_pairs"), col("c").as("concordant"),
           col("d").as("discordant"),
-          round((col("c") - col("d")).cast("double") /
-            sqrt(((col("n_pairs") - col("tx")) *
-              (col("n_pairs") - col("ty"))).cast("double")), 6).as("tau_b"))
+          // Guard a fully-tied variable: (n₀−t_x)(n₀−t_y)=0 → τ_b NULL on
+          // both engines (Spark's non-ANSI ÷0 is NULL, DuckDB's IEEE ÷0
+          // is inf — the explicit guard makes them agree).
+          round(when((col("n_pairs") - col("tx")) *
+              (col("n_pairs") - col("ty")) > 0L,
+            (col("c") - col("d")).cast("double") /
+              sqrt(((col("n_pairs") - col("tx")) *
+                (col("n_pairs") - col("ty"))).cast("double"))), 6)
+            .as("tau_b"))
     }),
 
     // ── Kaplan–Meier survival curve of user lifetime ─────────────────────
@@ -2369,6 +2375,10 @@ object AnalyticQueries {
         .agg(sum(col("t")).as("ewma_dec"))
       val dense = perH.select(col("event_type")).distinct()
         .crossJoin(broadcast(span)) // 1-row span
+        // Spark's sequence(a, b) with a > b generates a DESCENDING range
+        // while DuckDB's generate_series is empty — guard the degenerate
+        // (< 24 h of events) horizon so both engines emit nothing.
+        .where(col("h0") + 23L <= col("h1"))
         .select(col("event_type"),
           explode(sequence(col("h0") + 23L, col("h1"))).as("th"))
         .join(contrib, Seq("event_type", "th"), "left")
@@ -4253,9 +4263,10 @@ object AnalyticQueries {
                AS ty
            FROM p)
          SELECT n_pairs, c AS concordant, d AS discordant,
-           ROUND(CAST(c - d AS DOUBLE)
-             / sqrt(CAST((n_pairs - tx) * (n_pairs - ty) AS DOUBLE)), 6)
-             AS tau_b
+           ROUND(CASE WHEN (n_pairs - tx) * (n_pairs - ty) > 0
+             THEN CAST(c - d AS DOUBLE)
+               / sqrt(CAST((n_pairs - tx) * (n_pairs - ty) AS DOUBLE))
+             END, 6) AS tau_b
          FROM ag""",
     "q_kaplan_meier" ->
       """WITH per AS (SELECT user_id, min(epoch_us(ts)) AS mn,
@@ -4318,7 +4329,8 @@ object AnalyticQueries {
              COALESCE(a.ewma_dec, CAST(0 AS DECIMAL(30,10))) AS e
            FROM (SELECT DISTINCT event_type FROM perh) ty
            CROSS JOIN (SELECT unnest(generate_series(
-             (SELECT h0 + 23 FROM span), (SELECT h1 FROM span))) AS th) gr
+             (SELECT h0 + 23 FROM span), (SELECT h1 FROM span))) AS th
+             WHERE (SELECT h0 + 23 FROM span) <= (SELECT h1 FROM span)) gr
            LEFT JOIN agg a ON a.event_type = ty.event_type
              AND a.th = gr.th),
          m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -652,6 +652,11 @@ object SimilarityQueries {
           Seq("label"))
         .select(col("probe_id"),
           least(col("n_lab") - 1L, lit(10L)).as("n_rel_ideal"))
+        // Singleton-label probes (n_rel_ideal = 0) must drop BEFORE the
+        // explode: Spark's sequence(1, 0) defaults to step -1 and yields
+        // [1, 0] while DuckDB's generate_series(1, 0) is empty — filtering
+        // here makes both engines drop the probe via the inner join.
+        .where(col("n_rel_ideal") >= 1L)
         .select(col("probe_id"), col("n_rel_ideal"),
           explode(sequence(lit(1L), col("n_rel_ideal"))).as("i"))
         .groupBy(col("probe_id"), col("n_rel_ideal"))
@@ -1512,7 +1517,7 @@ object SimilarityQueries {
           rel AS (SELECT p.vec_id AS probe_id,
               least(l.n_lab - 1, 10) AS n_rel_ideal
             FROM embeddings p JOIN lab l ON p.label = l.label
-            WHERE p.vec_id < 5),
+            WHERE p.vec_id < 5 AND least(l.n_lab - 1, 10) >= 1),
           idcg AS (SELECT probe_id, n_rel_ideal,
               SUM(CAST(1.0 / log2(CAST(g.i AS DOUBLE) + 1.0)
                 AS DECIMAL(20,10))) AS idcg_dec
