@@ -50,4 +50,46 @@ object Layout {
       .withColumn("span_a", col("max_a") - col("min_a"))
       .withColumn("span_b", col("max_b") - col("min_b"))
   }
+
+  /** Bucketed-table write path — the exchange-elimination lever for the
+    * REPEATED-join workloads this engine runs over the same fact table
+    * (the `q_basket_lift`/`q_label_prop` lineitem self-join family, every
+    * orderkey-keyed fact⋈fact): `bucketBy(n, key)` hash-partitions rows
+    * into `n` files per write-partition at WRITE time, and every later
+    * scan reports `HashPartitioning(key, n)` to the planner — a
+    * subsequent equi-join on `key` between tables bucketed with the same
+    * count satisfies its required distribution from the layout and plans
+    * with NO ShuffleExchange on either side (gated + byte-measured in
+    * ShuffleVolumeSpec).
+    *
+    * 100 TB posture: the shuffle a bucketed layout removes is paid ONCE
+    * at ingest instead of per query — the right trade exactly when a key
+    * is joined repeatedly (co-purchase pair builds, fact⋈fact
+    * enrichment). Size `buckets` so one bucket ≈ one executor-core task
+    * at target scale (bytes/buckets ≲ maxPartitionBytes); both join
+    * sides must use the SAME bucket count (Spark joins compatible-
+    * partitioning scans only; mismatched counts re-shuffle one side).
+    * `sortBy(key)` additionally persists per-file sort order, letting
+    * the sort-merge join skip its SortExec when each bucket is one file.
+    *
+    * Bucketing metadata lives in the session catalog (`saveAsTable` —
+    * Spark's bucket layout has no parquet-level footprint), so the
+    * co-located plan needs the table read via [[bucketedTable]], not a
+    * bare `spark.read.parquet(path)`; a production deployment records it
+    * in the shared metastore/table format once at write time.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    bucketCol: String, buckets: Int,
+                    sortCols: Seq[String] = Nil): Unit = {
+    require(buckets >= 1, s"buckets: $buckets")
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol).option("path", path)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w).saveAsTable(table)
+  }
+
+  /** Catalog read of a [[writeBucketed]] table — the form whose scan
+    * carries the bucket `HashPartitioning` into planning. */
+  def bucketedTable(spark: org.apache.spark.sql.SparkSession,
+                    table: String): DataFrame = spark.table(table)
 }

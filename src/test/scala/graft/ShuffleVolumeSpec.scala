@@ -73,4 +73,66 @@ class ShuffleVolumeSpec extends SparkSpec {
       .agg(sum("cnt")).as[Long].head()
     assert(cnt === 8L * 2000 * 10)
   }
+
+  test("bucketed lineitem drops the pair-build self-join exchange (q_basket_lift family)") {
+    // the co-purchase pair build (q_basket_lift / q_label_prop): a
+    // lineitem self-join on l_orderkey, then a pair aggregate. Reading a
+    // Layout.writeBucketed copy, the join's input exchange must vanish
+    // from the plan AND from the measured shuffle bytes — only the pair
+    // aggregate's exchange (present either way) remains.
+    val sfDir = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.isReadable(java.nio.file.Paths.get(sfDir)))
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    val dir = tempDir("bktli")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    graft.ops.Layout.writeBucketed(li, "li_bucketed",
+      dir.resolve("li").toString, "l_orderkey", 8, Seq("l_orderkey"))
+
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.as("x").join(df.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("sup"))
+
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain = pairs(li)
+      val bucketed = pairs(spark.table("li_bucketed"))
+      val nPlain = plain.count()
+      val nBucketed = bucketed.count()
+      assert(nPlain === nBucketed && nPlain > 0L)
+
+      // plan gate: the plain self-join shuffles its input on the join key;
+      // the bucketed read satisfies the distribution from the layout
+      val plainPlan = plain.queryExecution.executedPlan.toString
+      val bktPlan = bucketed.queryExecution.executedPlan.toString
+      assert(plainPlan.contains("hashpartitioning(l_orderkey"),
+        s"expected a join-input exchange in the plain plan:\n$plainPlan")
+      assert(!bktPlan.contains("hashpartitioning(l_orderkey"),
+        s"bucketed join must not exchange on the join key:\n$bktPlan")
+
+      // byte gate: the join-input shuffle disappears from task metrics too
+      val plainBytes = shuffleBytesOf {
+        pairs(li).write.mode("overwrite").format("noop").save()
+      }
+      val bktBytes = shuffleBytesOf {
+        pairs(spark.table("li_bucketed"))
+          .write.mode("overwrite").format("noop").save()
+      }
+      assert(plainBytes > 0L && bktBytes > 0L)
+      assert(bktBytes < plainBytes,
+        s"bucketed read should shuffle strictly less: " +
+          s"plain=$plainBytes bucketed=$bktBytes")
+      info(s"pair-build shuffle bytes: plain=$plainBytes " +
+        s"bucketed=$bktBytes (${100 - bktBytes * 100 / plainBytes}% less)")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE li_bucketed")
+    }
+  }
 }
