@@ -271,13 +271,24 @@ object Bench {
     // cleanup) without paying the other 100 queries' wall-clock.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val all = only match {
-      case Some(sel) =>
+    // SPARK_GRAFT_BENCH_TIER=rep: the documented representative tier
+    // (SparkEntry.repTier — heavies + watch-list + family reps) for
+    // mid-round iteration sweeps. Unset → the FULL surface; round-close
+    // and driver sweeps stay full (BASELINE.md policy).
+    val tier = sys.env.get("SPARK_GRAFT_BENCH_TIER")
+    val all = (only, tier) match {
+      case (Some(sel), _) =>
         val missing = sel -- SparkEntry.benchQueries.toSet
         require(missing.isEmpty, s"unknown bench queries: ${missing.mkString(",")}")
         System.err.println(s"[bench] SUBSET of ${sel.size} queries (diagnosis mode)")
         SparkEntry.benchQueries.filter(sel)
-      case None => SparkEntry.benchQueries
+      case (None, Some("rep")) =>
+        System.err.println(
+          s"[bench] representative tier: ${SparkEntry.repTier.size} queries")
+        SparkEntry.benchQueries.filter(SparkEntry.repTier.toSet)
+      case (None, Some(other)) =>
+        throw new IllegalArgumentException(s"unknown bench tier: $other")
+      case (None, None) => SparkEntry.benchQueries
     }
     val names = seed match {
       case Some(s) =>

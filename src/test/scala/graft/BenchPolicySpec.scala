@@ -123,6 +123,22 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(t > 0.0 && t.isFinite)
   }
 
+  test("representative tier names real queries, no dups, sane size") {
+    val tier = SparkEntry.repTier
+    val unknown = tier.filterNot(SparkEntry.queries.keySet)
+    assert(unknown.isEmpty, s"repTier names missing queries: $unknown")
+    assert(tier.distinct.size === tier.size, "repTier has duplicates")
+    // composition contract: heavies + watch-list + family reps land in a
+    // band a mid-round sweep can run in a few minutes; a tier that creeps
+    // toward the full surface defeats its purpose
+    assert(tier.size >= 50 && tier.size <= 90, s"tier size ${tier.size}")
+    // the cross-round watch-list must stay in — its priors need a reading
+    // every sweep
+    Seq("q_neardup_jaccard", "q_pagerank", "q_agg_variants",
+        "q_minhash_acc", "q_source_overlap")
+      .foreach(w => assert(tier.contains(w), s"watch-list $w missing"))
+  }
+
   test("host evidence readers degrade, never throw") {
     // on this CI box both are readable; the contract on any box is
     // "number or the documented sentinel", never an exception
