@@ -605,11 +605,253 @@ object Multimodal {
         "px_sum", "px_min", "px_max")
   }
 
-  /** STUB — deterministic fake decoder standing in for the CODEC-video
-    * formats (H.264/VP9 etc.) absent from this environment. Image decode
-    * is real ([[decodeImageMeta]]), audio decode is real
-    * ([[decodeAudioMeta]] via `javax.sound.sampled`), and container-video
-    * frame decode is real for animated GIF ([[decodeVideoFrames]]).
+  /** Deterministic multi-frame AVI clips (hand-built RIFF container —
+    * the WAV work already proved RIFF; this is the VIDEO RIFF profile):
+    * 15×12 frames, `2 + id mod 3` per clip, pixel (f, x, y) = low byte
+    * of h60("avi:id:f:x:y") — closed-form, so a SQL oracle replays every
+    * pixel without a codec. Two payload codecs:
+    *   - `"DIB "` — uncompressed 24-bit BGR bottom-up bitmaps in `00db`
+    *     chunks (gray via r=g=b). LOSSLESS, so the decode gate
+    *     (q_avi_frames) is pixel-exact; the 15-px width forces a real
+    *     DIB row stride (45 → padded 48) — a parser that ignores row
+    *     padding breaks the hash.
+    *   - `"MJPG"` — each frame a REAL ImageIO JPEG in `00dc` chunks
+    *     (Motion-JPEG). Lossy, so it is SPEC-gated (bounded per-pixel
+    *     error vs the closed form, exact dims/frame counts) rather than
+    *     oracle-hashed.
+    */
+  object NoiseAvi {
+    val W = 15
+    val H = 12
+
+    def nFrames(id: Long): Int = 2 + (id % 3).toInt
+
+    def px(id: Long, f: Int, x: Int, y: Int): Int =
+      (NoiseImages.h60(s"avi:$id:$f:$x:$y") % 256L).toInt
+
+    private def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def fcc(s: String): Array[Byte] = {
+      require(s.length == 4, s)
+      s.getBytes("US-ASCII")
+    }
+    private def chunk(id4: String, data: Array[Byte]): Array[Byte] =
+      fcc(id4) ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    private def list(kind: String, data: Array[Byte]): Array[Byte] =
+      fcc("LIST") ++ le32(4 + data.length) ++ fcc(kind) ++ data
+
+    /** One frame as a bottom-up 24-bit BGR DIB with 4-byte row stride. */
+    private[ops] def dibStride: Int = (W * 3 + 3) / 4 * 4
+    private def dibFrame(id: Long, f: Int): Array[Byte] = {
+      val out = new Array[Byte](dibStride * H)
+      var row = 0
+      while (row < H) {
+        val y = H - 1 - row // bottom-up
+        var x = 0
+        while (x < W) {
+          val v = px(id, f, x, y).toByte
+          val o = row * dibStride + x * 3
+          out(o) = v; out(o + 1) = v; out(o + 2) = v // B = G = R
+          x += 1
+        }
+        row += 1
+      }
+      out
+    }
+
+    private def jpegFrame(id: Long, f: Int): Array[Byte] = {
+      Multimodal.imageIoNoDiskCache()
+      val img = new java.awt.image.BufferedImage(W, H,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < H) {
+        var x = 0
+        while (x < W) { raster.setSample(x, y, 0, px(id, f, x, y)); x += 1 }
+        y += 1
+      }
+      SyntheticImages.encode(img, "jpg")
+    }
+
+    /** The full RIFF AVI: hdrl (avih + strl(strh + strf BITMAPINFOHEADER))
+      * + movi frame chunks + the idx1 index. `codec` is `"DIB "` or
+      * `"MJPG"`. */
+    def avi(id: Long, codec: String): Array[Byte] = {
+      require(codec == "DIB " || codec == "MJPG", codec)
+      val n = nFrames(id)
+      val frames = (0 until n).map(f =>
+        if (codec == "DIB ") dibFrame(id, f) else jpegFrame(id, f))
+      val ckId = if (codec == "DIB ") "00db" else "00dc"
+      val avih = le32(100000) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+        le32(n) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(W) ++ le32(H) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val strh = fcc("vids") ++ fcc(codec) ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(10) ++
+        le32(0) ++ le32(n) ++ le32(0) ++ le32(-1) ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le16(W) ++ le16(H)
+      val biCompression = if (codec == "DIB ") 0
+        else java.nio.ByteBuffer.wrap(fcc("MJPG"))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      val strf = le32(40) ++ le32(W) ++ le32(H) ++ le16(1) ++ le16(24) ++
+        le32(biCompression) ++
+        le32(if (codec == "DIB ") dibStride * H else 0) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val hdrl = list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val frameChunks = frames.map(fb => chunk(ckId, fb))
+      val movi = list("movi", frameChunks.flatten.toArray)
+      // idx1 offsets are relative to the 'movi' fourcc position,
+      // pointing at each chunk's own fourcc; sizes are the UNPADDED
+      // frame-data lengths
+      var off = 4
+      val idx = frames.zip(frameChunks).flatMap { case (data, fb) =>
+        val e = fcc(ckId) ++ le32(0x10) ++ le32(off) ++ le32(data.length)
+        off += fb.length
+        e
+      }.toArray
+      val body = fcc("AVI ") ++ hdrl ++ movi ++ chunk("idx1", idx)
+      fcc("RIFF") ++ le32(body.length) ++ body
+    }
+  }
+
+  /** `(doc_id, payload)` with the [[NoiseAvi]] RIFF bytes per document. */
+  def syntheticAviPayloads(spark: SparkSession, docs: DataFrame,
+                           codec: String = "DIB "): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map(id => (id, NoiseAvi.avi(id, codec))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Hand RIFF/AVI parse of one payload: verifies the RIFF/AVI magic,
+    * reads BITMAPINFOHEADER (dims + biCompression) from `strf` and the
+    * declared frame total from `avih`, walks the `movi` frame chunks
+    * (uncompressed DIB rows decoded bottom-up with the 4-byte stride;
+    * MJPG frames decoded as real JPEGs via ImageIO), and cross-checks
+    * the frame count against BOTH the header and the idx1 entry count —
+    * a framing, stride, or index bug fails loudly. Returns one
+    * (frameIdx, w, h, sum, min, max) per frame.
+    */
+  private[ops] def readAviFrames(id: Long, bytes: Array[Byte])
+      : Seq[(Int, Int, Int, Long, Int, Int)] = {
+    def fourcc(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    def le32(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    require(fourcc(0) == "RIFF" && fourcc(8) == "AVI ",
+      s"doc $id: not a RIFF AVI")
+    var declaredFrames = -1
+    var w = -1; var h = -1; var compression = Int.MinValue
+    var idxEntries = -1
+    val frames = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Int, Long, Int, Int)]
+
+    def decodeFrame(o: Int, size: Int): Unit = {
+      val (fw, fh) = (w, h)
+      var (sum, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
+      if (compression == 0) { // BI_RGB: bottom-up BGR, stride padded to 4
+        val stride = (fw * 3 + 3) / 4 * 4
+        require(size == stride * fh,
+          s"doc $id: DIB frame size $size != ${stride * fh}")
+        var row = 0
+        while (row < fh) {
+          var x = 0
+          while (x < fw) {
+            val b = bytes(o + row * stride + x * 3) & 0xff
+            sum += b
+            if (b < mn) mn = b
+            if (b > mx) mx = b
+            x += 1
+          }
+          row += 1
+        }
+      } else { // MJPG: a real JPEG per frame
+        imageIoNoDiskCache()
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes, o, size))
+        require(img != null && img.getWidth == fw && img.getHeight == fh,
+          s"doc $id: bad MJPG frame")
+        // raw raster channel, NOT getRGB: a grayscale JPEG decodes to
+        // TYPE_BYTE_GRAY whose color space is LINEAR gray — getRGB would
+        // gamma-convert to sRGB (128 → ~186) and corrupt the stats
+        val raster = img.getRaster
+        val gray = img.getColorModel.getNumComponents == 1
+        var y = 0
+        while (y < fh) {
+          var x = 0
+          while (x < fw) {
+            val v = if (gray) raster.getSample(x, y, 0)
+              else img.getRGB(x, y) & 0xff
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
+        }
+      }
+      frames += ((frames.size, fw, fh, sum, mn, mx))
+    }
+
+    def walk(from: Int, to: Int): Unit = {
+      var o = from
+      while (o + 8 <= to) {
+        val id4 = fourcc(o)
+        val size = le32(o + 4)
+        id4 match {
+          case "LIST" =>
+            walk(o + 12, o + 8 + size) // skip the list-type fourcc
+          case "avih" =>
+            declaredFrames = le32(o + 8 + 16)
+          case "strf" =>
+            w = le32(o + 8 + 4); h = le32(o + 8 + 8)
+            compression = le32(o + 8 + 16)
+          case "00db" | "00dc" =>
+            decodeFrame(o + 8, size)
+          case "idx1" =>
+            idxEntries = size / 16
+          case _ => () // strh etc.: header fields this reader doesn't need
+        }
+        o += 8 + size + (size % 2) // chunks are word-aligned
+      }
+    }
+    walk(12, bytes.length)
+    require(frames.size == declaredFrames && frames.size == idxEntries,
+      s"doc $id: movi=${frames.size} avih=$declaredFrames idx1=$idxEntries")
+    frames.toSeq
+  }
+
+  /** REAL AVI container decode at the batched [[decodeVideoFrames]]
+    * boundary: one row per (doc, frame) with exact integer pixel stats. */
+  def decodeAviFrames(spark: SparkSession, payloads: DataFrame,
+                      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            readAviFrames(id, bytes).map { case (f, w, h, sum, mn, mx) =>
+              (id, f, w, h, sum, mn, mx)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "width", "height",
+        "px_sum", "px_min", "px_max")
+  }
+
+  /** STUB — deterministic fake decoder standing in for the INTER-FRAME
+    * codec-video formats (H.264/VP9 etc.) absent from this environment.
+    * Image decode is real ([[decodeImageMeta]]), audio decode is real
+    * ([[decodeAudioMeta]] via `javax.sound.sampled`), container-video
+    * frame decode is real for animated GIF ([[decodeVideoFrames]]) AND
+    * for AVI — uncompressed DIB and Motion-JPEG ([[decodeAviFrames]],
+    * hand RIFF parse + per-frame ImageIO JPEG decode).
     * Consumes raw payload bytes, emits a fixed-width "feature" derived
     * only from the bytes, so tests and reruns are reproducible.
     */

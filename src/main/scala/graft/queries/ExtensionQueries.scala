@@ -121,6 +121,23 @@ object ExtensionQueries {
             s, Tables.table(s, dir, "documents").select("doc_id")))
         .orderBy("doc_id", "frame_idx")),
 
+    // ── REAL AVI container decode (hand RIFF parse, uncompressed DIB) ───
+    // Each doc gets a deterministic multi-frame AVI — a hand-built RIFF
+    // container (avih/strh/strf headers, movi frame chunks, idx1 index)
+    // holding uncompressed 24-bit bottom-up DIB frames with a REAL padded
+    // row stride (15 px → 45 → 48 bytes). The engine re-parses the
+    // container byte-by-byte (frame count cross-checked against BOTH the
+    // avih header and the idx1 entry count) and decodes every frame; the
+    // oracle replays every pixel analytically. The Motion-JPEG sibling
+    // (real per-frame ImageIO JPEG decode through the same parser) is
+    // spec-gated in MultimodalSpec — JPEG is lossy, so no cross-engine
+    // hash; FakeDecoder now stands in ONLY for inter-frame codecs.
+    "q_avi_frames" -> ((s, dir) =>
+      Multimodal.decodeAviFrames(s,
+          Multimodal.syntheticAviPayloads(
+            s, Tables.table(s, dir, "documents").select("doc_id")))
+        .orderBy("doc_id", "frame_idx")),
+
     // ── REAL audio decode (javax.sound.sampled) gated analytically ──────
     // Each doc gets a deterministic 16-bit PCM mono WAV (samples are h60
     // closed forms of doc_id — Multimodal.NoiseAudio), the engine decodes
@@ -256,6 +273,21 @@ object ExtensionQueries {
            CAST(SUM(v) AS BIGINT) AS px_sum,
            CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
          FROM px GROUP BY 1, 2 ORDER BY doc_id, frame_idx""",
+    // the engine hand-parses the RIFF AVI and decodes every DIB frame;
+    // the oracle replays the NoiseAvi pixel formula per (doc, frame, x, y)
+    "q_avi_frames" ->
+      s"""WITH d AS (SELECT doc_id,
+             CAST(2 + doc_id % 3 AS INT) AS nf FROM documents),
+         fr AS (SELECT doc_id, CAST(unnest(generate_series(0, nf - 1))
+             AS INT) AS frame_idx FROM d),
+         px AS (SELECT doc_id, frame_idx, ${noiseAviPxSql} AS v
+           FROM fr,
+             (SELECT unnest(generate_series(0, 14)) AS x) gx,
+             (SELECT unnest(generate_series(0, 11)) AS y) gy)
+         SELECT doc_id, frame_idx, 15 AS width, 12 AS height,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+         FROM px GROUP BY 1, 2 ORDER BY doc_id, frame_idx""",
     // the engine decodes real WAV bytes; the oracle replays the NoiseAudio
     // sample formula (h60 in [-2000,2000] + planted-variant CASE) and the
     // exact integer statistics — format fields are the fixture constants
@@ -303,6 +335,12 @@ object ExtensionQueries {
          SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
          FROM p WHERE hamming <= 7 ORDER BY id_a, id_b""",
   )
+
+  /** DuckDB replay of one [[Multimodal.NoiseAvi]] pixel. */
+  private def noiseAviPxSql: String =
+    "(" + graft.functions.Hashes.h60Sql(
+      "'avi:'||CAST(doc_id AS VARCHAR)||':'||CAST(frame_idx AS VARCHAR)" +
+        "||':'||CAST(x AS VARCHAR)||':'||CAST(y AS VARCHAR)") + " % 256)"
 
   /** DuckDB replay of one [[Multimodal.NoiseVideo]] pixel. */
   private def noiseVideoPxSql: String =

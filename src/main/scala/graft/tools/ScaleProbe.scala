@@ -97,6 +97,18 @@ object ScaleProbe {
     require(mode == "exact" || mode == "perturb" || mode == "shiftparts"
         || mode == "perturbemb",
       s"mode: $mode")
+    // arg 6 `pct=N`: perturbation strength for the perturb modes. The
+    // 15% default keeps replicas NEAR-dup-able (the similarity families'
+    // recall surface); for DEDUP CLUSTERING probes 15% is a fixture
+    // artifact — ten 15%-perturbed replicas of one base doc still pair
+    // with EACH OTHER (pairwise jaccard ≈ 0.5), so candidate pairs grow
+    // ∝ replicas² per family and the probe measures replica self-pairing,
+    // not engine scaling (the r15 q_dedup_clusters 56.9× cold reading).
+    // pct ≥ 40 pushes inter-replica jaccard under every candidate
+    // threshold → honest disjoint-corpus weak scaling.
+    val perturbPct = args.lift(5).collect {
+      case s if s.startsWith("pct=") => s.stripPrefix("pct=").toInt
+    }.getOrElse(15)
     val spark = graft.Sessions.local("scale-probe")
     val outDir = s"target/scaleprobe/$mode-x$factor"
 
@@ -106,7 +118,8 @@ object ScaleProbe {
       .withColumn("doc_id", col("doc_id") + col("rep") * 1000000000L)
     val docsOut =
       if (mode == "perturb" || mode == "perturbemb")
-        docs.withColumn("text", perturbText(col("text"), col("rep"), 15))
+        docs.withColumn("text",
+          perturbText(col("text"), col("rep"), perturbPct))
       else docs
     docsOut.drop("rep").repartition(32) // ≥32 files: the replicated read
       // must not collapse to 1-2 input splits (63 MB single-file replicas
