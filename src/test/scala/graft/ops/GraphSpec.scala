@@ -287,6 +287,51 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("hits: lazy iters=2 expansion stays bounded; iters>2 persists per round") {
+    // the iters<=2 form deliberately does NOT persist ar/hr: the
+    // persisted form's four materialization barriers measured 2.3-2.5 s
+    // vs 0.9-1.4 s lazy at sf0.1 (BASELINE.md r15). Exchange reuse does
+    // NOT cover the double-read (AQE per-branch replanning defeats
+    // canonicalization here — measured zero ReusedExchange), so the lazy
+    // cost is the FULL 2^iters expansion: bounded and cheap at iters=2,
+    // a scale-killer beyond. This audit pins both halves of that
+    // contract so a deepened lineage or a dropped persist fails the
+    // suite, not a 100 TB run.
+    val edges = (0L until 200L).map(i => (i % 20L, 100L + i % 30L))
+      .distinct.toDF("src", "dst")
+    val lazyForm = Graph.hits(edges, iters = 2)
+    // collect, not a noop write: DataFrameWriter re-plans into its own
+    // QueryExecution and the frame's own adaptive plan would stay
+    // isFinalPlan=false (the SkewProfile lesson) — the expansion
+    // evidence must come from the EXECUTED tree
+    lazyForm.collect()
+    val lazyNodes = collectPlanNodes(lazyForm.queryExecution.executedPlan)
+    val stages = lazyNodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec])
+    assert(stages > 0, "expected shuffle stages in the executed hits plan")
+    // measured envelope: 90 stages at iters=2 (the full 2^2-shape
+    // re-derivation). 3 rounds unpersisted would roughly double-per-level
+    // past this cap; the persisted iters>2 form never enters this branch.
+    assert(stages <= 120,
+      s"lazy hits expansion grew past the bounded iters=2 envelope: " +
+        s"$stages shuffle stages")
+    // the EDGE persist is intentional (read every round); what must stay
+    // lazy at iters<=2 are the per-round raw-score relations (they carry
+    // the `raw` column)
+    def roundCaches(nodes: Seq[org.apache.spark.sql.execution.SparkPlan]) =
+      nodes.count(n => n.nodeName.contains("InMemoryTableScan") &&
+        n.output.exists(_.name == "raw"))
+    assert(roundCaches(lazyNodes) === 0,
+      "iters<=2 must stay lazy (no per-round persist)")
+    val cached = roundCaches(collectPlanNodes(
+      Graph.hits(edges, iters = 3).queryExecution.executedPlan))
+    assert(cached >= 1,
+      "iters>2 must persist the per-round relations (sssp discipline)")
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   test("sssp: the cheap two-hop path beats the direct expensive edge") {
     // 0→1 costs 1.0 direct, but 0→2→1 costs 0.2; node 9 is unreachable
     val edges = Seq((0L, 1L, "1.0"), (0L, 2L, "0.1"), (2L, 1L, "0.1"),
