@@ -29,4 +29,42 @@ class PartitionPruningSpec extends SparkSpec {
     assert(q2.queryExecution.executedPlan.collectLeaves().head.toString
       .contains("PushedFilters: [IsNotNull(id), LessThan(id,100)]"))
   }
+
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // the star-schema 100 TB lever the static test can't cover: the
+    // selective predicate sits on the DIMENSION (tag = 3), the fact is
+    // partitioned by the JOIN key (day), and no literal day filter
+    // exists at plan time — DPP must inject a runtime
+    // DynamicPruningExpression into the fact scan's PartitionFilters
+    // (reusing the dim's broadcast), so only the matching day
+    // directories' files are ever read
+    val dir = tempDir("dpp")
+    (0 until 30).flatMap(d => (0 until 200).map(i => (d, d * 1000L + i)))
+      .toDF("day", "id")
+      .repartition(col("day")) // one file per partition dir → exact numFiles
+      .write.partitionBy("day").parquet(dir.resolve("fact").toString)
+    (0 until 30).map(d => (d, d % 10)).toDF("day", "tag")
+      .write.parquet(dir.resolve("dim").toString)
+    val fact = spark.read.parquet(dir.resolve("fact").toString)
+    val dim = spark.read.parquet(dir.resolve("dim").toString)
+
+    val q = fact.join(dim, Seq("day")).where(col("tag") === 3)
+      .agg(count(lit(1)).as("n"))
+    val n = q.collect().head.getLong(0)
+    assert(n === 3L * 200, s"days {3,13,23} × 200 rows: $n")
+
+    val scans = collectPlanNodes(q.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("fact")) => f
+    }
+    assert(scans.nonEmpty, "fact scan not found in the executed plan")
+    val scanStr = scans.head.toString
+    assert(scanStr.contains("dynamicpruning"),
+      s"fact PartitionFilters must carry a DynamicPruningExpression:\n$scanStr")
+    // the runtime proof: only the 3 matching partition directories' files
+    // were read (30 written, 1 file each)
+    val filesRead = scans.head.metrics("numFiles").value
+    assert(filesRead === 3L,
+      s"DPP should read 3 of 30 partition files, read $filesRead")
+  }
 }
