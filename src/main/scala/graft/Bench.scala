@@ -471,7 +471,10 @@ object Bench {
       val loadFlagJson =
         if (loadAtFlag.isEmpty) ""
         else s""","load_at_flag":${jmap(loadAtFlag)}"""
-      if (only.isEmpty) java.nio.file.Files.write(
+      // tier sweeps are subsets too: letting one write bench_full.json
+      // would replace the full surface's 300+ armed priors with the
+      // tier's 68 — only a FULL sweep may re-arm
+      if (only.isEmpty && tier.isEmpty) java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
         (line(times, 0, extra =
           s""","priors":${jmap(nextPriors(times, prior, regressed.toSet))}$samplesJson$loadFlagJson""")
