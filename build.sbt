@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output goes RAW to stdout/stderr instead of through
+// sbt's logger: the logger prefixes every stdout line with "[info] ", and
+// the bench harness's one-line JSON contract was reaching the driver as
+// "[info] {...}" — unparseable as a bare JSON line (every BENCH_r*.json
+// carried parsed:null). StdoutOutput removes the prefix; test execution is
+// unaffected (results travel over sbt's test listener, not stdout).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -50,20 +50,26 @@ object Bench {
     */
   val RegressFloorSec = 1.0
 
-  /** Every query whose FIRST timing reaches this many seconds is re-timed
-    * twice and reported as the median of 3 — with all three samples
-    * logged to bench_full.json — even when no prior trips the 2× policy
-    * (VERDICT r10 #2: q_neardup_jaccard drifted 1.52 → 3.23 s UNFLAGGED
-    * because its carried prior was already high, and the single recorded
-    * number was undiagnosable post-hoc). Expensive queries are exactly
-    * the ones whose drift matters; the extra cost is bounded by the
-    * handful of >1 s queries in the sweep. Lowered 2.0 → 1.0 in r13
-    * (VERDICT r12 #5): with the per-query average at ~0.8 s, sub-2 s
-    * drifts like q_minhash_acc's 0.62 → 1.01 s carried no samples and
-    * were undiagnosable post-hoc; at 1.0 s the sampled set still stays a
-    * small fraction of the sweep.
+  /** Heavy-query sampling floor: a query whose first timing reaches this
+    * many seconds AND has no same-box prior (new query) is re-timed twice
+    * and reported as the median of 3, with samples logged. Heavies WITH an
+    * in-band prior run ONCE (r16, VERDICT r15 #1): the unconditional
+    * median-of-3 on every ≥1 s query cost ~2×(heavy sum) ≈ 340 s of the
+    * ~900 s r15 sweep, and the driver's wall-clock budget killed the run
+    * (BENCH_r15 rc=124). Drift diagnosis is preserved by
+    * [[DriftSampleFactor]]: any heavy whose first timing moves past 1.5×
+    * its prior still draws the full 3-sample record, so the r10
+    * q_neardup_jaccard shape (1.52 → 3.23 s, under the 2× flag trigger)
+    * still carries samples; only steady in-band heavies stop paying.
     */
   val SampleAtSec = 1.0
+
+  /** A heavy (≥ [[SampleAtSec]]) first timing past this many times its
+    * prior triggers the median-of-3 even below the 2× flag trigger —
+    * the diagnosable-drift band (VERDICT r10 #2), kept while dropping
+    * the unconditional in-band heavy re-times (r16 wall-clock cut).
+    */
+  val DriftSampleFactor = 1.5
 
   def settle(prior: Option[Double], first: Double,
              retime: () => Double): (Double, Boolean) =
@@ -76,19 +82,25 @@ object Bench {
     * diagnosis story (transient machine state caught by the median) than
     * three inflated ones (degraded sweep context), and BENCH_r09's 13.1 s
     * q_pagerank was only diagnosable because the judge knew it was a
-    * median. Re-times when the first timing exceeds 2× the prior OR
-    * reaches [[SampleAtSec]]; the regression flag is judged on the
-    * MEDIAN either way, so sustained drift that sneaks under the first-
-    * timing trigger still flags.
+    * median. Re-times (median-of-3) when the first timing exceeds 2× the
+    * prior at ANY magnitude — this IS the one-rerun confirmation pass for
+    * sub-second movers the r15 verdict asked for; their samples land in
+    * bench_full.json even though the flag floor keeps them unflagged — or
+    * when a heavy (first ≥ [[SampleAtSec]]) has no usable prior or drifts
+    * past [[DriftSampleFactor]]× it. Steady in-band heavies run once
+    * (VERDICT r15 #1 wall-clock cut). The regression flag is judged on
+    * the MEDIAN either way.
     */
   def settleSamples(prior: Option[Double], first: Double,
                     retime: () => Double): (Double, Boolean, Seq[Double]) = {
-    val overPrior = prior.exists(p => p > 0 && first > 2 * p)
-    if (overPrior || first >= SampleAtSec) {
+    val p = prior.filter(_ > 0)
+    val overPrior = p.exists(first > 2 * _)
+    val heavyDrift = first >= SampleAtSec &&
+      (p.isEmpty || p.exists(first > DriftSampleFactor * _))
+    if (overPrior || heavyDrift) {
       val samples = Seq(first, retime(), retime())
       val med = samples.sorted.apply(1)
-      val regressed = prior.exists(p => p > 0 && med > 2 * p) &&
-        med >= RegressFloorSec
+      val regressed = p.exists(med > 2 * _) && med >= RegressFloorSec
       (med, regressed, samples)
     } else (first, false, Seq(first))
   }
@@ -277,7 +289,14 @@ object Bench {
     // and driver sweeps stay full (BASELINE.md policy).
     val tier = sys.env.get("SPARK_GRAFT_BENCH_TIER")
     val all = (only, tier) match {
-      case (Some(sel), _) =>
+      case (Some(sel), t) =>
+        // ADVICE r15: ONLY + TIER set together used to silently ignore the
+        // tier — an operator expecting the rep tier got the ONLY subset
+        // with no warning. Reject the ambiguous combination outright.
+        require(t.isEmpty,
+          "SPARK_GRAFT_BENCH_ONLY and SPARK_GRAFT_BENCH_TIER are mutually " +
+            "exclusive: unset one (ONLY is a diagnosis allowlist, TIER a " +
+            "named subset)")
         val missing = sel -- SparkEntry.benchQueries.toSet
         require(missing.isEmpty, s"unknown bench queries: ${missing.mkString(",")}")
         System.err.println(s"[bench] SUBSET of ${sel.size} queries (diagnosis mode)")
@@ -296,6 +315,16 @@ object Bench {
         new scala.util.Random(s).shuffle(all)
       case None => all
     }
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def jmap(ts: Map[String, Double]): String =
+      ts.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
 
     var times = ListMap.empty[String, Double]
     var errors = ListMap.empty[String, String]
@@ -338,11 +367,39 @@ object Bench {
     var loadAtFlag = ListMap.empty[String, Double]
     System.err.println(f"[bench] cpu probe before sweep: $probeBefore%.3f s " +
       f"(${probeWidth}-wide: $probeWideBefore%.3f s, load $loadBefore%.2f)")
+    // Wall-clock budget backstop (VERDICT r15 #1: the driver killed the
+    // r15 sweep at its own timeout, leaving the round's official artifact
+    // dark). Once the sweep's elapsed time crosses the budget, remaining
+    // queries degrade to a single timed run with NO warm-up and NO
+    // re-times — noisier tail numbers, but the sweep always completes and
+    // the line always prints. The JSON records how many queries ran
+    // degraded so the reader can discount their numbers.
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
+      .map(_.trim.toDouble).getOrElse(1500.0)
+    val sweepStart = System.nanoTime()
+    def sweepElapsed: Double = (System.nanoTime() - sweepStart) / 1e9
+    var degradedCount = 0
+    // Incremental partial record (VERDICT r15 #1): a killed sweep used to
+    // leave nothing parsable. A short running-total line goes to stderr
+    // every [[PartialEvery]] queries (stdout keeps the one-line contract),
+    // and bench_partial.json carries the full running per-query map.
+    val PartialEvery = 25
+    def partialLine: String =
+      s"""{"metric":"total","value":${fmt(times.values.sum)},"unit":"sec","n_queries":${times.size},"partial":true,"failed":${errors.size},"sf":"$sfDir"}"""
+    def writePartial(): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_partial.json"),
+        (s"""{"metric":"total","value":${fmt(times.values.sum)},"unit":"sec","n_queries":${times.size},"partial":true,"queries":${jmap(times)},"failed":${errors.size},"sf":"$sfDir"}""" + "\n")
+          .getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     names.foreach { name =>
       try {
-        runOnce(name) // warm-up, untimed
+        val degraded = sweepElapsed > budgetSec
+        if (degraded) degradedCount += 1
+        if (!degraded) runOnce(name) // warm-up, untimed
         val (t, isRegressed, samples) =
-          settleSamples(prior.get(name), timedRun(name), () => timedRun(name))
+          if (degraded) (timedRun(name), false, Seq.empty[Double])
+          else settleSamples(prior.get(name), timedRun(name), () => timedRun(name))
         if (samples.size > 1) samplesLog += name -> samples
         if (isRegressed) {
           regressed ::= name
@@ -359,7 +416,11 @@ object Bench {
         case e: Throwable =>
           errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      } finally cleanup()
+      } finally {
+        cleanup()
+        writePartial()
+        if (ran % PartialEvery == 0) System.err.println(partialLine)
+      }
     }
     // End-of-sweep retry for confirmed regressions (r10): the median-of-3
     // defeats SHORT machine-state excursions, but a multi-second host
@@ -372,6 +433,10 @@ object Bench {
     // the sweep, and the better (still median-settled) result wins.
     regressed.reverse.foreach { name =>
       try {
+        // budget backstop applies here too: past the budget the mid-sweep
+        // record stands (the flag stays armed — stall protection)
+        if (sweepElapsed > budgetSec)
+          throw new RuntimeException("bench budget exhausted")
         runOnce(name) // re-warm
         val (t2, still, samples2) =
           settleSamples(prior.get(name), timedRun(name), () => timedRun(name))
@@ -394,18 +459,10 @@ object Bench {
       } catch { case _: Throwable => () } // keep the mid-sweep record
       finally cleanup()
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def jmap(ts: Map[String, Double]): String =
-      ts.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val regressedJson =
-      if (regressed.isEmpty) ""
-      else s""","regressed":${regressed.reverse.map(jstr).mkString("[", ",", "]")}"""
+      (if (regressed.isEmpty) ""
+       else s""","regressed":${regressed.reverse.map(jstr).mkString("[", ",", "]")}""") +
+        (if (degradedCount == 0) "" else s""","degraded_tail":$degradedCount""")
     val seedJson = seed.map(s => s""","seed":$s""").getOrElse("")
     // post-sweep probes: ran after every timed region (including the
     // end-of-sweep re-measures), so probe_after/probe_before (1-thread)

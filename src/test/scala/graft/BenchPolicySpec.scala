@@ -26,21 +26,47 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(n() === 0)
   }
 
-  test(">2s queries are always sampled: median reported, samples kept") {
-    // VERDICT r10 #2: expensive queries log all 3 samples even unflagged,
-    // so unexplained drift is diagnosable post-hoc
+  test("heavy queries with no prior are sampled: median reported, samples kept") {
+    // VERDICT r10 #2: expensive NEW queries log all 3 samples even
+    // unflagged, so unexplained drift is diagnosable post-hoc
     val (re, n) = counting(2.4, 2.6)
     assert(Bench.settleSamples(None, 2.5, re) ===
       ((2.5, false, Seq(2.5, 2.4, 2.6))))
     assert(n() === 2)
   }
 
+  test("in-band heavy with a prior runs ONCE (r16 wall-clock cut)") {
+    // VERDICT r15 #1: the unconditional median-of-3 on every ≥1 s query
+    // cost ~340 s of the r15 sweep and the driver timed out. A heavy
+    // whose first timing sits within DriftSampleFactor× its prior is a
+    // steady number — no re-time, no samples.
+    val (re, n) = counting(99.0, 99.0)
+    assert(Bench.settleSamples(Some(2.0), 2.2, re) ===
+      ((2.2, false, Seq(2.2))))
+    assert(n() === 0)
+    // improvements are in-band too
+    val (re2, n2) = counting(99.0)
+    assert(Bench.settle(Some(3.0), 1.4, re2) === ((1.4, false)))
+    assert(n2() === 0)
+  }
+
   test("sustained drift under the first-timing trigger still flags via the median") {
     // the q_neardup_jaccard r10 shape: carried prior high enough that the
-    // first timing doesn't trip 2×, but the ≥2 s sampling band re-times
-    // anyway and the median exceeds 2× the prior → flagged, not silent
+    // first timing doesn't trip 2×, but the heavy drift band (first >
+    // 1.5× prior) re-times anyway and the median exceeds 2× the prior →
+    // flagged, not silent
     val (re, _) = counting(3.3, 3.1)
     assert(Bench.settle(Some(1.5), 2.9, re) === ((3.1, true)))
+  }
+
+  test("sub-second movers past 2x prior draw the confirmation samples") {
+    // VERDICT r15 wrong #2: the q_join_outer shape (0.39 s prior, 1.21 s
+    // first = 3.1×) must carry samples so the watch-list can adjudicate
+    // it post-hoc; the median decides, and the flag floor still applies
+    val (re, n) = counting(0.41, 0.44)
+    assert(Bench.settleSamples(Some(0.39), 1.21, re) ===
+      ((0.44, false, Seq(1.21, 0.41, 0.44))))
+    assert(n() === 2)
   }
 
   test("first timing past 2x, median recovers: de-noised, not regressed") {
