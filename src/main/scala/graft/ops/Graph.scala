@@ -423,11 +423,20 @@ object Graph {
     //     immediately. Caches are caller-released (Verify/Bench clear
     //     per query).
     val persistRounds = iters > 2
+    // ADVICE r15: the iters>2 branch used to pin 2×iters node-scale
+    // relations until the caller's clearCache. Mirror the pageRank
+    // supersedable-unpersist cadence: every 2 rounds, cut the chain with
+    // an eager localCheckpoint of the round-boundary hub (materializing —
+    // and thereby filling — every pin behind it) and release the
+    // superseded per-half-step pins, so live cache stays O(1) in iters.
+    var supersedable: List[DataFrame] = Nil
     def pin(df: DataFrame): DataFrame =
-      if (persistRounds)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
-    for (_ <- 1 to iters) {
+      if (persistRounds) {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        supersedable ::= p
+        p
+      } else df
+    for (i <- 1 to iters) {
       val ar = pin(e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("h")).as("raw")))
       val at = ar.agg(sum(col("raw")).as("tot"))
@@ -442,6 +451,13 @@ object Graph {
         .select(col("src").as("node"),
           round(col("raw").cast("double") / col("tot").cast("double"), 6)
             .cast(dec6).as("h"))
+      // the final round's ar/hr stay pinned: `auth`/`hub` read them at
+      // the caller's action (caches caller-released per query)
+      if (persistRounds && i % 2 == 0 && i < iters) {
+        hub = hub.localCheckpoint()
+        supersedable.foreach(_.unpersist())
+        supersedable = Nil
+      }
     }
     hub.join(auth, Seq("node"), "full_outer")
       .select(col("node"), col("h").cast("double").as("hub"),

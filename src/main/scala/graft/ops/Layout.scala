@@ -92,4 +92,53 @@ object Layout {
     * carries the bucket `HashPartitioning` into planning. */
   def bucketedTable(spark: org.apache.spark.sql.SparkSession,
                     table: String): DataFrame = spark.table(table)
+
+  /** Bucketed-table read with write-once derivation (VERDICT r15 #6 — the
+    * production wiring of the [[writeBucketed]] lever): return `table` as
+    * a bucket-aware scan, deriving it from `df` on first touch. Three
+    * states:
+    *  - table registered in this session's catalog → read it;
+    *  - bucketed files exist at `path` from an earlier JVM (the catalog is
+    *    in-memory, registrations die with the session) → re-attach them
+    *    with `CREATE TABLE … CLUSTERED BY … LOCATION` — bucket ids live in
+    *    the file names, so the re-attached scan keeps its
+    *    HashPartitioning;
+    *  - nothing yet → [[writeBucketed]] from `df` (the pay-once ingest
+    *    shuffle).
+    * A production deployment does the third step once at ingest into a
+    * shared metastore and only ever takes the first.
+    */
+  def ensureBucketedRead(spark: org.apache.spark.sql.SparkSession,
+                         df: => DataFrame, table: String, path: String,
+                         bucketCol: String, buckets: Int): DataFrame = {
+    if (!spark.catalog.tableExists(table)) {
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(path, "_SUCCESS"))) {
+        val ddlCols = spark.read.parquet(path).schema.toDDL
+        spark.sql(s"CREATE TABLE $table ($ddlCols) USING parquet " +
+          s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) " +
+          s"INTO $buckets BUCKETS LOCATION '$path'")
+      } else
+        writeBucketed(df, table, path, bucketCol, buckets, Seq(bucketCol))
+    }
+    spark.table(table)
+  }
+
+  /** Write `df` partitioned by `partCol` to `path` ONCE (skipped when the
+    * write's `_SUCCESS` marker already exists) and return the path — the
+    * derived partitioned-fixture lever behind the dynamic-partition-
+    * pruning star join (`q_star_dpp`). A production table is partitioned
+    * at INGEST and this function never runs; over the flat test fixtures
+    * the partitioned copy is derived on first touch, so the gated surface
+    * can exercise the exact directory-pruning path a date-partitioned
+    * 100 TB fact table lives on. `df` is by-name: an existing copy costs
+    * no plan construction.
+    */
+  def ensurePartitioned(df: => DataFrame, path: String,
+                        partCol: String): String = {
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_SUCCESS")))
+      df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    path
+  }
 }

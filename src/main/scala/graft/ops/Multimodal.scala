@@ -803,6 +803,13 @@ object Multimodal {
       while (o + 8 <= to) {
         val id4 = fourcc(o)
         val size = le32(o + 4)
+        // le32 is a raw signed read: a corrupt payload declaring size=-8
+        // would advance o by 0 (and other negative odd sizes hit Scala's
+        // negative modulo) — the walk must fail as loudly as the RIFF
+        // magic check instead of spinning or reading out of bounds
+        // (ADVICE r15)
+        require(size >= 0 && o + 8 + size <= to,
+          s"doc $id: chunk '$id4' at $o declares size $size past [$from,$to)")
         id4 match {
           case "LIST" =>
             walk(o + 12, o + 8 + size) // skip the list-type fourcc

@@ -45,6 +45,43 @@ object Ranks {
       lit(total).as("n"))
   }
 
+  /** Per-GROUP sibling of [[globalRank]]: exact 1-based rank of every row
+    * WITHIN its group by (sortCol, tieCol), plus the group size `n` —
+    * without giving any single task a whole group's sort (the
+    * `Window.partitionBy(grp)` form funnels each group through one task:
+    * with few heavy groups that is the same 100×-scale cliff as the
+    * constant-key window, and the same cliff as the exact
+    * percentile/median builtins, whose aggregation state is a value→count
+    * map per group — VERDICT r15 #3).
+    *
+    * Discipline: range-repartition on (grp, sort, tie) so each group
+    * spans a contiguous run of range partitions; rank locally per
+    * (partition, group); add per-(partition, group) prefix-count offsets.
+    * The offset relation is ≤ numParts × |groups| rows, built
+    * DISTRIBUTED (a tiny window over the per-slice counts) and broadcast
+    * back — no driver collect at all. Output: `g`, `x`, `tie`, rank `r`,
+    * group size `n`.
+    */
+  def groupedRank(df: DataFrame, grpCol: Column, sortCol: Column,
+                  tieCol: Column, numParts: Int = 32): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val parted = df.select(grpCol.as("g"), sortCol.as("x"), tieCol.as("tie"))
+      .repartitionByRange(numParts, col("g"), col("x"), col("tie"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnts = parted.groupBy(col("pid"), col("g")).agg(count(lit(1)).as("c"))
+    val offs = cnts.select(col("pid"), col("g"),
+      coalesce(sum(col("c")).over(W.partitionBy(col("g"))
+        .orderBy(col("pid"))
+        .rowsBetween(W.unboundedPreceding, -1)), lit(0L)).as("off"),
+      sum(col("c")).over(W.partitionBy(col("g"))).as("n"))
+    parted.join(broadcast(offs), Seq("pid", "g"))
+      .select(col("g"), col("x"), col("tie"),
+        (row_number().over(W.partitionBy(col("pid"), col("g"))
+          .orderBy(col("x"), col("tie"))).cast("long") + col("off")).as("r"),
+        col("n"))
+  }
+
   /** The WEIGHTED sibling: exact global running weight in (sortCol,
     * tieCol) order — `(x, w, cumw, totw)` with `cumw` the INCLUSIVE
     * decimal-exact prefix sum of `weightCol`. Same range-partitioned

@@ -180,16 +180,37 @@ object AdvancedQueries {
     }),
 
     // ── Exact percentiles / median (+ approx gated) ──────────────────────
-    "q_percentiles" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+    // The exact percentile/median BUILTINS keep a value→count map per
+    // group as aggregation state. That is fine exactly when the value
+    // domain is bounded — l_quantity is 1..50, so its map is ≤50 entries
+    // regardless of data scale — and a 100× memory cliff when distinct
+    // values grow with the data: med_price over l_extendedprice with only
+    // 3 groups to spread state across (VERDICT r15 #3; probed cold at
+    // 10×, BASELINE.md r16). So the price median rides the
+    // Ranks.groupedRank kernel instead: per-group exact ranks with
+    // range-partitioned local sorts, interpolated at ranks
+    // (n+1) div 2 and (n+2) div 2 — identical semantics to
+    // median()/quantile_cont (odd n: the middle row, even n: the mean of
+    // the two middle rows), with nothing group-scale in any one task.
+    "q_percentiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val qty = li.groupBy(col("l_returnflag"))
         .agg(
           round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
           round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
-          round(expr("median(l_extendedprice)"), 6).as("med_price"),
           (abs(expr("approx_percentile(l_quantity, 0.5, 10000)") -
             expr("percentile(l_quantity, 0.5)")) <= 2.0).as("p50_approx_ok"))
-        .orderBy("l_returnflag")),
+      val med = graft.ops.Ranks.groupedRank(li, col("l_returnflag"),
+          col("l_extendedprice"), col("l_orderkey") * 8 + col("l_linenumber"))
+        .where(col("r") === expr("(n+1) div 2") ||
+          col("r") === expr("(n+2) div 2"))
+        .groupBy(col("g").as("l_returnflag"))
+        .agg(round(avg(col("x")), 6).as("med_price"))
+      qty.join(med, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("p50_qty"), col("p90_qty"),
+          col("med_price"), col("p50_approx_ok"))
+        .orderBy("l_returnflag")
+    }),
 
     // ── Exact GLOBAL deciles on the distributed rank kernel ─────────────
     // q_percentiles is per-group (bounded groups own their sorts); the
@@ -555,7 +576,10 @@ object AdvancedQueries {
       // lab⁽ᵏ⁾ is read THREE times per round (votes join, anti-join
       // guard, carry-over union) — unpersisted that is the Graph.sssp
       // 3^rounds re-derivation shape. Persist the node-scale round
-      // relation (caches are caller-released per query).
+      // relation (caches are caller-released per query). At the fixed 2
+      // rounds only two node-scale pins accumulate, so no in-query
+      // supersedable release is needed (ADVICE r15); a deeper-round
+      // variant should adopt Graph.hits' localCheckpoint-cut cadence.
       val labels = (1 to 2).foldLeft(seeds) { (lab0, _) =>
         val lab = lab0
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -691,9 +715,26 @@ object AdvancedQueries {
     // double division each, rounded once at 6. At 100 TB the self-join
     // cost is Σ basket², bounded by basket size not corpus size, and
     // every join is keyed — no all-pairs anywhere. Top-100 by lift.
+    // Bucketed-layout flag (VERDICT r15 #6): with
+    // spark.graft.bucketedFacts=1 (or SPARK_GRAFT_BUCKETED=1) the
+    // self-join reads a write-once l_orderkey-bucketed copy of the
+    // projected distinct relation (Layout.ensureBucketedRead), so the
+    // join's input exchange vanishes — the ShuffleVolumeSpec-measured
+    // −24 %/−34 % shuffle bytes applied to the production chain. Default
+    // OFF: the oracle row and cross-round bench priors read the flat
+    // fixture; the flag-on path is gated for equality + plan shape in
+    // ShuffleVolumeSpec and benched as a contrast pair in BASELINE.md.
     "q_basket_lift" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li0 = t(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey").distinct()
+      val li =
+        if (s.conf.getOption("spark.graft.bucketedFacts")
+            .orElse(sys.env.get("SPARK_GRAFT_BUCKETED")).contains("1")) {
+          val sf = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+          graft.ops.Layout.ensureBucketedRead(s, li0,
+            s"li_pairs_bucketed_$sf", s"target/fixtures/li_pairs_bucketed_$sf",
+            "l_orderkey", 32)
+        } else li0
       val n = li.agg(count_distinct(col("l_orderkey")).as("n_orders"))
       val pc = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
       val pairs = li.as("x").join(li.as("y"),

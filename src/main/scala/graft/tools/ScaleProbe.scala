@@ -106,7 +106,15 @@ object ScaleProbe {
     // not engine scaling (the r15 q_dedup_clusters 56.9× cold reading).
     // pct ≥ 40 pushes inter-replica jaccard under every candidate
     // threshold → honest disjoint-corpus weak scaling.
-    val perturbPct = args.lift(5).collect {
+    // accepted at ANY position past the fixed four (ADVICE r15: parsed
+    // only as the exact 6th arg, a misplaced pct= silently fell back to
+    // the 15% default and reproduced the replica self-pairing artifact
+    // the flag exists to avoid); unrecognized trailing args fail loudly
+    val trailing = args.drop(4).filterNot(a =>
+      a == "cold" || a.startsWith("pct="))
+    require(trailing.isEmpty,
+      s"unrecognized args: ${trailing.mkString(",")} (expected 'cold' and/or 'pct=N')")
+    val perturbPct = args.collectFirst {
       case s if s.startsWith("pct=") => s.stripPrefix("pct=").toInt
     }.getOrElse(15)
     val spark = graft.Sessions.local("scale-probe")
@@ -189,7 +197,7 @@ object ScaleProbe {
     // SCALE-posture readings on such queries the warm timed leg skips
     // the corpus-scale scan entirely (measured ratios < 1 at 10× data),
     // so the cold leg is the honest scan-scaling number.
-    val cold = args.lift(4).contains("cold")
+    val cold = args.drop(4).contains("cold")
     def dropCaches(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values

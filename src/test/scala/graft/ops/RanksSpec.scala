@@ -39,6 +39,32 @@ class RanksSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("groupedRank equals per-group local-sort ranks at any partitioning") {
+    // three groups of different sizes (one spanning several range slices)
+    val grows = (0 until 40).map(i => ("a", 100L + i, (i * 7 % 13).toDouble)) ++
+      (0 until 5).map(i => ("b", 200L + i, (9 - i).toDouble)) ++
+      Seq(("c", 300L, 1.0))
+    val df = grows.toDF("g", "id", "x").repartition(9)
+    val got = Ranks.groupedRank(df, col("g"), col("x"), col("id"),
+        numParts = 4)
+      .select("g", "tie", "r", "n").as[(String, Long, Long, Long)]
+      .collect()
+    val local = grows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy(r => (r._3, r._2)).zipWithIndex
+        .map { case ((_, id, _), i) => (g, id) -> ((i + 1L, rs.size.toLong)) }
+    }
+    assert(got.length === grows.length)
+    got.foreach { case (g, id, r, n) =>
+      assert((r, n) === local((g, id)), s"($g,$id)")
+    }
+    // invariance to the range-partition count (incl. the 1-slice case)
+    val r1 = Ranks.groupedRank(df, col("g"), col("x"), col("id"),
+        numParts = 1)
+      .select("g", "tie", "r").as[(String, Long, Long)].collect().toSet
+    assert(r1 === got.map(t => (t._1, t._2, t._3)).toSet)
+    spark.catalog.clearCache()
+  }
+
   test("rank assignment is invariant to the range-partition count") {
     val df = rows.toDF("id", "x")
     val r4 = Ranks.globalRank(df, col("x"), col("id"), numParts = 4)
