@@ -138,6 +138,25 @@ object ExtensionQueries {
             s, Tables.table(s, dir, "documents").select("doc_id")))
         .orderBy("doc_id", "frame_idx")),
 
+    // ── REAL INTER-FRAME codec decode (MS-RLE8 delta frames) ────────────
+    // The codec class that was FakeDecoder-stubbed until r16: Microsoft
+    // RLE8 (BI_RLE8, a published AVI codec) carries TEMPORAL deltas —
+    // each non-key frame's bitstream starts from the previous frame's
+    // pixels and writes only changed runs, skipping preserved regions
+    // with cursor escapes. The engine decodes the real bitstream
+    // (keyframe + delta frames + palette) through the same hand RIFF
+    // parser; the oracle replays every pixel through the closed-form
+    // last-change logic (value at frame f = h60 of the last g ≤ f where
+    // the change hash fires), so a broken inter-frame carry — e.g.
+    // decoding deltas against a zero buffer — breaks the hash. H.264-
+    // class DSP codecs remain the one permanent environment boundary.
+    "q_rle_delta_frames" -> ((s, dir) =>
+      Multimodal.decodeAviFrames(s,
+          Multimodal.syntheticAviPayloads(
+            s, Tables.table(s, dir, "documents").select("doc_id"),
+            codec = "RLE8"))
+        .orderBy("doc_id", "frame_idx")),
+
     // ── REAL audio decode (javax.sound.sampled) gated analytically ──────
     // Each doc gets a deterministic 16-bit PCM mono WAV (samples are h60
     // closed forms of doc_id — Multimodal.NoiseAudio), the engine decodes
@@ -288,6 +307,28 @@ object ExtensionQueries {
            CAST(SUM(v) AS BIGINT) AS px_sum,
            CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
          FROM px GROUP BY 1, 2 ORDER BY doc_id, frame_idx""",
+    // the engine decodes the real MS-RLE8 keyframe+delta bitstreams; the
+    // oracle replays the closed-form LAST-CHANGE pixel logic: a pixel at
+    // frame f carries the value hash of the last g ≤ f whose change hash
+    // fired (g=0 always fires — the keyframe)
+    "q_rle_delta_frames" ->
+      s"""WITH d AS (SELECT doc_id,
+             CAST(2 + doc_id % 3 AS INT) AS nf FROM documents),
+         fr AS (SELECT doc_id, CAST(unnest(generate_series(0, nf - 1))
+             AS INT) AS f FROM d),
+         gg AS (SELECT doc_id, f, CAST(unnest(generate_series(0, f))
+             AS INT) AS g FROM fr),
+         ch AS (SELECT doc_id, f, g, x, y FROM gg,
+             (SELECT unnest(generate_series(0, 14)) AS x) gx,
+             (SELECT unnest(generate_series(0, 11)) AS y) gy
+           WHERE g = 0 OR ${rleChangedSql} = 0),
+         lg AS (SELECT doc_id, f, x, y, max(g) AS g FROM ch
+           GROUP BY doc_id, f, x, y),
+         px AS (SELECT doc_id, f, ${rleValSql} AS v FROM lg)
+         SELECT doc_id, f AS frame_idx, 15 AS width, 12 AS height,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+         FROM px GROUP BY 1, 2 ORDER BY doc_id, frame_idx""",
     // the engine decodes real WAV bytes; the oracle replays the NoiseAudio
     // sample formula (h60 in [-2000,2000] + planted-variant CASE) and the
     // exact integer statistics — format fields are the fixture constants
@@ -340,6 +381,20 @@ object ExtensionQueries {
   private def noiseAviPxSql: String =
     "(" + graft.functions.Hashes.h60Sql(
       "'avi:'||CAST(doc_id AS VARCHAR)||':'||CAST(frame_idx AS VARCHAR)" +
+        "||':'||CAST(x AS VARCHAR)||':'||CAST(y AS VARCHAR)") + " % 256)"
+
+  /** DuckDB replay of the [[Multimodal.NoiseAvi]] RLE8 change hash
+    * (fires when ≡ 0 mod 8) for candidate frame `g`. */
+  private def rleChangedSql: String =
+    "(" + graft.functions.Hashes.h60Sql(
+      "'rled:'||CAST(doc_id AS VARCHAR)||':'||CAST(g AS VARCHAR)" +
+        "||':'||CAST(x AS VARCHAR)||':'||CAST(y AS VARCHAR)") + " % 8)"
+
+  /** DuckDB replay of the [[Multimodal.NoiseAvi]] RLE8 value hash at the
+    * last-change frame `g`. */
+  private def rleValSql: String =
+    "(" + graft.functions.Hashes.h60Sql(
+      "'rlev:'||CAST(doc_id AS VARCHAR)||':'||CAST(g AS VARCHAR)" +
         "||':'||CAST(x AS VARCHAR)||':'||CAST(y AS VARCHAR)") + " % 256)"
 
   /** DuckDB replay of one [[Multimodal.NoiseVideo]] pixel. */
