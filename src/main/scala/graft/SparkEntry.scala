@@ -85,5 +85,8 @@ object SparkEntry {
     // fast per-family representatives
     "wc_words", "q_tpch_q3", "q_tpch_q5", "q_tpch_q18",
     "q_neardup_minhash", "q_simhash",
+    // r16 additions: the decode heavies that postdate the r14 tier cut,
+    // and the two new gated queries (DPP star join, inter-frame RLE8)
+    "q_avi_frames", "q_rle_delta_frames", "q_star_dpp",
   )
 }

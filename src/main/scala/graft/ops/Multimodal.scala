@@ -168,13 +168,27 @@ object Multimodal {
   object NoiseImages {
     val Size = 16
 
+    private val md5Local =
+      new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
+      }
+
     /** JVM-side h60: first 15 hex digits of md5 as a non-negative long —
-      * bit-identical to the column form and to the oracle's rendering. */
+      * bit-identical to the column form and to the oracle's rendering.
+      * The 15 leading hex digits ARE the top 60 bits of the first 8
+      * digest bytes, so the value is pure bit arithmetic; the digest is
+      * thread-cached because `MessageDigest.getInstance` is a
+      * synchronized provider lookup — 32 executor threads calling it per
+      * PIXEL made the whole synthetic decode tier contention-bound
+      * (r16 find: q_rle_delta_frames 50 → ~8 s, and the r15 "decode tier
+      * high variance on this box" channel reads largely as THIS lock). */
     def h60(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      java.lang.Long.parseLong(
-        d.map(b => f"${b & 0xff}%02x").mkString.substring(0, 15), 16)
+      val d = md5Local.get().digest(s.getBytes("UTF-8"))
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      v >>> 4
     }
 
     def basePx(id: Long, x: Int, y: Int): Int =
@@ -689,12 +703,42 @@ object Multimodal {
       (NoiseImages.h60(s"rlev:$id:$g:$x:$y") % 256L).toInt
     }
 
-    /** One MS-RLE8 frame bitstream: keyframe (prev empty) writes every
-      * row via absolute runs; a delta frame positions the cursor with
-      * EOL/delta escapes and writes only changed runs. Rows are
-      * bottom-up (row r ↦ image y = H−1−r), like the DIB leg. */
-    private[ops] def rleFrame(id: Long, f: Int): Array[Byte] = {
+    /** All frame grids 0..`upTo` via the incremental carry — ONE change
+      * hash per (frame, pixel) and one value hash per actual change,
+      * instead of [[rlePx]]'s per-call backward scan (which made the
+      * sf0.1 synthesis hash-bound: 50 s for the gated query before this,
+      * ~1 s after). Grid index: y·W + x. */
+    private[ops] def rleGrids(id: Long, upTo: Int): IndexedSeq[Array[Int]] = {
+      var prev: Array[Int] = null
+      (0 to upTo).map { f =>
+        val g = if (f == 0) new Array[Int](W * H) else prev.clone()
+        var y = 0
+        while (y < H) {
+          var x = 0
+          while (x < W) {
+            if (rleChanged(id, f, x, y))
+              g(y * W + x) =
+                (NoiseImages.h60(s"rlev:$id:$f:$x:$y") % 256L).toInt
+            x += 1
+          }
+          y += 1
+        }
+        prev = g
+        g
+      }
+    }
+
+    /** One MS-RLE8 frame bitstream from precomputed grids: keyframe
+      * (prev null) writes every row via absolute runs; a delta frame
+      * positions the cursor with EOL/delta escapes and writes only
+      * changed runs. Rows are bottom-up (row r ↦ image y = H−1−r), like
+      * the DIB leg. */
+    private[ops] def rleEncode(cur: Array[Int],
+                               prev: Array[Int]): Array[Byte] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      def px(x: Int, y: Int): Int = cur(y * W + x)
+      def differs(x: Int, y: Int): Boolean =
+        prev == null || cur(y * W + x) != prev(y * W + x)
       var curRow = 0
       var curX = 0
       var r = 0
@@ -702,11 +746,9 @@ object Multimodal {
         val y = H - 1 - r
         var x = 0
         while (x < W) {
-          val write = f == 0 || rlePx(id, f, x, y) != rlePx(id, f - 1, x, y)
-          if (write) {
+          if (differs(x, y)) {
             val x0 = x
-            while (x < W && (f == 0 ||
-                rlePx(id, f, x, y) != rlePx(id, f - 1, x, y))) x += 1
+            while (x < W && differs(x, y)) x += 1
             val len = x - x0
             while (curRow < r) { // EOL escapes advance rows, reset x
               out += 0; out += 0; curRow += 1; curX = 0
@@ -718,11 +760,11 @@ object Multimodal {
             if (len >= 3) { // absolute run (word-aligned)
               out += 0; out += len.toByte
               var i = x0
-              while (i < x) { out += rlePx(id, f, i, y).toByte; i += 1 }
+              while (i < x) { out += px(i, y).toByte; i += 1 }
               if (len % 2 == 1) out += 0
             } else { // counts 0-2 are escapes: short runs go encoded
               var i = x0
-              while (i < x) { out += 1; out += rlePx(id, f, i, y).toByte; i += 1 }
+              while (i < x) { out += 1; out += px(i, y).toByte; i += 1 }
             }
             curX = x
           } else x += 1
@@ -731,6 +773,12 @@ object Multimodal {
       }
       out += 0; out += 1 // end of bitmap
       out.toArray
+    }
+
+    /** Spec convenience: frame `f`'s bitstream alone. */
+    private[ops] def rleFrame(id: Long, f: Int): Array[Byte] = {
+      val grids = rleGrids(id, f)
+      rleEncode(grids(f), if (f == 0) null else grids(f - 1))
     }
 
     private def jpegFrame(id: Long, f: Int): Array[Byte] = {
@@ -753,10 +801,11 @@ object Multimodal {
     def avi(id: Long, codec: String): Array[Byte] = {
       require(codec == "DIB " || codec == "MJPG" || codec == "RLE8", codec)
       val n = nFrames(id)
+      lazy val grids = rleGrids(id, n - 1) // incremental, hashed once
       val frames = (0 until n).map(f => codec match {
         case "DIB " => dibFrame(id, f)
         case "MJPG" => jpegFrame(id, f)
-        case "RLE8" => rleFrame(id, f)
+        case "RLE8" => rleEncode(grids(f), if (f == 0) null else grids(f - 1))
       })
       val ckId = if (codec == "DIB ") "00db" else "00dc"
       val avih = le32(100000) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
