@@ -110,7 +110,8 @@ object Layout {
     */
   def ensureBucketedRead(spark: org.apache.spark.sql.SparkSession,
                          df: => DataFrame, table: String, path: String,
-                         bucketCol: String, buckets: Int): DataFrame = {
+                         bucketCol: String, buckets: Int): DataFrame =
+      deriveLock.synchronized {
     if (!spark.catalog.tableExists(table)) {
       if (java.nio.file.Files.exists(
           java.nio.file.Paths.get(path, "_SUCCESS"))) {
@@ -135,10 +136,15 @@ object Layout {
     * no plan construction.
     */
   def ensurePartitioned(df: => DataFrame, path: String,
-                        partCol: String): String = {
+                        partCol: String): String = deriveLock.synchronized {
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(path, "_SUCCESS")))
       df.write.mode("overwrite").partitionBy(partCol).parquet(path)
     path
   }
+
+  /** Guards the check-then-write of the derive-once fixture helpers:
+    * test suites share one JVM and run in parallel, so two suites
+    * touching the same derived path must not race the overwrite. */
+  private val deriveLock = new Object
 }
