@@ -37,6 +37,20 @@ object Sessions {
       .config("spark.sql.ui.explainMode", "simple")
       // belt-and-braces bound on any plan string the session does render
       .config("spark.sql.maxPlanStringLength", "100000")
+      // Spark 4 session-artifact isolation wraps every executor task
+      // classloader in an RPC-fetching loader (replClassURI = spark://…)
+      // even when a session never adds an artifact. Janino codegen
+      // compilation probes HUNDREDS of candidate class names per
+      // generated class; every miss then walks
+      // ExecutorClassLoader.findClassLocally → a blocking Netty
+      // file-download RPC → ClassNotFound. jstack'd during a degraded
+      // r16 bench sweep: executor threads pinned in
+      // NettyRpcEnv$FileDownloadChannel.read under janino findIClass,
+      // whole-JVM ~2.5× slowdown with an idle box and clean cpu probes
+      // (BASELINE.md r16). This engine registers no session artifacts —
+      // disable the isolation so codegen class resolution stays
+      // in-process.
+      .config("spark.sql.artifact.isolation.enabled", "false")
 
   def local(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
