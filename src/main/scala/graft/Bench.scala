@@ -129,13 +129,35 @@ object Bench {
     * records the fresh measurement.
     */
   def nextPriors(times: Map[String, Double], priors: Map[String, Double],
-                 regressed: Set[String]): Map[String, Double] =
-    times.map { case (k, t) =>
-      k -> (if (regressed(k)) {
+                 regressed: Set[String],
+                 degraded: Set[String] = Set.empty): Map[String, Double] =
+    times.flatMap { case (k, t) =>
+      // A degraded-tail timing is a COLD single run taken past the sweep
+      // budget (no warm-up, no re-times, usually on a contended box —
+      // ADVICE r16): it must never arm as a prior. Keep the old prior if
+      // one exists (the flag stays meaningful next sweep); a degraded
+      // query with no prior stays priorless — the next in-protocol sweep
+      // measures it fresh.
+      if (degraded(k)) priors.get(k).map(k -> _)
+      else Some(k -> (if (regressed(k)) {
         val old = priors.getOrElse(k, t)
         if (t <= PriorAcceptCap * old) t else old
-      } else t)
+      } else t))
     }
+
+  /** Headline split (VERDICT r16 #1): the official artifact's single
+    * `value` mixed warm-protocol timings with degraded-tail cold runs, so
+    * a reader applying the 2× gate to a contended sweep got the wrong
+    * answer (BENCH_r16: 1035.6 s headline, of which 247 unwarmed runs;
+    * the six worst re-ran at 8.9 s vs their 464 s under the identical
+    * harness). Returns (in-protocol seconds, degraded seconds) — the 2×
+    * gate reads ONLY the first, against the in-protocol query count.
+    */
+  def splitHeadline(times: Map[String, Double],
+                    degraded: Set[String]): (Double, Double) = {
+    val (deg, in) = times.partition { case (k, _) => degraded(k) }
+    (in.values.sum, deg.values.sum)
+  }
 
   // CPU probe DCE sink — the JIT must not elide the probe loop
   @volatile private var probeSink = 0L
@@ -378,7 +400,15 @@ object Bench {
       .map(_.trim.toDouble).getOrElse(1500.0)
     val sweepStart = System.nanoTime()
     def sweepElapsed: Double = (System.nanoTime() - sweepStart) / 1e9
-    var degradedCount = 0
+    // Degraded-tail record (VERDICT r16 #1 + ADVICE r16): every query that
+    // ran past the budget is NAMED (the per-query protocol marker — a
+    // query is in-protocol iff absent from this list), and each carries
+    // the 1-min loadavg and the /proc/stat steal%% measured ACROSS ITS OWN
+    // RUN, so a contended tail is diagnosable per query, not just in
+    // aggregate.
+    var degradedNames = List.empty[String]
+    var loadAtDegraded = ListMap.empty[String, Double]
+    var stealAtDegraded = ListMap.empty[String, Double]
     // Incremental partial record (VERDICT r15 #1): a killed sweep used to
     // leave nothing parsable. A short running-total line goes to stderr
     // every [[PartialEvery]] queries (stdout keeps the one-line contract),
@@ -395,11 +425,20 @@ object Bench {
     names.foreach { name =>
       try {
         val degraded = sweepElapsed > budgetSec
-        if (degraded) degradedCount += 1
+        if (degraded) degradedNames ::= name
         if (!degraded) runOnce(name) // warm-up, untimed
         val (t, isRegressed, samples) =
-          if (degraded) (timedRun(name), false, Seq.empty[Double])
-          else settleSamples(prior.get(name), timedRun(name), () => timedRun(name))
+          if (degraded) {
+            val j0 = cpuJiffies()
+            val td = timedRun(name)
+            val j1 = cpuJiffies()
+            loadAtDegraded += name -> loadAvg1m()
+            stealAtDegraded += name ->
+              (if (j0._2 >= 0 && j1._2 > j0._2)
+                 100.0 * (j1._1 - j0._1) / (j1._2 - j0._2)
+               else -1.0)
+            (td, false, Seq.empty[Double])
+          } else settleSamples(prior.get(name), timedRun(name), () => timedRun(name))
         if (samples.size > 1) samplesLog += name -> samples
         if (isRegressed) {
           regressed ::= name
@@ -462,7 +501,8 @@ object Bench {
     val regressedJson =
       (if (regressed.isEmpty) ""
        else s""","regressed":${regressed.reverse.map(jstr).mkString("[", ",", "]")}""") +
-        (if (degradedCount == 0) "" else s""","degraded_tail":$degradedCount""")
+        (if (degradedNames.isEmpty) ""
+         else s""","degraded_tail":${degradedNames.size}""")
     val seedJson = seed.map(s => s""","seed":$s""").getOrElse("")
     // post-sweep probes: ran after every timed region (including the
     // end-of-sweep re-measures), so probe_after/probe_before (1-thread)
@@ -490,6 +530,16 @@ object Bench {
         s""","probe_wide_after":${fmt(probeWideAfter)}""" +
         s""","load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)}""" +
         s""","steal_pct":${fmt(stealPct)}"""
+    // Self-adjudicating headline (VERDICT r16 #1): `value` stays the
+    // all-query total (backward-compatible), but the 2x gate is computed
+    // from value_inband / n_inband ALONE — warm-protocol timings only;
+    // value_degraded carries the budget-backstop cold tail separately.
+    // BASELINE.md ("how to read the bench artifact") states this read.
+    val degradedSet = degradedNames.toSet
+    val (valInband, valDegraded) = splitHeadline(times, degradedSet)
+    val inbandJson =
+      if (degradedNames.isEmpty) ""
+      else s""","value_inband":${fmt(valInband)},"n_inband":${times.size - degradedSet.size},"value_degraded":${fmt(valDegraded)}"""
     def line(ts: Map[String, Double], omitted: Int,
              maxErrors: Int = Int.MaxValue, errLen: Int = 200,
              extra: String = ""): String = {
@@ -499,7 +549,7 @@ object Bench {
       val eo = if (errors.size > maxErrors)
         s""","errors_omitted":${errors.size - maxErrors}""" else ""
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(times.values.sum)},"unit":"sec","n_queries":${times.size},"queries":${jmap(ts)}$om,"errors":$es$eo,"failed":${errors.size}$regressedJson$seedJson$probeJson$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(times.values.sum)}$inbandJson,"unit":"sec","n_queries":${times.size},"queries":${jmap(ts)}$om,"errors":$es$eo,"failed":${errors.size}$regressedJson$seedJson$probeJson$extra,"sf":"$sfDir"}"""
     }
     // The harness that invokes this keeps only the last ~2000 characters of
     // stdout, and sbt appends a "[success] Total time..." trailer after us —
@@ -528,14 +578,27 @@ object Bench {
       val loadFlagJson =
         if (loadAtFlag.isEmpty) ""
         else s""","load_at_flag":${jmap(loadAtFlag)}"""
+      // the per-query protocol marker + per-query host evidence for the
+      // degraded tail (VERDICT r16 #1 / ADVICE r16): names, 1-min load,
+      // and own-run steal%% — so every cold number in "queries" is
+      // individually attributable to host state, not sweep order
+      val degradedJson =
+        if (degradedNames.isEmpty) ""
+        else s""","degraded":${degradedNames.reverse.map(jstr).mkString("[", ",", "]")}""" +
+          s""","load_at_degraded":${jmap(loadAtDegraded)}""" +
+          s""","steal_at_degraded":${jmap(stealAtDegraded)}"""
       // tier sweeps are subsets too: letting one write bench_full.json
       // would replace the full surface's 300+ armed priors with the
       // tier's 68 — only a FULL sweep may re-arm
       if (only.isEmpty && tier.isEmpty) java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
         (line(times, 0, extra =
-          s""","priors":${jmap(nextPriors(times, prior, regressed.toSet))}$samplesJson$loadFlagJson""")
+          s""","priors":${jmap(nextPriors(times, prior, regressed.toSet, degradedSet))}$samplesJson$loadFlagJson$degradedJson""")
           + "\n").getBytes("UTF-8"))
+      // a completed sweep must not leave a stale partial behind to shadow
+      // the final artifact (ADVICE r16)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get("bench_partial.json"))
     } catch { case _: Throwable => () } // best-effort; the stdout line is the contract
     val MaxLine = 1700
     val printed =

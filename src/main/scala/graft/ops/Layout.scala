@@ -110,17 +110,28 @@ object Layout {
     */
   def ensureBucketedRead(spark: org.apache.spark.sql.SparkSession,
                          df: => DataFrame, table: String, path: String,
-                         bucketCol: String, buckets: Int): DataFrame =
+                         bucketCol: String, buckets: Int,
+                         srcFp: String): DataFrame =
       deriveLock.synchronized {
+    // ADVICE r16: the _SUCCESS marker alone can't see a regenerated
+    // source — a stale derived copy would silently serve old data. The
+    // caller passes a fingerprint of the SOURCE files ([[srcFingerprint]])
+    // and a mismatch forces re-derivation (and drops a catalog entry
+    // registered against the stale files).
+    val filesOk = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_SUCCESS")) && fpMatches(path, srcFp)
+    if (spark.catalog.tableExists(table) && !filesOk)
+      spark.sql(s"DROP TABLE $table")
     if (!spark.catalog.tableExists(table)) {
-      if (java.nio.file.Files.exists(
-          java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      if (filesOk) {
         val ddlCols = spark.read.parquet(path).schema.toDDL
         spark.sql(s"CREATE TABLE $table ($ddlCols) USING parquet " +
           s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) " +
           s"INTO $buckets BUCKETS LOCATION '$path'")
-      } else
+      } else {
         writeBucketed(df, table, path, bucketCol, buckets, Seq(bucketCol))
+        writeFp(path, srcFp)
+      }
     }
     spark.table(table)
   }
@@ -136,12 +147,57 @@ object Layout {
     * no plan construction.
     */
   def ensurePartitioned(df: => DataFrame, path: String,
-                        partCol: String): String = deriveLock.synchronized {
+                        partCol: String, srcFp: String): String =
+      deriveLock.synchronized {
+    // re-derive when the SOURCE fingerprint moved, not just when the
+    // marker is missing (ADVICE r16 — regenerated fixtures must not be
+    // served from the stale derived copy)
     if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(path, "_SUCCESS")))
+        java.nio.file.Paths.get(path, "_SUCCESS")) || !fpMatches(path, srcFp)) {
       df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+      writeFp(path, srcFp)
+    }
     path
   }
+
+  /** Fingerprint of the source file(s) a derived fixture was built from:
+    * SHA-256 over every regular file's (path, size, mtime), sorted —
+    * cheap (metadata only, no reads), and any regeneration moves the
+    * mtime even when sizes collide. Stamped into the derived dir as
+    * `_GRAFT_SRC_FP`; [[ensurePartitioned]]/[[ensureBucketedRead]]
+    * re-derive on mismatch.
+    */
+  def srcFingerprint(paths: String*): String = {
+    import scala.jdk.CollectionConverters._
+    val files = paths.flatMap { p =>
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.isDirectory(root)) {
+        val s = java.nio.file.Files.walk(root)
+        try s.iterator().asScala.toVector
+          .filter(java.nio.file.Files.isRegularFile(_))
+        finally s.close()
+      } else if (java.nio.file.Files.exists(root)) Vector(root)
+      else Vector.empty
+    }
+    val lines = files.map { f =>
+      s"$f:${java.nio.file.Files.size(f)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+    }.sorted
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(lines.mkString("\n").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(32)
+  }
+
+  private def fpFile(path: String) =
+    java.nio.file.Paths.get(path, "_GRAFT_SRC_FP")
+
+  private def fpMatches(path: String, fp: String): Boolean =
+    try new String(java.nio.file.Files.readAllBytes(fpFile(path)),
+      "UTF-8") == fp
+    catch { case _: Throwable => false }
+
+  private def writeFp(path: String, fp: String): Unit =
+    java.nio.file.Files.write(fpFile(path), fp.getBytes("UTF-8"))
 
   /** Guards the check-then-write of the derive-once fixture helpers:
     * test suites share one JVM and run in parallel, so two suites

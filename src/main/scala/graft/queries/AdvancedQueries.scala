@@ -733,7 +733,8 @@ object AdvancedQueries {
           val sf = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
           graft.ops.Layout.ensureBucketedRead(s, li0,
             s"li_pairs_bucketed_$sf", s"target/fixtures/li_pairs_bucketed_$sf",
-            "l_orderkey", 32)
+            "l_orderkey", 32,
+            graft.ops.Layout.srcFingerprint(s"$dir/lineitem.parquet"))
         } else li0
       val n = li.agg(count_distinct(col("l_orderkey")).as("n_orders"))
       val pc = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))

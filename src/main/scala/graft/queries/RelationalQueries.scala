@@ -713,7 +713,8 @@ object RelationalQueries {
         t(s, dir, "lineitem").withColumn(
           "ship_month", date_format(col("l_shipdate"), "yyyy-MM")),
         s"target/fixtures/dpp_lineitem_${new java.io.File(dir).getName}",
-        "ship_month"))
+        "ship_month",
+        graft.ops.Layout.srcFingerprint(s"$dir/lineitem.parquet")))
       val dim = t(s, dir, "orders")
         .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"),
           to_date(concat(date_format(col("o_orderdate"), "yyyy-MM"),

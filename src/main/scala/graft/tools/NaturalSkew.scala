@@ -66,27 +66,65 @@ object NaturalSkew {
         f"part_max/med=$ratio%5.2f")
     }
 
+    // AQE-aware walker (the SparkSpec.collectPlanNodes shape — tools can't
+    // reach test helpers): unwraps AdaptiveSparkPlanExec/QueryStageExec so
+    // the executed SortMergeJoin nodes are actually visible.
+    def planNodes(plan: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val self = plan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          planNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: planNodes(q.plan)
+        case p => Seq(p)
+      }
+      self ++ plan.children.flatMap(planNodes) ++
+        plan.subqueries.flatMap(planNodes)
+    }
+
     def liveJoin(label: String, left: DataFrame, right: DataFrame,
                  joined: DataFrame): Unit = {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-      // production-default factor; byte floors scaled to fixture bytes
-      // (the AqeSkewJoinSpec scaling — defaults are 256 MB-class)
-      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5.0")
-      spark.conf.set(
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
-      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
-      val agg = joined.agg(count(lit(1)).as("n"))
-      val t0 = System.nanoTime()
-      val n = agg.collect().head.getLong(0)
-      val secs = (System.nanoTime() - t0) / 1e9
-      val plan = agg.queryExecution.executedPlan.toString
-      val fired = plan.contains("isSkewJoin=true")
-      println(f"[skew] $label%-46s LIVE join rows=$n%12d " +
-        f"t=$secs%6.2f s skew_split_fired=$fired")
-      spark.catalog.clearCache()
-      val _ = (left, right)
+      // save/restore every conf this leg touches (ADVICE r16): the later
+      // keyStats legs — and anything else in this session — must not run
+      // with broadcast joins disabled and detector floors lowered
+      val touched = Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      val saved = touched.map(k => k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        // production-default factor; byte floors scaled to fixture bytes
+        // (the AqeSkewJoinSpec scaling — defaults are 256 MB-class)
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5.0")
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
+        val agg = joined.agg(count(lit(1)).as("n"))
+        val t0 = System.nanoTime()
+        val n = agg.collect().head.getLong(0)
+        val secs = (System.nanoTime() - t0) / 1e9
+        // typed read of the executed SortMergeJoin's isSkewJoin flag
+        // (ADVICE r16: the old string match looked for "isSkewJoin=true",
+        // which Spark 4.1.2's plan text renders as "(skew=true)" — the
+        // instrument could never report a fired split)
+        val smjs = planNodes(agg.queryExecution.executedPlan).collect {
+          case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+        }
+        val fired = smjs.exists(_.isSkewJoin)
+        println(f"[skew] $label%-46s LIVE join rows=$n%12d " +
+          f"t=$secs%6.2f s smj=${smjs.size} skew_split_fired=$fired")
+        spark.catalog.clearCache()
+        val _ = (left, right)
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
 
     val li = rep(spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -117,6 +117,34 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(next("q_so") === 1.13) // 1.13 ≤ 4×0.49: accepted
   }
 
+  test("nextPriors: degraded-tail cold timings never arm as priors") {
+    // VERDICT r16 #1 / ADVICE r16: a past-budget query records a cold
+    // unwarmed single run — carrying it as a prior would mask real
+    // regressions next sweep (inflated baseline) or fake them (contended
+    // baseline). Old prior kept when present; priorless stays priorless.
+    val next = Bench.nextPriors(
+      times = Map("q_a" -> 312.7, "q_b" -> 0.9, "q_new" -> 63.9),
+      priors = Map("q_a" -> 1.0, "q_b" -> 1.0),
+      regressed = Set.empty,
+      degraded = Set("q_a", "q_new"))
+    assert(next("q_a") === 1.0)      // old prior held, cold 312.7 discarded
+    assert(next("q_b") === 0.9)      // in-protocol: fresh measurement
+    assert(!next.contains("q_new"))  // degraded + no prior: stays priorless
+  }
+
+  test("splitHeadline: the 2x gate reads in-protocol seconds only") {
+    // VERDICT r16 #1: BENCH_r16's single 1035.6 s value mixed 247 cold
+    // degraded runs with warm-protocol timings and nominally failed the
+    // gate while the outliers re-ran 55x faster under the same harness.
+    // binary-exact values so the equality is order-insensitive
+    val times = Map("q_warm1" -> 1.5, "q_warm2" -> 2.5, "q_cold" -> 312.75)
+    val (inband, degraded) = Bench.splitHeadline(times, Set("q_cold"))
+    assert(inband === 4.0)
+    assert(degraded === 312.75)
+    // no degraded tail → everything is in-band
+    assert(Bench.splitHeadline(times, Set.empty) === ((316.75, 0.0)))
+  }
+
   test("parsePriors prefers the priors map over measured queries") {
     val txt = """{"metric":"total","value":14.0,"queries":{"q_a":13.100,"q_b":0.900},""" +
       """"regressed":["q_a"],"priors":{"q_a":1.900,"q_b":0.900},"sf":"/d/sf0.1"}"""

@@ -22,6 +22,33 @@ class LayoutSpec extends SparkSpec {
     assert(got.map(_._3).distinct.length === 256)
   }
 
+  test("ensurePartitioned re-derives when the source fingerprint moves") {
+    // ADVICE r16: the _SUCCESS-only check served stale derived copies
+    // after an in-place fixture regeneration — the fingerprint stamp must
+    // force a re-derive on mismatch and skip the write on match
+    val dir = tempDir("fpderive")
+    val src = dir.resolve("src.parquet").toString
+    val derived = dir.resolve("derived").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "part")
+      .write.parquet(src)
+    val fp1 = Layout.srcFingerprint(src)
+    Layout.ensurePartitioned(spark.read.parquet(src), derived, "part", fp1)
+    assert(spark.read.parquet(derived).count() === 2)
+    // same fingerprint → served as-is (marker intact, no rewrite): prove
+    // it by NOT giving the by-name df a usable plan the second time
+    Layout.ensurePartitioned(
+      sys.error("must not re-derive on a matching fingerprint"),
+      derived, "part", fp1)
+    // "regenerate" the source with different contents
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "part")
+      .write.mode("overwrite").parquet(src)
+    val fp2 = Layout.srcFingerprint(src)
+    assert(fp2 !== fp1, "regeneration must move the fingerprint")
+    Layout.ensurePartitioned(spark.read.parquet(src), derived, "part", fp2)
+    assert(spark.read.parquet(derived).count() === 3,
+      "stale derived copy served after source regeneration")
+  }
+
   test("zOrderStats: every bucket's spans are bounded by its curve segment") {
     // 2^5 × 2^5 grid, bucketShift 6 → each bucket is a 16-cell Morton
     // segment = a 4×4 tile: spans ≤ 3 on BOTH dimensions — the locality a
