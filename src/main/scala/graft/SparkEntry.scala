@@ -88,5 +88,7 @@ object SparkEntry {
     // r16 additions: the decode heavies that postdate the r14 tier cut,
     // and the two new gated queries (DPP star join, inter-frame RLE8)
     "q_avi_frames", "q_rle_delta_frames", "q_star_dpp",
+    // r17 addition: the left-semi (subquery-IN) DPP topology
+    "q_star_dpp_in",
   )
 }

@@ -731,6 +731,38 @@ object RelationalQueries {
         .orderBy("ship_month")
     }),
 
+    // ── DPP, second topology: subquery-IN (left-semi) pruning ───────────
+    // VERDICT r16 #7: q_star_dpp proves runtime pruning on the inner
+    // dim-join topology; this is the OTHER shape a real workload writes —
+    // `WHERE ship_month IN (SELECT ...)`, which Catalyst rewrites to a
+    // LEFT SEMI join. DPP's join-type rule admits LeftSemi for pruning
+    // the left (fact) side, so the urgent-1996-Q3 month subquery must
+    // inject a DynamicPruningExpression into the partitioned fact scan's
+    // PartitionFilters exactly as the inner join does — and the semi join
+    // needs no distinct on the dim side (semi semantics dedup for free).
+    // PartitionPruningSpec asserts the runtime numFiles on this query.
+    "q_star_dpp_in" -> ((s, dir) => {
+      val fact = s.read.parquet(graft.ops.Layout.ensurePartitioned(
+        t(s, dir, "lineitem").withColumn(
+          "ship_month", date_format(col("l_shipdate"), "yyyy-MM")),
+        s"target/fixtures/dpp_lineitem_${new java.io.File(dir).getName}",
+        "ship_month",
+        graft.ops.Layout.srcFingerprint(s"$dir/lineitem.parquet")))
+      val wanted = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          year(col("o_orderdate")) === 1996 &&
+          quarter(col("o_orderdate")) === 3)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
+      fact.join(wanted, Seq("ship_month"), "left_semi")
+        .groupBy(col("ship_month"))
+        .agg(count(lit(1)).as("n_items"),
+          count_distinct(col("l_suppkey")).as("n_suppliers"),
+          Exact.roundSum(
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("disc_revenue"))
+        .orderBy("ship_month")
+    }),
+
     // ── Data-quality constraint audit (the Deequ-style check suite) ─────
     // One row per declared constraint: violation count, row total, pass
     // bit. In-scan checks (domain membership, range, null, key
@@ -1286,6 +1318,19 @@ object RelationalQueries {
            ${oSum("l_extendedprice", "revenue")}
          FROM lineitem
          JOIN dim ON strftime(l_shipdate, '%Y-%m') = dim.ship_month
+         GROUP BY 1 ORDER BY 1""",
+    // subquery-IN topology over the same flat lineitem: the engine's
+    // left-semi DPP plan is a pure layout/plan change, results identical
+    "q_star_dpp_in" ->
+      s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           ${oSum("l_extendedprice * (1 - l_discount)", "disc_revenue")}
+         FROM lineitem
+         WHERE strftime(l_shipdate, '%Y-%m') IN (
+           SELECT strftime(o_orderdate, '%Y-%m') FROM orders
+           WHERE o_orderpriority = '1-URGENT'
+             AND year(o_orderdate) = 1996 AND quarter(o_orderdate) = 3)
          GROUP BY 1 ORDER BY 1""",
     "q_dq_checks" ->
       """WITH oagg AS (

@@ -106,4 +106,42 @@ class PartitionPruningSpec extends SparkSpec {
       s"DPP should read the $expected files of the 3 matching dirs " +
         s"(of $totalDirs dirs), read $filesRead")
   }
+
+  test("q_star_dpp_in (gated surface): left-semi subquery-IN topology prunes at runtime") {
+    // VERDICT r16 #7: the second join topology — WHERE ship_month IN
+    // (SELECT ...) plans as a LEFT SEMI join, and DPP's join-type rule
+    // must still inject the runtime partition filter into the fact scan.
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("q_star_dpp_in")(spark, dir)
+    val rows = q.collect()
+    assert(rows.length === 3, s"urgent 1996-Q3 = 3 ship months, got ${rows.length}")
+    val plan = q.queryExecution.executedPlan
+    // topology proof: the pruning join IS a semi join, not the inner
+    // dim join q_star_dpp covers
+    assert(collectPlanNodes(plan).exists(n =>
+      n.toString.contains("LeftSemi")),
+      "the IN-subquery must plan as a left-semi join")
+    val scans = collectPlanNodes(plan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(
+          _.toString.contains("dpp_lineitem")) => f
+    }
+    assert(scans.nonEmpty, "partitioned fact scan not found")
+    assert(scans.head.toString.contains("dynamicpruning"),
+      s"fact PartitionFilters must carry a DynamicPruningExpression:\n" +
+        scans.head.toString.take(800))
+    val root = java.nio.file.Paths.get(
+      s"target/fixtures/dpp_lineitem_sf0.001")
+    def filesIn(month: String): Long = {
+      val d = root.resolve(s"ship_month=$month")
+      if (!java.nio.file.Files.isDirectory(d)) 0L
+      else java.nio.file.Files.list(d).filter(_.toString.endsWith(".parquet"))
+        .count()
+    }
+    val expected = Seq("1996-07", "1996-08", "1996-09").map(filesIn).sum
+    val filesRead = scans.head.metrics("numFiles").value
+    assert(filesRead === expected && expected > 0,
+      s"left-semi DPP should read the $expected files of the 3 matching " +
+        s"month dirs, read $filesRead")
+  }
 }
