@@ -66,22 +66,6 @@ object NaturalSkew {
         f"part_max/med=$ratio%5.2f")
     }
 
-    // AQE-aware walker (the SparkSpec.collectPlanNodes shape — tools can't
-    // reach test helpers): unwraps AdaptiveSparkPlanExec/QueryStageExec so
-    // the executed SortMergeJoin nodes are actually visible.
-    def planNodes(plan: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      val self = plan match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          planNodes(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          q +: planNodes(q.plan)
-        case p => Seq(p)
-      }
-      self ++ plan.children.flatMap(planNodes) ++
-        plan.subqueries.flatMap(planNodes)
-    }
-
     def liveJoin(label: String, left: DataFrame, right: DataFrame,
                  joined: DataFrame): Unit = {
       // save/restore every conf this leg touches (ADVICE r16): the later
@@ -113,7 +97,8 @@ object NaturalSkew {
         // (ADVICE r16: the old string match looked for "isSkewJoin=true",
         // which Spark 4.1.2's plan text renders as "(skew=true)" — the
         // instrument could never report a fired split)
-        val smjs = planNodes(agg.queryExecution.executedPlan).collect {
+        val smjs = graft.ops.Plans.collectNodes(
+          agg.queryExecution.executedPlan).collect {
           case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
         }
         val fired = smjs.exists(_.isSkewJoin)

@@ -126,6 +126,39 @@ class PlanShapeSpec extends SparkSpec {
       s"unkeyed joins outside the allowlist: $offenders")
   }
 
+  /** Plan-size regression gate (VERDICT r16 #4): recorded physical node
+    * counts for the 10 largest gated plans (tools.PlanSize census at
+    * sf0.001, r17: 130/94/85/84/78/77/76/71/68/68), with ~25 % headroom
+    * so routine optimizer drift passes but a lineage deepening — the r15
+    * 310k-char plan-string class, or an iterative operator losing its
+    * checkpoint cadence — fails a test instead of a sweep. Every OTHER
+    * query gets the global ceiling: the 11th-largest plan is 66 nodes, so
+    * 100 catches any quiet ballooning while staying far from noise.
+    */
+  private val nodeBounds: Map[String, Int] = Map(
+    "q_band_sweep" -> 165, "q_pca_power" -> 120, "q_domain_kl" -> 110,
+    "q_kcore" -> 110, "q_emd_drift" -> 100, "q_ks_drift" -> 100,
+    "q_curate_funnel" -> 100, "q_dup_quality_bias" -> 92,
+    "q_autocorr" -> 88, "q_profile" -> 88)
+  private val globalNodeCeiling = 100
+
+  test("no gated plan exceeds its recorded node-count bound") {
+    assumeFixtures()
+    nodeBounds.keys.foreach(n => assert(SparkEntry.queries.contains(n),
+      s"nodeBounds names a missing query: $n — re-run tools.PlanSize and re-pin"))
+    val over = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => eagerlyExecuted(name) }
+      .flatMap { case (name, fn) =>
+        val nodes = collectNodes(
+          fn(spark, sfDir).queryExecution.executedPlan).size
+        val bound = nodeBounds.getOrElse(name, globalNodeCeiling)
+        if (nodes > bound) Some((name, nodes, bound)) else None
+      }
+    assert(over.isEmpty,
+      s"plans past their node bound (query, nodes, bound): $over — if the " +
+        "growth is intended, re-run tools.PlanSize and re-pin the bound")
+  }
+
   test("every fact-table query keeps scan-level column pruning (no SELECT *)") {
     // lineitem has 16 columns; no gated query needs more than 8 of them —
     // a scan reading the full schema means a projection stopped reaching

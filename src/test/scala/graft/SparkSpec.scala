@@ -32,27 +32,13 @@ abstract class SparkSpec extends AnyFunSuite {
       content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Every physical node of an executed plan, unwrapping AQE and
-    * recursing into subqueries — THE shared walker for plan-shape
-    * assertions (TreeNode.collect treats AdaptiveSparkPlanExec as a leaf
-    * and silently finds nothing under AQE; a per-suite copy of this
-    * walker once dropped the subquery recursion — keep one definition).
+    * recursing into subqueries — delegates to the ONE shared walker
+    * ([[graft.ops.Plans.collectNodes]]; a per-suite copy once dropped the
+    * subquery recursion — keep one definition, shared with the tools).
     */
   def collectPlanNodes(plan: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    val self = plan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        collectPlanNodes(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        // materialized AQE stages (Shuffle/Broadcast/ResultQueryStage) hold
-        // their subtree in `plan`, not `children` — without this case every
-        // post-execution assertion sees a single opaque leaf and passes
-        // vacuously
-        q +: collectPlanNodes(q.plan)
-      case p => Seq(p)
-    }
-    self ++ plan.children.flatMap(collectPlanNodes) ++
-      plan.subqueries.flatMap(collectPlanNodes)
-  }
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    graft.ops.Plans.collectNodes(plan)
 
   /** Assert a frame's executed plan contains no cartesian product or
     * broadcast-nested-loop join — EXCEPT a BNLJ whose BUILD side IS a
