@@ -109,10 +109,17 @@ object Layout {
     * shared metastore and only ever takes the first.
     */
   def ensureBucketedRead(spark: org.apache.spark.sql.SparkSession,
-                         df: => DataFrame, table: String, path: String,
+                         df: => DataFrame, table: String, rawPath: String,
                          bucketCol: String, buckets: Int,
                          srcFp: String): DataFrame =
       deriveLock.synchronized {
+    // absolutize: saveAsTable resolves a RELATIVE option("path") against
+    // the WAREHOUSE dir, not the cwd — the files then land at
+    // spark-warehouse/<path> while the filesystem marker checks read
+    // <path>, so the reuse branch never fires (found r17: every JVM
+    // silently re-derived, and the fingerprint stamp failed on the
+    // missing dir)
+    val path = new java.io.File(rawPath).getAbsolutePath
     // ADVICE r16: the _SUCCESS marker alone can't see a regenerated
     // source — a stale derived copy would silently serve old data. The
     // caller passes a fingerprint of the SOURCE files ([[srcFingerprint]])
@@ -146,9 +153,13 @@ object Layout {
     * 100 TB fact table lives on. `df` is by-name: an existing copy costs
     * no plan construction.
     */
-  def ensurePartitioned(df: => DataFrame, path: String,
+  def ensurePartitioned(df: => DataFrame, rawPath: String,
                         partCol: String, srcFp: String): String =
       deriveLock.synchronized {
+    // absolute for the same reason as [[ensureBucketedRead]] (plain
+    // df.write does resolve relative paths against the cwd, but the
+    // returned path is consumed by spark.read from arbitrary callers)
+    val path = new java.io.File(rawPath).getAbsolutePath
     // re-derive when the SOURCE fingerprint moved, not just when the
     // marker is missing (ADVICE r16 — regenerated fixtures must not be
     // served from the stale derived copy)
