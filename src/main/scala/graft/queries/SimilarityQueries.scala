@@ -40,7 +40,16 @@ object SimilarityQueries {
     * full-corpus candidates. The gated queries pin `nBits` = [[NBits]]
     * for oracle replay; ScaleProbe's probe_knn_scaled passes
     * [[graft.ops.Similarity.AutoBits]] to measure the scaledNBits lever
-    * (VERDICT r13 #2) on the same relation. */
+    * (VERDICT r13 #2) on the same relation.
+    *
+    * DOCUMENTED SCALE BOUND (r17 cold probes, decorrelated replicas):
+    * the pinned-8-bit form is ~quadratic in bucket occupancy — 3.55× at
+    * 10× data, 37.9× at 30×, unfinishable at 100× (500k vectors into 256
+    * buckets); it exists ONLY because the DuckDB oracle embeds the
+    * hyperplane count as a SQL literal. The production form is the SAME
+    * relation with [[graft.ops.Similarity.AutoBits]] (occupancy-bounded
+    * buckets): 2.32× cold at 100× data. Never deploy the pinned form
+    * past fixture scale. */
   def knnAccuracyRelation(s: SparkSession, dir: String,
                           nBits: Int = NBits): DataFrame = {
     val e = emb(s, dir)
