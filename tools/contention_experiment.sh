@@ -19,7 +19,7 @@ run_leg() {
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_BENCH_ONLY="$QUERIES" \
     sbt -batch 'runMain graft.Bench' 2>"target/contention_${tag}.stderr" \
-    | tail -1 > "target/contention_${tag}.json"
+    | grep '"metric"' | tail -1 > "target/contention_${tag}.json"
   echo "== $tag =="
   cat "target/contention_${tag}.json"
 }
