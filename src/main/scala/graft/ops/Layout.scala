@@ -172,30 +172,42 @@ object Layout {
   }
 
   /** Fingerprint of the source file(s) a derived fixture was built from:
-    * SHA-256 over every regular file's (path, size, mtime), sorted —
-    * cheap (metadata only, no reads), and any regeneration moves the
-    * mtime even when sizes collide. Stamped into the derived dir as
+    * SHA-256 over every regular file's (root-relative path, size,
+    * nanosecond mtime), sorted, plus the file count — cheap (metadata
+    * only, no reads), and any regeneration moves the mtime even when
+    * sizes collide. Roots are canonicalized (absolute + normalized) and
+    * files hashed RELATIVE to their root, so the same source dir passed
+    * under a different spelling (relative vs absolute, trailing dots)
+    * fingerprints identically instead of forcing a spurious re-derive;
+    * nanosecond mtimes shrink the same-millisecond in-place-regeneration
+    * blind spot (ADVICE r17). Stamped into the derived dir as
     * `_GRAFT_SRC_FP`; [[ensurePartitioned]]/[[ensureBucketedRead]]
     * re-derive on mismatch.
     */
   def srcFingerprint(paths: String*): String = {
     import scala.jdk.CollectionConverters._
-    val files = paths.flatMap { p =>
-      val root = java.nio.file.Paths.get(p)
-      if (java.nio.file.Files.isDirectory(root)) {
-        val s = java.nio.file.Files.walk(root)
-        try s.iterator().asScala.toVector
-          .filter(java.nio.file.Files.isRegularFile(_))
-        finally s.close()
-      } else if (java.nio.file.Files.exists(root)) Vector(root)
-      else Vector.empty
+    val lines = paths.flatMap { p =>
+      val root = java.nio.file.Paths.get(p).toAbsolutePath.normalize
+      val files =
+        if (java.nio.file.Files.isDirectory(root)) {
+          val s = java.nio.file.Files.walk(root)
+          try s.iterator().asScala.toVector
+            .filter(java.nio.file.Files.isRegularFile(_))
+          finally s.close()
+        } else if (java.nio.file.Files.exists(root)) Vector(root)
+        else Vector.empty
+      files.map { f =>
+        val rel =
+          if (f == root) root.getFileName.toString
+          else root.relativize(f).toString
+        s"$rel:${java.nio.file.Files.size(f)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(f)
+            .to(java.util.concurrent.TimeUnit.NANOSECONDS)}"
+      }
     }
-    val lines = files.map { f =>
-      s"$f:${java.nio.file.Files.size(f)}:" +
-        s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
-    }.sorted
+    val digestInput = (lines.sorted :+ s"n=${lines.size}").mkString("\n")
     java.security.MessageDigest.getInstance("SHA-256")
-      .digest(lines.mkString("\n").getBytes("UTF-8"))
+      .digest(digestInput.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(32)
   }
 

@@ -9,6 +9,18 @@ import org.apache.spark.sql.functions._
 class PartitionPruningSpec extends SparkSpec {
   import spark.implicits._
 
+  // Files.list holds a directory fd until closed (ADVICE r17: the shared
+  // test JVM leaked one per month-dir probe) — count under try/finally.
+  private def countEntries(d: java.nio.file.Path,
+                           keep: java.nio.file.Path => Boolean): Long = {
+    if (!java.nio.file.Files.isDirectory(d)) 0L
+    else {
+      val s = java.nio.file.Files.list(d)
+      try s.filter(p => keep(p)).count()
+      finally s.close()
+    }
+  }
+
   test("filter on the partition column prunes partitions at the scan") {
     val dir = tempDir("parted").resolve("t").toString
     (0 until 1000).map(i => (i % 7, i.toLong, s"row$i"))
@@ -91,15 +103,12 @@ class PartitionPruningSpec extends SparkSpec {
     // month directories were opened (total span is ~80 months)
     val root = java.nio.file.Paths.get(
       s"target/fixtures/dpp_lineitem_sf0.001")
-    def filesIn(month: String): Long = {
-      val d = root.resolve(s"ship_month=$month")
-      if (!java.nio.file.Files.isDirectory(d)) 0L
-      else java.nio.file.Files.list(d).filter(_.toString.endsWith(".parquet"))
-        .count()
-    }
+    def filesIn(month: String): Long =
+      countEntries(root.resolve(s"ship_month=$month"),
+        _.toString.endsWith(".parquet"))
     val expected = Seq("1997-04", "1997-05", "1997-06").map(filesIn).sum
-    val totalDirs = java.nio.file.Files.list(root)
-      .filter(p => p.getFileName.toString.startsWith("ship_month=")).count()
+    val totalDirs = countEntries(root,
+      _.getFileName.toString.startsWith("ship_month="))
     assert(totalDirs > 10, s"expected many month dirs, got $totalDirs")
     val filesRead = scans.head.metrics("numFiles").value
     assert(filesRead === expected && expected > 0,
@@ -132,12 +141,9 @@ class PartitionPruningSpec extends SparkSpec {
         scans.head.toString.take(800))
     val root = java.nio.file.Paths.get(
       s"target/fixtures/dpp_lineitem_sf0.001")
-    def filesIn(month: String): Long = {
-      val d = root.resolve(s"ship_month=$month")
-      if (!java.nio.file.Files.isDirectory(d)) 0L
-      else java.nio.file.Files.list(d).filter(_.toString.endsWith(".parquet"))
-        .count()
-    }
+    def filesIn(month: String): Long =
+      countEntries(root.resolve(s"ship_month=$month"),
+        _.toString.endsWith(".parquet"))
     val expected = Seq("1996-07", "1996-08", "1996-09").map(filesIn).sum
     val filesRead = scans.head.metrics("numFiles").value
     assert(filesRead === expected && expected > 0,

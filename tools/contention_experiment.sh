@@ -44,7 +44,18 @@ python3 - <<'EOF'
 import json
 q = json.load(open('target/contention_quiet.json'))['queries']
 c = json.load(open('target/contention_contended.json'))['queries']
+# ADVICE r17: a query failed/omitted in either leg, or a 0.0 quiet time,
+# must not KeyError/ZeroDivisionError away the whole table after both
+# expensive legs ran — compare the intersection, name the strays.
+only_q = sorted(set(q) - set(c))
+only_c = sorted(set(c) - set(q))
+if only_q: print(f"[exp] quiet leg only (no compare): {','.join(only_q)}")
+if only_c: print(f"[exp] contended leg only (no compare): {','.join(only_c)}")
+both = [k for k in q if k in c]
+zero = sorted(k for k in both if q[k] <= 0.0)
+if zero: print(f"[exp] zero/neg quiet time (no ratio): {','.join(zero)}")
+comp = [k for k in both if q[k] > 0.0]
 print(f"{'query':22s} {'quiet':>8s} {'contended':>10s} {'amp':>7s}")
-for k in sorted(q, key=lambda k: -c[k]/q[k]):
+for k in sorted(comp, key=lambda k: -c[k]/q[k]):
     print(f"{k:22s} {q[k]:8.2f} {c[k]:10.2f} {c[k]/q[k]:7.2f}x")
 EOF
