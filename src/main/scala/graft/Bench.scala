@@ -159,6 +159,158 @@ object Bench {
     (in.values.sum, deg.values.sum)
   }
 
+  /** In-band query count for the artifact's `n_inband` (ADVICE r17): count
+    * from the MEASURED map, not `times.size - degraded.size` — a degraded
+    * query whose timed run THREW lands in the degraded name list but never
+    * in `times`, and the subtraction undercounts (or goes negative when
+    * many degraded queries fail). The 2× gate reads value_inband/n_inband,
+    * so this count must partition exactly what value_inband sums.
+    */
+  def inbandCount(times: Map[String, Double], degraded: Set[String]): Int =
+    times.count { case (k, _) => !degraded(k) }
+
+  /** In-band stall auto-adjudication (VERDICT r17 #1): BENCH_r17 published
+    * q_image_neardup at 25.38 s inside `value_inband` (41.9× its 0.61 s
+    * rested prior) while a rerun under the identical harness read 0.98 s —
+    * the one-rerun rule the builder applied BY HAND belongs in the
+    * harness. Any in-band settled timing past [[AdjudicateFactor]]× its
+    * armed prior (and past the noise floor) triggers ONE fresh-context
+    * confirmation run: the SparkSession (and with it the SparkContext,
+    * executor pools, block manager, RPC env — the r16 latent-stall layer)
+    * is torn down and rebuilt, the query re-warmed and re-timed once. The
+    * artifact then carries the adjudicated value plus `raw_first` and a
+    * `stall_adjudicated` marker, so no unexplained >4× mover can sit in
+    * the in-band headline. [[MaxAdjudications]] bounds the wall-clock a
+    * pathological sweep can spend re-proving itself.
+    */
+  val AdjudicateFactor = 4.0
+  val MaxAdjudications = 12
+
+  def needsAdjudication(prior: Option[Double], settled: Double): Boolean =
+    prior.exists(p => p > 0 && settled > AdjudicateFactor * p) &&
+      settled >= RegressFloorSec
+
+  /** Adjudicated (value, stillRegressed): the better of the stalled
+    * settled value and the fresh-context confirmation — a genuine plan
+    * regression is still slow in a fresh context (flag stands, judged at
+    * the normal 2× rule); a stall victim recovers and the recovered
+    * number is the truth this sweep gets to publish.
+    */
+  def adjudicate(prior: Double, settled: Double,
+                 fresh: Double): (Double, Boolean) = {
+    val v = math.min(settled, fresh)
+    (v, prior > 0 && v > 2 * prior && v >= RegressFloorSec)
+  }
+
+  /** Prior-arming context gate (VERDICT r17 #2): `nextPriors` refuses
+    * degraded timings, but the r17 priors were armed from a sweep whose
+    * own probes showed contamination (32-wide 0.607→0.923 s vs the ~0.50
+    * box-class norm, steal 3.66 %) — an 8 % baseline ratchet on unchanged
+    * plans. Arming now additionally requires the sweep's probe channels
+    * at BOTH ends to sit inside tolerance of the recorded quiet-box class
+    * norms (BASELINE.md: 1-thread ≈ 0.43 s, wide ≈ 0.44–0.50 s) and the
+    * sweep steal% to be basis points, not percents. A vetoed sweep keeps
+    * the previous priors verbatim and stamps the artifact
+    * `"priors_armed":false` with the veto reason — context-elevated
+    * timings stay published (value/value_inband) but never become the
+    * baseline. Bootstrap exception: with NO existing priors there is
+    * nothing to carry, so a first sweep on a box arms regardless (its
+    * numbers are the only same-box evidence there is);
+    * SPARK_GRAFT_ARM_FORCE=1 overrides for deliberate re-baselining.
+    */
+  val Probe1TNorm = 0.43
+  val ProbeWideNorm = 0.50
+  val ArmProbeTolerance = 1.3
+  val ArmStealMaxPct = 2.0
+
+  def probesCleanForArming(probe1t: Double, probeWide: Double,
+                           stealPct: Double): Boolean =
+    probe1t <= Probe1TNorm * ArmProbeTolerance &&
+      probeWide <= ProbeWideNorm * ArmProbeTolerance &&
+      (stealPct < 0 || stealPct <= ArmStealMaxPct)
+
+  /** (priors to write, armed?) — see [[probesCleanForArming]]. */
+  def armPriors(clean: Boolean, fresh: Map[String, Double],
+                old: Map[String, Double],
+                force: Boolean = false): (Map[String, Double], Boolean) =
+    if (clean || force || old.isEmpty) (fresh, true) else (old, false)
+
+  /** Segmented sweep (VERDICT r17 #3): one global 1500 s budget made the
+    * degraded tail all-or-nothing — the instant it expired, EVERY
+    * remaining query ran cold (135/310 in r17), and one latent-stall JVM
+    * poisoned everything after it (the r16 artifact-isolation episode).
+    * The sweep now runs in segments of [[SegmentSize]] queries; each
+    * segment gets a fresh SparkSession/SparkContext (clearing the
+    * session/RPC/block-manager layer the latent mode lives in) and a
+    * proportional slice of the REMAINING budget, so a stall or overrun
+    * degrades at most its own segment's tail while later segments recover
+    * with their own slices. Unused slice rolls forward automatically
+    * (slices are computed from actual remaining budget at segment start);
+    * a fully exhausted budget still degrades everything after it, exactly
+    * as before — the mechanism bounds blast radius, it does not mint
+    * extra wall-clock.
+    */
+  val SegmentSize = 20
+
+  def segmentSlice(remainingBudget: Double, remainingQueries: Int,
+                   segmentQueries: Int): Double =
+    if (remainingQueries <= 0 || remainingBudget <= 0) 0.0
+    else remainingBudget *
+      (math.min(segmentQueries, remainingQueries).toDouble / remainingQueries)
+
+  /** (ΔGC collections, ΔGC millis) source — cumulative across all
+    * collectors; callers snapshot around a timed region. */
+  def gcTotals(): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.foldLeft((0L, 0L)) { case ((c, t), b) =>
+        (c + math.max(0L, b.getCollectionCount),
+          t + math.max(0L, b.getCollectionTime))
+      }
+  }
+
+  /** Flag-time stall evidence (VERDICT r17 #4): the 42–300× in-band stall
+    * events have so far been adjudicated but never root-caused — the
+    * contention experiment refuted proportional CPU sharing, so the
+    * mechanism is either JVM-internal (GC wall, safepoint, codegen/
+    * classload storm) or host-level (PSI stall). Captured at the moment a
+    * >4× flag fires, BEFORE the fresh-context rerun tears the evidence
+    * down: /proc/pressure lines (host: some/full stall shares), GC
+    * collector totals plus the flagged query's own ΔGC (JVM: a
+    * multi-second collection wall shows up here), a thread-state
+    * histogram and the top frame of up to 8 RUNNABLE/BLOCKED worker
+    * threads (the r16 NettyRpcEnv.FileDownloadChannel signature was
+    * exactly such a frame). One compact line per flag, stored under
+    * `stall_evidence` in bench_full.json.
+    */
+  def stallEvidence(gcAtQueryStart: (Long, Long)): String = {
+    def psi(kind: String): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"/proc/pressure/$kind")), "UTF-8")
+        .trim.replace('\n', ';').replaceAll("\\s+", " ")
+      catch { case _: Throwable => "n/a" }
+    val (gc0c, gc0t) = gcAtQueryStart
+    val (gc1c, gc1t) = gcTotals()
+    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+    val infos = tmx.getThreadInfo(tmx.getAllThreadIds, 4)
+      .filter(_ != null).toSeq
+    val hist = infos.groupBy(_.getThreadState.toString).toSeq.sortBy(_._1)
+      .map { case (s, a) => s"$s=${a.size}" }.mkString(",")
+    val hot = infos
+      .filter(i => i.getThreadState == Thread.State.RUNNABLE ||
+        i.getThreadState == Thread.State.BLOCKED)
+      .filter(_.getStackTrace.nonEmpty)
+      .filterNot(_.getThreadName.startsWith("main"))
+      .take(8)
+      .map { i =>
+        val f = i.getStackTrace.head
+        s"${i.getThreadName}@${f.getClassName}.${f.getMethodName}"
+      }.mkString("|")
+    s"psi_cpu=${psi("cpu")} psi_io=${psi("io")} psi_mem=${psi("memory")} " +
+      s"gc_run=${gc1c - gc0c}/${gc1t - gc0t}ms gc_total=$gc1c/${gc1t}ms " +
+      s"threads=$hist" + (if (hot.nonEmpty) s" hot=$hot" else "")
+  }
+
   // CPU probe DCE sink — the JIT must not elide the probe loop
   @volatile private var probeSink = 0L
 
@@ -283,7 +435,20 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Sessions.local("graft-bench")
+    var spark = Sessions.local("graft-bench")
+    // fresh-context lever shared by the per-segment restarts and the
+    // stall adjudications: tears down the SparkContext (executor pools,
+    // block manager, RPC env, codegen classloaders) and rebuilds it —
+    // the layer every latent-stall episode so far has lived in
+    var restarts = 0
+    def restartSession(why: String): Unit = {
+      val t0 = System.nanoTime()
+      spark.stop()
+      spark = Sessions.local("graft-bench")
+      restarts += 1
+      System.err.println(
+        f"[bench] fresh SparkSession ($why) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
 
     def runOnce(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
@@ -422,43 +587,92 @@ object Bench {
         (s"""{"metric":"total","value":${fmt(times.values.sum)},"unit":"sec","n_queries":${times.size},"partial":true,"queries":${jmap(times)},"failed":${errors.size},"sf":"$sfDir"}""" + "\n")
           .getBytes("UTF-8"))
       catch { case _: Throwable => () }
-    names.foreach { name =>
-      try {
-        val degraded = sweepElapsed > budgetSec
-        if (degraded) degradedNames ::= name
-        if (!degraded) runOnce(name) // warm-up, untimed
-        val (t, isRegressed, samples) =
-          if (degraded) {
-            val j0 = cpuJiffies()
-            val td = timedRun(name)
-            val j1 = cpuJiffies()
-            loadAtDegraded += name -> loadAvg1m()
-            stealAtDegraded += name ->
-              (if (j0._2 >= 0 && j1._2 > j0._2)
-                 100.0 * (j1._1 - j0._1) / (j1._2 - j0._2)
-               else -1.0)
-            (td, false, Seq.empty[Double])
-          } else settleSamples(prior.get(name), timedRun(name), () => timedRun(name))
-        if (samples.size > 1) samplesLog += name -> samples
-        if (isRegressed) {
-          regressed ::= name
-          loadAtFlag += name -> loadAvg1m()
-          System.err.println(f"[bench] $name REGRESSED: median $t%.2f s vs " +
-            f"prior ${prior(name)}%.2f s; samples " +
-            samples.map(s => f"$s%.2f").mkString("[", ", ", "]") +
-            f"; load ${loadAtFlag(name)}%.2f; $stateLine")
+    // Stall-adjudication record (VERDICT r17 #1) + flag-time evidence
+    // (VERDICT r17 #4): names in adjudication order, the raw stalled
+    // settled value each replaced, and the flag-moment JVM/host digest.
+    var adjudicatedNames = List.empty[String]
+    var rawFirst = ListMap.empty[String, Double]
+    var stallEv = ListMap.empty[String, String]
+    // Segmented sweep (VERDICT r17 #3) — see [[SegmentSize]]: each
+    // segment gets a fresh SparkSession and a proportional slice of the
+    // remaining budget; overruns degrade only the segment's own tail.
+    val segments = names.grouped(SegmentSize).toList
+    var queriesDone = 0
+    segments.zipWithIndex.foreach { case (segment, segIdx) =>
+      if (segIdx > 0) restartSession(s"segment ${segIdx + 1}/${segments.size}")
+      val slice = segmentSlice(budgetSec - sweepElapsed,
+        names.size - queriesDone, segment.size)
+      val segStart = System.nanoTime()
+      def segElapsed: Double = (System.nanoTime() - segStart) / 1e9
+      segment.foreach { name =>
+        queriesDone += 1
+        try {
+          val degraded = segElapsed > slice
+          if (degraded) degradedNames ::= name
+          if (!degraded) runOnce(name) // warm-up, untimed
+          val gc0 = gcTotals()
+          var (t, isRegressed, samples) =
+            if (degraded) {
+              val j0 = cpuJiffies()
+              val td = timedRun(name)
+              val j1 = cpuJiffies()
+              loadAtDegraded += name -> loadAvg1m()
+              stealAtDegraded += name ->
+                (if (j0._2 >= 0 && j1._2 > j0._2)
+                   100.0 * (j1._1 - j0._1) / (j1._2 - j0._2)
+                 else -1.0)
+              (td, false, Seq.empty[Double])
+            } else settleSamples(prior.get(name), timedRun(name), () => timedRun(name))
+          // In-band auto-adjudication (VERDICT r17 #1): a settled value
+          // past 4× its armed prior gets ONE fresh-context confirmation —
+          // evidence captured first, then session teardown, re-warm, one
+          // timed run; the better number is published with the marker.
+          if (!degraded && needsAdjudication(prior.get(name), t) &&
+              adjudicatedNames.size < MaxAdjudications) {
+            stallEv += name -> stallEvidence(gc0)
+            System.err.println(f"[bench] $name in-band ${t}%.2f s > " +
+              f"${AdjudicateFactor}%.0fx prior ${prior(name)}%.2f s — " +
+              s"adjudicating in a fresh context; ${stallEv(name)}")
+            restartSession(s"adjudicate $name")
+            try {
+              runOnce(name) // fresh warm-up
+              val fresh = timedRun(name)
+              val (v, still) = adjudicate(prior(name), t, fresh)
+              rawFirst += name -> t
+              adjudicatedNames ::= name
+              samples = samples :+ fresh
+              System.err.println(f"[bench] $name adjudicated: fresh-context " +
+                f"$fresh%.2f s vs stalled $t%.2f s → published $v%.2f s" +
+                (if (still) " (STILL regressed — plan, not stall)" else ""))
+              t = v
+              isRegressed = still
+            } catch {
+              case e: Throwable => // keep the settled record; marker absent
+                System.err.println(
+                  s"[bench] $name adjudication failed: ${e.getMessage}")
+            }
+          }
+          if (samples.size > 1) samplesLog += name -> samples
+          if (isRegressed) {
+            regressed ::= name
+            loadAtFlag += name -> loadAvg1m()
+            System.err.println(f"[bench] $name REGRESSED: median $t%.2f s vs " +
+              f"prior ${prior(name)}%.2f s; samples " +
+              samples.map(s => f"$s%.2f").mkString("[", ", ", "]") +
+              f"; load ${loadAtFlag(name)}%.2f; $stateLine")
+          }
+          times += name -> t
+          if (sys.env.contains("SPARK_GRAFT_BENCH_TRACE"))
+            System.err.println(f"[trace] $name%-22s $t%7.2f s  $stateLine")
+        } catch {
+          case e: Throwable =>
+            errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        } finally {
+          cleanup()
+          writePartial()
+          if (ran % PartialEvery == 0) System.err.println(partialLine)
         }
-        times += name -> t
-        if (sys.env.contains("SPARK_GRAFT_BENCH_TRACE"))
-          System.err.println(f"[trace] $name%-22s $t%7.2f s  $stateLine")
-      } catch {
-        case e: Throwable =>
-          errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      } finally {
-        cleanup()
-        writePartial()
-        if (ran % PartialEvery == 0) System.err.println(partialLine)
       }
     }
     // End-of-sweep retry for confirmed regressions (r10): the median-of-3
@@ -470,7 +684,9 @@ object Bench {
     // plan regression is still slow minutes later; a stall victim is
     // not — so each flagged query gets ONE re-measurement at the end of
     // the sweep, and the better (still median-settled) result wins.
-    regressed.reverse.foreach { name =>
+    // adjudicated flags already carried their fresh-context confirmation
+    // mid-sweep — a second end-of-sweep pass would just re-spend budget
+    regressed.reverse.filterNot(adjudicatedNames.toSet).foreach { name =>
       try {
         // budget backstop applies here too: past the budget the mid-sweep
         // record stands (the flag stays armed — stall protection)
@@ -502,7 +718,9 @@ object Bench {
       (if (regressed.isEmpty) ""
        else s""","regressed":${regressed.reverse.map(jstr).mkString("[", ",", "]")}""") +
         (if (degradedNames.isEmpty) ""
-         else s""","degraded_tail":${degradedNames.size}""")
+         else s""","degraded_tail":${degradedNames.size}""") +
+        (if (adjudicatedNames.isEmpty) ""
+         else s""","adjudicated":${adjudicatedNames.size}""")
     val seedJson = seed.map(s => s""","seed":$s""").getOrElse("")
     // post-sweep probes: ran after every timed region (including the
     // end-of-sweep re-measures), so probe_after/probe_before (1-thread)
@@ -539,7 +757,7 @@ object Bench {
     val (valInband, valDegraded) = splitHeadline(times, degradedSet)
     val inbandJson =
       if (degradedNames.isEmpty) ""
-      else s""","value_inband":${fmt(valInband)},"n_inband":${times.size - degradedSet.size},"value_degraded":${fmt(valDegraded)}"""
+      else s""","value_inband":${fmt(valInband)},"n_inband":${inbandCount(times, degradedSet)},"value_degraded":${fmt(valDegraded)}"""
     def line(ts: Map[String, Double], omitted: Int,
              maxErrors: Int = Int.MaxValue, errLen: Int = 200,
              extra: String = ""): String = {
@@ -587,13 +805,44 @@ object Bench {
         else s""","degraded":${degradedNames.reverse.map(jstr).mkString("[", ",", "]")}""" +
           s""","load_at_degraded":${jmap(loadAtDegraded)}""" +
           s""","steal_at_degraded":${jmap(stealAtDegraded)}"""
+      // the adjudication record (VERDICT r17 #1): which in-band entries
+      // were auto-confirmed in a fresh context, the raw stalled value
+      // each replaced, and the flag-moment JVM/host evidence (#4)
+      val adjJson =
+        if (adjudicatedNames.isEmpty) ""
+        else s""","stall_adjudicated":${adjudicatedNames.reverse.map(jstr).mkString("[", ",", "]")},"raw_first":${jmap(rawFirst)}"""
+      val evJson =
+        if (stallEv.isEmpty) ""
+        else s""","stall_evidence":${stallEv.map { case (k, v) =>
+          s"${jstr(k)}:${jstr(v.take(700))}"
+        }.mkString("{", ",", "}")}"""
+      val segJson = s""","segments":${segments.size},"session_restarts":$restarts"""
+      // prior-arming context gate (VERDICT r17 #2): elevated-context
+      // sweeps publish their numbers but never arm them as the baseline
+      val freshPriors = nextPriors(times, prior, regressed.toSet, degradedSet)
+      val armClean = probesCleanForArming(probeBefore, probeWideBefore, -1.0) &&
+        probesCleanForArming(probeAfter, probeWideAfter, stealPct)
+      val (priorsOut, armed) = armPriors(armClean, freshPriors, prior,
+        force = sys.env.get("SPARK_GRAFT_ARM_FORCE").contains("1"))
+      if (!armed && only.isEmpty && tier.isEmpty) System.err.println(
+        f"[bench] priors NOT armed — probe context outside quiet-box norms " +
+          f"(1t $probeBefore%.3f→$probeAfter%.3f s vs ≤${Probe1TNorm * ArmProbeTolerance}%.3f, " +
+          f"wide $probeWideBefore%.3f→$probeWideAfter%.3f s vs ≤${ProbeWideNorm * ArmProbeTolerance}%.3f, " +
+          f"steal $stealPct%.2f%% vs ≤$ArmStealMaxPct%.1f); previous priors carried")
+      val armJson = s""","priors_armed":$armed""" +
+        (if (armed) ""
+         else s""","arming_veto":${jstr(
+           f"context-elevated, not armed: probes 1t $probeBefore%.3f->$probeAfter%.3f wide " +
+             f"$probeWideBefore%.3f->$probeWideAfter%.3f steal $stealPct%.2f%% vs norms " +
+             f"1t<=${Probe1TNorm * ArmProbeTolerance}%.3f wide<=${ProbeWideNorm * ArmProbeTolerance}%.3f " +
+             f"steal<=$ArmStealMaxPct%.1f; previous priors carried")}""")
       // tier sweeps are subsets too: letting one write bench_full.json
       // would replace the full surface's 300+ armed priors with the
       // tier's 68 — only a FULL sweep may re-arm
       if (only.isEmpty && tier.isEmpty) java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
         (line(times, 0, extra =
-          s""","priors":${jmap(nextPriors(times, prior, regressed.toSet, degradedSet))}$samplesJson$loadFlagJson$degradedJson""")
+          s""","priors":${jmap(priorsOut)}$armJson$segJson$adjJson$evJson$samplesJson$loadFlagJson$degradedJson""")
           + "\n").getBytes("UTF-8"))
       // a completed sweep must not leave a stale partial behind to shadow
       // the final artifact (ADVICE r16)

@@ -193,6 +193,96 @@ class BenchPolicySpec extends AnyFunSuite {
       .foreach(w => assert(tier.contains(w), s"watch-list $w missing"))
   }
 
+  test("inbandCount partitions exactly what value_inband sums") {
+    // ADVICE r17: a degraded query whose timed run THREW is in the
+    // degraded name list but absent from times — `times.size - deg.size`
+    // undercounts (negative with enough errors); counting from times
+    // itself keeps n_inband consistent with value_inband
+    val times = Map("q_a" -> 1.0, "q_b" -> 2.0, "q_cold" -> 9.0)
+    // q_cold degraded+measured, q_err degraded+errored (absent from times)
+    assert(Bench.inbandCount(times, Set("q_cold", "q_err")) === 2)
+    assert(Bench.inbandCount(times, Set.empty) === 3)
+    assert(Bench.inbandCount(Map.empty, Set("q_err1", "q_err2")) === 0)
+  }
+
+  test("adjudication triggers only past 4x an armed prior and the noise floor") {
+    // VERDICT r17 #1 — the q_image_neardup shape: 0.61 s prior, 25.38 s
+    // in-band settled value must trigger the fresh-context confirmation
+    assert(Bench.needsAdjudication(Some(0.61), 25.38))
+    // under 4x: the normal 2x flag machinery owns it, no extra rerun
+    assert(!Bench.needsAdjudication(Some(1.0), 3.9))
+    // sub-floor movers are scheduler noise, never worth a session restart
+    assert(!Bench.needsAdjudication(Some(0.1), 0.9))
+    // no prior / degenerate prior: nothing to adjudicate against
+    assert(!Bench.needsAdjudication(None, 25.0))
+    assert(!Bench.needsAdjudication(Some(0.0), 25.0))
+  }
+
+  test("adjudicate publishes the better number and re-judges the flag on it") {
+    // stall victim: fresh context recovers → recovered value, no flag
+    assert(Bench.adjudicate(0.61, 25.38, 0.98) === ((0.98, false)))
+    // real plan regression: still slow in a fresh context → flag stands
+    assert(Bench.adjudicate(1.0, 13.0, 12.5) === ((12.5, true)))
+    // fresh run slower than the stalled one (unlucky): keep the better
+    assert(Bench.adjudicate(0.61, 3.1, 4.0) === ((3.1, true)))
+    // recovery into the 1-2x band: in-band, unflagged
+    assert(Bench.adjudicate(1.0, 9.0, 1.6) === ((1.6, false)))
+  }
+
+  test("prior arming is vetoed when the sweep's probe context is elevated") {
+    // VERDICT r17 #2 — the r17 rested close (wide 0.653 s end probe,
+    // steal 1.17%) sat outside the 0.50-class norm and still armed,
+    // ratcheting the baseline 8%; the gate now refuses it
+    assert(!Bench.probesCleanForArming(0.43, 0.653, 1.17))
+    // the r16 pristine close (0.434 / 0.478, steal ~0) arms
+    assert(Bench.probesCleanForArming(0.434, 0.478, 0.03))
+    // contended driver sweep (r17: wide 0.923, steal 3.66%) is vetoed
+    // on both channels
+    assert(!Bench.probesCleanForArming(0.43, 0.923, 3.66))
+    assert(!Bench.probesCleanForArming(0.43, 0.49, 3.66))
+    // unreadable steal (-1 sentinel) doesn't veto on its own
+    assert(Bench.probesCleanForArming(0.43, 0.49, -1.0))
+  }
+
+  test("armPriors carries old priors on veto, arms on clean/bootstrap/force") {
+    val fresh = Map("q_a" -> 1.2, "q_new" -> 0.7)
+    val old = Map("q_a" -> 1.0)
+    assert(Bench.armPriors(clean = true, fresh, old) === ((fresh, true)))
+    // veto: previous priors verbatim — elevated numbers never baseline
+    assert(Bench.armPriors(clean = false, fresh, old) === ((old, false)))
+    // bootstrap: no old priors → the first sweep's numbers arm regardless
+    assert(Bench.armPriors(clean = false, fresh, Map.empty) === ((fresh, true)))
+    // deliberate re-baseline override
+    assert(Bench.armPriors(clean = false, fresh, old, force = true) ===
+      ((fresh, true)))
+  }
+
+  test("segment slices are proportional with automatic rollover") {
+    // VERDICT r17 #3: 310 queries, 1500 s — the first 20-query segment
+    // gets its proportional share
+    val s1 = Bench.segmentSlice(1500.0, 310, 20)
+    assert(math.abs(s1 - 1500.0 * 20 / 310) < 1e-9)
+    // a fast segment leaves MORE remaining budget for fewer remaining
+    // queries → later slices grow (rollover), never shrink below fair
+    val s2 = Bench.segmentSlice(1500.0 - 50.0, 290, 20)
+    assert(s2 > s1)
+    // exhausted budget → zero slice: the whole segment degrades, exactly
+    // the old global-backstop behavior
+    assert(Bench.segmentSlice(0.0, 100, 20) === 0.0)
+    assert(Bench.segmentSlice(-3.0, 100, 20) === 0.0)
+    // last partial segment: capped at the remaining query count
+    assert(Bench.segmentSlice(100.0, 10, 20) === 100.0)
+    assert(Bench.segmentSlice(100.0, 0, 20) === 0.0)
+  }
+
+  test("stall evidence digest is compact and never throws") {
+    val ev = Bench.stallEvidence(Bench.gcTotals())
+    assert(ev.contains("psi_cpu=") && ev.contains("gc_run=") &&
+      ev.contains("threads="))
+    // one line, bounded enough for a JSON string field
+    assert(!ev.contains("\n"))
+  }
+
   test("host evidence readers degrade, never throw") {
     // on this CI box both are readable; the contract on any box is
     // "number or the documented sentinel", never an exception
