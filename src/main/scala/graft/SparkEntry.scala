@@ -90,5 +90,7 @@ object SparkEntry {
     "q_avi_frames", "q_rle_delta_frames", "q_star_dpp",
     // r17 addition: the left-semi (subquery-IN) DPP topology
     "q_star_dpp_in",
+    // r18 addition: the production AutoBits ANN form (spec-gated)
+    "q_knn_auto",
   )
 }

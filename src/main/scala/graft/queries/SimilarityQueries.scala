@@ -410,6 +410,23 @@ object SimilarityQueries {
         .orderBy("label")
     }),
 
+    // ── 1-NN accuracy on the PRODUCTION AutoBits index (scale form) ─────
+    // The same per-label agreement relation as q_knn_accuracy, built on
+    // the occupancy-bounded `Similarity.AutoBits` bucket sizing — the
+    // form the 100× probes proved sub-linear (2.32× cold at 100× data,
+    // BASELINE.md r17) where the oracle-pinned 8-bit form is ~quadratic.
+    // Deliberately oracle-less (VERDICT r17 #6): the adaptive bit count
+    // is ⌈log₂N⌉+2 resolved from a runtime corpus count, which a static
+    // DuckDB SQL literal cannot express — the driver records the rows>0
+    // check, and SimilaritySpec gates the substance (AutoBits per-label
+    // accuracy ≥ the pinned-8-bit form's on the same fixture, both
+    // deterministic). The streaming tier set the spec-gating precedent.
+    "q_knn_auto" -> ((s, dir) =>
+      knnAccuracyRelation(s, dir, Similarity.AutoBits)
+        .withColumn("accuracy",
+          round(col("n_correct").cast("double") / col("n_eval"), 6))
+        .orderBy("label")),
+
     // Embedding-cosine near-dup: bucket-collision pairs over threshold.
     // (Fixture vectors are near-random — max pairwise cosine ≈ 0.51 — so a
     // low threshold keeps the gated result non-trivial.)

@@ -499,4 +499,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Seq(("A", 2L, 1L, 1.0, -0.707107)))
     spark.catalog.clearCache()
   }
+
+  test("q_knn_auto (gated surface): AutoBits accuracy holds the pinned form's gate") {
+    // VERDICT r17 #6: the production AutoBits index (occupancy-bounded
+    // buckets — the 100×-proven scale form) was probe-only; this is its
+    // continuously-run gate. Both relations are fully deterministic on
+    // the fixture (seeded hyperplanes, exact cosine, total tie order), so
+    // the comparison needs no tolerance: the AutoBits form's OVERALL 1-NN
+    // label agreement must be at least the oracle-pinned 8-bit form's on
+    // the same corpus — switching to the scale path costs no eval
+    // quality at fixture scale. q_knn_auto itself is oracle-less by
+    // contract (the adaptive bit count can't be a static SQL literal);
+    // this spec is its substance gate.
+    val dir = "/root/testdata/sf0.001"
+    def overall(name: String): (Long, Long) = {
+      val r = graft.SparkEntry.queries(name)(spark, dir)
+        .agg(sum("n_eval").cast("long"), sum("n_correct").cast("long"))
+        .as[(Long, Long)].head()
+      r
+    }
+    val (evalP, okP) = overall("q_knn_accuracy")
+    val (evalA, okA) = overall("q_knn_auto")
+    assert(evalP > 0 && evalA > 0, "both forms must evaluate probes")
+    val accP = okP.toDouble / evalP
+    val accA = okA.toDouble / evalA
+    info(f"pinned 8-bit: $okP/$evalP = $accP%.4f; AutoBits: $okA/$evalA = $accA%.4f")
+    assert(accA >= accP,
+      f"AutoBits accuracy $accA%.4f fell below the pinned form's $accP%.4f")
+    // and the schema matches the pinned gated query's (driver rows>0
+    // check reads the same shape)
+    assert(graft.SparkEntry.queries("q_knn_auto")(spark, dir).columns.toSeq ===
+      Seq("label", "n_eval", "n_correct", "accuracy"))
+  }
 }
