@@ -79,6 +79,9 @@ object StreamEq {
         Ordering.Implicits.seqOrdering[Seq, String])
 
     var results = scala.collection.immutable.ListMap.empty[String, (Boolean, Long, Long)]
+    // per-shape extra JSON (adversarial shapes carry their explicit drop
+    // accounting — VERDICT r17 #7: stream == batch-minus-EXPECTED-drops)
+    var extras = scala.collection.immutable.ListMap.empty[String, String]
     def check(name: String)(body: => (DataFrame, DataFrame)): Unit = {
       val (pass, ns, nb) = try {
         val (s, b) = body
@@ -159,9 +162,59 @@ object StreamEq {
           .toDF("word", "cnt"))
     }
 
+    // ── adversarial shapes (VERDICT r17 #7): TIGHT watermark over
+    // hash-shuffled batch boundaries — late-beyond-watermark rows occur by
+    // construction, and the expected drops are accounted EXPLICITLY by
+    // AdversarialReplay's measured watermark model (one-batch application
+    // lag, <= boundaries — pinned by AdversarialReplaySpec). The gate is
+    // stream == batch-minus-expected-drops, with the drop counts in the
+    // artifact; a shape that drops nothing would be vacuous, so zero
+    // drops FAILS the shape.
+    import graft.streaming.AdversarialReplay
+    val AdvLate = "3 hours"
+    val AdvBatches = 8
+    val advDir = s"$work/adv_events"
+    val advBatched = AdversarialReplay.withBatchId(
+      batchEvents, "ts", "event_id", AdvBatches)
+    AdversarialReplay.writeBatches(spark, advBatched, advDir, AdvBatches)
+    val advBatchDf = spark.read.parquet(advDir)
+    def advStream: DataFrame =
+      spark.readStream.schema(advBatchDf.schema)
+        .option("maxFilesPerTrigger", "1").parquet(advDir)
+
+    check("events_hourly_late_adversarial") {
+      val (expected, lateDropped, withheld) =
+        AdversarialReplay.expectedHourlyTypeCounts(
+          spark, advBatchDf, AdvLate, AdvBatches)
+      require(lateDropped > 0 && withheld > 0,
+        s"shape not adversarial: dropped=$lateDropped withheld=$withheld")
+      extras += "events_hourly_late_adversarial" ->
+        s""","late_dropped":$lateDropped,"windows_withheld":$withheld"""
+      System.err.println(s"[stream_eq] adversarial hourly: " +
+        s"$lateDropped late rows dropped, $withheld windows withheld")
+      (runStream(EventsStream.hourlyTypeCounts(advStream, AdvLate),
+        "append", "eq_adv_hourly"), expected)
+    }
+    check("events_dedup_late_adversarial") {
+      val (expectedKeys, lateDropped, suppressed) =
+        AdversarialReplay.expectedDedupKeys(
+          spark, advBatchDf, AdvLate, AdvBatches)
+      require(lateDropped > 0,
+        s"shape not adversarial: dropped=$lateDropped")
+      extras += "events_dedup_late_adversarial" ->
+        s""","late_dropped":$lateDropped,"dups_suppressed":$suppressed"""
+      System.err.println(s"[stream_eq] adversarial dedup: " +
+        s"$lateDropped late rows dropped, $suppressed duplicates suppressed")
+      val s = runStream(EventsStream.dedupedEvents(advStream, AdvLate),
+        "append", "eq_adv_dedup")
+      require(s.count() == s.select("event_id").distinct().count(),
+        "a key emitted twice — dedup state broke")
+      (s.select("event_id").distinct(), expectedKeys)
+    }
+
     val allPass = results.values.forall(_._1)
     val shapes = results.map { case (k, (p, ns, nb)) =>
-      s""""$k":{"pass":$p,"rows_stream":$ns,"rows_batch":$nb}"""
+      s""""$k":{"pass":$p,"rows_stream":$ns,"rows_batch":$nb${extras.getOrElse(k, "")}}"""
     }.mkString("{", ",", "}")
     val lineOut =
       s"""{"artifact":"stream_eq","sf":"$sfDir","n_shapes":${results.size},"all_pass":$allPass,"shapes":$shapes}"""
