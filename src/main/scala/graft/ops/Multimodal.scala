@@ -184,7 +184,11 @@ object Multimodal {
       * (r16 find: q_rle_delta_frames 50 → ~8 s, and the r15 "decode tier
       * high variance on this box" channel reads largely as THIS lock). */
     def h60(s: String): Long = {
-      val d = md5Local.get().digest(s.getBytes("UTF-8"))
+      // the charset CONSTANT, not the name: getBytes("UTF-8") resolves the
+      // charset through a synchronized cache and sampled as a BLOCKED
+      // frame across 32 decode threads (QueryProfile --sample, r18)
+      val d = md5Local.get().digest(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       var v = 0L
       var i = 0
       while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
@@ -379,8 +383,8 @@ object Multimodal {
       else baseSample(id, i)
 
     /** REAL WAV bytes (RIFF container, 16-bit little-endian PCM mono)
-      * written through `AudioSystem.write` — the decoder reads back an
-      * actual audio file, not a private framing. */
+      * written through the JDK's WAVE [[audioWriters provider]] — the
+      * decoder reads back an actual audio file, not a private framing. */
     def wav(id: Long): Array[Byte] = {
       val n = nSamples(id)
       val fmt = new javax.sound.sampled.AudioFormat(
@@ -395,12 +399,70 @@ object Multimodal {
         i += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(
-        new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(data), fmt, n.toLong),
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val Wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      audioWriters.find(_.isFileTypeSupported(Wave, ais))
+        .getOrElse(throw new IllegalStateException(
+          "no WAVE AudioFileWriter provider on this JVM"))
+        .write(ais, Wave, bos)
       bos.toByteArray
     }
+  }
+
+  /** The JDK audio SPI provider lists, resolved ONCE per JVM.
+    *
+    * `AudioSystem.getAudioInputStream`/`write` dispatch through
+    * `JDK13Services`/`JSSecurityManager.getProviders`, a
+    * class-synchronized lookup that re-walks the classpath's service
+    * configs on every call. Under the bench this was the decode tier's
+    * real cost: in-process stack sampling of q_audio_meta's timed run
+    * (QueryProfile --sample) caught 32 executor threads BLOCKED on that
+    * Class lock in ~75 % of ticks (2211/2900 samples; executorRunTime
+    * 55 s vs 4 s CPU). Resolving the providers here through the same
+    * public SPI (`ServiceLoader` over `javax.sound.sampled.spi.*`) and
+    * dispatching to the provider instance directly keeps the decode path
+    * byte-identical — it is the SAME `WaveFileReader` object AudioSystem
+    * would pick — while the synchronized classpath walk happens once per
+    * JVM instead of once per row (guide §4.5: hoist heavyweight
+    * initialisation out of the per-row path).
+    */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    // MIDI last: SoftMidiAudioFileReader re-enters the synchronized
+    // provider registry (MidiSystem soundbank lookup) merely to REJECT
+    // non-MIDI bytes — sampled as the residual Class-lock block after the
+    // outer lookup was hoisted. Only the WAVE readers accept these
+    // payloads, so acceptance (and the decoded bytes) is order-invariant;
+    // the reorder just stops the rejection path from taking a global lock.
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.toSeq
+      .sortBy(r => if (r.getClass.getName.contains("Midi")) 1 else 0)
+  }
+  private lazy val audioWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala.toSeq
+  }
+
+  /** [[audioReaders]] dispatch with `AudioSystem.getAudioInputStream`
+    * semantics: first provider that accepts the bytes wins; each provider
+    * gets a fresh stream (AudioSystem's mark/reset contract, made trivial
+    * by re-wrapping the array). */
+  private def audioStreamOf(bytes: Array[Byte])
+      : javax.sound.sampled.AudioInputStream = {
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      try return it.next()
+        .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no AudioFileReader provider accepted the payload")
   }
 
   /** `(doc_id, payload)` with the [[NoiseAudio]] WAV bytes per document —
@@ -422,13 +484,12 @@ object Multimodal {
                        s_sum: Long, s_sumsq: Long, s_min: Int, s_max: Int)
 
   /** Parse one WAV payload to its PCM samples via the JDK's real audio
-    * stack: `AudioSystem.getAudioInputStream` reads the RIFF header and
-    * exposes the format — PCM_SIGNED/16-bit/mono is asserted FROM THE
+    * stack: the JDK's [[audioReaders WAV provider]] reads the RIFF header
+    * and exposes the format — PCM_SIGNED/16-bit/mono is asserted FROM THE
     * DECODED FORMAT (not assumed), then frames decode at the declared
     * endianness. Fails loudly on undecodable bytes. */
   private def readPcm16(id: Long, bytes: Array[Byte]): (Int, Array[Int]) = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    val ais = audioStreamOf(bytes)
     val fmt = ais.getFormat
     require(fmt.getEncoding ==
         javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
