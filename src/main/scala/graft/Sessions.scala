@@ -12,8 +12,27 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
-  def builder(appName: String, cpus: String): SparkSession.Builder =
-    SparkSession.builder()
+  /** Shuffle/spill local directory: the fastest local storage available
+    * (standard ops practice — shuffle write/commit is metadata-heavy and
+    * the guide's §2.1 notes local disk can be the tighter limit). On this
+    * box /tmp is disk-backed ext4 whose create+commit under 32-way task
+    * concurrency sampled at ~8 ms/open (FileOutputStream.open0 +
+    * IndexShuffleBlockResolver commit were the dominant frames of the
+    * whole post-shuffle tail after the r18 scan widening); tmpfs creates
+    * are 23× faster single-threaded and lock-free-er concurrent. Env
+    * SPARK_GRAFT_LOCAL_DIR overrides; unset + no /dev/shm → Spark's
+    * default (java.io.tmpdir). A real cluster sets spark.local.dir to
+    * NVMe/ramdisk the same way.
+    */
+  private def localDir: Option[String] =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").filter(_.nonEmpty).orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-spark-local")
+      else None
+    }
+
+  def builder(appName: String, cpus: String): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
@@ -51,6 +70,8 @@ object Sessions {
       // disable the isolation so codegen class resolution stays
       // in-process.
       .config("spark.sql.artifact.isolation.enabled", "false")
+    localDir.fold(b)(d => b.config("spark.local.dir", d))
+  }
 
   def local(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -20,7 +20,7 @@ import graft.ops.{AsofJoin, Similarity}
 object AdvancedQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.table(s, dir, name)
+    Tables.parTable(s, dir, name)
 
   private def oSum(expr: String, as: String, scale: Int = 4): String =
     s"ROUND(CAST(SUM(CAST($expr AS DECIMAL(28,10))) AS DOUBLE), $scale) AS $as"

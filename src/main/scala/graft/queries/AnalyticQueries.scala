@@ -20,7 +20,7 @@ import graft.functions.{Exact, Hashes}
 object AnalyticQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.table(s, dir, name)
+    Tables.parTable(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── Window: ranking ─────────────────────────────────────────────────
@@ -911,8 +911,17 @@ object AnalyticQueries {
         .orderBy("p_partkey")),
 
     // ── Math functions ──────────────────────────────────────────────────
+    // Plain Tables.table, NOT the widened parTable scan: this is the one
+    // gated query whose output is row-level under a NON-total ORDER BY —
+    // (l_orderkey, l_linenumber) repeats in the fixtures (e.g. (1,7) has
+    // two rows with different values), so the order of tied rows is
+    // whatever order the sort consumed them in, and the oracle compare is
+    // order-sensitive within ties. A pre-sort repartition permutes tie
+    // order and flips the hash with identical row multisets (caught by
+    // the r18 oracle sweep: 14k misaligned positions, multiset diff 0).
+    // Single unsplittable scan → sort keeps both engines in file order.
     "q_math_fns" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+      Tables.table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
           round(log(col("l_extendedprice") + lit(1.0)), 6).as("ln_price"),

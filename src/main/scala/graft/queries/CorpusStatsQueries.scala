@@ -18,7 +18,7 @@ import graft.tok.Tokenizer
 object CorpusStatsQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.table(s, dir, "documents")
+    Tables.parTable(s, dir, "documents")
 
   private def toks = TextAnalysis.tokens(col("text"))
 
@@ -224,7 +224,7 @@ object CorpusStatsQueries {
         .bm25TopK(tokStream(s, dir), Seq("spark", "merge", "vector"), k = 50)
         .select(col("doc_id").as("id"),
           row_number().over(lexW).as("rank"))
-      val e = Tables.table(s, dir, "embeddings")
+      val e = Tables.parTable(s, dir, "embeddings")
       val dense = Similarity.topKNeighbors(e.where(col("vec_id") === 0), e, 50)
         .select(col("cand_id").as("id"), col("rank"))
       Retrieval.rrfFuse(Seq("lex" -> lex, "dense" -> dense),
@@ -246,7 +246,7 @@ object CorpusStatsQueries {
         .bm25TopK(tokStream(s, dir), Seq("spark", "merge", "vector"), k = 50)
         .select(col("doc_id").as("id"),
           row_number().over(lexW).as("rank"))
-      val e = Tables.table(s, dir, "embeddings")
+      val e = Tables.parTable(s, dir, "embeddings")
       val dense = Similarity.topKNeighbors(e.where(col("vec_id") === 0), e, 50)
         .select(col("cand_id").as("id"), col("rank"))
       Retrieval.rankOverlap(lex, dense)

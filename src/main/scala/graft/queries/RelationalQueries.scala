@@ -26,7 +26,7 @@ import graft.ops.Skew
 object RelationalQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.table(s, dir, name)
+    Tables.parTable(s, dir, name)
 
   /** Exact-decimal sum mirrored in every oracle below. */
   private def oSum(expr: String, as: String, scale: Int = 4): String =

@@ -19,7 +19,7 @@ import graft.ops.{Retrieval, Similarity}
 object SimilarityQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.table(s, dir, "embeddings")
+    Tables.parTable(s, dir, "embeddings")
 
   private val K = 10
   // Gated queries PIN nBits so the DuckDB oracle mirrors the exact bucket
@@ -319,7 +319,7 @@ object SimilarityQueries {
     "q_source_centroid" -> ((s, dir) =>
       Similarity.groupCentroidProfile(
           emb(s, dir).join(
-            Tables.table(s, dir, "documents")
+            Tables.parTable(s, dir, "documents")
               .select(col("doc_id").as("vec_id"), col("source")),
             Seq("vec_id")),
           "source", "embedding")
@@ -526,7 +526,7 @@ object SimilarityQueries {
     // away.
     "q_fuzzy_join" -> ((s, dir) =>
       graft.ops.StringSim.editDistance1Pairs(
-          Tables.table(s, dir, "part"), "p_name")
+          Tables.parTable(s, dir, "part"), "p_name")
         .orderBy("name_a", "name_b")),
 
     // ── Per-dimension AUC screening (which dims separate a label) ───────
