@@ -91,8 +91,13 @@ object Tables {
     * The guard is a narrow per-row `when` inside the same projection —
     * no extra pass, fails the read loudly.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = parTable(spark, dir, "events")
+  def events(spark: SparkSession, dir: String, widen: Boolean = true): DataFrame = {
+    // widen=false: for consumers whose first post-scan operator is already
+    // an exchange (e.g. q_cohend's user-keyed aggregate) the parTable
+    // round-robin widen is strictly upstream of another shuffle and the
+    // r18 sweep pair measured it as pure overhead there (+0.58 s).
+    val raw = if (widen) parTable(spark, dir, "events")
+              else table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // legacy ns-as-long fixture
         raw.withColumn("__ts_ns",

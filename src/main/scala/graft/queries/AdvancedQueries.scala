@@ -193,7 +193,11 @@ object AdvancedQueries {
     // median()/quantile_cont (odd n: the middle row, even n: the mean of
     // the two middle rows), with nothing group-scale in any one task.
     "q_percentiles" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      // plain scan: both branches (percentile groupBy; Ranks.groupedRank's
+      // range partition) open with an exchange, so the parTable widen is
+      // upstream-redundant here and the r18 sweep pair measured it as pure
+      // overhead (+0.51 s) — see OPTIMIZATION_r18.md "scan widening"
+      val li = Tables.table(s, dir, "lineitem")
       val qty = li.groupBy(col("l_returnflag"))
         .agg(
           round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),

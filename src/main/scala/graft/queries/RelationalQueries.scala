@@ -28,6 +28,16 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.parTable(s, dir, name)
 
+  /** Plain (unwidened) scan. For queries whose first post-scan operator is
+    * itself an exchange (join / groupBy / multi-distinct Expand), the
+    * [[Tables.parTable]] round-robin widen sits strictly upstream of
+    * another shuffle and buys nothing — the r18 sweep pair measured it as
+    * pure overhead on exactly these shapes (+0.1–0.5 s each; the widened
+    * form wins only where real per-row compute runs BEFORE the first
+    * exchange). See OPTIMIZATION_r18.md "scan widening" for the pairs. */
+  private def tn(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
   /** Exact-decimal sum mirrored in every oracle below. */
   private def oSum(expr: String, as: String, scale: Int = 4): String =
     s"ROUND(CAST(SUM(CAST($expr AS DECIMAL(28,10))) AS DOUBLE), $scale) AS $as"
@@ -43,10 +53,10 @@ object RelationalQueries {
     // shape reads "documents never retrieved" or "users never active" —
     // referential coverage of a dimension by a fact.
     "q_catalog_coverage" -> ((s, dir) => {
-      val ordered = t(s, dir, "lineitem")
+      val ordered = tn(s, dir, "lineitem")
         .select(col("l_partkey").as("p_partkey")).distinct()
         .withColumn("hit", lit(1))
-      t(s, dir, "part")
+      tn(s, dir, "part")
         .join(ordered, Seq("p_partkey"), "left")
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_parts"),
@@ -62,9 +72,9 @@ object RelationalQueries {
     // ── Join family ──────────────────────────────────────────────────────
     // 4-way inner join: fact⋈fact shuffled on orderkey, dims broadcast.
     "q_join_pricing" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
-      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
-      val r = t(s, dir, "region")
+      val li = tn(s, dir, "lineitem"); val o = tn(s, dir, "orders")
+      val c = tn(s, dir, "customer"); val n = tn(s, dir, "nation")
+      val r = tn(s, dir, "region")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
@@ -85,9 +95,9 @@ object RelationalQueries {
     // scan. Revenue per nation for ASIA suppliers serving same-nation
     // customers in 1996.
     "q_join_snowflake" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
-      val c = t(s, dir, "customer"); val sup = t(s, dir, "supplier")
-      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      val li = tn(s, dir, "lineitem"); val o = tn(s, dir, "orders")
+      val c = tn(s, dir, "customer"); val sup = tn(s, dir, "supplier")
+      val n = tn(s, dir, "nation"); val r = tn(s, dir, "region")
       li.join(o.where(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
             col("o_orderdate") < lit("1997-01-01").cast("date")),
           col("l_orderkey") === col("o_orderkey"))
@@ -113,7 +123,7 @@ object RelationalQueries {
     // documented 100 TB swap (HLL ndv, Expand disappears, one mergeable
     // pass). Timestamps surface as exact micros/1e6 epoch seconds.
     "q_profile" -> ((s, dir) =>
-      graft.ops.Profile.columnStats(t(s, dir, "lineitem"),
+      graft.ops.Profile.columnStats(tn(s, dir, "lineitem"),
           numCols = Seq("l_orderkey", "l_partkey", "l_quantity",
             "l_extendedprice", "l_discount"),
           strCols = Seq("l_returnflag", "l_linestatus"),
@@ -126,7 +136,7 @@ object RelationalQueries {
     // salt factor for Skew.saltedJoin. One count pass + a single-row stats
     // crossJoin + a deterministic top-N cut.
     "q_skew_advisor" -> ((s, dir) =>
-      Skew.advisor(t(s, dir, "lineitem"), "l_partkey", topN = 10)),
+      Skew.advisor(tn(s, dir, "lineitem"), "l_partkey", topN = 10)),
 
     // Left outer join preserving customers with no matching open order.
     "q_join_outer" -> ((s, dir) => {
@@ -200,7 +210,7 @@ object RelationalQueries {
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")),
     "q_agg_distinct" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+      tn(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           count_distinct(col("l_suppkey")).as("n_supp"),
@@ -215,7 +225,7 @@ object RelationalQueries {
     // ── Grouping analytics: cube / rollup / grouping sets ────────────────
     // NULL grouping keys → 'ALL' sentinel (no collision: flags are 1-char).
     "q_cube" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+      tn(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("cnt"), Exact.longSum(col("l_quantity")).as("sum_qty"))
         .select(
@@ -228,7 +238,7 @@ object RelationalQueries {
     // indistinguishable by the value column alone; grouping_id is how
     // engines (and the coalesce-to-'ALL' idiom above) tell them apart.
     "q_grouping_id" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+      tn(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
           grouping(col("l_linestatus")).cast("int").as("g_ls"),
@@ -347,8 +357,8 @@ object RelationalQueries {
     // (est, actual, error ratio). Three aggregates + one keyed join count;
     // at scale the ndv legs swap to approx_count_distinct like q_profile.
     "q_join_estimate" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(col("l_orderkey"))
-      val ord = t(s, dir, "orders").select(col("o_orderkey"))
+      val li = tn(s, dir, "lineitem").select(col("l_orderkey"))
+      val ord = tn(s, dir, "orders").select(col("o_orderkey"))
       val sa = li.agg(count(lit(1)).as("n_a"),
         count_distinct(col("l_orderkey")).as("ndv_a"))
       val sb = ord.agg(count(lit(1)).as("n_b"),
@@ -411,7 +421,7 @@ object RelationalQueries {
     // min/max spans — narrow spans on both dimensions are what lets
     // file-level stats prune either predicate. Pure bit arithmetic.
     "q_zorder" -> ((s, dir) =>
-      graft.ops.Layout.zOrderStats(t(s, dir, "lineitem"),
+      graft.ops.Layout.zOrderStats(tn(s, dir, "lineitem"),
           "l_partkey", "l_suppkey", bits = 16, bucketShift = 14)
         .orderBy("bucket")),
 
@@ -774,8 +784,8 @@ object RelationalQueries {
     // shape a pre-training ingest gate runs nightly: linear scans +
     // map-side-combined aggregates, nothing pair-scale.
     "q_dq_checks" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
+      val o = tn(s, dir, "orders")
+      val li = tn(s, dir, "lineitem")
       def vio(c: Column) = sum(when(c, 1L).otherwise(0L))
       val oChecks = o.agg(
           count(lit(1)).as("n_total"),
@@ -805,7 +815,7 @@ object RelationalQueries {
             AS (check_name, n_violations)"""),
           col("n_total"))
       val fk = o.join(
-          t(s, dir, "customer").select(col("c_custkey")).distinct()
+          tn(s, dir, "customer").select(col("c_custkey")).distinct()
             .withColumn("__hit", lit(1L)),
           col("o_custkey") === col("c_custkey"), "left")
         .agg(count(lit(1)).as("n_total"),
