@@ -327,11 +327,27 @@ object Dedup {
     * hash sets, explode band hashes, self-join per (band index, band hash)
     * bucket, keep a<b, distinct. The join is hash-partitioned on the band
     * key — the scale path.
+    *
+    * The bucket relation feeds BOTH self-join sides, and the alias rename
+    * (`id_a` vs `id_b`) below the exchange defeats ReuseExchange — so
+    * without a persist the k-component MinHash signature pass (k hash
+    * evaluations per shingle, the dominant per-row cost) runs TWICE.
+    * QueryProfile (sf0.1, q_dedup_cc_hist): two ~32-task stages of 16.1 s
+    * and 12.2 s executor time computing the identical signatures.
+    * `persist` materializes signatures+bands once — at cluster scale this
+    * relation IS the standing LSH index a production pipeline stores
+    * (same artifact as the [[incrementalNearDups]] corpus side); same
+    * caller-managed cache lifetime as [[verifiedNearDupsFromHashes]].
     */
   def candidatePairsFromHashes(hashed: DataFrame,
-                               k: Int = 30, b: Int = 10, r: Int = 3): DataFrame = {
+                               k: Int = 30, b: Int = 10, r: Int = 3,
+                               persistBuckets: Boolean = true): DataFrame = {
     require(b * r <= k, s"bands($b)×rows($r) exceed signature length $k")
-    val buckets = bandBuckets(hashed, "id", k, b, r)
+    val buckets0 = bandBuckets(hashed, "id", k, b, r)
+    val buckets =
+      if (persistBuckets)
+        buckets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else buckets0
     val a = buckets.select(col("band"), col("bh"), col("id").as("id_a"))
     val bb = buckets.select(col("band"), col("bh"), col("id").as("id_b"))
     a.join(bb, Seq("band", "bh"))

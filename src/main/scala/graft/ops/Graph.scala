@@ -161,7 +161,16 @@ object Graph {
     require(k >= 1, s"k: $k")
     require(rounds >= 1, s"rounds: $rounds")
     require(checkpointEvery >= 1, s"checkpointEvery: $checkpointEvery")
-    var e = edges.select(col("src"), col("dst"))
+    // Eager entry checkpoint: round 1 reads `edges` from THREE plan
+    // branches (degree aggregate + both endpoint semi-join filters), and
+    // those map stages of one job run concurrently — a lazy persist races
+    // its own materialization and each branch recomputes the input (for
+    // q_kcore that input is the support-floored co-purchase self-join).
+    // One materialization here, then every peel reads the checkpoint —
+    // the [[Dedup.connectedComponents]] label discipline applied to the
+    // peel input. At cluster scale substitute a reliable checkpoint()
+    // for fault tolerance, exactly as the pageRank scaladoc notes.
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     for (r <- 1 to rounds) {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k)

@@ -136,13 +136,46 @@ object AdvancedQueries {
     // sketch can't hash-match cross-engine; the boolean is what's
     // gated). One aggregate; stack() to the 3-row table.
     "q_quantile_sweep" -> ((s, dir) => {
-      val agg = t(s, dir, "lineitem")
-        .select(col("l_extendedprice").as("x"))
-        .agg(expr("percentile(x, 0.99)").as("e"),
+      // Exact leg: the percentile() BUILTIN keeps a value→count map as
+      // aggregation state — over l_extendedprice (distinct values grow
+      // with the data) that map is corpus-scale, and its single-task
+      // final merge was this query's measured bottleneck (QueryProfile
+      // sf0.1: 1 task, 1.05 s of a 2.09 s wall merging 8.2 MB of map
+      // state, plus 3.2 s GC in the partials — the VERDICT r15 #3 cliff).
+      // Replaced by the distributed rank kernel (Ranks.globalRank — the
+      // q_global_quantiles discipline): only the floor/ceil order
+      // statistics at position (n−1)·0.99 leave their range slices, and
+      // the closing projection replicates Percentile's interpolation
+      // BIT-FOR-BIT — position = (n−1)·p in doubles, result =
+      // (ceil(pos)−pos)·x_lo + (pos−floor(pos))·x_hi, integral pos short-
+      // circuited to x_lo exactly as Percentile.getPercentile does — so
+      // the emitted value is IEEE-identical to the builtin the oracle
+      // mirrors. Tie column (l_orderkey·8+l_linenumber) is total; equal
+      // prices interpolate identically whichever tie wins.
+      val li = t(s, dir, "lineitem")
+      val approx = li.select(col("l_extendedprice").as("x"))
+        .agg(
           expr("approx_percentile(x, 0.99, 100)").as("a100"),
           expr("approx_percentile(x, 0.99, 1000)").as("a1000"),
           expr("approx_percentile(x, 0.99, 10000)").as("a10000"))
-      agg.select(
+      val pos = (col("n") - 1).cast("double") * lit(0.99)
+      val exact = graft.ops.Ranks.globalRank(li,
+          col("l_extendedprice"),
+          col("l_orderkey") * 8 + col("l_linenumber"))
+        .select(col("x"), col("r"), pos.as("p"),
+          (floor(pos).cast("long") + 1L).as("rl"),
+          (ceil(pos).cast("long") + 1L).as("rh"))
+        .where(col("r") === col("rl") || col("r") === col("rh"))
+        .agg(
+          max(when(col("r") === col("rl"), col("x"))).as("xl"),
+          max(when(col("r") === col("rh"), col("x"))).as("xh"),
+          max(col("p")).as("p"))
+        .select(
+          when(floor(col("p")) === ceil(col("p")), col("xl"))
+            .otherwise((ceil(col("p")) - col("p")) * col("xl")
+              + (col("p") - floor(col("p"))) * col("xh")).as("e"))
+      approx.crossJoin(broadcast(exact))
+        .select(
           expr("""stack(3, 100, a100, 1000, a1000, 10000, a10000)
             AS (accuracy, approx)"""), col("e"))
         .select(col("accuracy"), round(col("e"), 6).as("exact_p99"),
@@ -398,10 +431,16 @@ object AdvancedQueries {
     "q_pagerank" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
       val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      // persisted: the symmetrize union reads fwd from BOTH branches, so
+      // the lazy form re-runs the fact⋈orders join + distinct per branch;
+      // the persist materializes it once and Graph.pageRank's own edge
+      // persist then builds from cache (same caller-managed contract as
+      // verifiedNearDupsFromHashes).
       val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("src"),
           (col("o_custkey") + 1000000000000L).as("dst"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       graft.ops.Graph.pageRank(edges, iters = 3)
@@ -415,10 +454,12 @@ object AdvancedQueries {
     "q_graph_degree" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
       val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      // persisted — the q_pagerank symmetrize note applies verbatim
       val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("src"),
           (col("o_custkey") + 1000000000000L).as("dst"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       graft.ops.Graph.degreeHistogram(edges).orderBy("degree")
@@ -449,6 +490,11 @@ object AdvancedQueries {
     // reach the fixpoint on a planted core+tendril graph.
     "q_kcore" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      // persisted: the symmetrize union otherwise re-runs the
+      // support-floored co-purchase self-join per branch (the q_pagerank
+      // note — the q_sssp/q_bfs bodies already persist this relation);
+      // Graph.kCore's own entry checkpoint then materializes the union
+      // once for the peels.
       val pairs = li.as("x").join(li.as("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
             col("x.l_partkey") < col("y.l_partkey"))
@@ -456,6 +502,7 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("sup"))
         .where(col("sup") >= 2)
         .select(col("src"), col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sym = pairs.unionByName(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
       graft.ops.Graph.kCore(sym, k = 3, rounds = 5)
@@ -729,8 +776,16 @@ object AdvancedQueries {
     // fixture; the flag-on path is gated for equality + plan shape in
     // ShuffleVolumeSpec and benched as a contrast pair in BASELINE.md.
     "q_basket_lift" -> ((s, dir) => {
+      // persisted: the distinct (order, part) relation feeds FOUR plan
+      // branches (order count, per-part counts, both pair-join sides) —
+      // unpersisted, the scan+distinct ran 3× (QueryProfile sf0.1: three
+      // ~0.7 s 3-task distinct stages + two 32-task re-reads). Same
+      // caller-managed cache contract as verifiedNearDupsFromHashes; at
+      // 100 TB this relation is the written-once basket projection the
+      // bucketed-facts flag below materializes durably.
       val li0 = t(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val li =
         if (s.conf.getOption("spark.graft.bucketedFacts")
             .orElse(sys.env.get("SPARK_GRAFT_BUCKETED")).contains("1")) {

@@ -103,7 +103,8 @@ class PlanShapeSpec extends SparkSpec {
     "q_isotonic" -> "the PAV minimax solve's inequality joins over the 11-bin relation (|bins|^2 interval grid, |bins|^3 candidate rows at any corpus size); the data-scale work is the one binned aggregate",
     "q_ewma" -> "crossJoin of the single-row hour-span aggregate onto the <=|types|-row type relation (the q_mase dense-span pattern); the contribution fan-out and moment aggregates are keyed",
     "q_jackknife" -> "crossJoins of the single-row group-totals and pseudo-value-mean aggregates onto the <=25-row nation relation (broadcast, one row each — the q_mi scalar pattern); the per-nation aggregate and dim join are keyed",
-    "q_logrank" -> "crossJoins of the single-row study-end and cohort-total aggregates (broadcast, one row each — the q_kaplan_meier pattern); the per-user aggregate is keyed and the lifetime table is span-bounded")
+    "q_logrank" -> "crossJoins of the single-row study-end and cohort-total aggregates (broadcast, one row each — the q_kaplan_meier pattern); the per-user aggregate is keyed and the lifetime table is span-bounded",
+    "q_quantile_sweep" -> "crossJoin of the single-row exact-p99 order-statistic aggregate onto the single-row approx-sketch aggregate (broadcast, one row each — the q_hll_merge pattern); the exact leg is the Ranks.globalRank range-partitioned kernel, never a value-map aggregate")
 
   // the AQE-aware walker lives on SparkSpec (collectPlanNodes) so DedupSpec's
   // ccRound audit and this guard can never drift apart
