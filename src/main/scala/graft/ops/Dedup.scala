@@ -971,6 +971,20 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
+    // Convergence is detected by the exact label-sum, not a join: labels
+    // are MONOTONE non-increasing (every round takes a min over
+    // self ∪ neighbors, and the pointer jump substitutes label(c) ≤ c),
+    // so Σ component is strictly decreasing until the fixpoint and equal
+    // exactly there. That turns the per-round changed-count — a keyed
+    // join of two label relations plus a count (two shuffles) — into one
+    // shuffle-free aggregate over the already-checkpointed round output.
+    // DECIMAL(38,0) keeps the sum exact at any id scale (10¹² docs of
+    // 2⁶⁰-bit ids is ~10³⁰ ≪ 10³⁸).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -991,11 +1005,10 @@ object Dedup {
           col("component") === col("cid"), "left")
         .select(col("id"), coalesce(col("cc"), col("component")).as("component"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .where(col("component") =!= col("old"))
-        .count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
     }
     edges.unpersist()
     if (!converged)

@@ -729,6 +729,12 @@ object AdvancedQueries {
     // graph joins.
     "q_degree_assort" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      // persisted: the support-floored edge relation feeds THREE branches
+      // (degree explode + both endpoint degree joins) — unpersisted, the
+      // co-purchase self-join ran 3× (QueryProfile sf0.1: one 9.2 s
+      // 32-task stage + two 12 MB-read rescans). Same contract as the
+      // q_kcore/q_sssp bodies; the graph kernels persist their canonical
+      // form internally for exactly this reason.
       val pairs = li.as("x").join(li.as("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
             col("x.l_partkey") < col("y.l_partkey"))
@@ -736,6 +742,7 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("sup"))
         .where(col("sup") >= 2)
         .select(col("a"), col("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = pairs.select(explode(array(col("a"), col("b"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       pairs

@@ -1680,9 +1680,18 @@ object TextPipelineQueries {
           array_distinct(TextAnalysis.shingles(col("toks"), 3)).as("sh"))
         .where(size(col("sh")) > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // persisted: ranked feeds BOTH candidate-join branches, so the
+      // global sort otherwise runs twice (QueryProfile sf0.1: two
+      // sequential 1-task 0.44 s stages). A Ranks.globalRank form was
+      // measured (1.78 s vs 1.06 s here): its range exchange + offset
+      // collect cost more at fixture scale than the light (doc_id, skey)
+      // sort it distributes — at 100 TB swap to exactly that kernel (the
+      // constant-key window is the single-partition funnel its scaladoc
+      // names; the swap is rank-identical, same (skey, doc_id) order).
       val ranked = base.select(col("doc_id"),
         row_number().over(W.partitionBy(pmod(col("doc_id"), lit(1L)))
           .orderBy(col("skey"), col("doc_id"))).as("r"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = ranked
         .select(col("doc_id").as("id_a"),
           explode(sequence(col("r") + 1, col("r") + 3)).as("rb"))
